@@ -1,13 +1,243 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * north-star extension); each has a DuckDB-equivalent `oracleSql`
+  * unless the op is not SQL-expressible (sketch/LSH ops → driver does a
+  * rows-only check). Column names are aligned between the Spark output
+  * and the oracle SQL, and every query output is deterministically
+  * ordered.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.starJoinRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SURVEY §2.2 filters / projections
+    "p1_point_filter"   -> ((s, d) => Relational.pointFilter(s, d)),
+    "p2_like_substring" -> ((s, d) => Relational.likeSubstring(s, d)),
+    "p3_time_prefix"    -> ((s, d) => Relational.timePrefixLike(s, d)),
+    "p7_json_projection"-> ((s, d) => Relational.jsonProjection(s, d)),
+    "p8_find_substring" -> ((s, d) => Relational.findSubstring(s, d)),
+    // §2.5 sort / limit / pagination / top-k
+    "o1_paginate_asc"   -> ((s, d) => Relational.paginateAsc(s, d)),
+    "o2_paginate_desc"  -> ((s, d) => Relational.paginateDesc(s, d)),
+    "o3_topk_score"     -> ((s, d) => Relational.topKByScore(s, d)),
+    // §2.3 joins
+    "j1_join_nested"    -> ((s, d) => Relational.joinNested(s, d)),
+    "j2_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
+    "j3_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
+    "j4_star_join"      -> ((s, d) => Relational.starJoinRevenue(s, d)),
+    // §2.4 aggregations
+    "a1_max_id"         -> ((s, d) => Analytics.maxOrderId(s, d)),
+    "a2_monthly_sales"  -> ((s, d) => Analytics.monthlySales(s, d)),
+    "a3_rollup_sales"   -> ((s, d) => Analytics.rollupSales(s, d)),
+    "a4_count"          -> ((s, d) => Analytics.countAll(s, d)),
+    "a6_supplier_stats" -> ((s, d) => Analytics.supplierStats(s, d)),
+    "a7_distinct_counts"-> ((s, d) => Analytics.distinctCounts(s, d)),
+    "a8_approx_distinct"-> ((s, d) => Analytics.approxDistinct(s, d)),
+    "q1_pricing_summary"-> ((s, d) => Analytics.q1PricingSummary(s, d)),
+    // §2.4 DISTINCT / §2.7 set ops
+    "d1_distinct"       -> ((s, d) => Relational.distinctValues(s, d)),
+    "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
+    "s2_intersect"      -> ((s, d) => Relational.setIntersect(s, d)),
+    "s3_except"         -> ((s, d) => Relational.setExcept(s, d)),
+    // §2.6 windows
+    "w1_topn_per_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
+    "w3_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    // §2.8 scalar functions
+    "f_scalar_suite"    -> ((s, d) => Relational.scalarSuite(s, d)),
+    // §2.10 batch twins of the streaming surface
+    "st1_hourly_events" -> ((s, d) => Analytics.hourlyEvents(s, d)),
+    "st2_sessionize"    -> ((s, d) => Analytics.sessionize(s, d)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_point_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "p2_like_substring" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE '%wid%' ORDER BY p_partkey""".stripMargin,
+    "p3_time_prefix" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_time
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') LIKE '1996-0%-1%'
+        |ORDER BY o_orderkey""".stripMargin,
+    "p7_json_projection" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events WHERE CAST(props->>'$.k' AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "p8_find_substring" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source LIKE '%1%' ORDER BY doc_id""".stripMargin,
+    "o1_paginate_asc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey ASC LIMIT 100 OFFSET 50""".stripMargin,
+    "o2_paginate_desc" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_time,
+        |       o_totalprice
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
+        |LIMIT 50 OFFSET 20""".stripMargin,
+    "o3_topk_score" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal IS NOT NULL
+        |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15""".stripMargin,
+    "j1_join_nested" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |  count(l.l_linenumber) AS n_lines,
+        |  coalesce(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 0.0) AS revenue,
+        |  coalesce(string_agg(CAST(l.l_linenumber AS VARCHAR), ',' ORDER BY l.l_linenumber), '')
+        |    AS line_numbers
+        |FROM orders o LEFT OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey < 200
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "j2_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "a1_max_id" -> "SELECT max(o_orderkey) AS max_id FROM orders",
+    "a2_monthly_sales" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER)
+        |ORDER BY y, m""".stripMargin,
+    "a3_rollup_sales" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |       CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       round(sum(o_totalprice), 2) AS sales
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER),
+        |                 CAST(month(o_orderdate) AS INTEGER))
+        |ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
+    "a4_count" -> "SELECT count(*) AS n FROM orders",
+    "a6_supplier_stats" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING count(*) > 10 ORDER BY l_suppkey""".stripMargin,
+    "a7_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    // a8_approx_distinct: HLL sketch — intentionally no oracle (rows-only).
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "d1_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "s1_union" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2)
+        |ORDER BY o_custkey""".stripMargin,
+    "s2_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
+        |ORDER BY o_custkey""".stripMargin,
+    "s3_except" ->
+      """SELECT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
+        |ORDER BY o_custkey""".stripMargin,
+    "w1_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "w3_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 3
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+    "f_scalar_suite" ->
+      """SELECT p_partkey,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_type) AS type_lower,
+        |  substring(p_name, 1, 5) AS name_pfx,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        |  round(p_retailprice * 1.1, 2) AS price_up,
+        |  abs(p_size - 25) AS size_dist,
+        |  CAST(p_size AS DOUBLE) AS size_d,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor_l
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "st1_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st2_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, value, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, value, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR (CAST(floor(epoch(ts)) AS BIGINT)
+        |               - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM seq),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+  )
 }

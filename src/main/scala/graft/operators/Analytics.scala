@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation surface (SURVEY.md §2.4) + the Chart.vue analytics
+  * (A2/A3) done the Spark-first way: pushed-down hash aggregation with
+  * partial+final phases, instead of the reference's fetch-everything-
+  * then-loop-in-JS (`Chart.vue:88-111` — SURVEY.md §7.4 calls out that
+  * this must become a pushed-down aggregation at 100 TB).
+  */
+object Analytics {
+
+  // --- A1: ungrouped MAX — the reference's id generator
+  // (`SELECT MAX(order_id)`, DatabaseAccessor.py:123). ---
+  def maxOrderId(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(max(col("o_orderkey")).as("max_id"))
+
+  // --- A4: COUNT (reference: MovieList.vue:90-91 client-side length). ---
+  def countAll(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(count(lit(1)).as("n"))
+
+  // --- A2: SUM grouped by (year, month) — monthly sales
+  // (Chart.vue:96-111, sum at :105). One shuffle, partial+final agg. ---
+  def monthlySales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("y", "m")
+
+  // --- A2+A3 together: ROLLUP(year, month) — the de-facto GROUPING SETS
+  // the reference computes as two JS loops (Chart.vue:96-111 months,
+  // :182-190 yearly fold). One pass, one shuffle, yearly + monthly +
+  // grand total (SURVEY.md §2.4 A3 "one pass with rollup"). ---
+  def rollupSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sales"))
+      .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)
+
+  // --- Q1-shape wide aggregation (TPC-H Q1): the headline grouped-agg
+  // benchmark — sums/avgs/count per flag+status, fully codegen'd. ---
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // --- Grouped multi-measure agg with HAVING (general form of the
+  // reference's per-movie review stats that Chart/Detail derive). ---
+  def supplierStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("total_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .filter(col("n_items") > 10)
+      .orderBy("l_suppkey")
+
+  // --- Exact distinct count (SURVEY.md §2.4 ABSENT row: DISTINCT/
+  // approx). Exact here for oracle parity; approxDistinct below is the
+  // scale path (rows-only check — sketches aren't oracle-matchable). ---
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** HLL++ approximate distinct — the 100 TB path where exact
+    * countDistinct's shuffle would dominate. Driver checks rows only.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // --- ST1 (batch view of §2.10 tumbling window): hourly event rollup.
+  // date_trunc keys instead of window() so the same query is
+  // DuckDB-expressible; the streaming twin lives in graft.streaming. ---
+  def hourlyEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  // --- ST2: sessionization as gaps-and-islands (batch twin of
+  // session_window; G8 liveness semantics per SURVEY.md §2.9/2.10 —
+  // a session dies after a 30-minute silence). Window-function form is
+  // deterministic and oracle-matchable; the stateful streaming form is
+  // in graft.streaming.Streams. ---
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

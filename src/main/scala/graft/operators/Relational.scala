@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational query surface (SURVEY.md §2.2-§2.7),
+  * re-expressed over the synthetic star schema.
+  *
+  * Every function takes `(spark, sfDir)` and returns a DataFrame whose
+  * output is deterministically ordered (explicit total-order sort keys)
+  * so the driver's parquet-vs-DuckDB hash compare is stable.
+  *
+  * Scale posture: all filters/projections are plain Column expressions
+  * (pushed into the parquet scan by Catalyst), dims are broadcast
+  * explicitly, and no query collects to the driver.
+  */
+object Relational {
+
+  // --- P1: point equality filter (reference: DatabaseAccessor.py:94) ---
+  def pointFilter(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 42L)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  // --- P2: substring LIKE (reference: DatabaseAccessor.py:100, wildcard
+  // defaulting Server.py:20-23 — empty key ⇒ match-all) ---
+  def likeSubstring(s: SparkSession, d: String, key: String = "wid"): DataFrame = {
+    val base = Tables.part(s, d)
+    val filtered =
+      if (key.isEmpty) base // '%' match-all ⇒ drop the predicate entirely
+      else base.filter(col("p_name").contains(key))
+    filtered.select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  // --- P3: prefix LIKE on a time string (reference: DatabaseAccessor.py:107,
+  // pattern built OrderList.vue:125-131). The reference stores
+  // 'yyyy-MM-dd HH:mm:ss' strings; here the timestamp is native, so we
+  // format then LIKE — exact reference semantics incl. mid-pattern
+  // wildcards ('2024-%-15%') that a year()/month() rewrite would break
+  // (SURVEY.md §7.4). ---
+  def timePrefixLike(s: SparkSession, d: String,
+                     pattern: String = "1996-0%-1%"): DataFrame =
+    Tables.orders(s, d)
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").like(pattern))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_time"))
+      .orderBy("o_orderkey")
+
+  // --- P4 + O3: NOT NULL filter + top-k by score (reference:
+  // DatabaseAccessor.py:112-117, top-15 per Boarding.vue:31-34).
+  // Plans as TakeOrderedAndProject — true top-k, no full sort. ---
+  def topKByScore(s: SparkSession, d: String, k: Int = 15): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_acctbal").isNotNull)
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(k)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+  // --- P8/G7: substring filter over a path-like listing (reference:
+  // GreilFS `find`, Client/managers.py:342-365) ---
+  def findSubstring(s: SparkSession, d: String, needle: String = "1"): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("source").contains(needle))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  // --- O1: ORDER BY ASC + LIMIT/OFFSET pagination (reference:
+  // DatabaseAccessor.py:101). Spark ≥3.4 `offset` keeps this a single
+  // GlobalLimit/Offset plan, no window needed. ---
+  def paginateAsc(s: SparkSession, d: String,
+                  startFrom: Int = 50, limitation: Int = 100): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderkey").asc)
+      .offset(startFrom).limit(limitation)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // --- O2: ORDER BY DESC + LIMIT/OFFSET, newest first (reference:
+  // DatabaseAccessor.py:108). o_orderkey tiebreak makes paging stable
+  // (SURVEY.md §7.4 "unstable pagination"). ---
+  def paginateDesc(s: SparkSession, d: String,
+                   startFrom: Int = 20, limitation: Int = 50): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .offset(startFrom).limit(limitation)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_time"),
+        col("o_totalprice"))
+
+  // --- J1: one-to-many join with nested collection (reference: ORM
+  // relationship DatabaseAccessor.py:39 + nesting :44-47 — movie with its
+  // reviews as an array). orders ⋈ lineitem, lines nested per order.
+  // The per-order line list is sorted so the array is deterministic. ---
+  def joinNested(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") < 200L)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(
+        count(col("l_linenumber")).as("n_lines"),
+        coalesce(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2), lit(0.0))
+          .as("revenue"),
+        array_join(sort_array(collect_list(col("l_linenumber"))).cast("array<string>"), ",")
+          .as("line_numbers"))
+      .orderBy("o_orderkey")
+
+  // --- J2 (semi): customers having orders — EXISTS via left_semi, no
+  // row multiplication, hash-join on the shuffled key at scale. ---
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // --- J2 (anti): customers with no orders — NOT EXISTS via left_anti. ---
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  // --- J4: star join — fact ⋈ fact ⋈ broadcast dims (TPC-H Q5 shape;
+  // the general-case replacement for the reference's join-avoidance-by-
+  // denormalization, SURVEY.md §2.3 J3). Dims are broadcast explicitly:
+  // region/nation/customer are tiny even at 100 TB-of-facts scale, so the
+  // only shuffle is lineitem⋈orders on the orderkey. ---
+  def starJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
+  def distinctValues(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+  // --- S1-S3: set operations (SURVEY.md §2.7) — custkeys ordering in
+  // January vs February 2024. ---
+  private def custkeysInMonth(s: SparkSession, d: String, m: Int): DataFrame =
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === m)
+      .select("o_custkey")
+
+  def setUnion(s: SparkSession, d: String): DataFrame =
+    custkeysInMonth(s, d, 1).union(custkeysInMonth(s, d, 2))
+      .distinct().orderBy("o_custkey")
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    custkeysInMonth(s, d, 1).intersect(custkeysInMonth(s, d, 2))
+      .orderBy("o_custkey")
+
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    custkeysInMonth(s, d, 1).except(custkeysInMonth(s, d, 2))
+      .orderBy("o_custkey")
+
+  // --- W1: row_number pagination/top-n-per-group (SURVEY.md §2.6 — the
+  // windowed form of O1-O4). Total order inside each partition via the
+  // (o_totalprice desc, o_orderkey) tiebreak. ---
+  def topNPerGroup(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // --- W3: running total (SURVEY.md §2.6 extension note — running sales).
+  // Unique (l_shipdate, l_orderkey, l_linenumber) order makes the
+  // cumulative sum deterministic. ---
+  def runningRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey") < 3L)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("running_qty"))
+      .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+  }
+
+  // --- F1-F7: scalar-function suite (SURVEY.md §2.8) — concat, substring,
+  // upper/lower, replace, length, round, abs, casts, year/month/day. ---
+  def scalarSuite(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        round(col("p_retailprice") * 1.1, 2).as("price_up"),
+        abs(col("p_size") - 25).as("size_dist"),
+        col("p_size").cast("double").as("size_d"),
+        floor(col("p_retailprice")).as("price_floor_l"))
+      .orderBy("p_partkey")
+
+  // --- P7/F6: JSON projection (reference: json.loads(information),
+  // DatabaseAccessor.py:43 → SURVEY.md §1.4 from_json mapping). The
+  // events.props JSON string stands in for movie.information. ---
+  def jsonProjection(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+}
