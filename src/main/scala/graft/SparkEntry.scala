@@ -56,6 +56,24 @@ object SparkEntry {
     // §2.10 batch twins of the streaming surface
     "st1_hourly_events" -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "st2_sessionize"    -> ((s, d) => Analytics.sessionize(s, d)),
+    // north-star M6: deduplication
+    "dd1_exact_dedup"   -> ((s, d) => Dedup.exactDedup(s, d)),
+    "dd2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dd3_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dd4_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
+    // north-star M6: text analysis
+    "tx1_text_stats"    -> ((s, d) => TextAnalysis.textStats(s, d)),
+    "tx2_token_freq"    -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
+    "tx3_fingerprints"  -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "tx4_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "tx5_lang_id"       -> ((s, d) => TextAnalysis.langId(s, d)),
+    // north-star M6: similarity search
+    "sim1_cosine_topk"  -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "sim2_top_pairs"    -> ((s, d) => Similarity.topSimilarPairs(s, d)),
+    "sim3_lsh_ann"      -> ((s, d) => Similarity.lshAnn(s, d)),
+    // north-star M6: multimodal plumbing
+    "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
+    "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +257,72 @@ object SparkEntry {
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "dd1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dd2_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (ca.n + cb.n - s) AS jac
+        |  FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+        |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // dd3_minhash_lsh, dd4_simhash: sketch/LSH ops — rows-only by design.
+    "tx1_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx2_token_freq" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin,
+    "tx3_fingerprints" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "tx4_quality_score" ->
+      """SELECT doc_id, round(
+        |  (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+        |  + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+        |  + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |                 / len(ws) * 2.0, 1.0)) * 0.2, 4) AS quality
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // tx5_lang_id: heuristic classifier — rows-only by design.
+    "sim1_cosine_topk" ->
+      """SELECT b.vec_id, b.label,
+        |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                               CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10""".stripMargin,
+    "sim2_top_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // sim3_lsh_ann: approximate ANN — rows-only by design.
+    "mm1_media_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm2_media_features: stubbed decoder output — rows-only by design.
   )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (north-star extension surface,
+  * SURVEY.md §7.2 M6). Everything here is pure `Column` expressions
+  * via the Scala higher-order-function API — whole-stage-codegen'd,
+  * no UDFs, no driver-side loops — so the same code scales from 500
+  * docs to 100 TB of documents: tokenization, n-gram shingling,
+  * MinHash signatures, SimHash, Jaccard, language-ID.
+  */
+object Text {
+
+  /** Whitespace tokenization. Single-space-delimited corpora only;
+    * use `split(text, "\\s+")` upstream for messy whitespace.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, the unit for Jaccard/MinHash dedup.
+    * Guarded: Spark's `sequence(1, 0)` counts DOWN, so docs shorter
+    * than n yield an explicit empty array.
+    */
+  def wordNgrams(ws: Column, n: Int): Column =
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(ws) - lit(n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+
+  /** MinHash signature: `numHashes` independent permutations simulated
+    * as seeded xxhash64, each taking the min over the doc's shingle
+    * set. One pass, codegen'd; the signature is O(numHashes) per doc
+    * regardless of corpus size — this is the 100 TB dedup path.
+    */
+  def minhashSignature(grams: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(grams, g => xxhash64(i, g))))
+
+  /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
+    * the token-hash's bit value; the sign becomes the output bit.
+    * The bit index is a Scala-level loop (64 static expression terms),
+    * keeping every shift amount a literal so the whole thing stays in
+    * the codegen'd expression domain — no UDF.
+    */
+  def simhash64(ws: Column): Column = {
+    val hashes = transform(ws, t => xxhash64(t))
+    (0 until 64).map { b =>
+      val balance = aggregate(hashes, lit(0),
+        (bal, h) => bal + when(shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L), 1).otherwise(-1))
+      shiftleft(when(balance >= 0, lit(1L)).otherwise(lit(0L)), b)
+    }.reduce(_ + _)
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays (the candidate-
+    * pair verification step after LSH banding).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+
+  /** Stopword-profile language-ID heuristic: score = overlap of the
+    * doc's tokens with each language's profile; argmax with a
+    * deterministic tiebreak (max over (score, lang) structs).
+    */
+  def langIdPredict(ws: Column, profiles: Map[String, Seq[String]]): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      struct(size(filter(ws, t => array_contains(stopArr, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Content fingerprint: md5 of the raw text (exact-dup key that
+    * travels as 32 bytes instead of the full doc — what you shuffle
+    * at 100 TB instead of `text` itself).
+    */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+}

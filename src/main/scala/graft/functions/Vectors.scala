@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `Array[Float]` embedding columns as pure Column
+  * expressions (codegen'd; no UDF, no MLlib dependency). All math in
+  * double to keep results oracle-comparable.
+  */
+object Vectors {
+
+  /** Σ a_i * b_i, folded left in element order (deterministic FP). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign bit of v · plane for one deterministic hyperplane — the unit
+    * of a random-hyperplane LSH bucket id. The plane is a Scala-side
+    * constant array folded into the plan as a literal.
+    */
+  def hyperplaneBit(v: Column, plane: Array[Double]): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Pack `planes.length` hyperplane sign bits into one long bucket id. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      shiftleft(hyperplaneBit(v, p), i)
+    }.reduce(_ + _)
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — bucket ids
+    * must be reproducible across runs and across the cluster).
+    */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+}

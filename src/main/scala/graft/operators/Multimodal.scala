@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star, SURVEY.md §7.2 M6): media
+  * payloads travel as opaque `binary` columns plus typed metadata;
+  * decode/feature-extraction runs partition-parallel over the binary
+  * batches via a typed `mapPartitions` (the Scala analogue of a batch
+  * UDF) so a real decoder drops in without touching the plumbing.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake; schema, partitioning, and batch
+  * shape are real and tested.
+  */
+object Multimodal {
+
+  /** A media row: payload bytes + metadata, as it would land from an
+    * object store manifest (payload here synthesized from doc text).
+    */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         mime: String, source: String)
+
+  /** Extracted features (what a decoder would emit per media item). */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, fingerprint: Long)
+
+  /** documents -> media records: binary payload column + metadata.
+    * At scale the payload column is the parquet binary column your
+    * images/audio already live in. */
+  def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mime"), col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: a real implementation would decode image bytes
+    * (JPEG/PNG) and emit pixel-derived features; codecs are absent in
+    * this container, so features are a deterministic function of the
+    * bytes (length + first-bytes fingerprint standing in for
+    * width/height/content-hash). Partition-parallel, batch-at-a-time:
+    * the iterator shape is exactly what a JNI/native decoder needs.
+    */
+  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        // ??? real decode goes here; deterministic fake below
+        val n = r.payload.length
+        val fp = r.payload.take(8).foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+        MediaFeatures(r.doc_id, n, width = (fp.abs % 1920).toInt + 1,
+          height = (fp.abs % 1080).toInt + 1, fingerprint = fp)
+      }
+    }
+  }
+
+  // --- MM1 (oracled): metadata path — byte length + md5 content hash
+  // straight off the binary column, no decode needed. ---
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      .orderBy("doc_id")
+
+  // --- MM2 (rows-only): the full decode pipeline through the typed
+  // mapPartitions plumbing. ---
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    decodeStub(mediaRecords(s, d)).toDF().orderBy("doc_id")
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (north-star,
+  * SURVEY.md §7.2 M6): brute-force cosine top-k as the exact baseline,
+  * random-hyperplane LSH bucketing as the approximate scale path, and
+  * exact near-dup pair mining on a keyed subsample.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set
+  * against a full scan — linear, no shuffle of the corpus. The LSH
+  * variant buckets the corpus once (one narrow projection), so query
+  * lookups touch only same-bucket rows; at 100 TB you'd persist the
+  * bucketed table sorted/partitioned by bucket id.
+  */
+object Similarity {
+
+  // --- SIM1: brute-force cosine top-k for one query vector.
+  // The query row is broadcast; corpus is scanned once, ranked with
+  // TakeOrderedAndProject (no full sort). ---
+  def cosineTopK(s: SparkSession, d: String,
+                 queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  // --- SIM2: exact most-similar pairs on a keyed subsample (every
+  // 5th vector) — the oracle-checkable slice of all-pairs similarity. ---
+  def topSimilarPairs(s: SparkSession, d: String,
+                      sampleMod: Long = 5L, topN: Int = 20): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topN)
+  }
+
+  // --- SIM3: LSH-bucketed ANN — the scale path. 8 deterministic
+  // hyperplanes -> 256 buckets; each query's candidates are only its
+  // own bucket; exact cosine re-rank inside the bucket. Approximate
+  // (bucket boundaries lose some true neighbors) — driver checks rows
+  // only; the spec cross-checks recall against SIM1. ---
+  def lshAnn(s: SparkSession, d: String,
+             numQueryVecs: Int = 5, k: Int = 3,
+             numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = Vectors.randomPlanes(numPlanes, dim)
+    val bucketed = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.lshBucket(col("embedding"), planes).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    bucketed.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vectors.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table (north-star,
+  * SURVEY.md §7.2 M6): per-doc stats / quality scoring, corpus token
+  * frequencies, content fingerprinting, language-ID. All pure Column
+  * expressions; the only shuffle is the token-frequency groupBy (with
+  * map-side partial aggregation).
+  */
+object TextAnalysis {
+
+  // --- TX1: per-document stats: char/token counts, distinct tokens,
+  // average token length, 'the'-stopword ratio. ---
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    val ws = Text.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct"),
+        round((length(col("text")) - (size(ws) - lit(1))).cast("double")
+          / size(ws).cast("double"), 4).as("avg_token_len"),
+        round(size(filter(ws, t => t === "the")).cast("double")
+          / size(ws).cast("double"), 4).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // --- TX2: corpus-wide token frequency, top 20. The heavy path is
+  // explode -> groupBy: partial aggregation runs map-side, so the
+  // shuffle carries (token, partial_count), not raw tokens. ---
+  def tokenFrequency(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topN)
+
+  // --- TX3: content fingerprint (md5) — the exact-dedup / cache key. ---
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // --- TX4: composite quality score in [0,1]: length in range,
+  // lexical diversity, low stopword share — the usual pre-training
+  // heuristic filter, as one deterministic rounded expression. ---
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val ws = Text.tokens(col("text"))
+    val nTok = size(ws).cast("double")
+    val diversity = size(array_distinct(ws)).cast("double") / nTok
+    val lengthOk = when(size(ws).between(20, 2000), lit(1.0)).otherwise(lit(0.4))
+    val stopShare = size(filter(ws, t => t.isin("the", "a"))).cast("double") / nTok
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(lengthOk * lit(0.4) + diversity * lit(0.4)
+          + (lit(1.0) - least(stopShare * lit(2.0), lit(1.0))) * lit(0.2), 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword profiles for the language-ID heuristic. Real profiles
+    * would be per-language function-word lists; the synthetic corpus
+    * is shared-vocabulary, so this demonstrates the operator shape
+    * (driver does a rows-only check; the spec asserts determinism).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast", "join"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "es" -> Seq("el", "la", "y", "de"),
+    "zh" -> Seq("de", "le", "he", "shi"))
+
+  // --- TX5: language-ID prediction vs the labeled lang column. ---
+  def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        Text.langIdPredict(Text.tokens(col("text")), langProfiles).as("predicted"))
+      .orderBy("doc_id")
+}

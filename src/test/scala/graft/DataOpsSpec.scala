@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Specs for the north-star data-pipeline ops that the driver only
+  * rows-checks (sketch/LSH/stub ops) — cross-validated against their
+  * exact counterparts.
+  */
+class DataOpsSpec extends SparkTestBase {
+
+  test("DD3 MinHash-LSH pairs match exact n-gram Jaccard pairs (high recall)") {
+    val exact = Dedup.ngramJaccardPairs(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (it verifies exactly)")
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${exact.size})")
+  }
+
+  test("DD4 SimHash is deterministic and pairs have low hamming distance") {
+    val a = Dedup.simhashPairs(spark, sf).collect()
+    val b = Dedup.simhashPairs(spark, sf).collect()
+    assert(a.sameElements(b), "simhash must be deterministic")
+    assert(a.forall(_.getInt(2) <= 3))
+  }
+
+  test("SIM3 LSH-ANN is deterministic, bucket-consistent, and rank-ordered") {
+    // On uniform random embeddings bucket-mates need not be global
+    // top-k (no cluster structure), so recall vs brute force is not a
+    // meaningful assertion here; the structural contract is.
+    val a = Similarity.lshAnn(spark, sf).collect()
+    val b = Similarity.lshAnn(spark, sf).collect()
+    assert(a.sameElements(b), "ANN must be deterministic (fixed-seed planes)")
+    assert(a.nonEmpty)
+    // per query: ranks dense from 1, cos_sim non-increasing
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // every returned neighbor really shares the query's LSH bucket
+    val planes = graft.functions.Vectors.randomPlanes(8, 64)
+    val buckets = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.Vectors.lshBucket(
+          org.apache.spark.sql.functions.col("embedding"), planes).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s bucket")
+    }
+  }
+
+  test("SIM1 brute-force top-k is ordered by similarity desc") {
+    val sims = Similarity.cosineTopK(spark, sf).select("cos_sim")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(sims.forall(v => v >= -1.0001 && v <= 1.0001))
+  }
+
+  test("MM2 stub decode is deterministic and preserves byte counts") {
+    val feats = Multimodal.mediaFeatures(spark, sf)
+    val joined = feats.join(Tables.documents(spark, sf), "doc_id")
+      .filter(col("n_bytes") =!= octet_length(col("text")))
+    assert(joined.count() == 0, "payload byte count must equal utf8 text bytes")
+    val a = feats.collect(); val b = Multimodal.mediaFeatures(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("TX5 lang-id is deterministic and emits a known language") {
+    val langs = TextAnalysis.langId(spark, sf).select("predicted")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(TextAnalysis.langProfiles.keySet))
+  }
+
+  test("DD1 exact dedup keeps every distinct fingerprint exactly once") {
+    val docs = Tables.documents(spark, sf)
+    val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(Dedup.exactDedup(spark, sf).count() == nDistinct)
+  }
+}
