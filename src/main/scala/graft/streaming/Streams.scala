@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.10). The reference has
+  * no data streaming — its insert→re-aggregate loop
+  * (`DatabaseAccessor.py:128-131` + `Chart.vue:88-92` full refetch) is
+  * the motivating workload: these operators maintain the same
+  * aggregates incrementally instead of recomputing from scratch.
+  *
+  * All transforms take an input DataFrame (batch or streaming — the
+  * plans are identical; tests drive them with MemoryStream) with the
+  * events schema `(event_id, ts timestamp, user_id, event_type, value,
+  * props)`.
+  */
+object Streams {
+
+  /** Tumbling-window rollup with watermark: the streaming twin of
+    * Analytics.hourlyEvents / the reference's monthly Chart buckets
+    * (Chart.vue:96-111). Late rows beyond the watermark are dropped
+    * instead of absorbed-by-recompute.
+    */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window average (len/slide), e.g. 1h windows every 15min. */
+  def slidingValue(events: DataFrame,
+                   windowLen: String = "1 hour", slide: String = "15 minutes",
+                   watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide))
+      .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("avg_value"), col("n"))
+
+  /** Session windows: gap-based per-user sessions — the built-in
+    * streaming equivalent of Analytics.sessionize (G8 "dead after
+    * silence" semantics applied to user activity).
+    */
+  def sessionWindows(events: DataFrame,
+                     gap: String = "30 minutes",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  // ---- Stateful liveness: GreilFS heartbeat/failure detection (G8,
+  // Server/managers.py:44-62 — node marked Dead past a timeout) as
+  // flatMapGroupsWithState with event-time timeout. ----
+
+  case class Heartbeat(node: String, ts: java.sql.Timestamp)
+  case class NodeState(lastSeenMs: Long, beats: Long)
+  case class LivenessEvent(node: String, status: String, beats: Long)
+
+  /** Emits ALIVE on first heartbeat of a node and DEAD when a node's
+    * watermark-driven timeout fires with no new heartbeat — the exact
+    * NameNode detector semantics (timeout constant is config, per
+    * SURVEY.md §2.9 G8 doc/code drift note).
+    */
+  def liveness(heartbeats: Dataset[Heartbeat],
+               timeoutMs: Long = 25000L,
+               watermark: String = "10 seconds"): Dataset[LivenessEvent] = {
+    import heartbeats.sparkSession.implicits._
+    heartbeats
+      .withWatermark("ts", watermark)
+      .groupByKey(_.node)
+      .flatMapGroupsWithState[NodeState, LivenessEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (node: String, beats: Iterator[Heartbeat], state: GroupState[NodeState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(LivenessEvent(node, "DEAD", st.beats))
+          } else {
+            val newBeats = beats.toSeq
+            val maxTs = newBeats.map(_.ts.getTime).max
+            val prior = state.getOption
+            val st = NodeState(
+              lastSeenMs = prior.map(p => math.max(p.lastSeenMs, maxTs)).getOrElse(maxTs),
+              beats = prior.map(_.beats).getOrElse(0L) + newBeats.size)
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastSeenMs + timeoutMs)
+            if (prior.isEmpty) Iterator(LivenessEvent(node, "ALIVE", st.beats))
+            else Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Heartbeat, LivenessEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): Ev =
+    Ev(id, ts(t), user, typ, v, "{}")
+
+  test("tumbling window counts with watermark drop late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+        ev(3, "2024-01-01 11:10:00"))
+      q.processAllAvailable()
+      // advance watermark far past 10:00-11:00 so that window closes
+      mem.addData(ev(4, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      // this row is for the closed 10:00 window -> must be dropped
+      mem.addData(ev(5, "2024-01-01 10:30:00"))
+      mem.addData(ev(6, "2024-01-01 14:00:00"))
+      q.processAllAvailable()
+      val out = spark.table("tumbling").collect()
+      val w10 = out.filter(_.getTimestamp(0) == ts("2024-01-01 10:00:00"))
+      assert(w10.length == 1 && w10.head.getLong(2) == 2,
+        s"10:00 window must close with exactly the 2 on-time rows, got ${w10.toSeq}")
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap and split across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionWindows(mem.toDF(), "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", user = 7), ev(2, "2024-01-01 10:10:00", user = 7),
+        ev(3, "2024-01-01 12:00:00", user = 7)) // > 30 min gap -> new session
+      mem.addData(ev(4, "2024-01-01 15:00:00", user = 8)) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("sessions").filter(col("user_id") === 7).collect()
+      assert(out.length == 2, s"expected 2 sessions for user 7, got ${out.toSeq}")
+      assert(out.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("liveness: ALIVE on first heartbeat, DEAD after event-time silence (G8)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Heartbeat]
+    val q = Streams.liveness(mem.toDS(), timeoutMs = 25000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("liveness").outputMode("append").start()
+    try {
+      mem.addData(
+        Heartbeat("dn1", ts("2024-01-01 00:00:00")),
+        Heartbeat("dn2", ts("2024-01-01 00:00:01")))
+      q.processAllAvailable()
+      // dn2 keeps beating; dn1 goes silent. Advance event time past
+      // dn1's 25s timeout via dn2's heartbeats.
+      mem.addData(Heartbeat("dn2", ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      mem.addData(Heartbeat("dn2", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      mem.addData(Heartbeat("dn2", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val out = spark.table("liveness").as[LivenessEvent].collect()
+      assert(out.count(e => e.status == "ALIVE") == 2)
+      val dead = out.filter(_.status == "DEAD").map(_.node).toSet
+      assert(dead.contains("dn1"), s"dn1 should be declared DEAD, got ${out.toSeq}")
+      assert(!dead.contains("dn2"), "dn2 kept beating and must stay alive")
+    } finally q.stop()
+  }
+
+  test("streaming tumbling agg equals batch hourly agg on the same data (batch twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 100).map(i =>
+      ev(i, f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00", typ = s"t${i % 3}", v = i.toDouble))
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingCounts(mem.toDF(), "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("twin").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("twin")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = rows.toDF()
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
