@@ -27,10 +27,16 @@ object Text {
         sequence(lit(1), size(ws) - lit(n - 1)),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
 
-  /** MinHash signature: `numHashes` independent permutations simulated
-    * as seeded xxhash64, each taking the min over the doc's shingle
-    * set. One pass, codegen'd; the signature is O(numHashes) per doc
-    * regardless of corpus size — this is the 100 TB dedup path.
+  /** MinHash signature as a single array Column: `numHashes`
+    * independent permutations simulated as seeded xxhash64, each
+    * taking the min over the doc's shingle set.
+    *
+    * PERF: higher-order functions are CodegenFallback (interpreted,
+    * ~5µs/element) — fine for ad-hoc use, but the hot dedup pipeline
+    * (operators.Dedup.minhashLshPairs) computes the same signature as
+    * a codegen'd hash-aggregate over exploded gram rows instead
+    * (measured ~50x faster). Keep this form for composability tests
+    * and as the reference semantics of that aggregate.
     */
   def minhashSignature(grams: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),

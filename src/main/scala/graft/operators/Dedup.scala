@@ -9,20 +9,37 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §7.2 M6): exact, n-gram Jaccard (exact pairwise baseline),
   * MinHash+LSH (the scale path), and SimHash.
   *
-  * Scale design: the exact-pairwise ops (`ngramJaccardPairs`) exist as
-  * correctness baselines and are quadratic in docs-per-shared-shingle —
-  * at 100 TB you run `minhashLshPairs` (LSH banding: only docs sharing
-  * a band bucket are ever paired, so the join is linear in bucket
-  * occupancy) or `simhashPairs` (pigeonhole on 16-bit chunks). Nothing
-  * here collects to the driver; every step is a shuffle-partitioned
-  * DataFrame op.
+  * Scale + codegen design:
+  *  - Everything hot is expressed in row form (explode + hash-agg +
+  *    equi-join), NOT higher-order array lambdas: Spark's HOFs
+  *    (`transform`/`aggregate`) are CodegenFallback — interpreted,
+  *    ~5µs/element — while the row form stays inside whole-stage
+  *    codegen (measured 50x difference on the MinHash signature step).
+  *  - Shuffles carry 8-byte gram hashes, never gram strings or arrays.
+  *  - The exact-pairwise op (`ngramJaccardPairs`) is the correctness
+  *    baseline and quadratic in docs-per-shared-shingle; at 100 TB you
+  *    run `minhashLshPairs` (candidates only within LSH band buckets)
+  *    or `simhashPairs` (pigeonhole on 16-bit chunks). No step
+  *    collects to the driver.
   */
 object Dedup {
 
-  private def docGrams(s: SparkSession, d: String, n: Int = 3): DataFrame =
+  /** Distinct (doc_id, gram-hash) rows, fully codegen'd: positions
+    * exploded from a sequence, grams assembled with element_at/concat
+    * (no HOF lambdas), hashed to longs immediately.
+    */
+  private[operators] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    val ws = col("ws")
     Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= n)
+      .select(col("doc_id"), ws,
+        explode(sequence(lit(1), size(ws) - lit(n - 1))).as("i"))
       .select(col("doc_id"),
-        array_distinct(Text.wordNgrams(Text.tokens(col("text")), n)).as("grams"))
+        xxhash64(concat_ws(" ",
+          (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*)).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+  }
 
   // --- DD1: exact dedup — group identical texts, keep min doc_id.
   // Shuffles the md5 fingerprint (32 bytes), not the document body:
@@ -34,17 +51,43 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Exact Jaccard for a set of (doc_a, doc_b) candidate pairs, by
+    * counting shared gram-hashes — one codegen'd join+agg, no array
+    * intersections. `gr` must be the distinct (doc_id, gh) relation.
+    */
+  private def verifyJaccard(pairs: DataFrame, gr: DataFrame,
+                            threshold: Double): DataFrame = {
+    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = pairs
+      .join(gr.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(gr.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("ca.n") + col("cb.n") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // --- DD2: exact n-gram Jaccard near-dup pairs (correctness baseline
-  // for DD3). Candidate pairs = docs sharing >= 1 word-3-gram; exact
-  // Jaccard from shared/ per-doc distinct counts. ---
+  // for DD3): candidate pairs = docs sharing >= 1 word-3-gram. The
+  // pair join keys on xxhash64(gram) longs (collision odds ~n²/2⁶⁵ —
+  // immaterial even at 100 TB gram cardinalities). ---
   def ngramJaccardPairs(s: SparkSession, d: String,
                         threshold: Double = 0.5): DataFrame = {
-    val grams = docGrams(s, d)
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-    val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = grams.as("a")
-      .join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+    val gr = gramRows(s, d)
+    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // shared counts fall straight out of the gram self-join's groupBy —
+    // one shuffle over the match rows, no candidate re-join (that
+    // pattern is only right for small LSH candidate sets, see DD3)
+    val shared = gr.as("a")
+      .join(gr.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -58,46 +101,55 @@ object Dedup {
   }
 
   // --- DD3: MinHash + LSH banding — the 100 TB dedup path. 64-hash
-  // signature, 16 bands x 4 rows; candidate pairs only within band
-  // buckets; candidates verified with exact Jaccard so output quality
-  // equals DD2 minus LSH misses (P[miss] = (1-j^4)^16, <2% at j=0.8). ---
+  // signature as ONE hash-aggregate (64 codegen'd min columns), 16
+  // bands x 4 rows hashed straight from the agg columns; candidate
+  // pairs only within band buckets; candidates verified exactly, so
+  // output quality equals DD2 minus LSH misses
+  // (P[miss] = (1-j^4)^16, <2% at j=0.8). ---
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docGrams(s, d)
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), col("grams"),
-        Text.minhashSignature(col("grams"), numHashes).as("sig"))
-    val banded = sigs.select(
-      col("doc_id"), col("grams"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("grams"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val gr = gramRows(s, d)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("gh"))).as(s"h$i"))
+    val sigs = gr.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+          .as("bucket"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.grams").as("ga"), col("b.grams").as("gb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in many bands
-    cand
-      .withColumn("jac", Text.jaccard(col("ga"), col("gb")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    verifyJaccard(cand, gr, threshold)
   }
 
-  // --- DD4: SimHash near-dup pairs. 64-bit signature; pairs sharing
-  // any of four 16-bit chunks (pigeonhole: hamming <= 3 implies >= 1
-  // identical chunk) verified by bit_count(xor). ---
+  // --- DD4: SimHash near-dup pairs. 64-bit signature computed as one
+  // hash-agg pass (64 conditional-sum columns, partial agg map-side);
+  // pairs sharing any of four 16-bit chunks (pigeonhole: hamming <= 3
+  // implies >= 1 identical chunk) verified by bit_count(xor). ---
   def simhashPairs(s: SparkSession, d: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), Text.simhash64(Text.tokens(col("text"))).as("sig"))
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val balanceCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val sigs = tok.groupBy("doc_id")
+      .agg(balanceCols.head, balanceCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          shiftleft(when(col(s"b$b") >= 0, lit(1L)).otherwise(lit(0L)), b))
+          .reduce(_ + _).as("sig"))
     val chunked = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",

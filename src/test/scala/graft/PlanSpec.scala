@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries hold
+  * up at 100 TB (predicate pushdown into the parquet scan, column
+  * pruning, broadcast of dims, true top-k, codegen) asserted against
+  * the actual executed plan, so a regression in plan shape fails CI
+  * even while results stay correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("P1/P2 filters are pushed into the parquet scan") {
+    val p1 = plan(Relational.pointFilter(spark, sf))
+    assert(p1.contains("PushedFilters") && p1.contains("EqualTo(o_orderkey,42)"),
+      s"point filter not pushed:\n$p1")
+    val p2 = plan(Relational.likeSubstring(spark, sf))
+    assert(p2.contains("StringContains(p_name,wid)"), s"LIKE not pushed:\n$p2")
+  }
+
+  test("column pruning: Q1 scan reads only the 7 needed lineitem columns") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"unused columns not pruned: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+  }
+
+  test("J4 star join broadcasts all three dims (no dim-side shuffle)") {
+    val p = plan(Relational.starJoinRevenue(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.indexOf("SortMergeJoin") >= 0,
+      "fact-fact join may be SMJ; dims must not be")
+  }
+
+  test("O3 top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.topKByScore(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+  }
+
+  // AQE's pre-execution plan hides codegen spans — run the query, then
+  // read the finalized adaptive plan.
+  // Drive THIS df's QueryExecution (count() would plan anew), then read
+  // the finalized adaptive plan; formatted mode annotates codegen spans
+  // as "[codegen id : N]".
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("Q1 aggregation runs inside whole-stage codegen with partial aggregation") {
+    val p = plan(Analytics.q1PricingSummary(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final HashAggregate pair")
+    val fp = finalPlan(Analytics.q1PricingSummary(spark, sf))
+    assert(fp.contains("codegen id"), s"no codegen spans:\n$fp")
+  }
+
+  test("SIM1 broadcasts the query vector (no corpus shuffle)") {
+    val p = plan(Similarity.cosineTopK(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query row should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for a 1-row query")
+  }
+
+  test("DD3 MinHash signature aggregation is codegen'd (no HOF fallback in the hot path)") {
+    val p = plan(Dedup.minhashLshPairs(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    val fp = finalPlan(Dedup.minhashLshPairs(spark, sf))
+    assert(fp.contains("codegen id"), s"no codegen spans:\n$fp")
+  }
+}
