@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Vectors
+import graft.plans.VectorExpressions.vecCosine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -30,7 +31,7 @@ object Similarity {
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(Vectors.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -44,7 +45,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(Vectors.cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        round(vecCosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id_a").asc, col("id_b").asc)
       .limit(topN)
   }
@@ -69,7 +70,7 @@ object Similarity {
     bucketed.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(Vectors.cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "cos_sim", "rnk")
