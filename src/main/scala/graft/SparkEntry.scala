@@ -29,6 +29,8 @@ object SparkEntry {
     "o1_paginate_asc"   -> ((s, d) => Relational.paginateAsc(s, d)),
     "o2_paginate_desc"  -> ((s, d) => Relational.paginateDesc(s, d)),
     "o3_topk_score"     -> ((s, d) => Relational.topKByScore(s, d)),
+    "o5_sort_any_col"   -> ((s, d) => Relational.sortByAnyColumn(s, d)),
+    "o6_keyset_page"    -> ((s, d) => Relational.keysetPage(s, d)),
     // §2.3 joins
     "j1_join_nested"    -> ((s, d) => Relational.joinNested(s, d)),
     "j2_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
@@ -107,6 +109,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_acctbal IS NOT NULL
         |ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15""".stripMargin,
+    "o5_sort_any_col" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "o6_keyset_page" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_time,
+        |       o_totalprice
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |   OR (o_orderdate = TIMESTAMP '1997-06-01 00:00:00' AND o_orderkey < 999999)
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 50""".stripMargin,
     "j1_join_nested" ->
       """SELECT o.o_orderkey, o.o_totalprice,
         |  count(l.l_linenumber) AS n_lines,

@@ -89,6 +89,38 @@ object Relational {
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_time"),
         col("o_totalprice"))
 
+  // --- O6: keyset ("load more") pagination — the scale-correct form
+  // of the reference's cursor paging (`OrderList.vue:105-124`
+  // advances start_from += limitation). OFFSET k scans-and-discards k
+  // rows (O(k) per page, quadratic over a full walk); the keyset
+  // predicate seeks directly and is pushed into the scan. ---
+  def keysetPage(s: SparkSession, d: String,
+                 afterDate: String = "1997-06-01 00:00:00",
+                 afterKey: Long = 999999L, limitation: Int = 50): DataFrame = {
+    val ts = to_timestamp(lit(afterDate))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") < ts ||
+        (col("o_orderdate") === ts && col("o_orderkey") < afterKey))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(limitation)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_time"),
+        col("o_totalprice"))
+  }
+
+  // --- O5: sort on any column (`OrderList.vue:38-43` — all 6 columns
+  // sortable client-side); server-side with a deterministic tiebreak. ---
+  def sortByAnyColumn(s: SparkSession, d: String,
+                      column: String = "o_totalprice",
+                      ascending: Boolean = false, n: Int = 100): DataFrame = {
+    val key = if (ascending) col(column).asc else col(column).desc
+    Tables.orders(s, d)
+      .orderBy(key, col("o_orderkey").asc)
+      .limit(n)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+  }
+
   // --- J1: one-to-many join with nested collection (reference: ORM
   // relationship DatabaseAccessor.py:39 + nesting :44-47 — movie with its
   // reviews as an array). orders ⋈ lineitem, lines nested per order.

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface beyond plain parquet scans (SURVEY.md §2.1):
+  * canonicalization into layouts that keep working at 100 TB.
+  *
+  *  - Date-partitioned fact tables: `.write.partitionBy(y, m)` so
+  *    time-range queries prune whole directories (PartitionFilters,
+  *    not data filters) — the Spark-native version of the reference's
+  *    create_time prefix filters (`DatabaseAccessor.py:107`).
+  *  - Bucketed tables: `.bucketBy(n, key)` so repeated fact-fact joins
+  *    on the key are co-located — no exchange on either side at query
+  *    time; the shuffle is paid once at write time.
+  */
+object Ingest {
+
+  /** Canonicalize orders into a year/month-partitioned parquet layout. */
+  def writeOrdersPartitioned(s: SparkSession, sfDir: String, outDir: String): Unit =
+    Tables.orders(s, sfDir)
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .write.mode("overwrite")
+      .partitionBy("y", "m")
+      .parquet(outDir)
+
+  /** Read back a partitioned layout (partition columns become y/m). */
+  def readPartitioned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+
+  /** Write orders + lineitem bucketed by the join key into `database`
+    * (both 8 buckets on the orderkey): subsequent joins are
+    * exchange-free on both sides.
+    */
+  def writeBucketedJoinTables(s: SparkSession, sfDir: String,
+                              database: String, buckets: Int = 8): Unit = {
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $database")
+    Tables.orders(s, sfDir).write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$database.orders_bucketed")
+    Tables.lineitem(s, sfDir).write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$database.lineitem_bucketed")
+  }
+
+  /** The co-located join over the bucketed tables. */
+  def bucketedJoin(s: SparkSession, database: String): DataFrame =
+    s.table(s"$database.lineitem_bucketed")
+      .join(s.table(s"$database.orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+}

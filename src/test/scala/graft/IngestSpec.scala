@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IngestSpec extends SparkTestBase {
+
+  test("partitioned layout prunes by partition, not by data filter") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Ingest.writeOrdersPartitioned(spark, sf, out)
+    val df = Ingest.readPartitioned(spark, out).filter(col("y") === 1996)
+    // correctness: same rows as filtering the source
+    val expected = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(df.count() == expected && expected > 0)
+    // plan: the year filter must be a PartitionFilter on the scan
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters:[^\\n]*y[^\\n]*1996.*"),
+      s"year filter not applied at partition level:\n$plan")
+  }
+
+  test("bucketed join runs without an exchange on either side") {
+    Ingest.writeBucketedJoinTables(spark, sf, "graft_test_db", buckets = 4)
+    // at sf0.001 AQE would broadcast the tiny side, hiding the property
+    // under test — force the shuffled-join path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = Ingest.bucketedJoin(spark, "graft_test_db")
+    val plan =
+      try {
+        joined.collect()
+        joined.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled join shape:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scans not bucketed:\n$plan")
+    // the join itself must not shuffle either input (only the final
+    // aggregation exchanges, on o_orderstatus)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still shuffles:\n$plan")
+    // and results match the unbucketed join
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+    assert(joined.orderBy("o_orderstatus").collect().toSeq ==
+      expected.orderBy("o_orderstatus").collect().toSeq)
+  }
+}
