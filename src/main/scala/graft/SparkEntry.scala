@@ -45,6 +45,12 @@ object SparkEntry {
     "a7_distinct_counts"-> ((s, d) => Analytics.distinctCounts(s, d)),
     "a8_approx_distinct"-> ((s, d) => Analytics.approxDistinct(s, d)),
     "q1_pricing_summary"-> ((s, d) => Analytics.q1PricingSummary(s, d)),
+    "q3_ship_priority"  -> ((s, d) => Benchmark.q3ShippingPriority(s, d)),
+    "q6_forecast_rev"   -> ((s, d) => Benchmark.q6ForecastRevenue(s, d)),
+    "q7_above_avg"      -> ((s, d) => Benchmark.aboveAvgBalance(s, d)),
+    "q8_above_cust_avg" -> ((s, d) => Benchmark.aboveCustomerAvg(s, d)),
+    "a9_cube_sales"     -> ((s, d) => Benchmark.cubeSales(s, d)),
+    "a10_pivot_status"  -> ((s, d) => Benchmark.pivotStatus(s, d)),
     // §2.4 DISTINCT / §2.7 set ops
     "d1_distinct"       -> ((s, d) => Relational.distinctValues(s, d)),
     "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
@@ -193,6 +199,47 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_ship_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q6_forecast_rev" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_above_avg" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a9_cube_sales" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS sales
+        |FROM orders
+        |GROUP BY CUBE (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+        |ORDER BY y ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a10_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY CAST(year(o_orderdate) AS INTEGER)
+        |ORDER BY y""".stripMargin,
     "d1_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
     "s1_union" ->
