@@ -69,12 +69,15 @@ object SparkEntry {
     "dd2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd3_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dd4_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dd5_dedup_keep"    -> ((s, d) => Dedup.dedupKeepSet(s, d)),
     // north-star M6: text analysis
     "tx1_text_stats"    -> ((s, d) => TextAnalysis.textStats(s, d)),
     "tx2_token_freq"    -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
     "tx3_fingerprints"  -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "tx4_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "tx5_lang_id"       -> ((s, d) => TextAnalysis.langId(s, d)),
+    "tx6_token_counts"  -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "tx7_winnowing"     -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
     // north-star M6: similarity search
     "sim1_cosine_topk"  -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim2_top_pairs"    -> ((s, d) => Similarity.topSimilarPairs(s, d)),
@@ -340,6 +343,26 @@ object SparkEntry {
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
         |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     // dd3_minhash_lsh, dd4_simhash: sketch/LSH ops — rows-only by design.
+    "dd5_dedup_keep" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT doc_b FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+        |ORDER BY doc_id""".stripMargin,
     "tx1_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -364,6 +387,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // tx5_lang_id: heuristic classifier — rows-only by design.
+    "tx6_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // tx7_winnowing: fingerprints are xxhash64-valued (no DuckDB
+    // equivalent hash) — rows-only by design.
     "sim1_cosine_topk" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

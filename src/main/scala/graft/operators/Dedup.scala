@@ -131,6 +131,21 @@ object Dedup {
     verifyJaccard(cand, gr, threshold)
   }
 
+  // --- DD5: the end-to-end "deduplicate the corpus" result: the keep
+  // set after greedy near-dup removal — a doc survives unless it is
+  // the higher-id member of some near-dup pair (doc_b side). One
+  // anti-join over the pair relation; at 100 TB the pair relation
+  // comes from DD3 (LSH) instead of DD2 with identical downstream
+  // shape. ---
+  def dedupKeepSet(s: SparkSession, d: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val dropIds = ngramJaccardPairs(s, d, threshold).select(col("doc_b").as("doc_id"))
+    Tables.documents(s, d)
+      .join(dropIds.distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   // --- DD4: SimHash near-dup pairs. 64-bit signature computed as one
   // hash-agg pass (64 conditional-sum columns, partial agg map-side);
   // pairs sharing any of four 16-bit chunks (pigeonhole: hamming <= 3

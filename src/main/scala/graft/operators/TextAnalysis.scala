@@ -76,6 +76,43 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "y", "de"),
     "zh" -> Seq("de", "le", "he", "shi"))
 
+  // --- TX6: token counting two ways — whitespace and a BPE-ish
+  // regex unit count (word pieces + digit runs); the regex count is
+  // the pre-training cost estimator. ---
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .as("bpeish_tokens"))
+      .orderBy("doc_id")
+
+  // --- TX7: winnowing document fingerprints (rolling scheme): hash
+  // every word 3-gram, take the min hash in each sliding window of 4
+  // consecutive grams, emit the distinct minima. Standard winnowing
+  // guarantee: any shared run of >= w+n-1 words between two docs
+  // yields a shared fingerprint. Window-function form — codegen'd,
+  // partition-parallel per doc. ---
+  def winnowingFingerprints(s: SparkSession, d: String,
+                            window: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(window - 1), 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - lit(2))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ",
+          element_at(col("ws"), col("pos")),
+          element_at(col("ws"), col("pos") + 1),
+          element_at(col("ws"), col("pos") + 2))).as("gh"))
+      .withColumn("fp", min(col("gh")).over(w))
+      .select("doc_id", "fp").distinct()
+      .orderBy("doc_id", "fp")
+  }
+
   // --- TX5: language-ID prediction vs the labeled lang column. ---
   def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -57,6 +57,40 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Incremental-aggregate sink: maintains an hourly rollup table via
+    * foreachBatch merge — the incremental replacement for the
+    * reference's fetch-everything-and-recompute Chart loop
+    * (`Chart.vue:88-111`). Update-mode rows from the streaming agg
+    * upsert into a keyed parquet snapshot per micro-batch. Returns the
+    * started query; read the snapshot with [[readAggTable]].
+    */
+  def hourlyAggSink(events: DataFrame, tableDir: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tumblingCounts(events, "1 hour", "30 minutes")
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(tableDir)
+        val updated =
+          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet"))) {
+            val existing = spark.read.parquet(tableDir)
+            // upsert: existing rows lose to this batch's refreshed keys
+            existing.join(batch.select("window_start", "event_type"),
+                Seq("window_start", "event_type"), "left_anti")
+              .unionByName(batch)
+          } else batch
+        val tmp = tableDir + "__staging"
+        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(tableDir)
+        ()
+      }
+      .start()
+
+  def readAggTable(s: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
+    s.read.parquet(tableDir)
+
   // ---- Stateful liveness: GreilFS heartbeat/failure detection (G8,
   // Server/managers.py:44-62 — node marked Dead past a timeout) as
   // flatMapGroupsWithState with event-time timeout. ----

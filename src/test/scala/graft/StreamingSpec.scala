@@ -87,6 +87,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental sink converges to the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_aggtab").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = Streams.hourlyAggSink(mem.toDF(), tableDir, ckpt)
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00", typ = "a", v = 10),
+        ev(2, "2024-01-01 10:20:00", typ = "a", v = 5))
+      q.processAllAvailable()
+      // second batch updates the same (hour, type) key incrementally
+      mem.addData(ev(3, "2024-01-01 10:40:00", typ = "a", v = 1),
+        ev(4, "2024-01-01 11:00:00", typ = "b", v = 2))
+      q.processAllAvailable()
+      val snap = Streams.readAggTable(spark, tableDir)
+        .orderBy("window_start", "event_type").collect()
+      assert(snap.length == 2)
+      assert(snap(0).getLong(2) == 3 && snap(0).getDouble(3) == 16.0,
+        s"hour-10 'a' row must reflect all 3 events: ${snap.toSeq}")
+      assert(snap(1).getLong(2) == 1 && snap(1).getDouble(3) == 2.0)
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals batch hourly agg on the same data (batch twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
