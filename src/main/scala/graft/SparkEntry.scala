@@ -82,6 +82,7 @@ object SparkEntry {
     "sim1_cosine_topk"  -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim2_top_pairs"    -> ((s, d) => Similarity.topSimilarPairs(s, d)),
     "sim3_lsh_ann"      -> ((s, d) => Similarity.lshAnn(s, d)),
+    "sim4_ivf_ann"      -> ((s, d) => Similarity.ivfAnn(s, d)),
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),

