@@ -21,6 +21,12 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", // static conf; keep out of the repo
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      // Hive catalog (S2/S3 exact-DDL parity); derby metastore in tmp
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        "jdbc:derby:;databaseName=" +
+          java.nio.file.Files.createTempDirectory("graft_ms").toString +
+          "/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
