@@ -111,6 +111,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream: readStream over a parquet directory feeds the windowed agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val batch1 = Seq(ev(1, "2024-01-01 10:05:00", v = 3),
+      ev(2, "2024-01-01 10:50:00", v = 4))
+    batch1.toDF().write.mode("append").parquet(dir)
+    val src = spark.readStream
+      .schema(batch1.toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val q = Streams.tumblingCounts(src, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("filesrc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a new file arriving is picked up incrementally
+      Seq(ev(3, "2024-01-01 10:59:00", v = 5)).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.table("filesrc").collect()
+      assert(out.length == 1 && out(0).getLong(2) == 3 && out(0).getDouble(3) == 12.0,
+        s"expected one 10:00 window with 3 events, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals batch hourly agg on the same data (batch twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
