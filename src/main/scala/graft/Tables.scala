@@ -28,6 +28,14 @@ object Tables {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nano longs
     * (legacy conf) and convert to TimestampType (micros — Spark's native
     * precision) so downstream operators see a normal timestamp column.
+    *
+    * NOTE the conf is session-scoped and stays set (it must hold at
+    * execution time, when each file footer is re-converted, so a
+    * save/restore around the read would break the scan): after the
+    * first events() call, OTHER nanos-timestamp parquet reads in this
+    * session also stop erroring and surface raw longs. Acceptable
+    * here — without the conf those reads fail outright — but callers
+    * reading foreign nanos tables should convert explicitly as below.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -110,8 +110,11 @@ object MovieShop {
     m.join(r.withColumnRenamed("ranking", "review_ranking"),
         Seq("movie_id"), "left_outer")
       .groupBy("movie_id", "name", "price", "ranking", "information")
-      .agg(sort_array(collect_list(
-        struct(col("review_id"), col("review_ranking"), col("content"))))
+      // when(...) leaves the struct null for the no-review outer row,
+      // and collect_list drops nulls — a review-less movie gets an
+      // empty array (ORM semantics), not [struct(null,null,null)]
+      .agg(sort_array(collect_list(when(col("review_id").isNotNull,
+        struct(col("review_id"), col("review_ranking"), col("content")))))
         .as("reviews"))
       .select(col("movie_id"), col("name"), col("price"), col("ranking"),
         from_json(col("information"), movieInfoSchema).as("information"),

@@ -51,27 +51,41 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
-  /** Exact Jaccard for a set of (doc_a, doc_b) candidate pairs, by
-    * counting shared gram-hashes — one codegen'd join+agg, no array
-    * intersections. `gr` must be the distinct (doc_id, gh) relation.
+  /** From a (doc_a, doc_b, shared) relation and the distinct
+    * (doc_id, gh) gram relation: exact Jaccard, thresholded. Returns
+    * (doc_a, doc_b, jac) UNSORTED and unrounded — presentation
+    * (round + orderBy) belongs to the query boundary, not the 100 TB
+    * pipeline interior.
     */
-  private def verifyJaccard(pairs: DataFrame, gr: DataFrame,
-                            threshold: Double): DataFrame = {
+  private def jaccardFromShared(shared: DataFrame, gr: DataFrame,
+                                threshold: Double): DataFrame = {
     val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = pairs
-      .join(gr.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(gr.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("shared"))
     shared
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .withColumn("jac",
         col("shared").cast("double") / (col("ca.n") + col("cb.n") - col("shared")))
       .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  private def presentPairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+
+  /** Exact Jaccard for a set of (doc_a, doc_b) candidate pairs, by
+    * counting shared gram-hashes — one codegen'd join+agg, no array
+    * intersections. `gr` must be the distinct (doc_id, gh) relation.
+    */
+  private def verifyJaccard(pairs: DataFrame, gr: DataFrame,
+                            threshold: Double): DataFrame = {
+    val shared = pairs
+      .join(gr.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(gr.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+    presentPairs(jaccardFromShared(shared, gr, threshold))
   }
 
   // --- DD2: exact n-gram Jaccard near-dup pairs (correctness baseline
@@ -79,25 +93,24 @@ object Dedup {
   // pair join keys on xxhash64(gram) longs (collision odds ~n²/2⁶⁵ —
   // immaterial even at 100 TB gram cardinalities). ---
   def ngramJaccardPairs(s: SparkSession, d: String,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5): DataFrame =
+    presentPairs(ngramJaccardPairsRaw(s, d, threshold))
+
+  /** Unsorted/unrounded pair relation — the form downstream pipeline
+    * stages (e.g. [[dedupKeepSet]]) consume without paying a global
+    * sort. Shared counts fall straight out of the gram self-join's
+    * groupBy — one shuffle over the match rows, no candidate re-join
+    * (that pattern is only right for small LSH candidate sets, DD3).
+    */
+  private def ngramJaccardPairsRaw(s: SparkSession, d: String,
+                                   threshold: Double): DataFrame = {
     val gr = gramRows(s, d)
-    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // shared counts fall straight out of the gram self-join's groupBy —
-    // one shuffle over the match rows, no candidate re-join (that
-    // pattern is only right for small LSH candidate sets, see DD3)
     val shared = gr.as("a")
       .join(gr.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("ca.n") + col("cb.n") - col("shared")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    jaccardFromShared(shared, gr, threshold)
   }
 
   // --- DD3: MinHash + LSH banding — the 100 TB dedup path. 64-hash
@@ -139,7 +152,8 @@ object Dedup {
   // shape. ---
   def dedupKeepSet(s: SparkSession, d: String,
                    threshold: Double = 0.5): DataFrame = {
-    val dropIds = ngramJaccardPairs(s, d, threshold).select(col("doc_b").as("doc_id"))
+    val dropIds = ngramJaccardPairsRaw(s, d, threshold)
+      .select(col("doc_b").as("doc_id"))
     Tables.documents(s, d)
       .join(dropIds.distinct(), Seq("doc_id"), "left_anti")
       .select("doc_id", "source")

@@ -24,7 +24,7 @@ object WritePath {
     * formatted 'yyyy-MM-dd HH:mm:ss' (F2, `:130`).
     */
   def insertOrderCompat(existing: DataFrame, newRows: DataFrame): DataFrame = {
-    val maxId = existing.agg(max(col("o_orderkey")).as("mx"))
+    val maxId = existing.agg(coalesce(max(col("o_orderkey")), lit(0L)).as("mx"))
     newRows.crossJoin(maxId)
       .withColumn("o_orderkey",
         col("mx") + row_number().over(

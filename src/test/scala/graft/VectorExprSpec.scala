@@ -30,6 +30,33 @@ class VectorExprSpec extends SparkTestBase {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
+  test("FloatVecDot matches HOF semantics on null elements and length mismatch") {
+    // HOF reference: zip_with pads the shorter array with null and a
+    // null product nulls the whole fold — vec_dot must agree
+    val sqlBoth =
+      """SELECT
+        |  vd AS native, hof,
+        |  (vd <=> hof) AS agree FROM (SELECT
+        |    %NATIVE% AS vd,
+        |    aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+        |              cast(0.0 as double), (acc, v) -> acc + v) AS hof
+        |  FROM vals)""".stripMargin
+    graft.plans.GraftExtensions.register(spark)
+    Seq(
+      "array(cast(1.0 as float), cast(null as float))" ->
+        "array(cast(2.0 as float), cast(2.0 as float))", // null element
+      "array(cast(1.0 as float))" ->
+        "array(cast(2.0 as float), cast(3.0 as float))"  // length mismatch
+    ).foreach { case (a, b) =>
+      val row = spark.sql(
+        sqlBoth.replace("%NATIVE%", "vec_dot(a, b)")
+          .replace("FROM vals", s"FROM (SELECT $a AS a, $b AS b)"))
+        .collect()(0)
+      assert(row.isNullAt(0), s"native must be null for ($a, $b)")
+      assert(row.isNullAt(1), "HOF reference should also be null")
+    }
+  }
+
   test("vec_dot registers as a SQL function via GraftExtensions.register") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
