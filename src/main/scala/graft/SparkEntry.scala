@@ -36,6 +36,7 @@ object SparkEntry {
     "j2_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
     "j3_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
     "j4_star_join"      -> ((s, d) => Relational.starJoinRevenue(s, d)),
+    "j5_range_join"     -> ((s, d) => Relational.rangeJoin(s, d)),
     // §2.4 aggregations
     "a1_max_id"         -> ((s, d) => Analytics.maxOrderId(s, d)),
     "a2_monthly_sales"  -> ((s, d) => Analytics.monthlySales(s, d)),
@@ -64,12 +65,14 @@ object SparkEntry {
     // §2.10 batch twins of the streaming surface
     "st1_hourly_events" -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "st2_sessionize"    -> ((s, d) => Analytics.sessionize(s, d)),
+    "st3_sliding"       -> ((s, d) => Analytics.slidingEvents(s, d)),
     // north-star M6: deduplication
     "dd1_exact_dedup"   -> ((s, d) => Dedup.exactDedup(s, d)),
     "dd2_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dd3_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dd4_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd5_dedup_keep"    -> ((s, d) => Dedup.dedupKeepSet(s, d)),
+    "dd6_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     // north-star M6: text analysis
     "tx1_text_stats"    -> ((s, d) => TextAnalysis.textStats(s, d)),
     "tx2_token_freq"    -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
@@ -158,6 +161,34 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "j5_range_join" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_matched,
+        |  round(sum(c_acctbal), 2) AS sum_cust_bal
+        |FROM customer JOIN supplier
+        |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "st3_sliding" ->
+      """WITH expanded AS (
+        |  SELECT value,
+        |    (TIMESTAMP '1970-01-01 00:00:00'
+        |      + CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) * INTERVAL 1 SECOND)
+        |      - i * INTERVAL 15 MINUTE AS ws,
+        |    ts
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS i) probes)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM expanded
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws ORDER BY window_start""".stripMargin,
+    "dd6_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "a1_max_id" -> "SELECT max(o_orderkey) AS max_id FROM orders",
     "a2_monthly_sales" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,

@@ -193,6 +193,26 @@ object MovieShop {
       .agg(round(sum(col("price_sum")), 1).as("sales"))
       .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)
 
+  /** Chart fetch-once cache parity (SURVEY.md §4.1: the reference
+    * pulls all orders once and aggregates twice client-side,
+    * `Chart.vue:88-115`): cache the orders relation, derive both the
+    * monthly series and the yearly pie from the cached data — two
+    * aggregations, one scan.
+    */
+  def chartBundle(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = orders(s, dir).cache()
+    val monthly = o
+      .groupBy(substring(col("create_time"), 1, 4).as("y"),
+        substring(col("create_time"), 6, 2).as("m"))
+      .agg(round(sum(col("price_sum")), 1).as("sales"))
+      .orderBy("y", "m")
+    val yearly = o
+      .groupBy(substring(col("create_time"), 1, 4).as("y"))
+      .agg(round(sum(col("price_sum")), 1).as("sales"))
+      .orderBy("y")
+    (monthly, yearly)
+  }
+
   /** S5 row→JSON sink: rows → JSON strings at the API boundary
     * (`DatabaseAccessor.py:80-85` + `Server.py:24`). */
   def toJsonRows(df: DataFrame): DataFrame =

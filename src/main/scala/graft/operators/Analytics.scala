@@ -100,6 +100,20 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  // --- ST3 (batch view of §2.10 sliding window): 1-hour windows
+  // sliding every 15 minutes — each event contributes to 4 windows.
+  // Spark's window() aligns starts to the epoch; the oracle reproduces
+  // the same bucketing with time_bucket arithmetic. ---
+  def slidingEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      // sum, not avg: small-count averages of 2-decimal values land on
+      // rounding half-way points (oracle-parity trap)
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("total_value"))
+      .orderBy("window_start")
+
   // --- ST2: sessionization as gaps-and-islands (batch twin of
   // session_window; G8 liveness semantics per SURVEY.md §2.9/2.10 —
   // a session dies after a 30-minute silence). Window-function form is

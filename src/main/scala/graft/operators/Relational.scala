@@ -173,6 +173,23 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  // --- J5: range (band) join — inequality condition between two
+  // relations (SURVEY.md §2.3 ABSENT row made available): suppliers
+  // matched to customers whose balance lies within a band. Small side
+  // broadcast -> BroadcastNestedLoopJoin; at scale, band joins get
+  // bucketized on floor(balance/band) first to make them equi-joins. ---
+  def rangeJoin(s: SparkSession, d: String, band: Double = 50.0): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("c_acctbal").between(col("s_acctbal") - band, col("s_acctbal") + band))
+      .groupBy("s_suppkey", "s_name")
+      // sum, not avg: dividing a 2-decimal-grid sum by a small count
+      // lands exactly on rounding half-way points, where Spark's and
+      // the oracle's last-bit FP noise disagree
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("c_acctbal")), 2).as("sum_cust_bal"))
+      .orderBy("s_suppkey")
+
   // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
   def distinctValues(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")

@@ -50,6 +50,24 @@ object Similarity {
       .limit(topN)
   }
 
+  // --- DD6: embedding-cosine near-dup pairs — the vector leg of the
+  // dedup family (exact on a keyed subsample; at 100 TB the candidate
+  // generation comes from the LSH buckets of SIM3 with this same
+  // threshold verify). ---
+  def embeddingNearDupPairs(s: SparkSession, d: String,
+                            threshold: Double = 0.3,
+                            sampleMod: Long = 5L): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", vecCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cs") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cs"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   // --- SIM4: IVF-style ANN — coarse quantizer cells + probed exact
   // re-rank. Centroids here are k deterministic seed vectors (a real
   // deployment would Lloyd-iterate them offline); each corpus vector

@@ -96,6 +96,18 @@ class MovieShopSpec extends SparkTestBase {
     assert(y2016.length == 1)
   }
 
+  test("chartBundle: cached orders feed both aggregations with consistent totals") {
+    val (monthly, yearly) = MovieShop.chartBundle(spark, dir)
+    val monthlyByYear = monthly.collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(2)).sum).toMap
+    yearly.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - monthlyByYear(r.getString(0))) < 0.05)
+    }
+    // the shared relation is actually cached (storageLevel resolves
+    // via the cache manager for any logically-equal plan)
+    assert(MovieShop.orders(spark, dir).storageLevel.useMemory)
+  }
+
   test("S5 row-to-JSON sink emits one JSON document per row") {
     val js = MovieShop.toJsonRows(
       MovieShop.queryRecommendMovieList(spark, dir, 2)).collect()
