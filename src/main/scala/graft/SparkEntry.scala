@@ -62,6 +62,11 @@ object SparkEntry {
     "w3_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     // §2.8 scalar functions
     "f_scalar_suite"    -> ((s, d) => Relational.scalarSuite(s, d)),
+    "f_array_suite"     -> ((s, d) => Relational.arraySuite(s, d)),
+    // sampling (training-pipeline surface)
+    "sp1_hash_sample"   -> ((s, d) => Sampling.hashSample(s, d)),
+    "sp2_reservoir"     -> ((s, d) => Sampling.reservoirPerGroup(s, d)),
+    "sp3_stratified"    -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // §2.10 batch twins of the streaming surface
     "st1_hourly_events" -> ((s, d) => Analytics.hourlyEvents(s, d)),
     "st2_sessionize"    -> ((s, d) => Analytics.sessionize(s, d)),
@@ -327,6 +332,30 @@ object SparkEntry {
         |  CAST(p_size AS DOUBLE) AS size_d,
         |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor_l
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "f_array_suite" ->
+      """SELECT p_partkey,
+        |  list_contains(string_split(p_name, ' '), 'widget') AS has_widget,
+        |  CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sp1_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "sp2_reservoir" ->
+      """SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "sp3_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40' WHEN 'fr' THEN '40'
+        |            WHEN 'es' THEN '20' WHEN 'zh' THEN '20' ELSE '00' END
+        |ORDER BY doc_id""".stripMargin,
     "st1_hourly_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -260,6 +260,19 @@ object Relational {
         floor(col("p_retailprice")).as("price_floor_l"))
       .orderBy("p_partkey")
 
+  // --- F (array functions, SURVEY.md §2.8 ABSENT row made available):
+  // contains / size / sort / join / element access over split arrays. ---
+  def arraySuite(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("p_name"), " ")
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        array_contains(ws, "widget").as("has_widget"),
+        size(ws).as("n_words"),
+        array_join(sort_array(ws), "|").as("sorted_words"),
+        element_at(ws, 1).as("first_word"))
+      .orderBy("p_partkey")
+  }
+
   // --- P7/F6: JSON projection (reference: json.loads(information),
   // DatabaseAccessor.py:43 → SURVEY.md §1.4 from_json mapping). The
   // events.props JSON string stands in for movie.information. ---

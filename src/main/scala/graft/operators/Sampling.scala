@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for training-data pipelines: hash-based
+  * Bernoulli sampling, per-group reservoirs, and stratified rates.
+  *
+  * All samplers key on md5(id) rather than rand(): reproducible across
+  * runs, retries, and engines (rand() re-draws on task retry and can't
+  * be oracle-checked), and the sample decision is a pure scan-side
+  * predicate — no shuffle, no state, works identically on 100 TB.
+  */
+object Sampling {
+
+  private def hashKey(c: org.apache.spark.sql.Column) =
+    md5(c.cast("string").cast("binary"))
+
+  /** ~`pctHex/256` Bernoulli sample: keep rows whose md5 first byte is
+    * below the threshold (hex-string compare — uniform over bytes).
+    */
+  def hashSample(s: SparkSession, d: String, thresholdHex: String = "1a"): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(hashKey(col("doc_id")), 1, 2) < thresholdHex)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Reservoir of k docs per source: deterministic pseudo-random order
+    * within each group, top-k by row_number — TakeOrdered per group.
+    */
+  def reservoirPerGroup(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hashKey(col("doc_id")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+  }
+
+  /** Stratified sampling: per-language keep rates (e.g. downsample the
+    * dominant language) expressed as per-class hash thresholds.
+    */
+  def stratifiedSample(s: SparkSession, d: String,
+                       rates: Map[String, String] = Map(
+                         "en" -> "80", "de" -> "40", "fr" -> "40",
+                         "es" -> "20", "zh" -> "20")): DataFrame = {
+    val threshold = rates.foldLeft(lit("00")) { case (acc, (lang, hex)) =>
+      when(col("lang") === lang, lit(hex)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(substring(hashKey(col("doc_id")), 1, 2) < threshold)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+}
