@@ -37,6 +37,7 @@ object SparkEntry {
     "j3_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
     "j4_star_join"      -> ((s, d) => Relational.starJoinRevenue(s, d)),
     "j5_range_join"     -> ((s, d) => Relational.rangeJoin(s, d)),
+    "j6_asof_join"      -> ((s, d) => Relational.asofJoin(s, d)),
     // §2.4 aggregations
     "a1_max_id"         -> ((s, d) => Analytics.maxOrderId(s, d)),
     "a2_monthly_sales"  -> ((s, d) => Analytics.monthlySales(s, d)),
@@ -172,6 +173,22 @@ object SparkEntry {
         |FROM customer JOIN supplier
         |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "j6_asof_join" ->
+      """WITH combined AS (
+        |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,
+        |         CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id FROM events),
+        |marked AS (
+        |  SELECT uid, event_id,
+        |    last_value(okey IGNORE NULLS) OVER (
+        |      PARTITION BY uid
+        |      ORDER BY t ASC, okey ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_okey
+        |  FROM combined)
+        |SELECT event_id, uid AS user_id, asof_okey AS last_order_key
+        |FROM marked WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
     "st3_sliding" ->
       """WITH expanded AS (
         |  SELECT value,

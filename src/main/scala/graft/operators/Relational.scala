@@ -190,6 +190,34 @@ object Relational {
         round(sum(col("c_acctbal")), 2).as("sum_cust_bal"))
       .orderBy("s_suppkey")
 
+  // --- J6: as-of join — each event matched to the latest order of the
+  // same user at-or-before the event time. Spark lacks a native as-of
+  // join; the naive form (candidate equi-join + filter + top-1) blows
+  // up as |events|x|orders per user|. This is the scale-correct
+  // composition (preference ladder (a), SURVEY.md §4.2): union both
+  // streams, ONE sort per user, and carry the last non-null order key
+  // forward with an ignore-nulls window — O(n log n), no candidate
+  // explosion, works at 100 TB. ---
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("uid"), col("o_orderdate").as("t"),
+      col("o_orderkey").as("okey"), lit(null).cast("long").as("event_id"))
+    val events = Tables.events(s, d).select(
+      col("user_id").as("uid"), col("ts").as("t"),
+      lit(null).cast("long").as("okey"), col("event_id"))
+    // orders sort before events at the same instant (inclusive as-of);
+    // okey tiebreaks equal-time orders deterministically
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t").asc, col("okey").asc_nulls_last, col("event_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("asof_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .filter(col("event_id").isNotNull)
+      .select(col("event_id"), col("uid").as("user_id"),
+        col("asof_okey").as("last_order_key"))
+      .orderBy("event_id")
+  }
+
   // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
   def distinctValues(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")

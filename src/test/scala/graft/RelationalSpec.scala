@@ -77,6 +77,23 @@ class RelationalSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("J6 as-of join equals the naive candidate-join formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val fast = Relational.asofJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // naive: all candidate orders at-or-before, pick (max date, max key)
+    val naive = Tables.events(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+        "left_outer")
+      .groupBy("event_id")
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("best.o_orderkey"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(fast == naive)
+  }
+
   test("ST2 sessionization: session counts sum to total events") {
     val sessions = Analytics.sessionize(spark, sf)
     val total = sessions.agg(sum("n_events")).collect()(0).getLong(0)
