@@ -57,6 +57,26 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact-dedup: drop duplicate events by content
+    * fingerprint within the watermark horizon — the streaming twin of
+    * operators.Dedup.exactDedup (state is bounded by the watermark;
+    * without it the dedup map grows forever).
+    */
+  def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (no state, no watermark needed — the static side is
+    * re-read per micro-batch and broadcast when small).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("c_custkey"), "left_outer")
+      .select(events("event_id"), events("ts"), events("user_id"),
+        events("value"), dim("c_name"), dim("c_mktsegment"))
+
   /** Incremental-aggregate sink: maintains an hourly rollup table via
     * foreachBatch merge — the incremental replacement for the
     * reference's fetch-everything-and-recompute Chart loop

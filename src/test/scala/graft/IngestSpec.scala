@@ -22,6 +22,20 @@ class IngestSpec extends SparkTestBase {
       s"year filter not applied at partition level:\n$plan")
   }
 
+  test("multi-format round-trips: json and orc preserve rows and schema") {
+    val src = Tables.nation(spark, sf)
+    val base = Files.createTempDirectory("graft_fmt").toString
+    src.write.mode("overwrite").json(s"$base/json")
+    src.write.mode("overwrite").orc(s"$base/orc")
+    val fromJson = spark.read.schema(src.schema).json(s"$base/json")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(fromJson.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    assert(fromOrc.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+    assert(fromOrc.schema == src.schema)
+  }
+
   test("bucketed join runs without an exchange on either side") {
     Ingest.writeBucketedJoinTables(spark, sf, "graft_test_db", buckets = 4)
     // at sf0.001 AQE would broadcast the tiny side, hiding the property

@@ -135,6 +135,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingDedup(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      // re-deliver event 1 (same id), plus a fresh one
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"duplicate must be dropped, got $ids")
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with the customer dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Tables.customer(spark, sf)
+    val mem = MemoryStream[Ev]
+    val q = Streams.enrichWithDim(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:01:00", user = 999999999))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("event_id").collect()
+      assert(rows.length == 2)
+      assert(!rows(0).isNullAt(4), "known user must be enriched")
+      assert(rows(1).isNullAt(4), "unknown user keeps null dim columns (left join)")
+    } finally q.stop()
+  }
+
   test("streaming tumbling agg equals batch hourly agg on the same data (batch twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
