@@ -22,11 +22,14 @@ object Vectors {
 
   /** Sign bit of v · plane for one deterministic hyperplane — the unit
     * of a random-hyperplane LSH bucket id. The plane is a Scala-side
-    * constant array folded into the plan as a literal.
+    * constant array folded into the plan as a float literal, and the
+    * dot runs through the native codegen'd expression (this is a
+    * corpus-wide per-row path — no interpreted HOF fold here).
     */
   def hyperplaneBit(v: Column, plane: Array[Double]): Column = {
-    val planeCol = array(plane.map(lit): _*)
-    when(dot(v, planeCol) >= 0, lit(1L)).otherwise(lit(0L))
+    val planeCol = array(plane.map(p => lit(p.toFloat)): _*)
+    when(graft.plans.VectorExpressions.vecDot(v, planeCol) >= 0, lit(1L))
+      .otherwise(lit(0L))
   }
 
   /** Pack `planes.length` hyperplane sign bits into one long bucket id. */

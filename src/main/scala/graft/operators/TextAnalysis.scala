@@ -13,22 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Per-doc token aggregates in explode+hash-agg form (codegen'd;
+    * HOF size/filter over arrays is interpreted — see Dedup's
+    * scaladoc): counts, distinct count, and arbitrary stopword-set
+    * counts in one pass.
+    */
+  private def tokenAggs(s: SparkSession, d: String,
+                        stopwords: Seq[String]): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "n_chars")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        countDistinct(col("t")).cast("int").as("n_distinct"),
+        sum(when(col("t").isInCollection(stopwords), 1).otherwise(0))
+          .as("n_stop"))
+
   // --- TX1: per-document stats: char/token counts, distinct tokens,
   // average token length, 'the'-stopword ratio. ---
-  def textStats(s: SparkSession, d: String): DataFrame = {
-    val ws = Text.tokens(col("text"))
-    Tables.documents(s, d)
+  def textStats(s: SparkSession, d: String): DataFrame =
+    tokenAggs(s, d, Seq("the"))
       .select(
-        col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(ws).as("n_tokens"),
-        size(array_distinct(ws)).as("n_distinct"),
-        round((length(col("text")) - (size(ws) - lit(1))).cast("double")
-          / size(ws).cast("double"), 4).as("avg_token_len"),
-        round(size(filter(ws, t => t === "the")).cast("double")
-          / size(ws).cast("double"), 4).as("stopword_ratio"))
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+        round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double")
+          / col("n_tokens").cast("double"), 4).as("avg_token_len"),
+        round(col("n_stop").cast("double")
+          / col("n_tokens").cast("double"), 4).as("stopword_ratio"))
       .orderBy("doc_id")
-  }
 
   // --- TX2: corpus-wide token frequency, top 20. The heavy path is
   // explode -> groupBy: partial aggregation runs map-side, so the
@@ -51,12 +62,11 @@ object TextAnalysis {
   // lexical diversity, low stopword share — the usual pre-training
   // heuristic filter, as one deterministic rounded expression. ---
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val ws = Text.tokens(col("text"))
-    val nTok = size(ws).cast("double")
-    val diversity = size(array_distinct(ws)).cast("double") / nTok
-    val lengthOk = when(size(ws).between(20, 2000), lit(1.0)).otherwise(lit(0.4))
-    val stopShare = size(filter(ws, t => t.isin("the", "a"))).cast("double") / nTok
-    Tables.documents(s, d)
+    val nTok = col("n_tokens").cast("double")
+    val diversity = col("n_distinct").cast("double") / nTok
+    val lengthOk = when(col("n_tokens").between(20, 2000), lit(1.0)).otherwise(lit(0.4))
+    val stopShare = col("n_stop").cast("double") / nTok
+    tokenAggs(s, d, Seq("the", "a"))
       .select(col("doc_id"),
         round(lengthOk * lit(0.4) + diversity * lit(0.4)
           + (lit(1.0) - least(stopShare * lit(2.0), lit(1.0))) * lit(0.2), 4)
