@@ -77,6 +77,26 @@ object Streams {
       .select(events("event_id"), events("ts"), events("user_id"),
         events("value"), dim("c_name"), dim("c_mktsegment"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event time on both, so state is
+    * GC-able — the requirements for an unbounded-stream join.
+    */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
   /** Incremental-aggregate sink: maintains an hourly rollup table via
     * foreachBatch merge — the incremental replacement for the
     * reference's fetch-everything-and-recompute Chart loop

@@ -135,6 +135,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.purchaseAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 09:30:00", user = 1), // in window for 10:00 purchase
+        ev(11, "2024-01-01 08:00:00", user = 1), // too old
+        ev(12, "2024-01-01 09:45:00", user = 2)) // other user
+      purchases.addData(ev(100, "2024-01-01 10:00:00", user = 1, v = 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length == 1, s"exactly one attribution expected, got ${rows.toSeq}")
+      assert(rows(0).getLong(0) == 100 && rows(0).getLong(1) == 10)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
