@@ -53,6 +53,10 @@ object SparkEntry {
     "q8_above_cust_avg" -> ((s, d) => Benchmark.aboveCustomerAvg(s, d)),
     "a9_cube_sales"     -> ((s, d) => Benchmark.cubeSales(s, d)),
     "a10_pivot_status"  -> ((s, d) => Benchmark.pivotStatus(s, d)),
+    "a11_percentiles"   -> ((s, d) => Analytics.percentiles(s, d)),
+    "a12_approx_pct"    -> ((s, d) => Analytics.approxPercentiles(s, d)),
+    "f_null_handling"   -> ((s, d) => Analytics.nullHandling(s, d)),
+    "tx8_fuzzy_match"   -> ((s, d) => TextAnalysis.fuzzyMatch(s, d)),
     // §2.4 DISTINCT / §2.7 set ops
     "d1_distinct"       -> ((s, d) => Relational.distinctValues(s, d)),
     "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
@@ -297,6 +301,29 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
         |FROM orders GROUP BY CAST(year(o_orderdate) AS INTEGER)
         |ORDER BY y""".stripMargin,
+    "a11_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // a12_approx_pct: sketch-based — rows-only by design.
+    "f_null_handling" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_coalesced,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END
+        |    AS is_building,
+        |  (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS nullsafe_eq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "tx8_fuzzy_match" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+        |  AND levenshtein(a.p_name, b.p_name) <= 5 AND a.p_name <> b.p_name
+        |ORDER BY key_a, key_b""".stripMargin,
     "d1_distinct" ->
       "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
     "s1_union" ->

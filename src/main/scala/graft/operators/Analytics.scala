@@ -90,6 +90,38 @@ object Analytics {
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  // --- Percentiles: exact (interpolated, oracle-matched) per group;
+  // the approx_percentile partner below is the 100 TB path (fixed-size
+  // sketch, rows-only check). ---
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        .as("approx_p"))
+      .orderBy("l_returnflag")
+
+  // --- Null-handling suite: coalesce / nullif / nvl2-style / null-safe
+  // equality — the null algebra an engine must get right. ---
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)"))
+          .as("seg_coalesced"),
+        when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, 1).otherwise(0)
+          .as("is_building"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null)).as("nullsafe_eq"))
+      .orderBy("c_custkey")
+
   // --- ST1 (batch view of §2.10 tumbling window): hourly event rollup.
   // date_trunc keys instead of window() so the same query is
   // DuckDB-expressible; the streaming twin lives in graft.streaming. ---

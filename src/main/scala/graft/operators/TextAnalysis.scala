@@ -123,6 +123,23 @@ object TextAnalysis {
       .orderBy("doc_id", "fp")
   }
 
+  // --- TX8: fuzzy matching — Levenshtein edit distance between part
+  // names on a keyed subsample (the string leg of near-dup detection;
+  // at scale candidates come from an n-gram or length blocking key,
+  // never the full cross product). ---
+  def fuzzyMatch(s: SparkSession, d: String,
+                 maxDist: Int = 5, sampleMod: Long = 10L): DataFrame = {
+    val p = graft.Tables.part(s, d)
+      .filter(col("p_partkey") % sampleMod === 0)
+      .select(col("p_partkey"), col("p_name"))
+    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .filter(col("dist") <= maxDist && col("a.p_name") =!= col("b.p_name"))
+      .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+      .orderBy("key_a", "key_b")
+  }
+
   // --- TX5: language-ID prediction vs the labeled lang column. ---
   def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
