@@ -321,7 +321,7 @@ object SparkEntry {
         |  a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-        |WHERE a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+        |WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 0
         |  AND levenshtein(a.p_name, b.p_name) <= 5 AND a.p_name <> b.p_name
         |ORDER BY key_a, key_b""".stripMargin,
     "d1_distinct" ->

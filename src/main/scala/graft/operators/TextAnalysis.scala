@@ -128,7 +128,7 @@ object TextAnalysis {
   // at scale candidates come from an n-gram or length blocking key,
   // never the full cross product). ---
   def fuzzyMatch(s: SparkSession, d: String,
-                 maxDist: Int = 5, sampleMod: Long = 10L): DataFrame = {
+                 maxDist: Int = 5, sampleMod: Long = 20L): DataFrame = {
     val p = graft.Tables.part(s, d)
       .filter(col("p_partkey") % sampleMod === 0)
       .select(col("p_partkey"), col("p_name"))
