@@ -35,12 +35,14 @@ object Text {
     * ~5µs/element) — fine for ad-hoc use, but the hot dedup pipeline
     * (operators.Dedup.minhashLshPairs) computes the same signature as
     * a codegen'd hash-aggregate over exploded gram rows instead
-    * (measured ~50x faster). Keep this form for composability tests
-    * and as the reference semantics of that aggregate.
+    * (measured ~50x faster). The hash chain here is intentionally
+    * identical — xxhash64(i, xxhash64(gram)) — so the two forms
+    * produce bit-equal signatures; TextFunctionsSpec asserts that
+    * equivalence against Dedup's aggregate on real documents.
     */
   def minhashSignature(grams: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(grams, g => xxhash64(i, g))))
+      i => array_min(transform(grams, g => xxhash64(i, xxhash64(g)))))
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
     * the token-hash's bit value; the sign becomes the output bit.

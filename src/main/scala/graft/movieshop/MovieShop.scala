@@ -88,11 +88,11 @@ object MovieShop {
     */
   def queryMovieList(s: SparkSession, dir: String, startFrom: Int,
                      limitation: Int, searchKey: String): DataFrame = {
-    val base = movies(s, dir)
-    val filtered =
-      if (searchKey.isEmpty) base // '%' ⇒ predicate dropped
-      else base.filter(col("name").contains(searchKey))
-    filtered
+    // LIKE '%{searchKey}%' exactly as the reference splices it (so '%'/'_'
+    // in the key act as wildcards, and the empty key's LIKE '%%' still
+    // excludes NULL names — Column.contains would diverge on both).
+    movies(s, dir)
+      .filter(col("name").like(s"%$searchKey%"))
       .orderBy(col("movie_id").asc)
       .offset(startFrom).limit(limitation)
       .select(col("movie_id"), col("name"), col("price"), col("ranking"),

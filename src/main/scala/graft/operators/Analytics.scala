@@ -106,7 +106,13 @@ object Analytics {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-        .as("approx_p"))
+        .as("ps"))
+      // Scalar columns, not array<double>: the driver's rows-only check
+      // still sorts the frame, and array cells break that sort.
+      .select(col("l_returnflag"),
+        round(col("ps")(0), 4).as("p50"),
+        round(col("ps")(1), 4).as("p90"),
+        round(col("ps")(2), 4).as("p99"))
       .orderBy("l_returnflag")
 
   // --- Null-handling suite: coalesce / nullif / nvl2-style / null-safe

@@ -119,14 +119,25 @@ object Dedup {
   // pairs only within band buckets; candidates verified exactly, so
   // output quality equals DD2 minus LSH misses
   // (P[miss] = (1-j^4)^16, <2% at j=0.8). ---
+  /** (doc_id, h0..h{n-1}) MinHash signatures as one codegen'd
+    * hash-aggregate over exploded gram rows. Bit-equal to the HOF form
+    * `functions.Text.minhashSignature` (same xxhash64(i, xxhash64(gram))
+    * chain) — TextFunctionsSpec asserts the equivalence.
+    */
+  private[graft] def minhashSignatures(s: SparkSession, d: String,
+                                       numHashes: Int, n: Int = 3): DataFrame = {
+    val gr = gramRows(s, d, n)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("gh"))).as(s"h$i"))
+    gr.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
     val gr = gramRows(s, d)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("gh"))).as(s"h$i"))
-    val sigs = gr.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sigs = minhashSignatures(s, d, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)

@@ -25,15 +25,15 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
 
   // --- P2: substring LIKE (reference: DatabaseAccessor.py:100, wildcard
-  // defaulting Server.py:20-23 — empty key ⇒ match-all) ---
-  def likeSubstring(s: SparkSession, d: String, key: String = "wid"): DataFrame = {
-    val base = Tables.part(s, d)
-    val filtered =
-      if (key.isEmpty) base // '%' match-all ⇒ drop the predicate entirely
-      else base.filter(col("p_name").contains(key))
-    filtered.select("p_partkey", "p_name", "p_brand")
+  // defaulting Server.py:20-23 — empty key ⇒ LIKE '%%', which still
+  // excludes NULL names). The key is spliced into LIKE '%{key}%'
+  // unescaped, exactly as the reference builds it, so '%'/'_' in the
+  // key act as wildcards there too. ---
+  def likeSubstring(s: SparkSession, d: String, key: String = "wid"): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like(s"%$key%"))
+      .select("p_partkey", "p_name", "p_brand")
       .orderBy("p_partkey")
-  }
 
   // --- P3: prefix LIKE on a time string (reference: DatabaseAccessor.py:107,
   // pattern built OrderList.vue:125-131). The reference stores

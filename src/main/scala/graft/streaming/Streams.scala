@@ -103,6 +103,12 @@ object Streams {
     * (`Chart.vue:88-111`). Update-mode rows from the streaming agg
     * upsert into a keyed parquet snapshot per micro-batch. Returns the
     * started query; read the snapshot with [[readAggTable]].
+    *
+    * Durability: each batch writes a fresh `snap_<batchId>` directory,
+    * then atomically renames a pointer file (`_CURRENT`) at it — a
+    * crash mid-batch leaves the previous snapshot intact and readable
+    * (the next attempt of the same batchId simply overwrites its own
+    * snap dir). Superseded snapshots are pruned after the swap.
     */
   def hourlyAggSink(events: DataFrame, tableDir: String,
                     checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -110,26 +116,50 @@ object Streams {
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(tableDir)
-        val updated =
-          if (dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet"))) {
-            val existing = spark.read.parquet(tableDir)
+        val updated = currentSnapshotDir(tableDir) match {
+          case Some(cur) =>
+            val existing = spark.read.parquet(cur)
             // upsert: existing rows lose to this batch's refreshed keys
             existing.join(batch.select("window_start", "event_type"),
                 Seq("window_start", "event_type"), "left_anti")
               .unionByName(batch)
-          } else batch
-        val tmp = tableDir + "__staging"
-        updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(tableDir)
+          case None => batch
+        }
+        val snapName = s"snap_$batchId"
+        updated.coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(tableDir, snapName).getPath)
+        // Atomic publish: write pointer beside, then rename over _CURRENT.
+        val ptrTmp = new java.io.File(tableDir, "_CURRENT.tmp")
+        java.nio.file.Files.write(ptrTmp.toPath,
+          snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(ptrTmp.toPath,
+          new java.io.File(tableDir, "_CURRENT").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // Prune superseded snapshots (readers hold the new pointer now).
+        new java.io.File(tableDir).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("snap_") && f.getName != snapName)
+          .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
         ()
       }
       .start()
 
+  private def currentSnapshotDir(tableDir: String): Option[String] = {
+    val ptr = new java.io.File(tableDir, "_CURRENT")
+    if (!ptr.exists()) None
+    else {
+      val name = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val snap = new java.io.File(tableDir, name)
+      if (snap.isDirectory) Some(snap.getPath) else None
+    }
+  }
+
   def readAggTable(s: org.apache.spark.sql.SparkSession, tableDir: String): DataFrame =
-    s.read.parquet(tableDir)
+    s.read.parquet(currentSnapshotDir(tableDir).getOrElse(
+      sys.error(s"no published snapshot under $tableDir")))
 
   // ---- Stateful liveness: GreilFS heartbeat/failure detection (G8,
   // Server/managers.py:44-62 — node marked Dead past a timeout) as

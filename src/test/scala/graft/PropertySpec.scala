@@ -13,7 +13,8 @@ class PropertySpec extends SparkTestBase {
 
   private def check(prop: Prop, cases: Int = 8): Unit = {
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(cases)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
     assert(res.passed, s"property falsified: ${res.status}")
   }
 

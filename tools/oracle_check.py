@@ -19,6 +19,8 @@ def norm_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        if v == 0:
+            v = 0.0  # -0.0 and 0.0 must hash identically
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
