@@ -21,10 +21,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/session warm-up outside the timed region (codegen compiler,
-    // parquet footer caches, shuffle infrastructure)
-    SparkEntry.queries.get("q1_pricing_summary")
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // Full untimed warm-up pass: one execution of EVERY query before
+    // any timing. Best-of-2 alone doesn't absorb cold-JVM effects — the
+    // first queries alphabetically otherwise pay JIT compilation of
+    // shared Spark internals for the whole suite (observed 4-8x
+    // inflation on the first few queries in round-1 driver runs).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // failures surface in the timed pass
+    }
 
     // best-of-2 per query: a single local[32] pass is GC/OS-noisy
     // (observed 3x run-to-run swings on projection-only queries)

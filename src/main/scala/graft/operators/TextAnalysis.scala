@@ -131,10 +131,18 @@ object TextAnalysis {
                  maxDist: Int = 5, sampleMod: Long = 20L): DataFrame = {
     val p = graft.Tables.part(s, d)
       .filter(col("p_partkey") % sampleMod === 0)
-      .select(col("p_partkey"), col("p_name"))
-    p.as("a").join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
-      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
-      .filter(col("dist") <= maxDist && col("a.p_name") =!= col("b.p_name"))
+      .select(col("p_partkey"), col("p_name"), length(col("p_name")).as("len"))
+    // Result-preserving pruning, cheapest test first: |len(a)-len(b)| <=
+    // maxDist is necessary for edit distance <= maxDist, and the
+    // short-circuit AND skips the O(n*k) levenshtein for pruned pairs.
+    // The thresholded levenshtein overload band-limits the DP and bails
+    // at maxDist+1 instead of filling the full matrix.
+    p.as("a").join(p.as("b"),
+        col("a.p_partkey") < col("b.p_partkey") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          levenshtein(col("a.p_name"), col("b.p_name"), maxDist) =!= -1)
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), maxDist))
+      .filter(col("a.p_name") =!= col("b.p_name"))
       .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
         col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
       .orderBy("key_a", "key_b")
