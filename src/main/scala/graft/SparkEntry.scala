@@ -55,8 +55,19 @@ object SparkEntry {
     "a10_pivot_status"  -> ((s, d) => Benchmark.pivotStatus(s, d)),
     "a11_percentiles"   -> ((s, d) => Analytics.percentiles(s, d)),
     "a12_approx_pct"    -> ((s, d) => Analytics.approxPercentiles(s, d)),
+    "a13_grouping_sets" -> ((s, d) => Analytics.groupingSetsSales(s, d)),
+    "a14_stats_suite"   -> ((s, d) => Analytics.statsSuite(s, d)),
+    "a16_argmax_suite"  -> ((s, d) => Analytics.argmaxSuite(s, d)),
     "f_null_handling"   -> ((s, d) => Analytics.nullHandling(s, d)),
     "tx8_fuzzy_match"   -> ((s, d) => TextAnalysis.fuzzyMatch(s, d)),
+    // TPC-H-style pack 2 (Benchmark2)
+    "q2_min_cost_supp"  -> ((s, d) => Benchmark2.q2MinCostSupplier(s, d)),
+    "q5_region_volume"  -> ((s, d) => Benchmark2.q5RegionVolume(s, d)),
+    "q10_returned"      -> ((s, d) => Benchmark2.q10ReturnedItems(s, d)),
+    "q12_priority_dist" -> ((s, d) => Benchmark2.q12PriorityDist(s, d)),
+    "q14_promo_share"   -> ((s, d) => Benchmark2.q14PromoShare(s, d)),
+    "q18_big_orders"    -> ((s, d) => Benchmark2.q18BigOrders(s, d)),
+    "q19_disjunction"   -> ((s, d) => Benchmark2.q19Disjunction(s, d)),
     // §2.4 DISTINCT / §2.7 set ops
     "d1_distinct"       -> ((s, d) => Relational.distinctValues(s, d)),
     "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
@@ -65,9 +76,19 @@ object SparkEntry {
     // §2.6 windows
     "w1_topn_per_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
     "w3_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    "w4_lag_lead"       -> ((s, d) => Windows.lagLeadDeltas(s, d)),
+    "w5_rank_suite"     -> ((s, d) => Windows.rankSuite(s, d)),
+    "w6_moving_avg"     -> ((s, d) => Windows.movingAvgSales(s, d)),
+    "w7_first_last"     -> ((s, d) => Windows.firstLastNav(s, d)),
+    // §2.3 joins (pack 2)
+    "j7_full_outer"     -> ((s, d) => Relational.fullOuterActivity(s, d)),
+    "j8_cross_grid"     -> ((s, d) => Relational.crossGrid(s, d)),
     // §2.8 scalar functions
     "f_scalar_suite"    -> ((s, d) => Relational.scalarSuite(s, d)),
     "f_array_suite"     -> ((s, d) => Relational.arraySuite(s, d)),
+    "f_date_suite"      -> ((s, d) => FunctionSuites.dateSuite(s, d)),
+    "f_string_suite2"   -> ((s, d) => FunctionSuites.stringSuite2(s, d)),
+    "f_math_suite"      -> ((s, d) => FunctionSuites.mathSuite(s, d)),
     // sampling (training-pipeline surface)
     "sp1_hash_sample"   -> ((s, d) => Sampling.hashSample(s, d)),
     "sp2_reservoir"     -> ((s, d) => Sampling.reservoirPerGroup(s, d)),
@@ -96,6 +117,10 @@ object SparkEntry {
     "sim2_top_pairs"    -> ((s, d) => Similarity.topSimilarPairs(s, d)),
     "sim3_lsh_ann"      -> ((s, d) => Similarity.lshAnn(s, d)),
     "sim4_ivf_ann"      -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "sim5_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
+    // north-star M6: end-to-end corpus selection
+    "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -308,6 +333,119 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // a12_approx_pct: sketch-based — rows-only by design.
+    "a13_grouping_sets" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority,
+        |  CASE WHEN CAST(year(o_orderdate) AS INTEGER) IS NULL
+        |            AND o_orderpriority IS NULL THEN 3
+        |       WHEN o_orderpriority IS NULL THEN 1
+        |       WHEN CAST(year(o_orderdate) AS INTEGER) IS NULL THEN 2
+        |       ELSE 0 END AS gid,
+        |  round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INTEGER)),
+        |                        (o_orderpriority), ())
+        |ORDER BY gid ASC, y ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "a14_stats_suite" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_pop(l_quantity, l_discount), 6) AS covp_qty_disc,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covs_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a16_argmax_suite" ->
+      """SELECT o_orderpriority,
+        |  max_by(o_orderkey, printf('%018.2f#%012d', o_totalprice, o_orderkey))
+        |    AS top_order,
+        |  min_by(o_orderkey, printf('%018.2f#%012d', o_totalprice, o_orderkey))
+        |    AS bottom_order,
+        |  count_if(o_totalprice > 200000) AS n_big,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  bool_and(o_totalprice > 0) AS all_positive
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH uc AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (
+        |  SELECT p_partkey, l_suppkey, unit_cost,
+        |         min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        |  FROM uc JOIN part ON l_partkey = p_partkey WHERE p_size = 15)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, unit_cost
+        |FROM f JOIN supplier ON l_suppkey = s_suppkey
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |WHERE unit_cost = min_cost
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q12_priority_dist" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |                             THEN l_extendedprice * (1 - l_discount)
+        |                             ELSE 0.0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q19_disjunction" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "f_null_handling" ->
       """SELECT c_custkey,
         |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
@@ -363,6 +501,107 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem WHERE l_suppkey < 3
         |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+    "w4_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev,
+        |  lead(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "w5_rank_suite" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "w6_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |         round(sum(o_totalprice), 2) AS day_sales
+        |  FROM orders GROUP BY 1)
+        |SELECT day, day_sales,
+        |  round(avg(day_sales) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+        |  count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days_in_frame
+        |FROM daily ORDER BY day""".stripMargin,
+    "w7_first_last" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  first_value(l_orderkey) OVER w AS first_order,
+        |  last_value(l_orderkey) OVER w AS last_order,
+        |  nth_value(l_orderkey, 3) OVER w AS third_order
+        |FROM lineitem WHERE l_suppkey < 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber""".stripMargin,
+    "j7_full_outer" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_acctbal, o.jan_sales, coalesce(o.n_jan_orders, 0) AS n_jan_orders
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS jan_sales,
+        |         count(*) AS n_jan_orders
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        |  GROUP BY o_custkey) o
+        |ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "j8_cross_grid" ->
+      """SELECT r_name, n_name, (n_regionkey = r_regionkey) AS in_region
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "f_date_suite" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+        |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d')
+        |    AS plus_2mo,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        |    AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+        |    AS INTEGER) AS days_to_98,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "f_string_suite2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_lpad,
+        |  rpad(p_brand, 12, '.') AS brand_rpad,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  reverse(p_name) AS name_rev,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+        |  CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+        |  split_part(p_name, ' ', 2) AS second_word,
+        |  trim(lpad(p_type, 10, ' ')) AS type_trim,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
+    "f_math_suite" ->
+      """SELECT p_partkey,
+        |  round(sqrt(p_retailprice), 6) AS sqrt_price,
+        |  round(pow(p_size, 2), 1) AS size_sq,
+        |  round(exp(p_size / 50.0), 6) AS exp_size,
+        |  round(ln(p_retailprice + 1), 6) AS ln_price,
+        |  round(log10(p_retailprice + 1), 6) AS log10_price,
+        |  CAST(sign(p_size - 25) AS INTEGER) AS size_sign,
+        |  p_partkey % 7 AS key_mod7,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  greatest(p_size, 25) AS size_hi,
+        |  least(p_size, 25) AS size_lo,
+        |  round(sin(p_size / 10.0), 6) AS sin_size,
+        |  round(atan2(CAST(p_size AS DOUBLE), p_retailprice), 6) AS atan2_sp
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
     "f_scalar_suite" ->
       """SELECT p_partkey,
         |  p_brand || '#' || p_type AS brand_type,
@@ -514,6 +753,66 @@ object SparkEntry {
         |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
     // sim3_lsh_ann: approximate ANN — rows-only by design.
+    "sim5_range_search" ->
+      """SELECT b.vec_id, b.label,
+        |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                               CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |  AND list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])) >= 0.25
+        |ORDER BY b.vec_id""".stripMargin,
+    "km1_centroid_assign" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                           CAST(c.cemb AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cemb AS DOUBLE[])) DESC,
+        |      c.cid ASC) AS rn
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_members,
+        |  round(avg(sim), 4) AS avg_sim, round(min(sim), 4) AS min_sim
+        |FROM scored WHERE rn = 1
+        |GROUP BY cid ORDER BY cluster""".stripMargin,
+    "dp1_corpus_select" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+        |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+        |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+        |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+        |    AS quality
+        |  FROM w),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (
+        |  SELECT DISTINCT doc_b FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5)
+        |SELECT d.doc_id, d.source,
+        |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+        |  q.quality
+        |FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |WHERE d.lang = 'en'
+        |  AND len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+        |  AND q.quality >= 0.55
+        |  AND d.doc_id NOT IN (SELECT doc_b FROM drops)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm1_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5

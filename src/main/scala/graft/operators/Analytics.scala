@@ -120,6 +120,58 @@ object Analytics {
         round(col("ps")(2), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  // --- A13: explicit GROUPING SETS ((y), (priority), ()) with
+  // grouping_id — the general form that rollup/cube specialize.
+  // One Expand + one hash-agg, same as rollup. ---
+  def groupingSetsSales(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      // pre-project the grouping expressions: groupingSets matches set
+      // members to grouping columns by expression equality, and an
+      // aliased year() in one list vs bare year() in the other splits
+      // into two grouping dimensions (observed: 3-bit grouping_id)
+      .select(year(col("o_orderdate")).as("y"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("y")), Seq(col("o_orderpriority")), Seq()),
+        col("y"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("sales"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("gid").asc, col("y").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // --- A14: statistical aggregate family — stddev/variance/corr/
+  // covariance per group. All are single-pass merge-able aggregates
+  // (partial moments map-side; small-magnitude columns chosen so the
+  // parallel-merge accumulation order stays within oracle rounding). ---
+  def statsSuite(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qty_disc"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qty_disc"))
+      .orderBy("l_returnflag")
+
+  // --- A16: argmax family + boolean/conditional aggregates — max_by/
+  // min_by keyed on a fixed-width (price, orderkey) string so ties on
+  // price resolve deterministically in any engine. ---
+  def argmaxSuite(s: SparkSession, d: String): DataFrame = {
+    val key = format_string("%018.2f#%012d", col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), key).as("top_order"),
+        min_by(col("o_orderkey"), key).as("bottom_order"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"))
+      .orderBy("o_orderpriority")
+  }
+
   // --- Null-handling suite: coalesce / nullif / nvl2-style / null-safe
   // equality — the null algebra an engine must get right. ---
   def nullHandling(s: SparkSession, d: String): DataFrame =

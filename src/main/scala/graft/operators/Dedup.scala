@@ -102,8 +102,8 @@ object Dedup {
     * groupBy — one shuffle over the match rows, no candidate re-join
     * (that pattern is only right for small LSH candidate sets, DD3).
     */
-  private def ngramJaccardPairsRaw(s: SparkSession, d: String,
-                                   threshold: Double): DataFrame = {
+  private[operators] def ngramJaccardPairsRaw(s: SparkSession, d: String,
+                                              threshold: Double): DataFrame = {
     val gr = gramRows(s, d)
     val shared = gr.as("a")
       .join(gr.as("b"),

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families beyond the reference's F1-F8 rows
+  * (SURVEY.md §2.8 marks everything past casts/LIKE/JSON "ABSENT" in
+  * the reference — this is the engine-side completion of that table):
+  * date/time arithmetic, string manipulation, math. Every column is a
+  * codegen'd built-in; outputs are formatted/rounded to be engine-
+  * portable (dayofweek conventions, libm ULP differences).
+  */
+object FunctionSuites {
+
+  // --- F-DATE: date/time arithmetic family over order dates. ---
+  def dateSuite(s: SparkSession, d: String): DataFrame = {
+    val dt = to_date(col("o_orderdate"))
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"),
+        date_format(date_add(dt, 30), "yyyy-MM-dd").as("plus_30d"),
+        date_format(add_months(dt, 2), "yyyy-MM-dd").as("plus_2mo"),
+        date_format(last_day(dt), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc(dt, "month"), "yyyy-MM-dd").as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), dt).as("days_to_98"),
+        quarter(dt).as("q"),
+        weekday(dt).as("wd"), // 0 = Monday in both engines' mapping below
+        weekofyear(dt).as("iso_week"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+  }
+
+  // --- F-STR2: string-manipulation family over part names. ---
+  def stringSuite2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+        rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        reverse(col("p_name")).as("name_rev"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        instr(col("p_name"), "a").as("first_a"),
+        split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+        trim(lpad(col("p_type"), 10, " ")).as("type_trim"),
+        regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"))
+      .orderBy("p_partkey")
+
+  // --- F-MATH: math family — 6dp rounding absorbs libm ULP
+  // differences between engines. ---
+  def mathSuite(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_price"),
+        round(pow(col("p_size"), 2), 1).as("size_sq"),
+        round(exp(col("p_size") / lit(50.0)), 6).as("exp_size"),
+        round(log(col("p_retailprice") + 1), 6).as("ln_price"),
+        round(log10(col("p_retailprice") + 1), 6).as("log10_price"),
+        signum(col("p_size") - 25).cast("int").as("size_sign"),
+        (col("p_partkey") % 7).as("key_mod7"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        greatest(col("p_size"), lit(25)).as("size_hi"),
+        least(col("p_size"), lit(25)).as("size_lo"),
+        round(sin(col("p_size") / lit(10.0)), 6).as("sin_size"),
+        round(atan2(col("p_size"), col("p_retailprice")), 6).as("atan2_sp"))
+      .orderBy("p_partkey")
+}

@@ -310,4 +310,32 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k") > 50)
       .orderBy("event_id")
+
+  // --- J7: FULL OUTER join — wealthy customers vs. their January-1996
+  // order activity; unmatched rows survive on BOTH sides (customers
+  // with no January orders, active customers under the balance bar). ---
+  def fullOuterActivity(s: SparkSession, d: String,
+                        minBal: Double = 5000.0): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > minBal)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val jan = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 1)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("jan_sales"),
+        count(lit(1)).as("n_jan_orders"))
+    rich.join(jan, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("jan_sales"),
+        coalesce(col("n_jan_orders"), lit(0L)).as("n_jan_orders"))
+      .orderBy("custkey")
+  }
+
+  // --- J8: explicit CROSS join — the full region x nation grid with a
+  // membership flag (the build-a-dense-grid pattern: deliberate
+  // cartesian of two TINY dims, never facts). ---
+  def crossGrid(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_name"), col("n_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("in_region"))
+      .orderBy("r_name", "n_name")
 }

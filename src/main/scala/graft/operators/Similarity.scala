@@ -118,6 +118,51 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // --- SIM5: cosine range search — every vector within a similarity
+  // radius of the query (the "find all near neighbors" primitive;
+  // top-k's threshold twin). Broadcast query, one corpus scan. ---
+  def rangeSearch(s: SparkSession, d: String,
+                  queryId: Long = 0L, threshold: Double = 0.25): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cs", vecCosine(col("embedding"), col("q_emb")))
+      .filter(col("cs") >= threshold)
+      .select(col("vec_id"), col("label"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
+  // --- KM1: nearest-centroid assignment (the E-step of k-means /
+  // the cell-assignment primitive IVF builds on). Centroids are the
+  // first k corpus vectors, inlined as literals — the assignment is
+  // a pure codegen'd projection, no join, no shuffle until the final
+  // per-cluster rollup. Deterministic argmax: ties break to the
+  // smaller centroid id via (sim, -cid) struct ordering. ---
+  def nearestCentroid(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids: Array[(Int, Array[Float])] = e
+      .filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val best = array_max(array(centroids.map { case (cid, cvec) =>
+      struct(
+        vecCosine(col("embedding"), array(cvec.map(lit): _*)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }: _*))
+    e.select(col("vec_id"),
+        (-best.getField("neg_cid")).as("cluster"),
+        best.getField("sim").as("sim"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("sim")), 4).as("avg_sim"),
+        round(min(col("sim")), 4).as("min_sim"))
+      .orderBy("cluster")
+  }
+
   // --- SIM3: LSH-bucketed ANN — the scale path. 8 deterministic
   // hyperplanes -> 256 buckets; each query's candidates are only its
   // own bucket; exact cosine re-rank inside the bucket. Approximate

@@ -61,7 +61,13 @@ object TextAnalysis {
   // --- TX4: composite quality score in [0,1]: length in range,
   // lexical diversity, low stopword share — the usual pre-training
   // heuristic filter, as one deterministic rounded expression. ---
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoreRaw(s, d).orderBy("doc_id")
+
+  /** Unsorted (doc_id, quality) — the form pipeline stages consume
+    * without paying a presentation sort (see Pipeline.corpusSelect).
+    */
+  private[operators] def qualityScoreRaw(s: SparkSession, d: String): DataFrame = {
     val nTok = col("n_tokens").cast("double")
     val diversity = col("n_distinct").cast("double") / nTok
     val lengthOk = when(col("n_tokens").between(20, 2000), lit(1.0)).otherwise(lit(0.4))
@@ -71,7 +77,6 @@ object TextAnalysis {
         round(lengthOk * lit(0.4) + diversity * lit(0.4)
           + (lit(1.0) - least(stopShare * lit(2.0), lit(1.0))) * lit(0.2), 4)
           .as("quality"))
-      .orderBy("doc_id")
   }
 
   /** Stopword profiles for the language-ID heuristic. Real profiles

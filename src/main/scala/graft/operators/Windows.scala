@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic window-function surface (SURVEY.md §2.6 notes the reference
+  * has none — this is the engine-side capability the pagination/top-k
+  * use cases upgrade into): offsets (lag/lead), ranking families,
+  * frame-spec moving aggregates, first/last/nth navigation.
+  *
+  * Scale posture: every window partitions by a real key (customer,
+  * supplier) so work distributes; the one post-aggregation global
+  * window (moving average over daily totals) runs over data already
+  * reduced to one row per day — a deliberate, bounded single-partition
+  * step, not a window over raw facts.
+  */
+object Windows {
+
+  // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
+  def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+          .as("delta_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  // --- W5: the ranking family over one partitioned ordering — rank,
+  // dense_rank, percent_rank, cume_dist, ntile. One shuffle on the
+  // partition key, one in-partition sort. ---
+  def rankSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  // --- W6: frame-spec moving aggregate — 7-day moving average of
+  // daily sales. Facts reduce to one row/day first (shuffled, partial
+  // agg); the window then runs over ~2.5k rows. ---
+  def movingAvgSales(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_sales"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("day_sales"),
+        // 4dp, not 2dp: cent-grid values averaged over n <= 7 rows can
+        // land exactly on 2dp half-way points (cents/2), but k/(100n)
+        // never equals a 4dp boundary (2j+1)/20000 for n <= 7 — parity
+        // argument; 4dp rounding is provably engine-stable here
+        round(avg(col("day_sales")).over(w), 4).as("ma7"),
+        count(lit(1)).over(w).as("n_days_in_frame"))
+      .orderBy("day")
+  }
+
+  // --- W7: navigation — first/last/nth value per supplier over ship
+  // order, with an explicit full-partition frame (the default frame
+  // ends at CURRENT ROW, which makes last_value order-dependent). ---
+  def firstLastNav(s: SparkSession, d: String): DataFrame = {
+    val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val full = Window.partitionBy("l_suppkey").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d).filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        first(col("l_orderkey")).over(full).as("first_order"),
+        last(col("l_orderkey")).over(full).as("last_order"),
+        nth_value(col("l_orderkey"), 3).over(full).as("third_order"))
+      .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
+  }
+}
