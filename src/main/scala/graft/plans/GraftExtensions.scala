@@ -2,15 +2,19 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2): exposes the
   * native vector expressions to SQL, so
-  * `spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")` works
-  * alongside the Column API.
+  * `spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")` plans
+  * the codegen'd [[FloatVecDot]] instead of an interpreted
+  * higher-order lambda. Two installation paths:
   *
-  * Usage: SparkSession.builder().withExtensions(new GraftExtensions)
-  * or spark.sql.extensions=graft.plans.GraftExtensions.
+  *  - cluster: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (or `SparkSession.builder().withExtensions(new GraftExtensions)`) —
+  *    applies to every session built from that config;
+  *  - existing session (tests, notebooks): [[GraftExtensions.register]],
+  *    which installs the same builders on the live function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -18,11 +22,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+  private def cosExpr(children: Seq[Expression]): Expression = {
+    // built directly from catalyst nodes (a Column round-trip would
+    // leave an unresolvable ColumnNodeExpression in the registry path);
+    // same tree shape as VectorExpressions.vecCosine — dot/(√dot·√dot)
+    val Seq(a, b) = children
+    Divide(FloatVecDot(a, b),
+      Multiply(Sqrt(FloatVecDot(a, a)), Sqrt(FloatVecDot(b, b))))
+  }
+
+  /** The injectable (identifier, info, builder) triples — one list
+    * shared by the builder-time extension path and the live-session
+    * path, so both register identical functions.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))),
+    (FunctionIdentifier("vec_cos"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_cos"),
+      cosExpr _))
 
   /** Register on an already-built session (the extensions class only
     * applies at builder time). */
