@@ -73,4 +73,55 @@ class PlanSpec extends SparkTestBase {
     val fp = finalPlan(Dedup.minhashLshPairs(spark, sf))
     assert(fp.contains("codegen id"), s"no codegen spans:\n$fp")
   }
+
+  test("Q5 broadcasts supplier/nation/region; facts join without cartesian") {
+    val p = plan(Benchmark2.q5RegionVolume(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in a star join")
+  }
+
+  test("Q19 pushes the part-side disjuncts below the join") {
+    val p = plan(Benchmark2.q19Disjunction(spark, sf))
+    // the (brand, size) part of the OR must reach the part scan as a
+    // data filter, not stay above the join: look for brand literals in
+    // a Filter over the part side
+    assert(p.contains("Brand#12") && p.contains("BroadcastHashJoin"),
+      s"disjunctive predicate lost:\n$p")
+  }
+
+  test("Q2 window-min stays partitioned by part (no global sort/exchange-all)") {
+    val p = plan(Benchmark2.q2MinCostSupplier(spark, sf))
+    assert(p.contains("Window"), s"expected window operator:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-part window must not collapse to one partition:\n$p")
+  }
+
+  test("Q18 HAVING aggregates before joining back (partial+final pair present)") {
+    val p = plan(Benchmark2.q18BigOrders(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("TakeOrderedAndProject"), "top-100 should be top-k, not full sort")
+  }
+
+  test("W5 ranking family computes all five functions in ONE window pass") {
+    val p = plan(Windows.rankSuite(spark, sf))
+    assert("Window".r.findAllIn(p).size <= 2, // running + one for ntile frame at most
+      s"ranking family fragmented into too many Window nodes:\n$p")
+  }
+
+  test("F-DATE scan reads only the two needed order columns") {
+    val p = plan(FunctionSuites.dateSuite(spark, sf))
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("o_custkey"),
+      s"unused columns not pruned: $readSchema")
+  }
+
+  test("KM1 nearest-centroid assignment is a pure projection (no join, no shuffle before the rollup)") {
+    val p = plan(Similarity.nearestCentroid(spark, sf))
+    assert(!p.contains("Join"), s"centroid assignment must not join:\n$p")
+    // formatted explain lists each node twice (tree + details) — count
+    // the numbered detail headers only
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, // agg + sort only
+      s"too many exchanges:\n$p")
+  }
 }
