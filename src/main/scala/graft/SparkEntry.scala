@@ -121,6 +121,9 @@ object SparkEntry {
     "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
+    // sketches: frequency + membership (HLL/t-digest live in a8/a12)
+    "cms1_heavy_hitters"-> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    "bf1_bloom_semi"    -> ((s, d) => Sketches.bloomSemiJoin(s, d)),
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -813,6 +816,14 @@ object SparkEntry {
         |  AND q.quality >= 0.55
         |  AND d.doc_id NOT IN (SELECT doc_b FROM drops)
         |ORDER BY d.doc_id""".stripMargin,
+    // cms1_heavy_hitters: sketch estimates — rows-only (spec asserts the
+    // no-underestimate bound against exact counts).
+    "bf1_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |              WHERE c.c_custkey = o.o_custkey
+        |                AND c.c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
     "mm1_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5
