@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, Expression
   *    which installs the same builders on the live function registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => RewriteHofDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -45,9 +47,16 @@ object GraftExtensions {
       cosExpr _))
 
   /** Register on an already-built session (the extensions class only
-    * applies at builder time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    * applies at builder time). Also installs the HOF-dot-product
+    * rewrite through the experimental-rules hook, guarded against
+    * double registration. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    }
+  }
 }

@@ -49,6 +49,40 @@ class ExtensionsSpec extends SparkTestBase {
     sym.foreach(r => assert(r.getDouble(1) == r.getDouble(2)))
   }
 
+  test("optimizer rule rewrites the HOF dot product to vec_dot") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).limit(30).createOrReplaceTempView("emb_rw")
+    val hof = spark.sql(
+      """SELECT vec_id,
+        |  aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dp
+        |FROM emb_rw""".stripMargin)
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot"),
+      s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"),
+      s"HOF survived optimization:\n$optimized")
+    // and the rewritten plan computes the same values as the native API
+    val viaRule = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = Tables.embeddings(spark, sf).limit(30)
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions.vecDot(col("embedding"), col("embedding")).as("dp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule == direct)
+  }
+
+  test("optimizer rule leaves non-matching HOF aggregates alone") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).limit(10).createOrReplaceTempView("emb_rw2")
+    // sum (not product) inside zip_with: must NOT rewrite
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)),
+        |                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS s
+        |FROM emb_rw2""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    df.collect() // still executes correctly
+  }
+
   test("SQL vec_dot agrees with the Column API vecDot") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)
