@@ -68,6 +68,14 @@ object SparkEntry {
     "q14_promo_share"   -> ((s, d) => Benchmark2.q14PromoShare(s, d)),
     "q18_big_orders"    -> ((s, d) => Benchmark2.q18BigOrders(s, d)),
     "q19_disjunction"   -> ((s, d) => Benchmark2.q19Disjunction(s, d)),
+    // TPC-H-style pack 3: correlated-subquery family (Benchmark3)
+    "q4_priority_exists"-> ((s, d) => Benchmark3.q4PriorityExists(s, d)),
+    "q15_top_supplier"  -> ((s, d) => Benchmark3.q15TopSupplier(s, d)),
+    "q16_supplier_cnt"  -> ((s, d) => Benchmark3.q16SupplierCount(s, d)),
+    "q17_small_qty"     -> ((s, d) => Benchmark3.q17SmallQuantity(s, d)),
+    "q20_volume_supp"   -> ((s, d) => Benchmark3.q20VolumeSuppliers(s, d)),
+    "q21_sole_fault"    -> ((s, d) => Benchmark3.q21SoleFaultSupplier(s, d)),
+    "q22_idle_cust"     -> ((s, d) => Benchmark3.q22IdleCustomers(s, d)),
     // §2.4 DISTINCT / §2.7 set ops
     "d1_distinct"       -> ((s, d) => Relational.distinctValues(s, d)),
     "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
@@ -80,6 +88,8 @@ object SparkEntry {
     "w5_rank_suite"     -> ((s, d) => Windows.rankSuite(s, d)),
     "w6_moving_avg"     -> ((s, d) => Windows.movingAvgSales(s, d)),
     "w7_first_last"     -> ((s, d) => Windows.firstLastNav(s, d)),
+    "w8_range_frame"    -> ((s, d) => Windows.trailingSpend(s, d)),
+    "a18_median_mode"   -> ((s, d) => Analytics.medianMode(s, d)),
     // §2.3 joins (pack 2)
     "j7_full_outer"     -> ((s, d) => Relational.fullOuterActivity(s, d)),
     "j8_cross_grid"     -> ((s, d) => Relational.crossGrid(s, d)),
@@ -103,6 +113,8 @@ object SparkEntry {
     "dd3_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dd4_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd5_dedup_keep"    -> ((s, d) => Dedup.dedupKeepSet(s, d)),
+    "dd7_containment"   -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dd8_components"    -> ((s, d) => Dedup.dedupComponents(s, d)),
     "dd6_embedding_neardup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     // north-star M6: text analysis
     "tx1_text_stats"    -> ((s, d) => TextAnalysis.textStats(s, d)),
@@ -112,12 +124,15 @@ object SparkEntry {
     "tx5_lang_id"       -> ((s, d) => TextAnalysis.langId(s, d)),
     "tx6_token_counts"  -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "tx7_winnowing"     -> ((s, d) => TextAnalysis.winnowingFingerprints(s, d)),
+    "tx9_normalize"     -> ((s, d) => TextAnalysis.normalizeText(s, d)),
+    "tx10_redact"       -> ((s, d) => TextAnalysis.redactPii(s, d)),
     // north-star M6: similarity search
     "sim1_cosine_topk"  -> ((s, d) => Similarity.cosineTopK(s, d)),
     "sim2_top_pairs"    -> ((s, d) => Similarity.topSimilarPairs(s, d)),
     "sim3_lsh_ann"      -> ((s, d) => Similarity.lshAnn(s, d)),
     "sim4_ivf_ann"      -> ((s, d) => Similarity.ivfAnn(s, d)),
     "sim5_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "sim6_knn_join"     -> ((s, d) => Similarity.knnJoin(s, d)),
     "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
@@ -127,6 +142,7 @@ object SparkEntry {
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
+    "mm3_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -449,6 +465,100 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + 30)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_size IN (9, 19, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.5 * avg(i.l_quantity) FROM lineitem i
+        |                    WHERE i.l_partkey = l.l_partkey)""".stripMargin,
+    "q20_volume_supp" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 400.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_sole_fault" ->
+      """WITH rl AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+        |            FROM lineitem WHERE l_returnflag = 'R'),
+        |al AS (SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+        |       FROM lineitem)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM rl r JOIN supplier ON r.skey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM al a
+        |              WHERE a.okey = r.okey AND a.skey <> r.skey)
+        |  AND NOT EXISTS (SELECT 1 FROM rl r2
+        |                  WHERE r2.okey = r.okey AND r2.skey <> r.skey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 50""".stripMargin,
+    "q22_idle_cust" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "a18_median_mode" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, round(median(l_quantity), 4) AS median_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        |cnts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_count,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY c DESC, l_quantity ASC) AS rn
+        |  FROM cnts)
+        |SELECT med.l_returnflag, median_qty, mode_qty, mode_count
+        |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND rn = 1
+        |ORDER BY med.l_returnflag""".stripMargin,
+    "w8_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  round(sum(o_totalprice) OVER w, 2) AS spend_30d,
+        |  count(*) OVER w AS n_orders_30d
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
     "f_null_handling" ->
       """SELECT c_custkey,
         |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
@@ -710,6 +820,27 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
         |ORDER BY doc_id""".stripMargin,
+    "dd7_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(s AS DOUBLE) / ca.n, 4) AS cont_a_in_b,
+        |  round(CAST(s AS DOUBLE) / cb.n, 4) AS cont_b_in_a
+        |FROM shared
+        |JOIN cnt ca ON ca.doc_id = doc_a
+        |JOIN cnt cb ON cb.doc_id = doc_b
+        |WHERE round(CAST(s AS DOUBLE) / ca.n, 4) >= 0.8
+        |   OR round(CAST(s AS DOUBLE) / cb.n, 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "tx1_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -733,14 +864,61 @@ object SparkEntry {
         |                 / len(ws) * 2.0, 1.0)) * 0.2, 4) AS quality
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |ORDER BY doc_id""".stripMargin,
-    // tx5_lang_id: heuristic classifier — rows-only by design.
+    "tx5_lang_id" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |            FROM documents),
+        |scores AS (
+        |  SELECT doc_id, lang, p.lng,
+        |    len(list_filter(w, t -> list_contains(p.stops, t))) AS score
+        |  FROM ws, (VALUES ('en', ['the', 'a', 'fast', 'join']),
+        |                   ('de', ['der', 'die', 'das', 'und']),
+        |                   ('fr', ['le', 'la', 'et', 'de']),
+        |                   ('es', ['el', 'la', 'y', 'de']),
+        |                   ('zh', ['de', 'le', 'he', 'shi'])) AS p(lng, stops)),
+        |ranked AS (
+        |  SELECT doc_id, lang, lng,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, lng DESC) AS rn
+        |  FROM scores)
+        |SELECT doc_id, lang, lng AS predicted FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "tx6_token_counts" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // tx7_winnowing: fingerprints are xxhash64-valued (no DuckDB
-    // equivalent hash) — rows-only by design.
+    // tx7: md5 hex strings min-compare identically in both engines
+    // (the 100 TB path swaps in xxhash64 — see the operator scaladoc).
+    "tx7_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |p AS (SELECT doc_id, ws,
+        |        unnest(generate_series(1, len(ws) - 2)) AS pos
+        |      FROM w),
+        |g AS (SELECT doc_id, pos,
+        |        md5(array_to_string(ws[pos:pos+2], ' ')) AS gh
+        |      FROM p),
+        |m AS (SELECT doc_id,
+        |        min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |      FROM g)
+        |SELECT DISTINCT doc_id, fp FROM m ORDER BY doc_id, fp""".stripMargin,
+    "tx9_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx10_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  CAST(length(text) - length(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g')) AS INTEGER) AS chars_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sim1_cosine_topk" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
@@ -829,5 +1007,55 @@ object SparkEntry {
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm2_media_features: stubbed decoder output — rows-only by design.
+    "mm3_frame_sample" ->
+      """SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,
+        |  CAST(frame_start AS INTEGER) AS frame_start,
+        |  md5(substring(text, frame_start, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(1, length(text) - 63, 256)) AS frame_start
+        |      FROM documents WHERE length(text) >= 64)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+    "sim6_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.q_emb AS DOUBLE[])), 4) AS cos_sim
+        |  FROM c CROSS JOIN q),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "dd8_components" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
+        |SELECT doc AS doc_id, min(r) AS comp FROM reach
+        |GROUP BY doc ORDER BY doc_id""".stripMargin,
   )
 }

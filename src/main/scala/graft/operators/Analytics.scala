@@ -97,15 +97,69 @@ object Analytics {
   // exact-percentile aggregate buffers every value per group, and three
   // separate aggs build (and sort) that buffer three times — measured
   // ~3x slower at sf0.1.
-  def percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    // Exact percentile_cont, but distributed: Spark's percentile() agg
+    // builds a value->count OpenHashMap per partial and merges the 32
+    // partial maps single-threaded per group (measured 5.5s at sf0.1).
+    // Instead: codegen'd hash-agg to (group, value, count), cumulative
+    // count via window, then pick/interpolate the two bracketing values
+    // per requested fraction (identical interpolation: v[floor(t)] +
+    // frac * (v[ceil(t)] - v[floor(t)]) at t = (n-1)*p). Heavy lifting
+    // is partial+final hash-agg at full parallelism; the window sorts
+    // only the distinct values per group.
+    val ps = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val cnts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("v")
+    val cum = cnts
+      .withColumn("hi", sum(col("c")).over(w)) // # values <= v
+      .withColumn("lo", col("hi") - col("c"))  // # values <  v
+    val tot = cnts.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val bracketAggs = ps.flatMap { case (name, p) =>
+      val t = (col("n") - 1).cast("double") * lit(p)
+      val kLo = floor(t)
+      val kHi = ceil(t)
+      // exactly one distinct-value row satisfies lo <= k < hi
+      Seq(max(when(col("lo") <= kLo && kLo < col("hi"), col("v"))).as(s"${name}_lo"),
+        max(when(col("lo") <= kHi && kHi < col("hi"), col("v"))).as(s"${name}_hi"))
+    }
+    val agged = cum.join(broadcast(tot), "l_returnflag")
       .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
-      .select(col("l_returnflag"),
-        round(col("ps")(0), 4).as("p50"),
-        round(col("ps")(1), 4).as("p90"),
-        round(col("ps")(2), 4).as("p99"))
+      .agg(max(col("n")).as("n"), bracketAggs: _*)
+    val outCols = col("l_returnflag") +: ps.map { case (name, p) =>
+      val t = (col("n") - 1).cast("double") * lit(p)
+      val frac = t - floor(t)
+      round(col(s"${name}_lo")
+        + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
+    }
+    agged.select(outCols: _*).orderBy("l_returnflag")
+  }
+
+  // --- A18: median + deterministic mode per group. median() is fine
+  // here (l_quantity has ~50 distinct values, so the percentile map
+  // stays tiny — unlike a11's price domain); mode is computed manually
+  // (counts + row_number) because engines leave mode() tie-breaks
+  // unspecified — smallest value wins here, deterministically. ---
+  def medianMode(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 4).as("median_qty"))
+    val cnts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("c").desc, col("l_quantity").asc)
+    val mode = cnts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("c").as("mode_count"))
+    med.join(mode, "l_returnflag")
+      .select("l_returnflag", "median_qty", "mode_qty", "mode_count")
       .orderBy("l_returnflag")
+  }
 
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -171,6 +171,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- DD7: n-gram containment — |grams(A) ∩ grams(B)| / |grams(A)|,
+  // the asymmetric near-dup measure that catches A ⊂ B (quote/boiler-
+  // plate inclusion) where Jaccard stays low because |B| >> |A|. Same
+  // shared-gram-count join as DD2, divided by the smaller side only;
+  // both (a,b) and (b,a) directions emitted from the one shared
+  // relation. ---
+  def containmentPairs(s: SparkSession, d: String,
+                       threshold: Double = 0.8): DataFrame = {
+    val gr = gramRows(s, d)
+    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = gr.as("a")
+      .join(gr.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / col("ca.n"), 4).as("cont_a_in_b"),
+        round(col("shared").cast("double") / col("cb.n"), 4).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- DD8: dedup CLUSTERS — connected components of the near-dup
+  // pair graph, labeled with the component's min doc_id. DD5's greedy
+  // pair-side drop under-merges chains (A~B, B~C but A!~C); components
+  // give the transitive closure, which is what "keep one per duplicate
+  // group" actually means. Iterative min-label propagation (the
+  // standard large-graph approach — GraphX/GraphFrames cc has the same
+  // asymptotics): each round is one join + one min-aggregate, rounds =
+  // graph diameter. The driver loop only checks a convergence COUNT —
+  // no data is collected; lineage is cut per round via localCheckpoint
+  // so plans don't nest across iterations. ---
+  def dedupComponents(s: SparkSession, d: String,
+                      threshold: Double = 0.5, maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairsRaw(s, d, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("comp"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   // --- DD4: SimHash near-dup pairs. 64-bit signature computed as one
   // hash-agg pass (64 conditional-sum columns, partial agg map-side);
   // pairs sharing any of four 16-bit chunks (pigeonhole: hamming <= 3

@@ -70,4 +70,24 @@ object Multimodal {
   // mapPartitions plumbing. ---
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
     decodeStub(mediaRecords(s, d)).toDF().orderBy("doc_id")
+
+  // --- MM3 (oracled): frame sampling — every `stride`-th fixed-width
+  // window of the payload, fingerprinted. The video analogue: seekable
+  // payload + deterministic frame positions + per-frame feature hash,
+  // as one codegen'd explode (positions) + projection (slice + md5) —
+  // no decode round-trip for frames that are never sampled. Payload
+  // here is the text column so the op stays engine-oracle-checkable;
+  // a real video column swaps `substring` for a byte-range decode. ---
+  def frameSample(s: SparkSession, d: String,
+                  frameLen: Int = 64, stride: Int = 256): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= frameLen)
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(1), length(col("text")) - lit(frameLen - 1),
+          lit(stride))))
+      .select(col("doc_id"), col("pos").cast("int").as("frame_no"),
+        col("col").cast("int").as("frame_start"),
+        md5(col("text").substr(col("col"), lit(frameLen)).cast("binary"))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_no")
 }

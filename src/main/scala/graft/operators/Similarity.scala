@@ -163,6 +163,29 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  // --- SIM6: exact kNN JOIN — top-k neighbors for a whole batch of
+  // query vectors in one pass (the batch twin of SIM1). The query set
+  // broadcasts; the corpus is scanned once; per-query ranking is a
+  // window over the (small) per-query candidate stream. At 100 TB the
+  // corpus side stays partition-parallel and nothing but the query
+  // batch is replicated. ---
+  def knnJoin(s: SparkSession, d: String,
+              numQueryVecs: Int = 8, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.filter(col("vec_id") >= numQueryVecs)
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   // --- SIM3: LSH-bucketed ANN — the scale path. 8 deterministic
   // hyperplanes -> 256 buckets; each query's candidates are only its
   // own bucket; exact cosine re-rank inside the bucket. Approximate

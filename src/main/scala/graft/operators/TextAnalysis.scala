@@ -13,21 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Per-doc token aggregates in explode+hash-agg form (codegen'd;
-    * HOF size/filter over arrays is interpreted — see Dedup's
-    * scaladoc): counts, distinct count, and arbitrary stopword-set
-    * counts in one pass.
+  /** Per-doc token aggregates as pure per-row array expressions — no
+    * explode, no shuffle, no countDistinct Expand. `array_distinct` /
+    * `array_remove` are codegen'd collection expressions (unlike the
+    * interpreted HOF lambdas — see Dedup's scaladoc), so the whole
+    * stat block is one narrow codegen'd projection: at 100 TB this is
+    * a map-only stage. (The round-1 explode+hash-agg form shuffled
+    * every token and paid a 2x Expand for the distinct count —
+    * measured 8.3s vs <1s at sf0.1.)
     */
   private def tokenAggs(s: SparkSession, d: String,
-                        stopwords: Seq[String]): DataFrame =
+                        stopwords: Seq[String]): DataFrame = {
+    val ws = col("ws")
+    val withoutStops = stopwords.foldLeft(ws)((c, sw) => array_remove(c, sw))
     Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
-        explode(Text.tokens(col("text"))).as("t"))
-      .groupBy("doc_id", "n_chars")
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        countDistinct(col("t")).cast("int").as("n_distinct"),
-        sum(when(col("t").isInCollection(stopwords), 1).otherwise(0))
-          .as("n_stop"))
+        Text.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        size(ws).as("n_tokens"),
+        size(array_distinct(ws)).as("n_distinct"),
+        (size(ws) - size(withoutStops)).cast("bigint").as("n_stop"))
+  }
 
   // --- TX1: per-document stats: char/token counts, distinct tokens,
   // average token length, 'the'-stopword ratio. ---
@@ -107,9 +113,20 @@ object TextAnalysis {
   // consecutive grams, emit the distinct minima. Standard winnowing
   // guarantee: any shared run of >= w+n-1 words between two docs
   // yields a shared fingerprint. Window-function form — codegen'd,
-  // partition-parallel per doc. ---
-  def winnowingFingerprints(s: SparkSession, d: String,
-                            window: Int = 4): DataFrame = {
+  // partition-parallel per doc.
+  //
+  // Hash choice: the default md5 hex string min-compares identically
+  // in any engine (lexicographic), making the whole op DuckDB-
+  // oracle-checkable; at 100 TB swap in `xxhash64(_)` so windows and
+  // shuffles carry 8-byte longs instead of 32-char strings. The two
+  // hashes select DIFFERENT minima (fingerprint sets are not
+  // comparable across hash functions) — what both preserve is the
+  // winnowing guarantee itself: every window of `window` consecutive
+  // grams contains a selected fingerprint (asserted in Pack3Spec for
+  // both variants). ---
+  def winnowingFingerprints(s: SparkSession, d: String, window: Int = 4,
+                            gramHash: org.apache.spark.sql.Column =>
+                              org.apache.spark.sql.Column = md5(_)): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(window - 1), 0)
@@ -119,7 +136,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")) - lit(2))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws(" ",
+        gramHash(concat_ws(" ",
           element_at(col("ws"), col("pos")),
           element_at(col("ws"), col("pos") + 1),
           element_at(col("ws"), col("pos") + 2))).as("gh"))
@@ -127,6 +144,36 @@ object TextAnalysis {
       .select("doc_id", "fp").distinct()
       .orderBy("doc_id", "fp")
   }
+
+  // --- TX9: text normalization — the canonicalization pass that runs
+  // before any dedup/fingerprint stage: lowercase, strip every char
+  // outside [a-z0-9 ], collapse whitespace runs, trim. One codegen'd
+  // projection (map-only at 100 TB). ---
+  def normalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm_text"))
+      .orderBy("doc_id")
+
+  // --- TX10: PII-style redaction — regex scrubbing of email-shaped
+  // and long-digit-run substrings before a corpus ships to training.
+  // Pure projection; patterns kept engine-portable (no lookaround) so
+  // the op is oracle-checkable. ---
+  def redactPii(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("redacted"),
+        (length(col("text")) - length(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9]{6,}", "<NUM>"))).as("chars_removed"))
+      .orderBy("doc_id")
 
   // --- TX8: fuzzy matching — Levenshtein edit distance between part
   // names on a keyed subsample (the string leg of near-dup detection;

@@ -66,6 +66,27 @@ object Windows {
       .orderBy("day")
   }
 
+  // --- W8: RANGE frame over event time — per-customer 30-day trailing
+  // spend at each order. rangeBetween needs a numeric ordering, so the
+  // frame runs over epoch seconds (one expression, engine-portable);
+  // distinct from W6's ROWS frame: RANGE includes every order within
+  // the time span regardless of row count, and peers (same timestamp)
+  // share a frame. ---
+  def trailingSpend(s: SparkSession, d: String, days: Int = 30): DataFrame = {
+    // parquet may surface the column as TIMESTAMP_NTZ, which has no
+    // direct long cast — normalize to session-TZ timestamp first
+    val sec = col("o_orderdate").cast("timestamp").cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy(sec)
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    Tables.orders(s, d).filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"),
+        round(sum(col("o_totalprice")).over(w), 2).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
   // --- W7: navigation — first/last/nth value per supplier over ship
   // order, with an explicit full-partition frame (the default frame
   // ends at CURRENT ROW, which makes last_value order-dependent). ---

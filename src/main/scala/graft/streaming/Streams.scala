@@ -57,15 +57,19 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
-  /** Streaming exact-dedup: drop duplicate events by content
-    * fingerprint within the watermark horizon — the streaming twin of
-    * operators.Dedup.exactDedup (state is bounded by the watermark;
-    * without it the dedup map grows forever).
+  /** Streaming exact-dedup: drop duplicate events by key within the
+    * watermark horizon — the streaming twin of
+    * operators.Dedup.exactDedup. `dropDuplicatesWithinWatermark` (not
+    * plain `dropDuplicates`): with a bare key, plain dropDuplicates
+    * keeps state forever — Spark only evicts dedup state when the key
+    * itself includes the event-time column. The WithinWatermark variant
+    * expires each key once the watermark passes its first-seen time, so
+    * state stays bounded on an unbounded stream.
     */
   def streamingDedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension (no state, no watermark needed — the static side is

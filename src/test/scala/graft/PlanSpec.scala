@@ -116,6 +116,36 @@ class PlanSpec extends SparkTestBase {
       s"unused columns not pruned: $readSchema")
   }
 
+  test("Q4 EXISTS decorrelates to a left-semi join (no row duplication)") {
+    val p = plan(Benchmark3.q4PriorityExists(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+  }
+
+  test("Q22 anti join runs broadcast (tiny recent-order keys side)") {
+    val p = plan(Benchmark3.q22IdleCustomers(spark, sf))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    // the scalar pos_avg must be a broadcast, never a shuffle of customer
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar subquery side not broadcast:\n$p")
+  }
+
+  test("Q17 per-part average joins fact without exchanging lineitem twice") {
+    val p = plan(Benchmark3.q17SmallQuantity(spark, sf))
+    // both the fact scan and the partAvg derivation read lineitem; the
+    // physical plan must keep the brand-filtered side pruned to the
+    // three needed columns
+    val schemas = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString("\n")
+    assert(schemas.nonEmpty && !schemas.contains("l_shipdate"),
+      s"unused lineitem columns not pruned:\n$schemas")
+  }
+
+  test("TX1 per-doc stats plan is shuffle-free (map-only projection)") {
+    val p = plan(TextAnalysis.textStats(spark, sf))
+    // one exchange is allowed for the presentation orderBy; none before it
+    assert(!p.contains("HashAggregate"),
+      s"per-doc stats should not aggregate at all:\n$p")
+  }
+
   test("KM1 nearest-centroid assignment is a pure projection (no join, no shuffle before the rollup)") {
     val p = plan(Similarity.nearestCentroid(spark, sf))
     assert(!p.contains("Join"), s"centroid assignment must not join:\n$p")
