@@ -375,11 +375,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a16_argmax_suite" ->
       """SELECT o_orderpriority,
-        |  max_by(o_orderkey, printf('%018.2f#%012d', o_totalprice, o_orderkey))
+        |  max_by(o_orderkey, printf('%018d#%012d',
+        |      CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey))
         |    AS top_order,
-        |  min_by(o_orderkey, printf('%018.2f#%012d', o_totalprice, o_orderkey))
+        |  min_by(o_orderkey, printf('%018d#%012d',
+        |      CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey))
         |    AS bottom_order,
-        |  count_if(o_totalprice > 200000) AS n_big,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
         |  bool_or(o_orderstatus = 'P') AS any_pending,
         |  bool_and(o_totalprice > 0) AS all_positive
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -428,10 +430,10 @@ object SparkEntry {
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "q12_priority_dist" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -917,7 +919,7 @@ object SparkEntry {
         |  CAST(length(text) - length(
         |    regexp_replace(regexp_replace(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '[0-9]{6,}', '<NUM>', 'g')) AS INTEGER) AS chars_removed
+        |      '[0-9]{6,}', '<NUM>', 'g')) AS INTEGER) AS length_delta
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sim1_cosine_topk" ->
       """SELECT b.vec_id, b.label,

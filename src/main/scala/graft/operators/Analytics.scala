@@ -214,7 +214,11 @@ object Analytics {
   // min_by keyed on a fixed-width (price, orderkey) string so ties on
   // price resolve deterministically in any engine. ---
   def argmaxSuite(s: SparkSession, d: String): DataFrame = {
-    val key = format_string("%018.2f#%012d", col("o_totalprice"), col("o_orderkey"))
+    // Integer-cents key: float printf diverges between engines (Java
+    // Formatter rounds the decimal expansion HALF_UP, C printf rounds
+    // the binary double half-even), so format a BIGINT on both sides.
+    val key = format_string("%018d#%012d",
+      round(col("o_totalprice") * 100).cast("long"), col("o_orderkey"))
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(

@@ -55,8 +55,11 @@ object Benchmark3 {
   }
 
   // --- Q16: supplier-count by part attributes, excluding a brand and
-  // suppliers in deficit (NOT IN → null-aware anti join; the deficit
-  // set is tiny → broadcast). countDistinct over the joined relation. ---
+  // suppliers in deficit. The oracle's NOT IN is implemented as a plain
+  // left_anti join — equivalent ONLY because s_suppkey is a non-null
+  // key; a nullable exclusion-set key would need a null-aware anti
+  // join (NOT IN yields no rows once the set contains NULL). The
+  // deficit set is tiny → broadcast. countDistinct over the join. ---
   def q16SupplierCount(s: SparkSession, d: String): DataFrame = {
     val deficit = Tables.supplier(s, d)
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))

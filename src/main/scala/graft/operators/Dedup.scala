@@ -231,6 +231,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A silent partial propagation would split genuine components (the
+    // chain diameter can exceed any fixed iteration cap at scale), so
+    // fail loudly instead of returning labels that diverge from the
+    // transitive closure.
+    require(converged,
+      s"component propagation did not converge within $maxIter rounds; " +
+        "raise maxIter (rounds needed = pair-graph diameter)")
     labels.orderBy("doc_id")
   }
 

@@ -172,7 +172,7 @@ object TextAnalysis {
           regexp_replace(
             regexp_replace(col("text"),
               "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-            "[0-9]{6,}", "<NUM>"))).as("chars_removed"))
+            "[0-9]{6,}", "<NUM>"))).as("length_delta"))
       .orderBy("doc_id")
 
   // --- TX8: fuzzy matching — Levenshtein edit distance between part

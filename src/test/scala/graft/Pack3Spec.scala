@@ -128,7 +128,19 @@ class Pack3Spec extends SparkTestBase {
     assert(r.filter(col("redacted").rlike("[0-9]{6,}")).count() == 0)
     assert(r.filter(col("redacted")
       .rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
-    assert(r.filter(col("chars_removed") < 0).count() == 0)
+    // length_delta = original minus redacted length; it can legitimately
+    // go negative when a replacement token is longer than its match
+    // (e.g. 'a@b.co' -> '<EMAIL>'), so no sign bound is asserted.
+    // Invariant instead: a row's text changes iff the original matched
+    // one of the redaction patterns — on any corpus.
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      (col("text").rlike("[0-9]{6,}") ||
+        col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .as("matched"),
+      col("text"))
+    val joined = r.join(docs, "doc_id")
+    assert(joined.filter(col("matched") =!= (col("redacted") =!= col("text")))
+      .count() == 0)
   }
 
   test("dd7: containment bounds — in (0,1], and >= jaccard on shared pairs") {

@@ -64,8 +64,22 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
             continue
+        # The driver hashes pandas-stringified cells, so an int64 column on
+        # one side vs float64 on the other ("1791" vs "1791.0") is a FAIL
+        # even when values agree. DuckDB HUGEINT (sum of ints, count_if)
+        # becomes float64 via pandas — oracles must CAST(... AS BIGINT).
+        sp_pdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+        du_pdf = con.execute(oracles[name]).df()
+        kind = lambda df: {c: ("f" if str(df[c].dtype).startswith("float")
+                               else "i" if str(df[c].dtype).startswith("int")
+                               else "o") for c in df.columns}
+        ks, kd = kind(sp_pdf), kind(du_pdf)
+        numeric_kind_diff = [c for c in ks if c in kd and ks[c] != kd[c]
+                             and "o" not in (ks[c], kd[c])]
         if sorted(sp_cols) != sorted(du_cols):
             results[name] = f"SCHEMA_MISMATCH spark={sorted(sp_cols)} duck={sorted(du_cols)}"
+        elif numeric_kind_diff:
+            results[name] = f"DTYPE_MISMATCH {[(c, ks[c], kd[c]) for c in numeric_kind_diff]}"
         elif len(sp) != len(du):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sp)} duck={len(du)}"
         elif frame_hash(sp_cols, sp) != frame_hash(du_cols, du):
