@@ -143,6 +143,20 @@ object SparkEntry {
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
     "mm3_frame_sample"  -> ((s, d) => Multimodal.frameSample(s, d)),
+    // TPC-H-style pack 4: the remaining classic shapes (Benchmark4)
+    "q7_nation_volume"  -> ((s, d) => Benchmark4.q7NationVolume(s, d)),
+    "q8_mkt_share"      -> ((s, d) => Benchmark4.q8MarketShare(s, d)),
+    "q9_product_profit" -> ((s, d) => Benchmark4.q9ProductProfit(s, d)),
+    "q11_top_parts"     -> ((s, d) => Benchmark4.q11ImportantParts(s, d)),
+    "q13_cust_dist"     -> ((s, d) => Benchmark4.q13CustomerDistribution(s, d)),
+    // training-data prep pack (DataPrep)
+    "dp2_split_assign"  -> ((s, d) => DataPrep.splitAssign(s, d)),
+    "dp3_token_pack"    -> ((s, d) => DataPrep.tokenBudgetPack(s, d)),
+    "dp4_length_hist"   -> ((s, d) => DataPrep.lengthHistogram(s, d)),
+    "dp5_source_stats"  -> ((s, d) => DataPrep.sourceStats(s, d)),
+    "a19_unpivot"       -> ((s, d) => DataPrep.unpivotStatus(s, d)),
+    "f_hof_suite"       -> ((s, d) => DataPrep.hofSuite(s, d)),
+    "w9_dist_cumsum"    -> ((s, d) => DataPrep.distributedCumsum(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1059,5 +1073,148 @@ object SparkEntry {
         |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
         |SELECT doc AS doc_id, min(r) AS comp FROM reach
         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_mkt_share" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+        |                      ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        |  FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region   ON n2.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) * 60
+        |        * CAST(l_quantity AS BIGINT)) / 10000.0 AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_top_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_5')
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value_cents AS BIGINT) / 100.0 AS value
+        |FROM pp
+        |WHERE value_cents > (SELECT sum(value_cents) * 0.001 FROM pp)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "dp2_split_assign" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "dp3_token_pack" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(prefix_chars AS BIGINT) AS prefix_chars,
+        |  CAST(floor(prefix_chars / 16384.0) AS BIGINT) AS bin_id
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prefix_chars
+        |  FROM documents) t
+        |ORDER BY source, doc_id""".stripMargin,
+    "dp4_length_hist" ->
+      """SELECT length(bin(CAST(n_chars AS BIGINT))) - 1 AS log2_bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dp5_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  max(n_chars) AS max_chars,
+        |  round(CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+        |             AS DOUBLE) * 100.0 / count(*), 6) AS pct_long
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "a19_unpivot" ->
+      """SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS "F",
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS "O",
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS "P"
+        |  FROM orders GROUP BY o_orderpriority) t
+        |UNPIVOT (n FOR status IN ("F", "O", "P"))
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "f_hof_suite" ->
+      """SELECT p_partkey,
+        |  array_to_string(xs, '|') AS xs_str,
+        |  array_to_string(list_transform(xs, x -> x * 3 + 1), '|') AS tripled,
+        |  array_to_string(list_filter(xs, x -> x % 2 = 0), '|') AS evens,
+        |  CAST(list_sum(list_transform(xs, x -> CAST(x AS BIGINT) * x))
+        |       AS BIGINT) AS sum_sq,
+        |  array_to_string(list_transform(xs, x -> x * (k + 1 - x)), '|')
+        |    AS palindrome_prod,
+        |  array_to_string(list_slice(
+        |    list_sort(list_transform(xs, x -> (x * p_partkey) % 7), 'DESC'),
+        |    1, 3), '|') AS top3_mod,
+        |  len(list_filter(xs, x -> x % 4 = 0)) > 0 AS has_mult4,
+        |  len(list_filter(xs, x -> NOT (x > 0))) = 0 AS all_pos
+        |FROM (
+        |  SELECT p_partkey, CAST(p_partkey % 5 + 3 AS INTEGER) AS k,
+        |    list_transform(range(1, CAST(p_partkey % 5 + 4 AS INTEGER)),
+        |      x -> CAST(x AS INTEGER)) AS xs
+        |  FROM part) t
+        |ORDER BY p_partkey""".stripMargin,
+    "w9_dist_cumsum" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       OVER (ORDER BY o_orderkey) AS BIGINT) / 100.0 AS cum_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators beyond the dedup/similarity/text
+  * packs: deterministic dataset splits, token-budget sequence packing,
+  * corpus histograms and per-source health stats, wide↔long reshaping,
+  * and a distributed global cumulative sum.
+  *
+  * These are the ops a 100 TB corpus build runs between "raw documents"
+  * and "training shards"; none exist in the reference (its pipeline is
+  * six OLTP-ish queries, `DatabaseAccessor.py:88-131`) but all are part
+  * of this engine's north-star surface (BASELINE.json `north_star`).
+  *
+  * Every operator is a declarative single-pass plan: narrow projections
+  * (md5/conv/bin run codegen'd per row), window functions partitioned
+  * by a real key, and aggregations with map-side partials. Nothing
+  * collects to the driver except w9's per-partition offset table
+  * (#shuffle-partitions rows).
+  */
+object DataPrep {
+
+  // --- DP2: deterministic train/val/test split. Hash-based (md5 of
+  // the stable doc id), NOT random: re-running on a grown corpus keeps
+  // every previously-assigned doc in its split, which is what makes
+  // eval sets stable across pipeline runs. The first 8 md5 hex chars
+  // give a uniform 32-bit value; mod 100 buckets → 80/10/10. ---
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").mod(100L).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  // --- DP3: token-budget sequence packing — assign docs to fixed-size
+  // training shards by cumulative length within each source. bin =
+  // floor(exclusive-prefix-sum / budget): a doc that crosses a budget
+  // boundary opens the next bin (first-fit-in-order, the streaming-
+  // friendly policy). One shuffle on source; the window never goes
+  // global. ---
+  def tokenBudgetPack(s: SparkSession, d: String,
+                      budget: Long = 16384L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("prefix_chars",
+        coalesce(sum(col("n_chars"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .cast("long"))
+      // explicit floor(): DuckDB CAST(DOUBLE AS BIGINT) rounds while
+      // Spark's cast truncates — floor-then-cast agrees everywhere
+      .withColumn("bin_id", floor(col("prefix_chars") / budget).cast("long"))
+      .orderBy("source", "doc_id")
+  }
+
+  // --- DP4: corpus length histogram on a log2 grid. floor(log2(n)) is
+  // computed as length(bin(n))-1 — pure integer/string ops, no float
+  // log whose ulp error could flip a doc across a power-of-2 boundary
+  // in one engine but not the other. ---
+  def lengthHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select((length(bin(col("n_chars").cast("long"))) - 1).as("log2_bucket"),
+        col("n_chars"))
+      .groupBy("log2_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("log2_bucket")
+
+  // --- DP5: per-source corpus health — the table a pipeline owner
+  // reads before admitting a source into the training mix. One
+  // hash-agg pass; distinct-lang runs as a partial-agg expand, not a
+  // second scan. ---
+  def sourceStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(when(col("n_chars") >= 200, 1L).otherwise(0L))
+          .cast("double") * 100.0 / count(lit(1)), 6).as("pct_long"))
+      .orderBy("source")
+
+  // --- A19: unpivot (wide→long reshape), the inverse of a10's pivot.
+  // Status counts computed as one conditional-agg row per priority,
+  // then melted back to (priority, status, n) via Dataset.unpivot —
+  // Spark plans an Expand, one extra narrow stage, no shuffle beyond
+  // the agg's. ---
+  def unpivotStatus(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")),
+      "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
+  // --- F-HOF: higher-order array functions over a synthesized
+  // per-row list — transform / filter / aggregate / zip_with /
+  // array_sort / slice, all integer-exact so cross-engine comparison
+  // is bitwise. sequence(1, k) keeps the array data-dependent without
+  // needing a collect_list (whose intra-group order is not a contract
+  // either engine makes). ---
+  def hofSuite(s: SparkSession, d: String): DataFrame = {
+    val k = (col("p_partkey") % 5 + 3).cast("int")
+    // Array-valued intermediates are joined to strings for the output:
+    // the cross-engine hash compares stringified cells, and '|'-joined
+    // integers are unambiguous (same convention as f_array_suite).
+    Tables.part(s, d)
+      .select(col("p_partkey"), sequence(lit(1), k).as("xs"))
+      .select(col("p_partkey"),
+        array_join(col("xs"), "|").as("xs_str"),
+        array_join(expr("transform(xs, x -> x * 3 + 1)"), "|").as("tripled"),
+        array_join(expr("filter(xs, x -> x % 2 = 0)"), "|").as("evens"),
+        expr("aggregate(xs, 0L, (acc, x) -> acc + x * x)").as("sum_sq"),
+        array_join(expr("zip_with(xs, reverse(xs), (a, b) -> a * b)"), "|")
+          .as("palindrome_prod"),
+        array_join(slice(sort_array(
+          expr("transform(xs, x -> (x * p_partkey) % 7)"), asc = false),
+          1, 3), "|").as("top3_mod"),
+        expr("exists(xs, x -> x % 4 = 0)").as("has_mult4"),
+        expr("forall(xs, x -> x > 0)").as("all_pos"))
+      .orderBy("p_partkey")
+  }
+
+  // --- W9: distributed global cumulative sum — the scale path for
+  // what a naive Window.orderBy (no partition) computes on a single
+  // task. Two passes over range-partitioned data: an in-partition
+  // prefix sum, plus a #partitions-row offset table (the only data
+  // that crosses the driver). O(n/p) per task instead of O(n) on one
+  // task; this is the pattern that survives 100 TB where
+  // w3_running_total's per-key window needs no help but a GLOBAL
+  // ordering would die. Exact cents arithmetic end to end. ---
+  def distributedCumsum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      // pid is only stable within one materialization: without this
+      // checkpoint the two reads below could re-sample range bounds
+      // differently and disagree on partition ids.
+      .localCheckpoint()
+    val inPart = base.withColumn("local_cum",
+      sum(col("cents")).over(
+        Window.partitionBy("pid").orderBy("o_orderkey")))
+    // Offsets: one row per partition — window over ≤ a few hundred
+    // rows, then broadcast back. This tiny global window is the whole
+    // point: it replaces a global window over the full fact table.
+    val offsets = base.groupBy("pid").agg(sum(col("cents")).as("tot"))
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    inPart.join(broadcast(offsets), "pid")
+      .select(col("o_orderkey"),
+        ((col("local_cum") + col("offset")) / 100.0).as("cum_spend"))
+      .orderBy("o_orderkey")
+  }
+}
