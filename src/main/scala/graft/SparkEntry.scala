@@ -157,6 +157,15 @@ object SparkEntry {
     "a19_unpivot"       -> ((s, d) => DataPrep.unpivotStatus(s, d)),
     "f_hof_suite"       -> ((s, d) => DataPrep.hofSuite(s, d)),
     "w9_dist_cumsum"    -> ((s, d) => DataPrep.distributedCumsum(s, d)),
+    // round-3 pack: decontamination, repetition/quality, domain mixing,
+    // gap-fill, higher moments, cross-modal audit, k-means M-step
+    "dd9_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "tx11_repetition"   -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
+    "dp6_domain_mix"    -> ((s, d) => DataPrep.domainMix(s, d)),
+    "w10_gapfill"       -> ((s, d) => DataPrep.calendarGapFill(s, d)),
+    "a20_moments"       -> ((s, d) => Analytics.momentsSuite(s, d)),
+    "mm4_label_lang"    -> ((s, d) => Multimodal.labelLangProfile(s, d)),
+    "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1216,5 +1225,119 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |       OVER (ORDER BY o_orderkey) AS BIGINT) / 100.0 AS cum_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dd9_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  count(*) AS n_shared
+        |FROM grams t JOIN grams e ON t.g = e.g
+        |WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
+    "tx11_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+        |  FROM w),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+        |    AS dup_ratio,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_share
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dp6_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |f AS (SELECT lang,
+        |        CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2
+        |             WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.15
+        |             WHEN 'zh' THEN 0.15 ELSE 0.0 END AS DOUBLE)
+        |          * n_total / n_lang AS factor
+        |      FROM c, t),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        CAST(floor(f.factor
+        |          + CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |                      AS BIGINT) AS DOUBLE) / 4294967296.0) AS BIGINT)
+        |          AS n_repeats
+        |      FROM documents d JOIN f ON d.lang = f.lang)
+        |SELECT doc_id, lang,
+        |  CAST(unnest(generate_series(1, n_repeats)) AS INTEGER) AS copy_id
+        |FROM r WHERE n_repeats >= 1 ORDER BY doc_id, copy_id""".stripMargin,
+    "w10_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND o_totalprice > 450000.0
+        |  GROUP BY 1),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+        |    DATE '1996-12-31', INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+        |  coalesce(daily.sales, 0.0) AS sales,
+        |  coalesce(daily.n_orders, 0) AS n_orders,
+        |  daily.sales IS NULL AS is_gap
+        |FROM cal LEFT OUTER JOIN daily ON cal.day = daily.day
+        |ORDER BY day""".stripMargin,
+    "a20_moments" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(CAST(l_quantity AS DOUBLE)) AS s1,
+        |    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s2,
+        |    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+        |        * CAST(l_quantity AS DOUBLE)) AS s3,
+        |    sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+        |        * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(s1 / n, 6) AS mean_qty,
+        |  round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop_qty,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |         + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n))
+        |           * sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew_qty,
+        |  round((s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |         + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |         - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |        / ((s2 / n - (s1 / n) * (s1 / n))
+        |           * (s2 / n - (s1 / n) * (s1 / n))) - 3.0, 6) AS kurt_qty
+        |FROM b ORDER BY l_returnflag""".stripMargin,
+    "mm4_label_lang" ->
+      """SELECT label, lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars, max(n_chars) AS max_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label, lang ORDER BY label, lang""".stripMargin,
+    "km2_centroid_update" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+        |  WHERE vec_id < 4),
+        |assign AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(c.cemb AS DOUBLE[])) DESC,
+        |      c.cid ASC) AS rn
+        |  FROM embeddings e CROSS JOIN c),
+        |members AS (
+        |  SELECT CAST(cid AS INTEGER) AS cluster, embedding
+        |  FROM assign WHERE rn = 1),
+        |expanded AS (
+        |  SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM (SELECT cluster, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM members))
+        |SELECT cluster, dim, count(*) AS n_members,
+        |  round(avg(v), 4) AS centroid
+        |FROM expanded GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
   )
 }

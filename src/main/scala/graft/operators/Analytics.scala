@@ -213,6 +213,38 @@ object Analytics {
   // --- A16: argmax family + boolean/conditional aggregates — max_by/
   // min_by keyed on a fixed-width (price, orderkey) string so ties on
   // price resolve deterministically in any engine. ---
+  // --- A20: higher moments (skewness / excess kurtosis) from raw
+  // power sums — one hash-agg pass (4 sums + count, all map-side
+  // partial). Built from explicit sums instead of engine-native
+  // skewness()/kurtosis() because engines disagree on sample-vs-
+  // population formulas; the moment algebra below is unambiguous.
+  // Parity design: l_quantity is integer-valued, so s1..s4 are exact
+  // integers in double (far below 2^53 at any tested SF) regardless of
+  // summation order, and every downstream op (div/mul/sub/sqrt) is an
+  // IEEE correctly-rounded operation applied in an identical tree in
+  // both engines — sqrt(m2), not pow(m2, 1.5), because pow is allowed
+  // platform ulp drift while sqrt is not. ---
+  def momentsSuite(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("double")
+    val base = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val m = col("s1") / col("n")
+    val m2 = col("s2") / col("n") - m * m
+    val m3 = col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+      lit(2.0) * m * m * m
+    val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
+      lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+    base.select(col("l_returnflag"),
+        round(m, 6).as("mean_qty"),
+        round(m2, 6).as("var_pop_qty"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skew_qty"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   def argmaxSuite(s: SparkSession, d: String): DataFrame = {
     // Integer-cents key: float printf diverges between engines (Java
     // Formatter rounds the decimal expansion HALF_UP, C printf rounds

@@ -136,6 +136,67 @@ object DataPrep {
       .orderBy("p_partkey")
   }
 
+  // --- DP6: domain-mix resampling — hit a target language mix by
+  // deterministic per-doc up/down-sampling. factor = target_share *
+  // N_total / N_lang; every doc gets floor(factor + u) copies, where
+  // u in [0,1) is a hash-uniform of its id — so expected counts hit
+  // the target exactly while each doc's copy count is reproducible
+  // run-to-run (the property random sampling loses on re-runs).
+  // Shape: two tiny aggregates broadcast back onto one corpus scan +
+  // explode — map-only on the 100 TB side. Parity note: factor is
+  // double arithmetic over integer counts and literal shares, and u is
+  // uint32/2^32 — every step is an exact-identical IEEE op in any
+  // engine, so the copy counts are bit-stable cross-engine. ---
+  def domainMix(s: SparkSession, d: String,
+                target: Map[String, Double] = Map(
+                  "en" -> 0.3, "de" -> 0.2, "fr" -> 0.2,
+                  "es" -> 0.15, "zh" -> 0.15)): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val share = target.foldLeft(lit(0.0)) { case (acc, (lng, w)) =>
+      when(col("lang") === lng, lit(w)).otherwise(acc)
+    }
+    val factors = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .select(col("lang"), (share * col("n_total") / col("n_lang")).as("factor"))
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(factors), "lang")
+      .withColumn("n_repeats", floor(col("factor") + u).cast("long"))
+      .filter(col("n_repeats") >= 1)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("rep"))
+      .select(col("doc_id"), col("lang"), col("rep").cast("int").as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  // --- W10: calendar gap-fill — materialize the full day grid for a
+  // year and left-join sparse daily aggregates onto it, zero-filling
+  // the holes (the step every time-series model needs before training
+  // on "daily sales"). The calendar is sequence()+explode over ONE
+  // row — a few hundred rows broadcast against the aggregate, never a
+  // driver-side loop; the fact-side aggregation shuffles partials
+  // only. ---
+  def calendarGapFill(s: SparkSession, d: String,
+                      minPrice: Double = 450000.0): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1996 &&
+        col("o_totalprice") > minPrice)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sales"),
+        count(lit(1)).as("n_orders"))
+    val calendar = daily.sparkSession.range(1)
+      .select(explode(sequence(
+        to_date(lit("1996-01-01")), to_date(lit("1996-12-31")),
+        expr("interval 1 day"))).as("day"))
+    calendar.join(daily, Seq("day"), "left_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("sales"), lit(0.0)).as("sales"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sales").isNull.as("is_gap"))
+      .orderBy("day")
+  }
+
   // --- W9: distributed global cumulative sum — the scale path for
   // what a naive Window.orderBy (no partition) computes on a single
   // task. Two passes over range-partitioned data: an in-partition

@@ -277,4 +277,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  // --- DD9: train/eval decontamination — the pre-training hygiene
+  // pass: find every training document that shares a word n-gram with
+  // any held-out (eval) document, so eval-contaminated docs can be
+  // dropped before the corpus ships. Eval membership here is the
+  // deterministic doc_id % evalMod slice; a real pipeline passes the
+  // benchmark suite as the eval side.
+  //
+  // Scale shape: the eval side is tiny by construction (benchmarks are
+  // KBs, corpora are TBs), so its distinct gram-hash set broadcasts and
+  // the 100 TB train side is ONE map-side hash-semi-join pass — no
+  // shuffle of train grams at all. (At extreme eval sizes, swap the
+  // broadcast for a bloom-filter prefilter + shuffled equi-join; the
+  // relation shape is unchanged.) Counting shared distinct gram-hashes
+  // equals counting shared grams modulo xxhash64 collisions — the same
+  // ~n²/2⁶⁵ odds DD2 already accepts. ---
+  def decontaminate(s: SparkSession, d: String, n: Int = 3,
+                    evalMod: Long = 97L): DataFrame = {
+    val gr = gramRows(s, d, n)
+    val evalGrams = gr.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    val trainGrams = gr.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    trainGrams.join(broadcast(evalGrams), "gh")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_doc", "eval_doc")
+  }
 }

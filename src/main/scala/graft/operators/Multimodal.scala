@@ -90,4 +90,21 @@ object Multimodal {
         md5(col("text").substr(col("col"), lit(frameLen)).cast("binary"))
           .as("frame_md5"))
       .orderBy("doc_id", "frame_no")
+
+  // --- MM4 (oracled): cross-modal alignment audit — join the text
+  // modality to its paired embedding row (doc_id = vec_id is the
+  // pairing key the synthetic tables share) and profile cluster-label
+  // purity per language: per (label, lang), member count and text
+  // length stats. The table a pipeline owner reads to see whether
+  // embedding clusters are language-confounded before training a
+  // multimodal model. Equi-join on the pairing key, then one hash-agg;
+  // both sides partition on the same key at scale. ---
+  def labelLangProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .groupBy("label", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("label", "lang")
 }

@@ -163,6 +163,36 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  // --- KM2: centroid update (the M-step that completes KM1's E-step
+  // into one full Lloyd iteration): re-assign every vector to its
+  // nearest centroid with the same literal-inlined argmax projection
+  // as KM1, then recompute each centroid as the per-dimension mean of
+  // its members. posexplode turns (cluster, vec[dim]) into (cluster,
+  // dim, v) rows so the mean is ONE hash-agg keyed by (cluster, dim) —
+  // k·dim cells, partial-aggregated map-side; nothing but the k·dim
+  // result ever leaves the executors, which is why this iterates at
+  // 100 TB (each Lloyd round = one scan + one tiny shuffle). ---
+  def centroidUpdate(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val centroids: Array[(Int, Array[Float])] = e
+      .filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val best = array_max(array(centroids.map { case (cid, cvec) =>
+      struct(
+        vecCosine(col("embedding"), array(cvec.map(lit): _*)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }: _*))
+    e.select((-best.getField("neg_cid")).as("cluster"), col("embedding"))
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), col("pos").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("col").cast("double")), 4).as("centroid"))
+      .orderBy("cluster", "dim")
+  }
+
   // --- SIM6: exact kNN JOIN — top-k neighbors for a whole batch of
   // query vectors in one pass (the batch twin of SIM1). The query set
   // broadcasts; the corpus is scanned once; per-query ranking is a

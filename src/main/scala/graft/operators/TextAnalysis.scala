@@ -200,6 +200,35 @@ object TextAnalysis {
       .orderBy("key_a", "key_b")
   }
 
+  // --- TX11: intra-document repetition signals (the Gopher-style
+  // quality rules): per doc, total vs distinct word-bigram counts, the
+  // duplicate-bigram ratio, and the top bigram's share of all bigrams.
+  // High dup_ratio / top_share marks boilerplate and spam for removal
+  // before training. Shape: explode bigrams -> two hash-aggs; both run
+  // partial map-side, so the shuffle carries (doc, bigram-hash,
+  // partial-count) — never raw text. Per-doc cardinality is bounded by
+  // doc length, so no key skews beyond the longest document. ---
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val perBigram = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 2)
+      .select(col("doc_id"), ws,
+        explode(sequence(lit(1), size(ws) - lit(1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(ws, col("i")),
+          element_at(ws, col("i") + lit(1))).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"))
+    perBigram.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 4)
+          .as("dup_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_share"))
+      .orderBy("doc_id")
+  }
+
   // --- TX5: language-ID prediction vs the labeled lang column. ---
   def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

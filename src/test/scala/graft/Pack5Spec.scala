@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 additions: train/eval
+  * decontamination, intra-doc repetition signals, domain-mix
+  * resampling, calendar gap-fill, moment statistics, cross-modal
+  * label/lang audit, and the k-means centroid update. Cross-engine
+  * value parity is the oracle gate's job; these pin internal
+  * consistency, determinism, and plan shape.
+  */
+class Pack5Spec extends SparkTestBase {
+
+  test("dd9: sides are disjoint and every reported pair shares >= 1 gram") {
+    val r = Dedup.decontaminate(spark, sf).collect()
+    assert(r.forall(_.getAs[Long]("eval_doc") % 97 == 0))
+    assert(r.forall(_.getAs[Long]("train_doc") % 97 != 0))
+    assert(r.forall(_.getAs[Long]("n_shared") >= 1))
+  }
+
+  test("dd9: eval gram side broadcasts (no shuffle of the train side for the join)") {
+    val plan = Dedup.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the eval gram set, got:\n$plan")
+  }
+
+  test("tx11: distinct <= total bigrams; ratios consistent and bounded") {
+    val r = TextAnalysis.repetitionStats(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val total = row.getAs[Long]("n_bigrams")
+      val dist = row.getAs[Long]("n_distinct")
+      val dup = row.getAs[Double]("dup_ratio")
+      val top = row.getAs[Double]("top_share")
+      assert(dist >= 1 && dist <= total)
+      assert(dup >= 0.0 && dup < 1.0)
+      // the top bigram accounts for at least the mean share and at most
+      // all (5e-5 slack: the column is rounded to 4 decimals)
+      assert(top >= 1.0 / total - 5e-5 && top <= 1.0)
+      assert(math.abs(dup - (1.0 - dist.toDouble / total)) < 6e-5)
+    }
+  }
+
+  test("dp6: copy ids are dense from 1 and counts are deterministic") {
+    val out = DataPrep.domainMix(spark, sf)
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("copy_id").as("mx"), min("copy_id").as("mn"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { row =>
+      assert(row.getAs[Int]("mn") == 1)
+      assert(row.getAs[Int]("mx").toLong == row.getAs[Long]("n"))
+    }
+    // hash-based resampling is reproducible run to run
+    assert(out.collect().toSeq == DataPrep.domainMix(spark, sf).collect().toSeq)
+  }
+
+  test("dp6: realized language mix tracks the target within rounding slack") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count().toDouble
+    val target = Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.15, "zh" -> 0.15)
+    val realized = DataPrep.domainMix(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    target.foreach { case (lang, share) =>
+      val want = share * total
+      val got = realized.getOrElse(lang, 0L).toDouble
+      // per-doc rounding adds at most 1 copy per source doc; at sf0.001
+      // the source pools are tiny, so allow sqrt-ish slack
+      assert(math.abs(got - want) <= math.max(3.0, want * 0.5),
+        s"$lang: want ~$want got $got")
+    }
+  }
+
+  test("w10: the grid is the full year and gap rows are exactly the zero rows") {
+    val r = DataPrep.calendarGapFill(spark, sf).collect()
+    assert(r.length == 366) // 1996 is a leap year
+    r.foreach { row =>
+      val gap = row.getAs[Boolean]("is_gap")
+      val n = row.getAs[Long]("n_orders")
+      val sales = row.getAs[Double]("sales")
+      if (gap) assert(n == 0L && sales == 0.0)
+      else assert(n > 0L && sales > 0.0)
+    }
+    assert(r.map(_.getAs[String]("day")).distinct.length == 366)
+  }
+
+  test("a20: moments match uniform-quantity expectations") {
+    val r = Analytics.momentsSuite(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      // l_quantity ~ uniform{1..50}: mean ~25.5, skew ~0, excess kurt ~-1.2
+      assert(math.abs(row.getAs[Double]("mean_qty") - 25.5) < 2.0)
+      assert(math.abs(row.getAs[Double]("skew_qty")) < 0.2)
+      assert(math.abs(row.getAs[Double]("kurt_qty") + 1.2) < 0.2)
+      assert(row.getAs[Double]("var_pop_qty") > 0.0)
+    }
+  }
+
+  test("mm4: every paired doc is counted exactly once") {
+    val r = Multimodal.labelLangProfile(spark, sf)
+    val paired = Tables.documents(spark, sf)
+      .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .count()
+    assert(r.agg(sum("n_docs")).head.getLong(0) == paired)
+    assert(paired > 0)
+  }
+
+  test("km2: k x dim grid, every vector assigned to exactly one cluster") {
+    val dim = 64
+    val k = 4
+    val r = Similarity.centroidUpdate(spark, sf, k).collect()
+    assert(r.length == k * dim)
+    val members = r.groupBy(_.getAs[Int]("cluster"))
+      .map { case (_, rows) => rows.map(_.getAs[Long]("n_members")).toSet }
+    // within a cluster every dimension sees the same member count
+    assert(members.forall(_.size == 1))
+    val totalMembers = r.filter(_.getAs[Int]("dim") == 0)
+      .map(_.getAs[Long]("n_members")).sum
+    assert(totalMembers == Tables.embeddings(spark, sf).count())
+    assert(r.forall(row => row.getAs[Double]("centroid").abs <= 1.0))
+  }
+}
