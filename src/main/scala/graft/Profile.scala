@@ -37,6 +37,10 @@ object Profile {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(_._1.contains(filt))
       .foreach { case (name, fn) => time(name)(fn(spark, sfDir)) }
+    // off-contract variants under evaluation
+    if ("a11_percentiles_range".contains(filt))
+      time("a11_percentiles_range")(
+        graft.operators.Analytics.percentilesRange(spark, sfDir))
     spark.stop()
   }
 }

@@ -166,6 +166,8 @@ object SparkEntry {
     "a20_moments"       -> ((s, d) => Analytics.momentsSuite(s, d)),
     "mm4_label_lang"    -> ((s, d) => Multimodal.labelLangProfile(s, d)),
     "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
+    "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
+    "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1339,5 +1341,42 @@ object SparkEntry {
         |SELECT cluster, dim, count(*) AS n_members,
         |  round(avg(v), 4) AS centroid
         |FROM expanded GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+    "w11_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type, event_id FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT user_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_view_ts
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |             AND last_view_ts IS NOT NULL
+        |             AND floor(epoch(ts)) - floor(epoch(last_view_ts)) <= 3600
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(CASE WHEN event_type = 'purchase'
+        |                   AND last_view_ts IS NOT NULL
+        |                   AND floor(epoch(ts)) - floor(epoch(last_view_ts)) <= 3600
+        |                 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / nullif(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+        |                 0), 4) AS conv_rate
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f_bitwise_suite" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS and_lo,
+        |  o_orderkey | 4096 AS or_hi,
+        |  xor(o_orderkey, 12345) AS xor_k,
+        |  (o_orderkey << 3) AS shl3,
+        |  (o_orderkey >> 2) AS shr2,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt,
+        |  ~o_orderkey AS flipped
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -97,7 +97,25 @@ object Analytics {
   // exact-percentile aggregate buffers every value per group, and three
   // separate aggs build (and sort) that buffer three times — measured
   // ~3x slower at sf0.1.
-  def percentiles(s: SparkSession, d: String): DataFrame = {
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    percentilesImpl(s, d, rangePartitioned = false)
+
+  /** Range-partitioned cumulative-count variant: instead of one window
+    * partitioned by the (low-cardinality) group key — which funnels
+    * each group's full distinct-value set through a single task — the
+    * distinct values are range-partitioned on (group, value), each
+    * partition prefix-sums locally, and a #partitions-row offset table
+    * (the w9 two-pass pattern) lifts local sums to global ranks. This
+    * is the 100 TB shape: no task ever sees more than its range slice.
+    * At sf0.1 the extra exchange + checkpoint costs more than the
+    * 3-task window saves, so a11 ships the window form; flip the flag
+    * when groups stop fitting a task (PROFILE shows the crossover).
+    */
+  private[graft] def percentilesRange(s: SparkSession, d: String): DataFrame =
+    percentilesImpl(s, d, rangePartitioned = true)
+
+  private def percentilesImpl(s: SparkSession, d: String,
+                              rangePartitioned: Boolean): DataFrame = {
     // Exact percentile_cont, but distributed: Spark's percentile() agg
     // builds a value->count OpenHashMap per partial and merges the 32
     // partial maps single-threaded per group (measured 5.5s at sf0.1).
@@ -111,11 +129,35 @@ object Analytics {
     val cnts = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("v")
-    val cum = cnts
-      .withColumn("hi", sum(col("c")).over(w)) // # values <= v
-      .withColumn("lo", col("hi") - col("c"))  // # values <  v
+    val cum =
+      if (!rangePartitioned) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("v")
+        cnts
+          .withColumn("hi", sum(col("c")).over(w)) // # values <= v
+          .withColumn("lo", col("hi") - col("c"))  // # values <  v
+      } else {
+        val base = cnts
+          .repartitionByRange(col("l_returnflag"), col("v"))
+          .withColumn("pid", spark_partition_id())
+          // pid stability across the two reads below needs one
+          // materialization (same reasoning as DataPrep.distributedCumsum)
+          .localCheckpoint()
+        val localW = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag", "pid").orderBy("v")
+        val offW = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val offsets = base.groupBy("l_returnflag", "pid")
+          .agg(sum(col("c")).as("ptot"))
+          .withColumn("offset", coalesce(sum(col("ptot")).over(offW), lit(0L)))
+          .select("l_returnflag", "pid", "offset")
+        base
+          .withColumn("local_hi", sum(col("c")).over(localW))
+          .join(broadcast(offsets), Seq("l_returnflag", "pid"))
+          .withColumn("hi", col("local_hi") + col("offset"))
+          .withColumn("lo", col("hi") - col("c"))
+      }
     val tot = cnts.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
     val bracketAggs = ps.flatMap { case (name, p) =>
       val t = (col("n") - 1).cast("double") * lit(p)

@@ -69,4 +69,21 @@ object FunctionSuites {
         round(sin(col("p_size") / lit(10.0)), 6).as("sin_size"),
         round(atan2(col("p_size"), col("p_retailprice")), 6).as("atan2_sp"))
       .orderBy("p_partkey")
+
+  // --- F-BIT: bitwise family over the 64-bit key — AND/OR/XOR masks,
+  // shifts, popcount, complement. Integer-exact in every engine; all
+  // codegen'd built-ins (this is also the toolbox the SimHash/LSH ops
+  // build on, exercised here in isolation). ---
+  def bitwiseSuite(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and_lo"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("or_hi"),
+        col("o_orderkey").bitwiseXOR(lit(12345L)).as("xor_k"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).as("popcnt"),
+        bitwise_not(col("o_orderkey")).as("flipped"))
+      .orderBy("o_orderkey")
 }

@@ -18,6 +18,40 @@ import org.apache.spark.sql.expressions.Window
   */
 object Windows {
 
+  // --- W11: conversion funnel — per user, purchases attributed to a
+  // preceding view within the attribution window (the event-analytics
+  // query behind every "conversion rate" dashboard). Carrier pattern:
+  // ONE ignore-nulls last_value window over the per-user event stream
+  // (the j6 as-of technique) instead of a view×purchase self-join —
+  // no candidate explosion, one shuffle on user_id, and the window
+  // never goes global. Timestamps compare on floor(epoch) so both
+  // engines bucket sub-second ties identically. ---
+  def conversionFunnel(s: SparkSession, d: String,
+                       windowSec: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+          .over(w))
+    val isPurchase = col("event_type") === "purchase"
+    val converted = isPurchase && col("last_view_ts").isNotNull &&
+      (floor(unix_timestamp(col("ts"))) - floor(unix_timestamp(col("last_view_ts")))
+        <= windowSec)
+    marked.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        sum(when(isPurchase, 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(converted, 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double")
+          / nullif(col("n_purchases"), lit(0L)), 4))
+      .orderBy("user_id")
+  }
+
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
   def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -108,6 +108,39 @@ class Pack5Spec extends SparkTestBase {
     assert(paired > 0)
   }
 
+  test("w11: conversions never exceed purchases; rate null only when no purchases") {
+    val r = Windows.conversionFunnel(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val p = row.getAs[Long]("n_purchases")
+      val c = row.getAs[Long]("n_converted")
+      assert(c >= 0 && c <= p)
+      if (p == 0) assert(row.isNullAt(row.fieldIndex("conv_rate")))
+      else assert(math.abs(row.getAs[Double]("conv_rate") - c.toDouble / p) < 5e-5)
+    }
+  }
+
+  test("f_bitwise: mask/shift/popcount identities hold") {
+    val r = FunctionSuites.bitwiseSuite(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val k = row.getAs[Long]("o_orderkey")
+      assert(row.getAs[Long]("and_lo") == (k & 255L))
+      assert(row.getAs[Long]("or_hi") == (k | 4096L))
+      assert(row.getAs[Long]("xor_k") == (k ^ 12345L))
+      assert(row.getAs[Long]("shl3") == (k << 3))
+      assert(row.getAs[Long]("shr2") == (k >> 2))
+      assert(row.getAs[Int]("popcnt") == java.lang.Long.bitCount(k))
+      assert(row.getAs[Long]("flipped") == ~k)
+    }
+  }
+
+  test("a11: range-partitioned percentile variant matches the window form") {
+    val a = Analytics.percentiles(spark, sf).collect().toSeq
+    val b = Analytics.percentilesRange(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
