@@ -168,6 +168,7 @@ object SparkEntry {
     "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
     "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
+    "w12_pareto"        -> ((s, d) => Windows.paretoShare(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1378,5 +1379,20 @@ object SparkEntry {
         |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt,
         |  ~o_orderkey AS flipped
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "w12_pareto" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM a)
+        |SELECT o_orderpriority,
+        |  cents / 100.0 AS sales,
+        |  round(100.0 * CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS pct,
+        |  round(100.0 * CAST(CAST(sum(cents) OVER
+        |      (ORDER BY cents DESC, o_orderpriority
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_pct
+        |FROM a, t ORDER BY sales DESC, o_orderpriority""".stripMargin,
   )
 }

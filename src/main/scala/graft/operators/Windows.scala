@@ -52,6 +52,30 @@ object Windows {
       .orderBy("user_id")
   }
 
+  // --- W12: percent-of-total + Pareto cumulative share — the
+  // "which segments carry the revenue" report. The window runs over
+  // the AGGREGATE (one row per priority), never the fact table, so
+  // its single-partition execution is a few rows at any corpus size;
+  // the total joins back via broadcast. Exact integer-cents sums so
+  // shares are bit-identical cross-engine. ---
+  def paretoShare(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = agg.agg(sum(col("cents")).as("tot"))
+    val wCum = Window.orderBy(col("cents").desc, col("o_orderpriority"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.crossJoin(broadcast(tot))
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .select(col("o_orderpriority"),
+        (col("cents") / lit(100.0)).as("sales"),
+        round(lit(100.0) * col("cents").cast("double")
+          / col("tot").cast("double"), 4).as("pct"),
+        round(lit(100.0) * col("cum_cents").cast("double")
+          / col("tot").cast("double"), 4).as("cum_pct"))
+      .orderBy(col("sales").desc, col("o_orderpriority"))
+  }
+
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
   def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -52,4 +52,26 @@ object Ingest {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+
+  /** Small-file compaction — the table-maintenance pass every
+    * long-running ingest needs: streaming/append sinks leave thousands
+    * of KB-sized files whose per-file open/footer costs eventually
+    * dominate scans. Rewrites a directory into ceil(bytes/target)
+    * files via a round-robin repartition (no key skew: output files
+    * are uniformly sized, unlike coalesce which merges adjacent
+    * in-memory partitions unevenly and can under-parallelize the
+    * write). Returns the file count written.
+    */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), s.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

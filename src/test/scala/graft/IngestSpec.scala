@@ -22,6 +22,26 @@ class IngestSpec extends SparkTestBase {
       s"year filter not applied at partition level:\n$plan")
   }
 
+  test("compaction rewrites many small files into the target count, rows intact") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    // simulate a streaming sink's small-file mess: 20 files
+    Tables.orders(spark, sf).repartition(20)
+      .write.mode("overwrite").parquet(s"$base/in")
+    val inFiles = new java.io.File(s"$base/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(inFiles == 20)
+    // target ~= total size -> single output file
+    val totalBytes = new java.io.File(s"$base/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Ingest.compact(spark, s"$base/in", s"$base/out", totalBytes + 1)
+    assert(n == 1)
+    val outFiles = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == 1)
+    assert(spark.read.parquet(s"$base/out").orderBy("o_orderkey").collect().toSeq ==
+      Tables.orders(spark, sf).orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("multi-format round-trips: json and orc preserve rows and schema") {
     val src = Tables.nation(spark, sf)
     val base = Files.createTempDirectory("graft_fmt").toString

@@ -141,6 +141,19 @@ class Pack5Spec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("w12: shares sum to 100 and the cumulative share is monotone to 100") {
+    val r = Windows.paretoShare(spark, sf).collect()
+    assert(r.nonEmpty)
+    val pcts = r.map(_.getAs[Double]("pct"))
+    assert(math.abs(pcts.sum - 100.0) < 0.01)
+    val cum = r.map(_.getAs[Double]("cum_pct"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(cum.last - 100.0) < 0.01)
+    // rows are sorted by sales descending
+    val sales = r.map(_.getAs[Double]("sales"))
+    assert(sales.zip(sales.tail).forall { case (a, b) => a >= b })
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
