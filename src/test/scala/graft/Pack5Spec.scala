@@ -154,6 +154,22 @@ class Pack5Spec extends SparkTestBase {
     assert(sales.zip(sales.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dd8 core: pointer jumping closes a 200-node chain within the round cap") {
+    // A path graph of diameter 199: linear propagation needs 199 rounds
+    // and would trip the maxIter=20 require; pointer jumping must close
+    // it in ~3 + log2(199) rounds. This is the ADVICE-flagged failure
+    // mode (deep chains of chained near-dups) exercised directly.
+    import spark.implicits._
+    val n = 200
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.componentsFromPairs(nodes, pairs, maxIter = 20)
+      .collect()
+    assert(labels.length == n)
+    assert(labels.forall(_.getAs[Long]("comp") == 0L))
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
