@@ -154,4 +154,39 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, // agg + sort only
       s"too many exchanges:\n$p")
   }
+
+  test("W11 funnel reuses the window's user_id partitioning for the aggregate") {
+    val p = plan(Windows.conversionFunnel(spark, sf))
+    // one exchange into the window, one for the presentation sort — the
+    // groupBy(user_id) must NOT add a third (WindowExec preserves its
+    // child's hash(user_id) partitioning)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"funnel aggregate re-shuffled after the window:\n$p")
+    assert(p.contains("Window"), s"expected a window node:\n$p")
+  }
+
+  test("A20 moments run as ONE partial+final hash-agg pass") {
+    val p = plan(Analytics.momentsSuite(spark, sf))
+    // two HashAggregate headers = one partial + one final; the four
+    // power sums must not fan out into separate aggregations
+    assert("\\(\\d+\\) HashAggregate".r.findAllIn(p).size == 2,
+      s"moments should be a single partial+final agg pair:\n$p")
+  }
+
+  test("KM2 centroid update never shuffles embeddings before the (cluster,dim) agg") {
+    val p = plan(Similarity.centroidUpdate(spark, sf))
+    assert(!p.contains("Join"), s"centroid update must not join:\n$p")
+    // partial agg runs on the exploded rows map-side; the only
+    // exchanges carry (cluster, dim) partials and the final sort
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      s"too many exchanges:\n$p")
+  }
+
+  test("DP6 domain-mix factors broadcast back onto the corpus scan") {
+    val p = plan(graft.operators.DataPrep.domainMix(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      s"factor table should broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not sort-merge for a 5-row factor table:\n$p")
+  }
 }
