@@ -169,6 +169,7 @@ object SparkEntry {
     "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
     "w12_pareto"        -> ((s, d) => Windows.paretoShare(s, d)),
+    "dp7_chunk"         -> ((s, d) => DataPrep.chunkDocuments(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1394,5 +1395,16 @@ object SparkEntry {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS DOUBLE) / CAST(tot AS DOUBLE), 4) AS cum_pct
         |FROM a, t ORDER BY sales DESC, o_orderpriority""".stripMargin,
+    "dp7_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |         unnest(generate_series(1, len(ws), 24)) AS start
+        |       FROM w)
+        |SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_id,
+        |  CAST(least(len(ws) - start + 1, 32) AS INTEGER) AS n_tokens,
+        |  array_to_string(ws[start:start+31], ' ') AS chunk
+        |FROM st
+        |WHERE start = 1 OR start - 24 + 31 < len(ws)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

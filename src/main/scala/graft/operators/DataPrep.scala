@@ -197,6 +197,33 @@ object DataPrep {
       .orderBy("day")
   }
 
+  // --- DP7: document chunking — split each document into fixed-size
+  // token windows with overlap (stride < size), the step that turns
+  // variable-length documents into training-context-sized pieces while
+  // keeping boundary context. One codegen'd explode over chunk starts +
+  // a slice/join projection — map-only, no shuffle until the
+  // presentation sort; chunk counts are bounded by doc length so no
+  // key skew. Emits (doc_id, chunk_id, n_tokens, chunk) with the tail
+  // chunk kept (shorter than `size` but >= stride overlap remainder). ---
+  def chunkDocuments(s: SparkSession, d: String,
+                     chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val ws = col("ws")
+    val start = col("col") // chunk start (1-based), from the posexplode
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), ws,
+        posexplode(sequence(lit(1), size(ws), lit(stride))))
+      // keep the first chunk and any chunk that reaches tokens the
+      // previous chunk (start - stride .. start - stride + size - 1)
+      // did not already cover
+      .filter(start === 1 ||
+        start - lit(stride) + lit(chunkSize) - 1 < size(ws))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        least(size(ws) - start + 1, lit(chunkSize)).cast("int").as("n_tokens"),
+        array_join(slice(ws, start, lit(chunkSize)), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // --- W9: distributed global cumulative sum — the scale path for
   // what a naive Window.orderBy (no partition) computes on a single
   // task. Two passes over range-partitioned data: an in-partition

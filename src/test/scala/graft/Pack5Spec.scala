@@ -170,6 +170,28 @@ class Pack5Spec extends SparkTestBase {
     assert(labels.forall(_.getAs[Long]("comp") == 0L))
   }
 
+  test("dp7: chunks tile every document with no token left uncovered") {
+    val chunks = DataPrep.chunkDocuments(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(chunks.nonEmpty && chunks.keySet == lens.keySet)
+    chunks.foreach { case (docId, rows) =>
+      val covered = rows.flatMap { r =>
+        val start = r.getAs[Int]("chunk_id") * 24 + 1
+        start until (start + r.getAs[Int]("n_tokens"))
+      }.toSet
+      assert(covered == (1 to lens(docId)).toSet,
+        s"doc $docId: coverage gap or overrun")
+      // every chunk's text has exactly n_tokens tokens
+      rows.foreach { r =>
+        assert(r.getAs[String]("chunk").split(" ").length ==
+          r.getAs[Int]("n_tokens"))
+      }
+    }
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
