@@ -292,7 +292,7 @@ object Analytics {
     // Formatter rounds the decimal expansion HALF_UP, C printf rounds
     // the binary double half-even), so format a BIGINT on both sides.
     val key = format_string("%018d#%012d",
-      round(col("o_totalprice") * 100).cast("long"), col("o_orderkey"))
+      Benchmark2.priceCents(col("o_totalprice")), col("o_orderkey"))
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(

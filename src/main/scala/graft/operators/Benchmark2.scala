@@ -29,11 +29,21 @@ object Benchmark2 {
     * Spark's BigDecimal string rounding and C-style binary rounding
     * disagree).
     */
-  private def revenueExact: org.apache.spark.sql.Column = {
-    val cents = round(col("l_extendedprice") * 100).cast("long")
-    val discPct = round(col("l_discount") * 100).cast("long")
-    sum(cents * (lit(100L) - discPct)) / 10000.0
-  }
+  /** Exact price in integer cents — THE parity-critical snap-to-grid
+    * primitive every cents-exact aggregate builds on; keep the one
+    * definition so a dtype/rounding adjustment can never drift between
+    * query packs.
+    */
+  private[operators] def priceCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+
+  /** Exact per-row line revenue in 1e-4 currency units as a long. */
+  private[operators] def lineRevenueCents1e4: org.apache.spark.sql.Column =
+    priceCents(col("l_extendedprice")) *
+      (lit(100L) - priceCents(col("l_discount")))
+
+  private def revenueExact: org.apache.spark.sql.Column =
+    sum(lineRevenueCents1e4) / 10000.0
 
   // --- Q2 shape: min-cost supplier per part. The reference pattern is
   // a correlated scalar subquery (min supply cost per part);

@@ -28,10 +28,9 @@ object Benchmark4 {
 
   /** Exact line revenue in 1e-4 currency units as a long — price and
     * discount snap to their 2dp grids, so sums are integer-exact.
+    * Shared definition: [[Benchmark2.lineRevenueCents1e4]].
     */
-  private def revCents1e4: Column =
-    round(col("l_extendedprice") * 100).cast("long") *
-      (lit(100L) - round(col("l_discount") * 100).cast("long"))
+  private def revCents1e4: Column = Benchmark2.lineRevenueCents1e4
 
   // --- Q7 shape: volume shipping between two nations, by supplier
   // nation / customer nation / ship year. The nation pair filter is
@@ -103,7 +102,7 @@ object Benchmark4 {
   def q9ProductProfit(s: SparkSession, d: String,
                       nameLike: String = "%widget%"): DataFrame = {
     val costCents1e4 =
-      round(col("p_retailprice") * 100).cast("long") * lit(60L) *
+      Benchmark2.priceCents(col("p_retailprice")) * lit(60L) *
         col("l_quantity").cast("long")
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).filter(col("p_name").like(nameLike))),
@@ -130,7 +129,7 @@ object Benchmark4 {
       .join(broadcast(Tables.nation(s, d).filter(col("n_name") === nation)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
-    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val cents = Benchmark2.priceCents(col("l_extendedprice"))
     val perPart = Tables.lineitem(s, d)
       .join(suppKeys, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))

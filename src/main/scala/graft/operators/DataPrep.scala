@@ -23,6 +23,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object DataPrep {
 
+  /** First 32 bits of md5(id) as a long in [0, 2^32) — THE
+    * deterministic hash-uniform primitive behind dataset splits (dp2)
+    * and resampling (dp6); one definition so the two can never drift.
+    * Oracle twin: `CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT)`.
+    */
+  private def hashUint32(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   // --- DP2: deterministic train/val/test split. Hash-based (md5 of
   // the stable doc id), NOT random: re-running on a grown corpus keeps
   // every previously-assigned doc in its split, which is what makes
@@ -31,8 +39,7 @@ object DataPrep {
   def splitAssign(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long").mod(100L).as("bucket"))
+        hashUint32(col("doc_id")).mod(100L).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -158,8 +165,7 @@ object DataPrep {
     val factors = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
       .select(col("lang"), (share * col("n_total") / col("n_lang")).as("factor"))
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    val u = hashUint32(col("doc_id")).cast("double") / lit(4294967296.0)
     docs.select(col("doc_id"), col("lang"))
       .join(broadcast(factors), "lang")
       .withColumn("n_repeats", floor(col("factor") + u).cast("long"))
@@ -236,7 +242,7 @@ object DataPrep {
     import s.implicits._
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        Benchmark2.priceCents(col("o_totalprice")).as("cents"))
       .repartitionByRange(col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
       // pid is only stable within one materialization: without this

@@ -28,7 +28,15 @@ object Dedup {
     * exploded from a sequence, grams assembled with element_at/concat
     * (no HOF lambdas), hashed to longs immediately.
     */
-  private[operators] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+  private[operators] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame =
+    gramRowsRaw(s, d, n).dropDuplicates("doc_id", "gh")
+
+  /** Undeduplicated (doc_id, gram-hash) rows — a pure map-side
+    * projection (no exchange). Consumers that only need distinct
+    * counts after a later join key on this and dedup in their own
+    * aggregate instead of paying a corpus-wide shuffle here.
+    */
+  private[operators] def gramRowsRaw(s: SparkSession, d: String, n: Int): DataFrame = {
     val ws = col("ws")
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -38,7 +46,6 @@ object Dedup {
       .select(col("doc_id"),
         xxhash64(concat_ws(" ",
           (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*)).as("gh"))
-      .dropDuplicates("doc_id", "gh")
   }
 
   // --- DD1: exact dedup — group identical texts, keep min doc_id.
@@ -313,23 +320,27 @@ object Dedup {
   // benchmark suite as the eval side.
   //
   // Scale shape: the eval side is tiny by construction (benchmarks are
-  // KBs, corpora are TBs), so its distinct gram-hash set broadcasts and
-  // the 100 TB train side is ONE map-side hash-semi-join pass — no
-  // shuffle of train grams at all. (At extreme eval sizes, swap the
-  // broadcast for a bloom-filter prefilter + shuffled equi-join; the
-  // relation shape is unchanged.) Counting shared distinct gram-hashes
-  // equals counting shared grams modulo xxhash64 collisions — the same
-  // ~n²/2⁶⁵ odds DD2 already accepts. ---
+  // KBs, corpora are TBs), so only IT is deduplicated (a small
+  // exchange) and broadcast; the 100 TB train side stays a raw
+  // map-side gram projection — its only shuffle is the post-join
+  // aggregate over MATCHED rows, which dedups per pair via
+  // countDistinct (same result as pre-deduplicating, without
+  // exchanging the full train gram set). At extreme eval sizes, swap
+  // the broadcast for a bloom-filter prefilter + shuffled equi-join;
+  // the relation shape is unchanged. Counting shared distinct
+  // gram-hashes equals counting shared grams modulo xxhash64
+  // collisions — the same ~n²/2⁶⁵ odds DD2 already accepts. ---
   def decontaminate(s: SparkSession, d: String, n: Int = 3,
                     evalMod: Long = 97L): DataFrame = {
-    val gr = gramRows(s, d, n)
-    val evalGrams = gr.filter(col("doc_id") % evalMod === 0)
+    val raw = gramRowsRaw(s, d, n)
+    val evalGrams = raw.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("gh"))
-    val trainGrams = gr.filter(col("doc_id") % evalMod =!= 0)
+      .dropDuplicates("eval_doc", "gh")
+    val trainGrams = raw.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_doc"), col("gh"))
     trainGrams.join(broadcast(evalGrams), "gh")
       .groupBy("train_doc", "eval_doc")
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")
   }
 }

@@ -61,7 +61,7 @@ object Windows {
   def paretoShare(s: SparkSession, d: String): DataFrame = {
     val agg = Tables.orders(s, d)
       .groupBy("o_orderpriority")
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
     val tot = agg.agg(sum(col("cents")).as("tot"))
     val wCum = Window.orderBy(col("cents").desc, col("o_orderpriority"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -64,13 +64,18 @@ object Ingest {
     */
   def compact(s: SparkSession, inDir: String, outDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir), s.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val df = s.read.parquet(inDir)
+    // Size from the scan's own leaf-file list (inputFiles), not a
+    // top-level directory listing: partitioned layouts keep data in
+    // subdirectories, where a non-recursive listing would see 0 bytes
+    // and silently funnel the whole dataset through one task.
+    val conf = s.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    s.read.parquet(inDir).repartition(nFiles)
+    df.repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)
     nFiles
   }

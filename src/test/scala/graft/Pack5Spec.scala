@@ -14,6 +14,7 @@ class Pack5Spec extends SparkTestBase {
 
   test("dd9: sides are disjoint and every reported pair shares >= 1 gram") {
     val r = Dedup.decontaminate(spark, sf).collect()
+    assert(r.nonEmpty) // sf0.001 yields contaminated pairs by construction
     assert(r.forall(_.getAs[Long]("eval_doc") % 97 == 0))
     assert(r.forall(_.getAs[Long]("train_doc") % 97 != 0))
     assert(r.forall(_.getAs[Long]("n_shared") >= 1))
