@@ -170,6 +170,7 @@ object SparkEntry {
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
     "w12_pareto"        -> ((s, d) => Windows.paretoShare(s, d)),
     "dp7_chunk"         -> ((s, d) => DataPrep.chunkDocuments(s, d)),
+    "f_map_struct"      -> ((s, d) => FunctionSuites.mapStructSuite(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1406,5 +1407,20 @@ object SparkEntry {
         |FROM st
         |WHERE start = 1 OR start - 24 + 31 < len(ws)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // f_map_struct: the Spark side routes values through map/struct
+    // types; the oracle computes the same values directly, proving the
+    // complex-type plumbing is value-preserving.
+    "f_map_struct" ->
+      """SELECT p_partkey,
+        |  p_size * 2 AS m_double,
+        |  3 AS m_size,
+        |  'base|double|triple' AS m_keys,
+        |  true AS m_has_triple,
+        |  p_size AS st_sz,
+        |  round(p_retailprice, 2) AS st_price,
+        |  p_brand AS st_brand,
+        |  CAST(100 + p_size AS VARCHAR) || '|'
+        |    || CAST(200 + p_size * 10 AS VARCHAR) AS arr_kv
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
   )
 }

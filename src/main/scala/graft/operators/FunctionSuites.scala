@@ -70,6 +70,39 @@ object FunctionSuites {
         round(atan2(col("p_size"), col("p_retailprice")), 6).as("atan2_sp"))
       .orderBy("p_partkey")
 
+  // --- F-MAP/STRUCT: complex-type construction and access — map
+  // build/lookup/keys/size, struct field access, array-of-struct
+  // extraction. The Spark side routes every value THROUGH the complex
+  // type (map_from_arrays -> element_at, struct -> getField,
+  // array(struct) -> transform); the oracle computes the same values
+  // arithmetically, so the comparison proves the complex-type ops are
+  // value-preserving without needing cross-engine map/struct literals.
+  // All codegen'd built-ins, map-only. ---
+  def mapStructSuite(s: SparkSession, d: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("base"), lit("double"), lit("triple")),
+      array(col("p_size"), col("p_size") * 2, col("p_size") * 3))
+    val st = struct(col("p_brand").as("brand"),
+      struct(col("p_size").as("sz"), col("p_retailprice").as("price")).as("inner"))
+    val arr = array(
+      struct(lit(1).as("k"), col("p_size").as("v")),
+      struct(lit(2).as("k"), (col("p_size") * 10).as("v")))
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        element_at(m, "double").as("m_double"),
+        size(m).cast("int").as("m_size"),
+        array_join(map_keys(m), "|").as("m_keys"),
+        map_contains_key(m, "triple").as("m_has_triple"),
+        st.getField("inner").getField("sz").as("st_sz"),
+        round(st.getField("inner").getField("price"), 2).as("st_price"),
+        st.getField("brand").as("st_brand"),
+        array_join(transform(arr, x =>
+          (x.getField("k") * 100 + x.getField("v")).cast("string")), "|")
+          .as("arr_kv"))
+      .orderBy("p_partkey")
+  }
+
   // --- F-BIT: bitwise family over the 64-bit key — AND/OR/XOR masks,
   // shifts, popcount, complement. Integer-exact in every engine; all
   // codegen'd built-ins (this is also the toolbox the SimHash/LSH ops
