@@ -1279,7 +1279,9 @@ object SparkEntry {
     "w10_gapfill" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    round(sum(o_totalprice), 2) AS sales, count(*) AS n_orders
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      / 100.0 AS sales,
+        |    count(*) AS n_orders
         |  FROM orders
         |  WHERE year(o_orderdate) = 1996 AND o_totalprice > 450000.0
         |  GROUP BY 1),

@@ -129,13 +129,17 @@ object Analytics {
     val cnts = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
-    val cum =
+    // (cum, totSource): totSource must share cum's lineage — in the
+    // range branch the checkpoint breaks exchange reuse, so deriving
+    // tot from the original cnts would pay a second full scan+agg.
+    val (cum, totSource) =
       if (!rangePartitioned) {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("l_returnflag").orderBy("v")
-        cnts
+        (cnts
           .withColumn("hi", sum(col("c")).over(w)) // # values <= v
-          .withColumn("lo", col("hi") - col("c"))  // # values <  v
+          .withColumn("lo", col("hi") - col("c")), // # values <  v
+          cnts)
       } else {
         val base = cnts
           .repartitionByRange(col("l_returnflag"), col("v"))
@@ -152,13 +156,14 @@ object Analytics {
           .agg(sum(col("c")).as("ptot"))
           .withColumn("offset", coalesce(sum(col("ptot")).over(offW), lit(0L)))
           .select("l_returnflag", "pid", "offset")
-        base
+        (base
           .withColumn("local_hi", sum(col("c")).over(localW))
           .join(broadcast(offsets), Seq("l_returnflag", "pid"))
           .withColumn("hi", col("local_hi") + col("offset"))
-          .withColumn("lo", col("hi") - col("c"))
+          .withColumn("lo", col("hi") - col("c")),
+          base)
       }
-    val tot = cnts.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
+    val tot = totSource.groupBy("l_returnflag").agg(sum(col("c")).as("n"))
     val bracketAggs = ps.flatMap { case (name, p) =>
       val t = (col("n") - 1).cast("double") * lit(p)
       val kLo = floor(t)

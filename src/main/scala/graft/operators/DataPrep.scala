@@ -189,7 +189,9 @@ object DataPrep {
       .filter(year(col("o_orderdate")) === 1996 &&
         col("o_totalprice") > minPrice)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(round(sum(col("o_totalprice")), 2).as("sales"),
+      // integer-cents sum (repo parity convention) — a raw double sum
+      // could land on a .005 boundary and round differently per engine
+      .agg((sum(Benchmark2.priceCents(col("o_totalprice"))) / 100.0).as("sales"),
         count(lit(1)).as("n_orders"))
     val calendar = daily.sparkSession.range(1)
       .select(explode(sequence(

@@ -330,15 +330,23 @@ object Dedup {
   // the relation shape is unchanged. Counting shared distinct
   // gram-hashes equals counting shared grams modulo xxhash64
   // collisions — the same ~n²/2⁶⁵ odds DD2 already accepts. ---
+  /** `broadcastEval`: the default force-broadcasts the eval gram set —
+    * right when the eval side is a benchmark suite (KBs against TBs).
+    * The modulus slice used here grows WITH the corpus, so a caller
+    * decontaminating against a large eval fraction passes false to get
+    * a shuffled equi-join instead of collecting ~1% of corpus grams to
+    * the driver.
+    */
   def decontaminate(s: SparkSession, d: String, n: Int = 3,
-                    evalMod: Long = 97L): DataFrame = {
+                    evalMod: Long = 97L,
+                    broadcastEval: Boolean = true): DataFrame = {
     val raw = gramRowsRaw(s, d, n)
     val evalGrams = raw.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("gh"))
       .dropDuplicates("eval_doc", "gh")
     val trainGrams = raw.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_doc"), col("gh"))
-    trainGrams.join(broadcast(evalGrams), "gh")
+    trainGrams.join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "gh")
       .groupBy("train_doc", "eval_doc")
       .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")

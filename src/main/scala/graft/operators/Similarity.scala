@@ -20,6 +20,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Deterministic seed centroids: the first k corpus vectors, as
+    * driver-side literals (k·dim floats — not data-scale). One
+    * definition shared by KM1/KM2/IVF so the cell/cluster assignment
+    * rule can never drift between the E-step, the M-step, and the
+    * index build.
+    */
+  private def seedCentroids(e: DataFrame, k: Int): Array[(Int, Array[Float])] =
+    e.filter(col("vec_id") < k)
+      .orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+
+  /** Argmax-by-cosine assignment as a pure codegen'd projection:
+    * returns the (sim, neg_cid) struct whose max picks the highest
+    * similarity, ties broken to the SMALLER centroid id (max of
+    * negated id). `.getField("sim")` / `-getField("neg_cid")` extract
+    * the pieces.
+    */
+  private def bestCentroid(centroids: Array[(Int, Array[Float])],
+                           v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(array(centroids.map { case (cid, cvec) =>
+      struct(
+        vecCosine(v, array(cvec.map(lit): _*)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }: _*))
+
   // --- SIM1: brute-force cosine top-k for one query vector.
   // The query row is broadcast; corpus is scanned once, ranked with
   // TakeOrderedAndProject (no full sort). ---
@@ -81,12 +109,8 @@ object Similarity {
     import graft.plans.VectorExpressions.vecDot
     val e = Tables.embeddings(s, d)
     // deterministic coarse centroids: the first numCells vectors
-    val centroids: Array[(Int, Array[Float])] = e
-      .filter(col("vec_id") < numCells)
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    // (shared seed-collect; cell scoring below uses vecDot, not cosine)
+    val centroids: Array[(Int, Array[Float])] = seedCentroids(e, numCells)
     def centroidCol(c: Array[Float]): org.apache.spark.sql.Column =
       array(c.map(v => lit(v)): _*)
     // nearest-cell id = argmin distance = argmax dot (unit-ish data);
@@ -142,17 +166,7 @@ object Similarity {
   // smaller centroid id via (sim, -cid) struct ordering. ---
   def nearestCentroid(s: SparkSession, d: String, k: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids: Array[(Int, Array[Float])] = e
-      .filter(col("vec_id") < k)
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
-    val best = array_max(array(centroids.map { case (cid, cvec) =>
-      struct(
-        vecCosine(col("embedding"), array(cvec.map(lit): _*)).as("sim"),
-        lit(-cid).as("neg_cid"))
-    }: _*))
+    val best = bestCentroid(seedCentroids(e, k), col("embedding"))
     e.select(col("vec_id"),
         (-best.getField("neg_cid")).as("cluster"),
         best.getField("sim").as("sim"))
@@ -174,17 +188,7 @@ object Similarity {
   // 100 TB (each Lloyd round = one scan + one tiny shuffle). ---
   def centroidUpdate(s: SparkSession, d: String, k: Int = 4): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val centroids: Array[(Int, Array[Float])] = e
-      .filter(col("vec_id") < k)
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
-    val best = array_max(array(centroids.map { case (cid, cvec) =>
-      struct(
-        vecCosine(col("embedding"), array(cvec.map(lit): _*)).as("sim"),
-        lit(-cid).as("neg_cid"))
-    }: _*))
+    val best = bestCentroid(seedCentroids(e, k), col("embedding"))
     e.select((-best.getField("neg_cid")).as("cluster"), col("embedding"))
       .select(col("cluster"), posexplode(col("embedding")))
       .groupBy(col("cluster"), col("pos").cast("int").as("dim"))

@@ -65,15 +65,21 @@ object Ingest {
   def compact(s: SparkSession, inDir: String, outDir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val df = s.read.parquet(inDir)
-    // Size from the scan's own leaf-file list (inputFiles), not a
-    // top-level directory listing: partitioned layouts keep data in
-    // subdirectories, where a non-recursive listing would see 0 bytes
-    // and silently funnel the whole dataset through one task.
-    val conf = s.sparkContext.hadoopConfiguration
-    val totalBytes = df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    // Size via ONE recursive listing (listFiles returns located status
+    // batches — no per-file RPC): a per-file getFileStatus loop would
+    // cost O(n) sequential namenode round trips on exactly the
+    // many-small-files input this method exists to fix, and a
+    // non-recursive listing would see 0 bytes under partitioned
+    // layouts and funnel everything through one task.
+    val root = new org.apache.hadoop.fs.Path(inDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var totalBytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) totalBytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     df.repartition(nFiles)
       .write.mode("overwrite").parquet(outDir)
