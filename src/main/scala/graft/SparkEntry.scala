@@ -171,6 +171,8 @@ object SparkEntry {
     "w12_pareto"        -> ((s, d) => Windows.paretoShare(s, d)),
     "dp7_chunk"         -> ((s, d) => DataPrep.chunkDocuments(s, d)),
     "f_map_struct"      -> ((s, d) => FunctionSuites.mapStructSuite(s, d)),
+    "tx12_tfidf"        -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
+    "dd10_incremental"  -> ((s, d) => Dedup.incrementalDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1424,5 +1426,48 @@ object SparkEntry {
         |  CAST(100 + p_size AS VARCHAR) || '|'
         |    || CAST(200 + p_size * 10 AS VARCHAR) AS arr_kv
         |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
+    "tx12_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.token, tf.tf,
+        |    round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |      AS tfidf
+        |  FROM tf JOIN df ON tf.token = df.token, n),
+        |r AS (SELECT doc_id, token, tf, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY tfidf DESC, token ASC) AS rk
+        |      FROM scored)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "dd10_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT i.doc_id AS inc_doc, e.doc_id AS ex_doc, count(*) AS s
+        |  FROM grams i JOIN grams e ON i.g = e.g
+        |  WHERE i.doc_id % 4 = 0 AND e.doc_id % 4 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT inc_doc, ex_doc, CAST(s AS DOUBLE) / (ci.n + ce.n - s) AS jac
+        |  FROM shared
+        |  JOIN cnt ci ON ci.doc_id = inc_doc
+        |  JOIN cnt ce ON ce.doc_id = ex_doc),
+        |r AS (SELECT inc_doc, ex_doc, jac,
+        |        row_number() OVER (PARTITION BY inc_doc
+        |                           ORDER BY jac DESC, ex_doc ASC) AS rk
+        |      FROM j WHERE jac >= 0.5)
+        |SELECT inc_doc, ex_doc AS match_doc, round(jac, 4) AS jaccard
+        |FROM r WHERE rk = 1 ORDER BY inc_doc""".stripMargin,
   )
 }

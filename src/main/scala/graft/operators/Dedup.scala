@@ -330,6 +330,41 @@ object Dedup {
   // the relation shape is unchanged. Counting shared distinct
   // gram-hashes equals counting shared grams modulo xxhash64
   // collisions — the same ~n²/2⁶⁵ odds DD2 already accepts. ---
+  // --- DD10: incremental dedup — match an INCOMING batch against the
+  // EXISTING corpus and report, per incoming doc, its best near-dup
+  // match (max Jaccard, smallest existing id on ties). This is the
+  // steady-state ingest path: the existing side is the (already
+  // deduped) corpus gram index you persist between runs; only the
+  // batch's grams are new work. Shape mirrors DD2's gram join but
+  // one-sided — candidates are (incoming x existing) sharing a gram,
+  // never existing x existing, so steady-state cost scales with the
+  // batch, not the corpus. ---
+  def incrementalDedup(s: SparkSession, d: String,
+                       threshold: Double = 0.5,
+                       incomingMod: Long = 4L): DataFrame = {
+    val gr = gramRows(s, d, 3)
+    val inc = gr.filter(col("doc_id") % incomingMod === 0)
+      .select(col("doc_id").as("inc_doc"), col("gh"))
+    val ex = gr.filter(col("doc_id") % incomingMod =!= 0)
+      .select(col("doc_id").as("ex_doc"), col("gh"))
+    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = inc.join(ex, "gh")
+      .groupBy("inc_doc", "ex_doc").agg(count(lit(1)).as("shared"))
+    val jac = shared
+      .join(cnt.as("ci"), col("inc_doc") === col("ci.doc_id"))
+      .join(cnt.as("ce"), col("ex_doc") === col("ce.doc_id"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("ci.n") + col("ce.n") - col("shared")))
+      .filter(col("jac") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("inc_doc").orderBy(col("jac").desc, col("ex_doc").asc)
+    jac.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("inc_doc"), col("ex_doc").as("match_doc"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy("inc_doc")
+  }
+
   /** `broadcastEval`: the default force-broadcasts the eval gram set —
     * right when the eval side is a benchmark suite (KBs against TBs).
     * The modulus slice used here grows WITH the corpus, so a caller

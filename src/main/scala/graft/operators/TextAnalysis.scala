@@ -229,6 +229,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- TX12: TF-IDF top terms per document — the classic salience
+  // ranking behind keyword extraction and sparse retrieval indexes.
+  // Three aggregates over one exploded token relation: per-(doc,token)
+  // TF, per-token DF (distinct docs), corpus N; IDF = ln(N/df) joins
+  // back via broadcast (the token vocabulary is small relative to the
+  // corpus), then a per-doc window takes the top 5. Ranking keys on
+  // the ROUNDED score in both engines so any sub-rounding libm drift
+  // falls into the deterministic token tiebreak. ---
+  def tfidfTopTerms(s: SparkSession, d: String, topK: Int = 5): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // --- TX5: language-ID prediction vs the labeled lang column. ---
   def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

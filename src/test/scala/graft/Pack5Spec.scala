@@ -193,6 +193,31 @@ class Pack5Spec extends SparkTestBase {
     }
   }
 
+  test("tx12: exactly topK salient terms per doc, scores non-increasing") {
+    val r = TextAnalysis.tfidfTopTerms(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(r.nonEmpty)
+    r.foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to byRank.length))
+      assert(byRank.length <= 5)
+      val scores = byRank.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // a corpus-universal token (df = N) has idf 0 and can never rank
+      assert(rows.forall(_.getAs[Double]("tfidf") >= 0.0))
+    }
+  }
+
+  test("dd10: one best match per incoming doc, sides disjoint, above threshold") {
+    val r = Dedup.incrementalDedup(spark, sf).collect()
+    assert(r.nonEmpty)
+    val incDocs = r.map(_.getAs[Long]("inc_doc"))
+    assert(incDocs.distinct.length == incDocs.length) // one row per incoming doc
+    assert(r.forall(_.getAs[Long]("inc_doc") % 4 == 0))
+    assert(r.forall(_.getAs[Long]("match_doc") % 4 != 0))
+    assert(r.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
