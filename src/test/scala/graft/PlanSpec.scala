@@ -182,6 +182,20 @@ class PlanSpec extends SparkTestBase {
       s"too many exchanges:\n$p")
   }
 
+  test("TX12 broadcasts DF and N back onto the TF relation (no vocab shuffle of TF)") {
+    val p = plan(TextAnalysis.tfidfTopTerms(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"DF/N should broadcast onto TF:\n$p")
+  }
+
+  test("DD10 joins incoming grams to existing grams on the hash, then aggregates") {
+    val p = plan(Dedup.incrementalDedup(spark, sf))
+    // the pair join must key on gh (hashed grams), never gram strings
+    assert(p.contains("gh"), s"expected gram-hash join key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not cross-join docs:\n$p")
+  }
+
   test("DP6 domain-mix factors broadcast back onto the corpus scan") {
     val p = plan(graft.operators.DataPrep.domainMix(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
