@@ -173,6 +173,7 @@ object SparkEntry {
     "f_map_struct"      -> ((s, d) => FunctionSuites.mapStructSuite(s, d)),
     "tx12_tfidf"        -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "dd10_incremental"  -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "st4_hourly_top"    -> ((s, d) => Analytics.hourlyTopTypes(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1469,5 +1470,16 @@ object SparkEntry {
         |      FROM j WHERE jac >= 0.5)
         |SELECT inc_doc, ex_doc AS match_doc, round(jac, 4) AS jaccard
         |FROM r WHERE rk = 1 ORDER BY inc_doc""".stripMargin,
+    "st4_hourly_top" ->
+      """WITH agg AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT hour, event_type, n,
+        |        row_number() OVER (PARTITION BY hour
+        |                           ORDER BY n DESC, event_type ASC) AS rk
+        |      FROM agg)
+        |SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 2 ORDER BY hour, rk""".stripMargin,
   )
 }

@@ -332,6 +332,26 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  // --- ST4 (batch view): windowed top-k — the "trending items per
+  // hour" report: per hour bucket, the top 2 event types by count
+  // (ties to the lexicographically smaller type). Aggregate first
+  // (hour × type is tiny), THEN rank — the window runs over the
+  // aggregate, never raw events, so the per-hour sort input is
+  // bounded by the type cardinality at any corpus size. ---
+  def hourlyTopTypes(s: SparkSession, d: String, k: Int = 2): DataFrame = {
+    val w = Window.partitionBy("hour")
+      .orderBy(col("n").desc, col("event_type").asc)
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("hour"), col("event_type"), col("n"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("hour", "rk")
+  }
+
   // --- ST3 (batch view of §2.10 sliding window): 1-hour windows
   // sliding every 15 minutes — each event contributes to 4 windows.
   // Spark's window() aligns starts to the epoch; the oracle reproduces

@@ -85,4 +85,25 @@ class PropertySpec extends SparkTestBase {
       yearRow.isEmpty || math.abs(yearRow.head.getDouble(2) - months) < 0.05
     }, cases = 4)
   }
+
+  test("chunking tiles every document exactly for any (size, stride <= size)") {
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    val gen = for {
+      sz <- Gen.choose(4, 64)
+      st <- Gen.choose(1, sz)
+    } yield (sz, st)
+    check(Prop.forAll(gen) { case (sz, st) =>
+      val byDoc = DataPrep.chunkDocuments(spark, sf, sz, st).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      byDoc.keySet == lens.keySet && byDoc.forall { case (docId, rows) =>
+        val covered = rows.flatMap { r =>
+          val start = r.getAs[Int]("chunk_id") * st + 1
+          start until (start + r.getAs[Int]("n_tokens"))
+        }.toSet
+        covered == (1 to lens(docId)).toSet
+      }
+    }, cases = 6)
+  }
 }
