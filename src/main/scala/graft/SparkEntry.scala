@@ -174,6 +174,8 @@ object SparkEntry {
     "tx12_tfidf"        -> ((s, d) => TextAnalysis.tfidfTopTerms(s, d)),
     "dd10_incremental"  -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "st4_hourly_top"    -> ((s, d) => Analytics.hourlyTopTypes(s, d)),
+    "sq1_event_seq"     -> ((s, d) => DataPrep.userEventSequences(s, d)),
+    "dp8_interleave"    -> ((s, d) => DataPrep.interleaveSources(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1481,5 +1483,15 @@ object SparkEntry {
         |      FROM agg)
         |SELECT hour, event_type, n, CAST(rk AS INTEGER) AS rk
         |FROM r WHERE rk <= 2 ORDER BY hour, rk""".stripMargin,
+    "sq1_event_seq" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "dp8_interleave" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |       AS INTEGER) AS rn
+        |FROM documents ORDER BY rn, source, doc_id""".stripMargin,
   )
 }

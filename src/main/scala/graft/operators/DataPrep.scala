@@ -232,6 +232,42 @@ object DataPrep {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // --- SQ1: user event sequences — collapse each user's event stream
+  // into one ordered symbol sequence (the construction step for
+  // behavioral/sequence-model training data). collect_list carries
+  // (ts, event_id, type) structs whose array_sort gives a
+  // DETERMINISTIC in-group order (Spark makes no intra-group order
+  // contract otherwise); the transform extracts symbols after the
+  // sort. Per-user arrays are bounded by user activity — the groupBy
+  // shuffles each event once, nothing global. ---
+  def userEventSequences(s: SparkSession, d: String,
+                         maxUser: Long = 50L): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < maxUser)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("seq"))
+      .orderBy("user_id")
+
+  // --- DP8: deterministic source interleave — order the corpus so
+  // consecutive training examples rotate across sources (row i of
+  // every source before row i+1 of any source), the standard
+  // curriculum/mixing order that avoids source-contiguous batches.
+  // One per-source window (distributes on source); the interleaved
+  // order IS the (rn, source) sort key — no global index column, so
+  // nothing needs a single-partition pass at scale. ---
+  def interleaveSources(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .orderBy("rn", "source", "doc_id")
+  }
+
   // --- W9: distributed global cumulative sum — the scale path for
   // what a naive Window.orderBy (no partition) computes on a single
   // task. Two passes over range-partitioned data: an in-partition

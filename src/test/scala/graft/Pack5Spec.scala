@@ -218,6 +218,32 @@ class Pack5Spec extends SparkTestBase {
     assert(r.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("sq1: sequence length equals event count, symbols from the event alphabet") {
+    val r = DataPrep.userEventSequences(spark, sf).collect()
+    assert(r.nonEmpty)
+    val alphabet = Set("click", "view", "purchase", "signup", "error")
+    r.foreach { row =>
+      val syms = row.getAs[String]("seq").split(">")
+      assert(syms.length.toLong == row.getAs[Long]("n_events"))
+      assert(syms.forall(alphabet))
+    }
+  }
+
+  test("dp8: interleave rotates sources — every source appears once per rank round") {
+    val r = DataPrep.interleaveSources(spark, sf).collect()
+    val bySource = r.groupBy(_.getAs[String]("source"))
+    // per-source ranks are dense from 1
+    bySource.values.foreach { rows =>
+      val rns = rows.map(_.getAs[Int]("rn")).sorted
+      assert(rns.toSeq == (1 to rows.length))
+    }
+    // within one rank round, each source contributes at most one doc
+    r.groupBy(_.getAs[Int]("rn")).values.foreach { round =>
+      val srcs = round.map(_.getAs[String]("source"))
+      assert(srcs.distinct.length == srcs.length)
+    }
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
