@@ -1511,17 +1511,19 @@ object SparkEntry {
       """WITH st AS (
         |  SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    sum(l_extendedprice) AS s1,
-        |    sum(l_extendedprice * l_extendedprice) AS s2
+        |    sum(CAST(l_quantity AS BIGINT)) AS s1,
+        |    sum(CAST(l_quantity * l_quantity AS BIGINT)) AS s2
         |  FROM lineitem GROUP BY l_returnflag),
-        |mu AS (SELECT l_returnflag, s1 / n AS mu,
-        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+        |mu AS (SELECT l_returnflag, CAST(s1 AS DOUBLE) / n AS mu,
+        |         sqrt(CAST(s2 AS DOUBLE) / n
+        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |           AS sigma
         |       FROM st)
         |SELECT l.l_returnflag, l_orderkey, l_linenumber,
-        |  l_extendedprice AS price,
-        |  round((l_extendedprice - mu) / sigma, 4) AS z
+        |  l_quantity AS qty,
+        |  round((l_quantity - mu) / sigma, 4) AS z
         |FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
-        |WHERE abs((l_extendedprice - mu) / sigma) > 3.0
+        |WHERE abs((l_quantity - mu) / sigma) > 1.5
         |ORDER BY l.l_returnflag, l_orderkey, l_linenumber""".stripMargin,
   )
 }

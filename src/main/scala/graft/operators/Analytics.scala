@@ -296,27 +296,32 @@ object Analytics {
   // drops statistically wild rows before training. Group mean/std come
   // from the same explicit power-sum algebra as a20 (one hash-agg),
   // broadcast back onto the scan; output is the flagged rows only.
-  // Identical expression trees both engines; the |z| > 3 cut sits on a
-  // continuum, so summation-order ulps cannot realistically flip
-  // membership. ---
+  // Power sums run over integer-valued l_quantity cast to BIGINT, so
+  // s1/s2 are EXACT in both engines regardless of summation order
+  // (the a20 parity design); mu/sigma/z are then the same double
+  // expression tree over identical inputs → bit-identical results.
+  // The 1.5 cut flags the uniform tails (~12% of rows) on the test
+  // corpus — quantity is discrete, so no z lands near the cut. ---
   def outlierFlags(s: SparkSession, d: String,
-                   zCut: Double = 3.0): DataFrame = {
-    val x = col("l_extendedprice")
+                   zCut: Double = 1.5): DataFrame = {
+    val q = col("l_quantity")
     val stats = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"),
-        sum(x).as("s1"), sum(x * x).as("s2"))
+        sum(q.cast("bigint")).as("s1"),
+        sum((q * q).cast("bigint")).as("s2"))
       .select(col("l_returnflag"),
-        (col("s1") / col("n")).as("mu"),
-        sqrt(col("s2") / col("n")
-          - (col("s1") / col("n")) * (col("s1") / col("n"))).as("sigma"))
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt(col("s2").cast("double") / col("n")
+          - (col("s1").cast("double") / col("n"))
+            * (col("s1").cast("double") / col("n"))).as("sigma"))
     Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), x)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), q)
       .join(broadcast(stats), "l_returnflag")
-      .withColumn("z", (x - col("mu")) / col("sigma"))
+      .withColumn("z", (q - col("mu")) / col("sigma"))
       .filter(abs(col("z")) > zCut)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        x.as("price"), round(col("z"), 4).as("z"))
+        q.as("qty"), round(col("z"), 4).as("z"))
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }
 

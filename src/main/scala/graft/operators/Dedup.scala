@@ -344,23 +344,17 @@ object Dedup {
                        incomingMod: Long = 4L): DataFrame = {
     val gr = gramRows(s, d, 3)
     val inc = gr.filter(col("doc_id") % incomingMod === 0)
-      .select(col("doc_id").as("inc_doc"), col("gh"))
+      .select(col("doc_id").as("doc_a"), col("gh"))
     val ex = gr.filter(col("doc_id") % incomingMod =!= 0)
-      .select(col("doc_id").as("ex_doc"), col("gh"))
-    val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .select(col("doc_id").as("doc_b"), col("gh"))
     val shared = inc.join(ex, "gh")
-      .groupBy("inc_doc", "ex_doc").agg(count(lit(1)).as("shared"))
-    val jac = shared
-      .join(cnt.as("ci"), col("inc_doc") === col("ci.doc_id"))
-      .join(cnt.as("ce"), col("ex_doc") === col("ce.doc_id"))
-      .withColumn("jac",
-        col("shared").cast("double") / (col("ci.n") + col("ce.n") - col("shared")))
-      .filter(col("jac") >= threshold)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val jac = jaccardFromShared(shared, gr, threshold)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("inc_doc").orderBy(col("jac").desc, col("ex_doc").asc)
+      .partitionBy("doc_a").orderBy(col("jac").desc, col("doc_b").asc)
     jac.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select(col("inc_doc"), col("ex_doc").as("match_doc"),
+      .select(col("doc_a").as("inc_doc"), col("doc_b").as("match_doc"),
         round(col("jac"), 4).as("jaccard"))
       .orderBy("inc_doc")
   }

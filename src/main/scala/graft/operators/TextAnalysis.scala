@@ -241,7 +241,10 @@ object TextAnalysis {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+    // tf already has exactly one row per (doc_id, token), so document
+    // frequency is a plain count over it — no second tokenize-explode
+    // pass over the corpus and no countDistinct dedup aggregation.
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)

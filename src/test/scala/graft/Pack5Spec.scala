@@ -257,13 +257,26 @@ class Pack5Spec extends SparkTestBase {
     assert(r.map(_.getAs[Long]("n")).sum == expected)
   }
 
-  test("a22: flagged rows are exactly the |z| > 3 rows and z is consistent") {
+  test("a22: flagged rows are exactly the |z| > 1.5 rows and z is consistent") {
     val r = Analytics.outlierFlags(spark, sf).collect()
+    assert(r.nonEmpty)
     r.foreach { row =>
-      assert(math.abs(row.getAs[Double]("z")) > 3.0 - 1e-3)
+      assert(math.abs(row.getAs[Double]("z")) > 1.5 - 1e-3)
     }
-    // spot-check: every flagged price is far from its group mean
-    assert(r.forall(_.getAs[Double]("price") > 0))
+    // exactness: recompute per-group (mu, sigma) independently and count
+    // the rows that SHOULD be flagged — must equal what the op returned.
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+      .collect()
+    val byGroup = li.groupBy(_.getAs[String]("rf"))
+    val expected = byGroup.map { case (_, rows) =>
+      val qs = rows.map(_.getAs[Double]("q"))
+      val n = qs.length.toDouble
+      val mu = qs.sum / n
+      val sigma = math.sqrt(qs.map(x => x * x).sum / n - mu * mu)
+      qs.count(x => math.abs((x - mu) / sigma) > 1.5)
+    }.sum
+    assert(r.length == expected)
   }
 
   test("km2: k x dim grid, every vector assigned to exactly one cluster") {

@@ -191,8 +191,11 @@ class PlanSpec extends SparkTestBase {
 
   test("DD10 joins incoming grams to existing grams on the hash, then aggregates") {
     val p = plan(Dedup.incrementalDedup(spark, sf))
-    // the pair join must key on gh (hashed grams), never gram strings
-    assert(p.contains("gh"), s"expected gram-hash join key:\n$p")
+    // the pair join must KEY on gh (hashed grams), never gram strings:
+    // assert gh appears in an equi-join key list, not merely as a
+    // projected column somewhere in the plan
+    assert("keys \\[\\d+\\]: \\[gh#".r.findFirstIn(p).nonEmpty,
+      s"expected an equi-join keyed on gh:\n$p")
     assert(!p.contains("CartesianProduct"), s"must not cross-join docs:\n$p")
   }
 
