@@ -178,6 +178,17 @@ object SparkEntry {
     "dp8_interleave"    -> ((s, d) => DataPrep.interleaveSources(s, d)),
     "sq2_transitions"   -> ((s, d) => DataPrep.eventTransitions(s, d)),
     "a22_outliers"      -> ((s, d) => Analytics.outlierFlags(s, d)),
+    // round-4 pack: histogram profiling, weighted stats, retention,
+    // rolling actives, PMI collocations, regex family, source quotas,
+    // normalized dedup
+    "a23_histogram"     -> ((s, d) => Analytics.totalpriceHistogram(s, d)),
+    "a24_weighted"      -> ((s, d) => Analytics.weightedStats(s, d)),
+    "st5_retention"     -> ((s, d) => Analytics.dayRetention(s, d)),
+    "st6_rolling_wau"   -> ((s, d) => Analytics.rollingWau(s, d)),
+    "tx13_collocations" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "f_regex_suite"     -> ((s, d) => FunctionSuites.regexSuite(s, d)),
+    "dp9_source_quota"  -> ((s, d) => DataPrep.sourceQuota(s, d)),
+    "dd11_norm_dedup"   -> ((s, d) => Dedup.normalizedDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1524,6 +1535,92 @@ object SparkEntry {
         |  round((l_quantity - mu) / sigma, 4) AS z
         |FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
         |WHERE abs((l_quantity - mu) / sigma) > 1.5
-        |ORDER BY l.l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l.l_returnflag, l_orderkey, l_linenumber, qty""".stripMargin,
+    "a23_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a24_weighted" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sw,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(l_quantity AS BIGINT)) AS swx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS swx2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS w_mean,
+        |  round(CAST(swx2 AS DOUBLE) / CAST(sw AS DOUBLE)
+        |        - (CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE))
+        |          * (CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)), 6) AS w_var
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+    "st5_retention" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |nxt AS (SELECT day - INTERVAL 1 DAY AS day, user_id AS u2 FROM pairs)
+        |SELECT strftime(p.day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS dau,
+        |  CAST(count(u2) AS BIGINT) AS retained,
+        |  round(CAST(count(u2) AS DOUBLE) / count(*), 4) AS retention
+        |FROM pairs p LEFT JOIN nxt ON p.day = nxt.day AND p.user_id = nxt.u2
+        |GROUP BY p.day ORDER BY day""".stripMargin,
+    "st6_rolling_wau" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM pairs),
+        |ends AS (
+        |  SELECT p.day + k * INTERVAL 1 DAY AS wend, p.user_id
+        |  FROM pairs p, range(0, 7) r(k))
+        |SELECT strftime(e.wend, '%Y-%m-%d') AS window_end,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+        |FROM ends e JOIN days dy ON e.wend = dy.day
+        |GROUP BY e.wend ORDER BY window_end""".stripMargin,
+    "tx13_collocations" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+        |        FROM (SELECT unnest(ws) AS t FROM ws) GROUP BY t),
+        |tot AS (SELECT sum(n) AS big_n FROM uni),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM ws) GROUP BY bigram HAVING count(*) >= 5)
+        |SELECT bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  round(ln(CAST(n_ab AS DOUBLE) * CAST(big_n AS DOUBLE)
+        |        / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 4) AS pmi
+        |FROM bi
+        |JOIN uni ua ON split_part(bigram, ' ', 1) = ua.t
+        |JOIN uni ub ON split_part(bigram, ' ', 2) = ub.t
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    "f_regex_suite" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '\bs[a-z]+') AS first_s_word,
+        |  CAST(len(regexp_extract_all(text, '\btable\b')) AS BIGINT) AS n_table,
+        |  CAST(regexp_matches(text, 'hash join') AS INTEGER) AS has_hash_join,
+        |  regexp_extract(text, '\b([a-z]{8,})\b', 1) AS first_long_word,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS novowel_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dp9_source_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |         ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rk FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+    "dd11_norm_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp,
+        |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_dup
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -322,7 +322,9 @@ object Analytics {
       .filter(abs(col("z")) > zCut)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         q.as("qty"), round(col("z"), 4).as("z"))
-      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      // qty in the sort key: (l_orderkey, l_linenumber) is NOT unique in
+      // the synthetic lineitem, and engines order ties differently.
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber", "qty")
   }
 
   def argmaxSuite(s: SparkSession, d: String): DataFrame = {
@@ -419,5 +421,94 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"))
       .orderBy("user_id", "session_id")
+  }
+
+  // --- A23: equi-width histogram of order value — the profiling pass
+  // that sizes skew handling before a big job. Bucket key is pure
+  // per-row arithmetic (no shuffle until the tiny per-bucket agg);
+  // sums are exact integer cents, min/max are raw input values, so
+  // every output cell is engine-exact. At 100 TB this is one
+  // map-side-combined hash agg over ~20 buckets — no scale risk. ---
+  def totalpriceHistogram(s: SparkSession, d: String,
+                          width: Double = 25000.0): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / width).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(Benchmark2.priceCents(col("o_totalprice"))).as("sum_cents"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+
+  // --- A24: weighted mean / variance of quantity, weighted by line
+  // revenue — sampling-weight statistics for mixture tuning. All three
+  // power sums are exact BIGINTs (cents × integer quantity), so the
+  // final double expressions are bit-identical across engines; one
+  // hash agg, partial+final, nothing driver-side. ---
+  def weightedStats(s: SparkSession, d: String): DataFrame = {
+    val w = Benchmark2.priceCents(col("l_extendedprice"))
+    val x = col("l_quantity").cast("long")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(sum(w).as("sw"), sum(w * x).as("swx"), sum(w * x * x).as("swx2"))
+      .select(col("l_returnflag"),
+        round(col("swx").cast("double") / col("sw").cast("double"), 6)
+          .as("w_mean"),
+        round(col("swx2").cast("double") / col("sw").cast("double")
+          - (col("swx").cast("double") / col("sw").cast("double"))
+            * (col("swx").cast("double") / col("sw").cast("double")), 6)
+          .as("w_var"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- ST5: day-over-day retention — of the users active on day d,
+  // how many return on d+1. Shape: dedup to (day, user) pairs (one
+  // shuffle keyed on day+user, map-side combine kills the per-user
+  // event fan-in), then a self equi-join on (day+1, user) — both
+  // sides share the dedup's partitioning, and at 100 TB the pair
+  // relation is ~|users|×|days|, orders of magnitude under the raw
+  // event stream. ---
+  def dayRetention(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val next = pairs.select(
+      (col("day") - expr("INTERVAL 1 DAY")).as("day"),
+      col("user_id").as("u2"))
+    pairs
+      .join(next, pairs("day") === next("day") && col("user_id") === col("u2"),
+        "left_outer")
+      .groupBy(pairs("day"))
+      .agg(count(lit(1)).as("dau"),
+        count(col("u2")).as("retained"),
+        round(count(col("u2")).cast("double") / count(lit(1)), 4)
+          .as("retention"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("retained"), col("retention"))
+      .orderBy("day")
+  }
+
+  // --- ST6: rolling 7-day active users — EXACT sliding-window
+  // distinct. The (day, user) dedup happens once; the 7-day window is
+  // a bounded fan-out (each pair contributes to ≤7 window ends), so
+  // the explode-to-window-end form shuffles 7×|pairs| — bounded and
+  // predictable, vs. a range-join whose planning degenerates to BNLJ.
+  // At larger windows an HLL-sketch-per-day union (approx) is the
+  // scale path; exact is right while 7×|pairs| fits a shuffle. ---
+  def rollingWau(s: SparkSession, d: String, windowDays: Int = 7): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("day")).distinct()
+    val ends = pairs.select(col("day"), col("user_id"),
+      explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
+      .select((col("day") + expr("make_interval(0, 0, 0, k)")).as("wend"),
+        col("user_id"))
+    // only report windows ending on an observed day
+    ends.join(days.select(col("day").as("wend")), Seq("wend"))
+      .groupBy("wend")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("window_end"),
+        col("wau"))
+      .orderBy("window_end")
   }
 }

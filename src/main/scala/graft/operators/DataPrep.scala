@@ -324,4 +324,23 @@ object DataPrep {
         ((col("local_cum") + col("offset")) / 100.0).as("cum_spend"))
       .orderBy("o_orderkey")
   }
+
+  // --- DP9: per-source quality quota — keep the top-N longest docs
+  // per source, the curation step that caps any one crawl source's
+  // share of the training mix. One shuffle keyed on source; the
+  // window sort is per-partition. At 100 TB with a skewed source
+  // (one source ≫ others) the scale path is a two-phase top-N:
+  // per-partition partial top-N before the window, which bounds the
+  // shuffled rows to N × partitions per source. ---
+  def sourceQuota(s: SparkSession, d: String, quota: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
 }

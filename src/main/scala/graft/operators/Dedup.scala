@@ -380,4 +380,21 @@ object Dedup {
       .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")
   }
+
+  // --- DD11: normalized ("fuzzy-exact") dedup — casefold, strip
+  // punctuation, collapse whitespace, then hash. Catches the
+  // boilerplate-variant duplicates exact dedup misses and near-dup
+  // sketches overkill. Pure per-row projection + one window keyed on
+  // the fingerprint (hash-partitions evenly — fingerprints are
+  // uniform), so it scales as a single shuffle of (doc_id, fp). ---
+  def normalizedDedup(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byFp))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+      .orderBy("doc_id")
+  }
 }

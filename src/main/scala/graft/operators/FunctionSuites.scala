@@ -119,4 +119,19 @@ object FunctionSuites {
         bit_count(col("o_orderkey")).as("popcnt"),
         bitwise_not(col("o_orderkey")).as("flipped"))
       .orderBy("o_orderkey")
+
+  // --- F-REGEX: regular-expression family over document text —
+  // extract / count / test / replace, the primitives every corpus
+  // filter chain leans on. All four are codegen'd built-ins running
+  // per-row (no shuffle); patterns avoid engine-specific syntax
+  // (no lookaround, no named groups) so the oracle is portable. ---
+  def regexSuite(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "\\bs[a-z]+", 0).as("first_s_word"),
+        regexp_count(col("text"), lit("\\btable\\b")).cast("long").as("n_table"),
+        col("text").rlike("hash join").cast("int").as("has_hash_join"),
+        regexp_extract(col("text"), "\\b([a-z]{8,})\\b", 1).as("first_long_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("novowel_len"))
+      .orderBy("doc_id")
 }

@@ -265,4 +265,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         Text.langIdPredict(Text.tokens(col("text")), langProfiles).as("predicted"))
       .orderBy("doc_id")
+
+  // --- TX13: PMI collocations — pointwise mutual information over
+  // corpus bigrams, the standard signal for multi-word expressions
+  // when building tokenizer/vocab pipelines. Three hash aggs (bigram
+  // counts, unigram counts, corpus total), all map-side combined; the
+  // two count joins broadcast the unigram table's relevant slice only
+  // after the min-count filter has cut the bigram tail, so the big
+  // shuffle is the one bigram explode. ln() runs on exact-integer
+  // ratios → bit-identical across engines. ---
+  def pmiCollocations(s: SparkSession, d: String,
+                      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val ws = Tables.documents(s, d)
+      .select(Text.tokens(col("text")).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("big_n"))
+    val bi = ws.select(explode(Text.wordNgrams(col("ws"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .withColumn("a", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("b", split_part(col("bigram"), lit(" "), lit(2)))
+    bi.join(uni.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(col("n_ab").cast("double") * col("big_n").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))), 4)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
 }

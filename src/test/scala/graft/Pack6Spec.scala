@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 pack: histogram profiling,
+  * weighted statistics, day-over-day retention, rolling 7-day
+  * actives, PMI collocations, the regex function family, per-source
+  * quotas, and normalized dedup. Cross-engine value parity is the
+  * oracle gate's job; these pin internal consistency and plan shape.
+  */
+class Pack6Spec extends SparkTestBase {
+
+  test("a23: buckets tile the value range and counts sum to the table") {
+    val rows = Analytics.totalpriceHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val lo = b * 25000.0
+      val hi = (b + 1) * 25000.0
+      assert(r.getAs[Double]("min_price") >= lo)
+      assert(r.getAs[Double]("max_price") < hi)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+  }
+
+  test("a23: single partial+final hash agg, no join, no window") {
+    val plan = Analytics.totalpriceHistogram(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("a24: weighted mean within the unweighted quantity range, var >= 0") {
+    val rows = Analytics.weightedStats(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("w_mean")
+      assert(m >= 1.0 && m <= 50.0) // quantity domain
+      assert(r.getAs[Double]("w_var") >= 0.0)
+    }
+  }
+
+  test("st5: retained <= dau, retention in [0,1], retained recomputable") {
+    val rows = Analytics.dayRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dau = r.getAs[Long]("dau")
+      val ret = r.getAs[Long]("retained")
+      assert(ret <= dau)
+      val rate = r.getAs[Double]("retention")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - ret.toDouble / dau) < 5e-5)
+    }
+  }
+
+  test("st6: window count >= that day's dau and <= total users") {
+    val wau = Analytics.rollingWau(spark, sf).collect()
+      .map(r => r.getAs[String]("window_end") -> r.getAs[Long]("wau")).toMap
+    val dau = Analytics.dayRetention(spark, sf).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Long]("dau")).toMap
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(wau.keySet == dau.keySet) // same observed days
+    dau.foreach { case (day, n) =>
+      assert(wau(day) >= n, s"$day: wau ${wau(day)} < dau $n")
+      assert(wau(day) <= users)
+    }
+  }
+
+  test("tx13: top-k sorted by pmi desc; counts consistent") {
+    val rows = TextAnalysis.pmiCollocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      // a bigram can't occur more often than either of its words
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_a"))
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("n_ab") >= 5L)
+    }
+  }
+
+  test("f_regex: extraction consistent with count and test columns") {
+    val rows = FunctionSuites.regexSuite(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sWord = r.getAs[String]("first_s_word")
+      assert(sWord.isEmpty || sWord.startsWith("s"))
+      assert(r.getAs[Long]("n_table") >= 0L)
+      val longWord = r.getAs[String]("first_long_word")
+      assert(longWord.isEmpty || longWord.length >= 8)
+    }
+  }
+
+  test("dp9: at most `quota` rows per source, ranked by n_chars desc") {
+    val rows = DataPrep.sourceQuota(spark, sf, quota = 10).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.values.foreach { g =>
+      assert(g.length <= 10)
+      val sorted = g.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to g.length))
+      val chars = sorted.map(_.getAs[Long]("n_chars"))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dd11: canonical is the min doc of its fingerprint group") {
+    val rows = Dedup.normalizedDedup(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val byFp = rows.groupBy(_.getAs[String]("fp"))
+    byFp.values.foreach { g =>
+      val canon = g.map(_.getAs[Long]("canonical_id")).distinct
+      assert(canon.length == 1)
+      assert(canon.head == g.map(_.getAs[Long]("doc_id")).min)
+      g.foreach { r =>
+        val expected = if (r.getAs[Long]("doc_id") == canon.head) 0 else 1
+        assert(r.getAs[Int]("is_dup") == expected)
+      }
+    }
+  }
+
+  test("dd11: whitespace/punctuation variants collapse to one fingerprint") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello,  World! this IS a test"),
+      (2L, "hello world this is a test"),
+      (3L, "hello world; THIS is a test."),
+      (4L, "a different document entirely")
+    ).toDF("doc_id", "text")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val fps = docs.select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+}
