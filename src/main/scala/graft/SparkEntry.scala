@@ -189,6 +189,8 @@ object SparkEntry {
     "f_regex_suite"     -> ((s, d) => FunctionSuites.regexSuite(s, d)),
     "dp9_source_quota"  -> ((s, d) => DataPrep.sourceQuota(s, d)),
     "dd11_norm_dedup"   -> ((s, d) => Dedup.normalizedDedup(s, d)),
+    "j9_interval_overlap" -> ((s, d) => Relational.intervalOverlapJoin(s, d)),
+    "sim7_quantize"     -> ((s, d) => Similarity.vecQuantizeAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1622,5 +1624,33 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
         |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fp) AS INTEGER) AS is_dup
         |FROM f ORDER BY doc_id""".stripMargin,
+    "j9_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_partkey, l_orderkey,
+        |    min(l_shipdate) AS s,
+        |    max(l_shipdate + (3 + CAST(l_quantity AS INTEGER) % 14)
+        |        * INTERVAL 1 DAY) AS e
+        |  FROM lineitem WHERE l_partkey % 200 = 0
+        |  GROUP BY l_partkey, l_orderkey)
+        |SELECT a.l_partkey, a.l_orderkey AS okey_a, b.l_orderkey AS okey_b,
+        |  CAST(date_diff('second', greatest(a.s, b.s), least(a.e, b.e))
+        |       AS BIGINT) AS overlap_secs
+        |FROM iv a JOIN iv b
+        |  ON a.l_partkey = b.l_partkey AND a.l_orderkey < b.l_orderkey
+        |WHERE a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.l_partkey, okey_a, okey_b""".stripMargin,
+    "sim7_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> abs(x))) AS max_abs_raw
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(dv, x -> x * x))), 4) AS l2_norm,
+        |  round(max_abs_raw, 6) AS max_abs,
+        |  round(list_sum(list_transform(dv,
+        |      x -> abs(x - floor(x * (127.0 / max_abs_raw) + 0.5)
+        |                  / (127.0 / max_abs_raw)))) / len(dv), 8) AS mean_qerr
+        |FROM v ORDER BY vec_id""".stripMargin,
   )
 }

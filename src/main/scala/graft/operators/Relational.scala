@@ -338,4 +338,35 @@ object Relational {
       .select(col("r_name"), col("n_name"),
         (col("n_regionkey") === col("r_regionkey")).as("in_region"))
       .orderBy("r_name", "n_name")
+
+  // --- J9: interval-overlap self-join — per-(part, order) shipping
+  // windows, pairs of overlapping windows for the same part. The
+  // partkey equi-anchor keeps this a hash join with the range test as
+  // a post-filter — never a BNLJ; at 100 TB the skew path is bucketing
+  // time into coarse epochs and equi-joining on (key, epoch) so one
+  // hot key can't concentrate a partition. Windows are aggregated
+  // first (one hash agg), so pair identity is the unique
+  // (partkey, orderkey) and output order is total. ---
+  def intervalOverlapJoin(s: SparkSession, d: String,
+                          sampleMod: Long = 200L): DataFrame = {
+    val iv = Tables.lineitem(s, d)
+      .filter(col("l_partkey") % sampleMod === 0)
+      .groupBy(col("l_partkey"), col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("s"),
+        max(expr(
+          "l_shipdate + make_interval(0, 0, 0, 3 + CAST(l_quantity AS INT) % 14)"))
+          .as("e"))
+    val a = iv.select(col("l_partkey"), col("l_orderkey").as("okey_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(col("l_partkey"), col("l_orderkey").as("okey_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("l_partkey"))
+      .filter(col("okey_a") < col("okey_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("l_partkey"), col("okey_a"), col("okey_b"),
+        (unix_timestamp(least(col("e_a"), col("e_b")))
+          - unix_timestamp(greatest(col("s_a"), col("s_b"))))
+          .as("overlap_secs"))
+      .orderBy("l_partkey", "okey_a", "okey_b")
+  }
 }

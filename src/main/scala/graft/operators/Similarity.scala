@@ -246,4 +246,30 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  // --- SIM7: vector preprocessing audit — L2 norm, max-|x|, and the
+  // mean reconstruction error of symmetric int8 quantization
+  // (scale = 127/max|x|, level = floor(x·scale + 0.5)). The numbers a
+  // pipeline checks before shipping embeddings to a quantized ANN
+  // index. Pure per-row projection (no shuffle, no join); the HOF
+  // folds run left-to-right over the array in BOTH engines, so the
+  // double sums are bit-identical and oracle-exact. floor(x+0.5), not
+  // round(): engines disagree on round()'s tie rule, floor doesn't. ---
+  def vecQuantizeAudit(s: SparkSession, d: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, d)
+      .withColumn("dv", dv)
+      .withColumn("max_abs_raw",
+        array_max(transform(col("dv"), x => abs(x))))
+      .withColumn("scale", lit(127.0) / col("max_abs_raw"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(col("dv"), lit(0.0),
+          (acc, x) => acc + x * x)), 4).as("l2_norm"),
+        round(col("max_abs_raw"), 6).as("max_abs"),
+        round(aggregate(col("dv"), lit(0.0),
+          (acc, x) => acc + abs(x - floor(x * col("scale") + lit(0.5))
+            / col("scale")))
+          / size(col("dv")).cast("double"), 8).as("mean_qerr"))
+      .orderBy("vec_id")
+  }
 }

@@ -123,6 +123,40 @@ class Pack6Spec extends SparkTestBase {
     }
   }
 
+  test("j9: overlap is symmetric-consistent, positive-length, same part") {
+    val rows = Relational.intervalOverlapJoin(spark, sf, sampleMod = 50L)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("okey_a") < r.getAs[Long]("okey_b"))
+      assert(r.getAs[Long]("overlap_secs") >= 0L)
+    }
+    // pair set is unique
+    val keys = rows.map(r => (r.getAs[Long]("l_partkey"),
+      r.getAs[Long]("okey_a"), r.getAs[Long]("okey_b")))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("j9: planned as a hash join on the partkey anchor, not BNLJ") {
+    val plan = Relational.intervalOverlapJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to BNLJ:\n$plan")
+  }
+
+  test("sim7: quantization error bounded by half a quant step") {
+    val rows = Similarity.vecQuantizeAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val maxAbs = r.getAs[Double]("max_abs")
+      assert(maxAbs > 0.0)
+      // |x - recon| <= step/2 where step = max_abs/127; mean over dims
+      // is bounded the same (1e-6 slack for the 8dp rounding)
+      assert(r.getAs[Double]("mean_qerr") <= maxAbs / 127.0 / 2.0 + 1e-6)
+      assert(r.getAs[Double]("l2_norm") > 0.0)
+    }
+  }
+
   test("dd11: whitespace/punctuation variants collapse to one fingerprint") {
     import spark.implicits._
     val docs = Seq(
