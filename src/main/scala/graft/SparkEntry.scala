@@ -191,6 +191,9 @@ object SparkEntry {
     "dd11_norm_dedup"   -> ((s, d) => Dedup.normalizedDedup(s, d)),
     "j9_interval_overlap" -> ((s, d) => Relational.intervalOverlapJoin(s, d)),
     "sim7_quantize"     -> ((s, d) => Similarity.vecQuantizeAudit(s, d)),
+    "a25_mad"           -> ((s, d) => Analytics.madStats(s, d)),
+    "w13_cohort"        -> ((s, d) => Analytics.cohortRetention(s, d)),
+    "dd12_lsh_audit"    -> ((s, d) => Dedup.lshRecallAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1652,5 +1655,29 @@ object SparkEntry {
         |      x -> abs(x - floor(x * (127.0 / max_abs_raw) + 0.5)
         |                  / (127.0 / max_abs_raw)))) / len(dv), 8) AS mean_qerr
         |FROM v ORDER BY vec_id""".stripMargin,
+    // dd12_lsh_audit: LSH candidate generation is not SQL-expressible in
+    // DuckDB — rows-only check; Pack6Spec asserts the recall floor.
+    "a25_mad" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(any_value(med), 4) AS med_qty,
+        |  round(percentile_cont(0.5) WITHIN GROUP
+        |        (ORDER BY abs(l_quantity - med)), 4) AS mad_qty
+        |FROM lineitem l JOIN m USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "w13_cohort" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM pairs GROUP BY 1)
+        |SELECT strftime(date_trunc('week', cohort_day), '%Y-%m-%d')
+        |    AS cohort_week,
+        |  CAST(floor(date_diff('day', cohort_day, day) / 7) AS INTEGER)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        |FROM pairs p JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }

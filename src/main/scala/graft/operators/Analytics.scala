@@ -487,6 +487,53 @@ object Analytics {
       .orderBy("day")
   }
 
+  // --- A25: median absolute deviation — the robust spread measure
+  // for outlier gating when heavy tails poison stddev (a22's z-score
+  // assumes near-normal data; MAD doesn't). Two exact-percentile
+  // passes: group medians broadcast back onto the scan, then the
+  // median of absolute deviations. Quantity is integer-valued, so
+  // both medians land on integers or exact halves — engine-exact.
+  // At 100 TB the exact percentile becomes approx_percentile (fixed
+  // sketch) with the same two-pass shape. ---
+  def madStats(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity")
+    val med = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile(q, lit(0.5)).as("med"))
+    Tables.lineitem(s, d)
+      .join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(min(col("med")).as("med_raw"), // constant per group; min is the deterministic pick
+        percentile(abs(q - col("med")), lit(0.5)).as("mad_raw"))
+      .select(col("l_returnflag"),
+        round(col("med_raw"), 4).as("med_qty"),
+        round(col("mad_raw"), 4).as("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- W13: cohort retention matrix — users grouped by first-active
+  // week, activity counted per week offset since the cohort started:
+  // the standard "does week-3 retention hold across cohorts" table.
+  // Shapes: (day,user) dedup, per-user min (both shuffle on user_id
+  // and the second reuses the first's partitioning), then a tiny
+  // (cohort, offset) count-distinct rollup. ---
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val first = pairs.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    pairs.join(first, "user_id")
+      .select(
+        date_format(date_trunc("WEEK", col("cohort_day")), "yyyy-MM-dd")
+          .as("cohort_week"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).cast("int")
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   // --- ST6: rolling 7-day active users — EXACT sliding-window
   // distinct. The (day, user) dedup happens once; the 7-day window is
   // a bounded fan-out (each pair contributes to ≤7 window ends), so

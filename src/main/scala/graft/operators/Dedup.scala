@@ -141,9 +141,15 @@ object Dedup {
 
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    verifyJaccard(lshCandidates(s, d, numHashes, bands), gramRows(s, d),
+      threshold)
+
+  /** Unverified LSH candidate pairs (band-bucket collisions). */
+  private[graft] def lshCandidates(s: SparkSession, d: String,
+                                   numHashes: Int = 64,
+                                   bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val gr = gramRows(s, d)
     val sigs = minhashSignatures(s, d, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -153,13 +159,35 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in many bands
-    verifyJaccard(cand, gr, threshold)
+  }
+
+  // --- DD12: LSH recall audit — the quality gate a pipeline runs on a
+  // SAMPLE before trusting LSH at full scale: exact truth pairs vs
+  // LSH candidate pairs, one summary row. At 100 TB the exact side is
+  // only ever computed on a sampled slice; the audit shape (two pair
+  // relations, a semi-join, three tiny counts) is identical. Banding
+  // theory: P[miss] = (1-j^r)^b, so at j=0.7, r=4, b=16 expected
+  // recall is ~0.99 — the spec asserts the realized floor. ---
+  def lshRecallAudit(s: SparkSession, d: String,
+                     threshold: Double = 0.7,
+                     numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val truth = ngramJaccardPairsRaw(s, d, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = lshCandidates(s, d, numHashes, bands)
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_hits").cast("double") / col("n_true"), 4))
+          .as("recall"))
   }
 
   // --- DD5: the end-to-end "deduplicate the corpus" result: the keep

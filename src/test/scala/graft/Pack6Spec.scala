@@ -157,6 +157,46 @@ class Pack6Spec extends SparkTestBase {
     }
   }
 
+  test("a25: MAD bounded by half the quantity range, median in-domain") {
+    val rows = Analytics.madStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val med = r.getAs[Double]("med_qty")
+      val mad = r.getAs[Double]("mad_qty")
+      assert(med >= 1.0 && med <= 50.0)
+      // every |x - med| <= max(med - 1, 50 - med), so the median of them is too
+      assert(mad >= 0.0 && mad <= math.max(med - 1.0, 50.0 - med))
+    }
+  }
+
+  test("w13: cohort sizes never grow with offset beyond the week-0 size") {
+    val rows = Analytics.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_week")).values.foreach { g =>
+      val byOff = g.map(r =>
+        r.getAs[Int]("week_offset") -> r.getAs[Long]("n_users")).toMap
+      assert(byOff.contains(0)) // every cohort is active in its first week
+      byOff.foreach { case (off, n) =>
+        assert(off >= 0)
+        assert(n <= byOff(0), s"offset $off count $n exceeds cohort size ${byOff(0)}")
+      }
+    }
+  }
+
+  test("dd12: audit counts consistent and recall above the banding-theory floor") {
+    val r = Dedup.lshRecallAudit(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nTrue = row.getAs[Long]("n_true")
+    val nHits = row.getAs[Long]("n_hits")
+    assert(nHits <= nTrue)
+    assert(nHits <= row.getAs[Long]("n_candidates"))
+    // at j >= 0.7, r=4, b=16: per-pair P[miss] = (1-j^4)^16 <= 0.013
+    assert(nTrue > 0, "test corpus should contain j>=0.7 pairs")
+    assert(row.getAs[Double]("recall") >= 0.8,
+      s"LSH recall ${row.getAs[Double]("recall")} below floor")
+  }
+
   test("dd11: whitespace/punctuation variants collapse to one fingerprint") {
     import spark.implicits._
     val docs = Seq(
