@@ -1594,13 +1594,15 @@ object SparkEntry {
         |                               i -> ws[i] || ' ' || ws[i+1])) AS bigram
         |  FROM ws) GROUP BY bigram HAVING count(*) >= 5)
         |SELECT bigram, n_ab, ua.n AS n_a, ub.n AS n_b,
-        |  round(ln(CAST(n_ab AS DOUBLE) * CAST(big_n AS DOUBLE)
-        |        / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 4) AS pmi
+        |  round(CAST(n_ab AS DOUBLE) * CAST(big_n AS DOUBLE)
+        |        / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)), 4) AS lift
         |FROM bi
         |JOIN uni ua ON split_part(bigram, ' ', 1) = ua.t
         |JOIN uni ub ON split_part(bigram, ' ', 2) = ub.t
         |CROSS JOIN tot
-        |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+        |ORDER BY CAST(n_ab AS DOUBLE) * CAST(big_n AS DOUBLE)
+        |         / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) DESC,
+        |  bigram ASC LIMIT 20""".stripMargin,
     "f_regex_suite" ->
       """SELECT doc_id,
         |  regexp_extract(text, '\bs[a-z]+') AS first_s_word,

@@ -86,4 +86,12 @@ object Text {
     * at 100 TB instead of `text` itself).
     */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Canonical "fuzzy-exact" normalization: casefold, strip everything
+    * but [a-z0-9 ], collapse runs of spaces, trim. The one definition
+    * shared by the DD11 operator and its spec so they can't drift.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }

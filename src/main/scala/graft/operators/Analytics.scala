@@ -441,15 +441,21 @@ object Analytics {
 
   // --- A24: weighted mean / variance of quantity, weighted by line
   // revenue — sampling-weight statistics for mixture tuning. All three
-  // power sums are exact BIGINTs (cents × integer quantity), so the
-  // final double expressions are bit-identical across engines; one
-  // hash agg, partial+final, nothing driver-side. ---
+  // power sums are exact integers (cents × integer quantity), summed
+  // as decimal(38,0): the per-row swx2 term is ~2.5e10, so a LongType
+  // sum would silently wrap past ~4e8 rows per group (well under the
+  // 100 TB design point; Spark's non-ANSI long sum doesn't error).
+  // Decimal sums match DuckDB's HUGEINT sum exactly, so the final
+  // double expressions stay bit-identical; one hash agg, partial+
+  // final, nothing driver-side. ---
   def weightedStats(s: SparkSession, d: String): DataFrame = {
     val w = Benchmark2.priceCents(col("l_extendedprice"))
     val x = col("l_quantity").cast("long")
+    val dec = "decimal(38,0)"
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(sum(w).as("sw"), sum(w * x).as("swx"), sum(w * x * x).as("swx2"))
+      .agg(sum(w.cast(dec)).as("sw"), sum((w * x).cast(dec)).as("swx"),
+        sum((w * x * x).cast(dec)).as("swx2"))
       .select(col("l_returnflag"),
         round(col("swx").cast("double") / col("sw").cast("double"), 6)
           .as("w_mean"),

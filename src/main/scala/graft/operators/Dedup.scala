@@ -177,13 +177,19 @@ object Dedup {
   def lshRecallAudit(s: SparkSession, d: String,
                      threshold: Double = 0.7,
                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // n_true and n_hits come from ONE pass over the truth relation (a
+    // left-outer join against candidates), so the quadratic gram
+    // self-join executes once. The candidate relation feeds two
+    // branches (the join + its own count) → localCheckpoint, because
+    // ReuseExchange shares only shuffle subtrees, not the post-shuffle
+    // joins above them.
     val truth = ngramJaccardPairsRaw(s, d, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val cand = lshCandidates(s, d, numHashes, bands)
-    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
+    val cand = lshCandidates(s, d, numHashes, bands).localCheckpoint()
+    truth.join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_true"), col("n_candidates"), col("n_hits"),
         when(col("n_true") === 0, lit(1.0))
           .otherwise(round(col("n_hits").cast("double") / col("n_true"), 4))
@@ -422,11 +428,10 @@ object Dedup {
   // the fingerprint (hash-partitions evenly — fingerprints are
   // uniform), so it scales as a single shuffle of (doc_id, fp). ---
   def normalizedDedup(s: SparkSession, d: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     Tables.documents(s, d)
-      .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+      .select(col("doc_id"),
+        Text.fingerprint(Text.normalized(col("text"))).as("fp"))
       .withColumn("canonical_id", min(col("doc_id")).over(byFp))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
       .orderBy("doc_id")

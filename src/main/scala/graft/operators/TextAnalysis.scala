@@ -266,14 +266,21 @@ object TextAnalysis {
         Text.langIdPredict(Text.tokens(col("text")), langProfiles).as("predicted"))
       .orderBy("doc_id")
 
-  // --- TX13: PMI collocations — pointwise mutual information over
-  // corpus bigrams, the standard signal for multi-word expressions
+  // --- TX13: PMI collocations — pointwise-mutual-information ranking
+  // of corpus bigrams, the standard signal for multi-word expressions
   // when building tokenizer/vocab pipelines. Three hash aggs (bigram
   // counts, unigram counts, corpus total), all map-side combined; the
   // two count joins broadcast the unigram table's relevant slice only
   // after the min-count filter has cut the bigram tail, so the big
-  // shuffle is the one bigram explode. ln() runs on exact-integer
-  // ratios → bit-identical across engines. ---
+  // shuffle is the one bigram explode.
+  //
+  // The ranked/compared value is LIFT = n_ab·N / (n_a·n_b), not
+  // ln(lift) (= PMI): every product stays under 2^53 so the doubles
+  // are exact and the one division is IEEE-correctly-rounded — bit-
+  // identical across engines. ln() is only ~1-ULP accurate per libm
+  // with no cross-engine agreement, and a 1-ULP flip on the sort/limit
+  // key or a 4dp rounding boundary would break the oracle gate at some
+  // SF. ln is monotone, so lift order IS PMI order. ---
   def pmiCollocations(s: SparkSession, d: String,
                       minCount: Long = 5L, topK: Int = 20): DataFrame = {
     val ws = Tables.documents(s, d)
@@ -289,11 +296,12 @@ object TextAnalysis {
     bi.join(uni.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
       .join(uni.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
       .crossJoin(broadcast(total))
-      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
-        round(log(col("n_ab").cast("double") * col("big_n").cast("double")
-          / (col("n_a").cast("double") * col("n_b").cast("double"))), 4)
-          .as("pmi"))
-      .orderBy(col("pmi").desc, col("bigram").asc)
+      .withColumn("lift_raw",
+        col("n_ab").cast("double") * col("big_n").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("lift_raw").desc, col("bigram").asc)
       .limit(topK)
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("lift_raw"), 4).as("lift"))
   }
 }

@@ -70,11 +70,11 @@ class Pack6Spec extends SparkTestBase {
     }
   }
 
-  test("tx13: top-k sorted by pmi desc; counts consistent") {
+  test("tx13: top-k sorted by lift desc; counts consistent") {
     val rows = TextAnalysis.pmiCollocations(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
-    val pmis = rows.map(_.getAs[Double]("pmi"))
-    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
     rows.foreach { r =>
       // a bigram can't occur more often than either of its words
       assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_a"))
@@ -205,9 +205,10 @@ class Pack6Spec extends SparkTestBase {
       (3L, "hello world; THIS is a test."),
       (4L, "a different document entirely")
     ).toDF("doc_id", "text")
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    val fps = docs.select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+    // the operator's own normalization+fingerprint, not a copy of it
+    val fps = docs.select(col("doc_id"),
+        graft.functions.Text.fingerprint(
+          graft.functions.Text.normalized(col("text"))).as("fp"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
     assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
     assert(fps(4L) != fps(1L))
