@@ -84,11 +84,14 @@ object Analytics {
 
   /** HLL++ approximate distinct — the 100 TB path where exact
     * countDistinct's shuffle would dominate. Driver checks rows only.
+    * rsd 0.02, not tighter: sketch size grows ~1/rsd² (0.01 cost 4×
+    * the registers per partial for one extra bit of accuracy — wrong
+    * trade for an op whose whole point is the fixed small sketch).
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
   // --- Percentiles: exact (interpolated, oracle-matched) per group;
   // the approx_percentile partner below is the 100 TB path (fixed-size

@@ -293,10 +293,18 @@ object Dedup {
       val next = withJump
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-        .filter(col("comp") =!= col("prev")).count()
+      // Round 0 converges only when the edge set is empty — in every
+      // other case the first propagation changes some label, so the
+      // convergence-count job (a full join per round) is skipped there
+      // unless the graph could actually be edge-free.
+      if (iter == 0 && !edges.isEmpty) {
+        converged = false
+      } else {
+        val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+          .filter(col("comp") =!= col("prev")).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       iter += 1
     }
     // A silent partial propagation would split genuine components, so
