@@ -194,6 +194,7 @@ object SparkEntry {
     "a25_mad"           -> ((s, d) => Analytics.madStats(s, d)),
     "w13_cohort"        -> ((s, d) => Analytics.cohortRetention(s, d)),
     "dd12_lsh_audit"    -> ((s, d) => Dedup.lshRecallAudit(s, d)),
+    "dd13_boilerplate"  -> ((s, d) => Dedup.boilerplateSpans(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1681,5 +1682,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
         |FROM pairs p JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "dd13_boilerplate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |         ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+        |         ws[i+6] || ' ' || ws[i+7])) AS gram
+        |  FROM ws WHERE len(ws) >= 8)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
+        |LIMIT 25""".stripMargin,
   )
 }

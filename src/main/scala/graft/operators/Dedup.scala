@@ -429,6 +429,31 @@ object Dedup {
       .orderBy("train_doc", "eval_doc")
   }
 
+  // --- DD13: boilerplate-span catalog — word 8-grams repeated across
+  // >= minDocs distinct documents, the substring-level signal that
+  // doc-level dedup misses (license headers, navigation chrome,
+  // quoted passages). Counting runs on 8-byte gram hashes (map-side
+  // combined, strings never shuffle); the surviving hash set is tiny
+  // after the min-docs filter, so recovering the human-readable span
+  // is a broadcast semi-join back onto the gram stream — the
+  // count-on-hash / join-back-winners shape that holds at 100 TB. ---
+  def boilerplateSpans(s: SparkSession, d: String, n: Int = 8,
+                       minDocs: Long = 3L, topK: Int = 25): DataFrame = {
+    def grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Text.wordNgrams(Text.tokens(col("text")), n)).as("gram"))
+      .select(col("doc_id"), col("gram"), xxhash64(col("gram")).as("gh"))
+    val counts = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+    grams.join(broadcast(counts), "gh")
+      .dropDuplicates("gh") // counts are per-gh constants; gram likewise
+      .select(col("gram"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram").asc)
+      .limit(topK)
+  }
+
   // --- DD11: normalized ("fuzzy-exact") dedup — casefold, strip
   // punctuation, collapse whitespace, then hash. Catches the
   // boilerplate-variant duplicates exact dedup misses and near-dup

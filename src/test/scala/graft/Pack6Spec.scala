@@ -108,6 +108,22 @@ class Pack6Spec extends SparkTestBase {
     }
   }
 
+  test("dd13: spans are 8 tokens, counts consistent, sorted by spread") {
+    val rows = Dedup.boilerplateSpans(spark, sf).collect()
+    assert(rows.nonEmpty) // corpus contains near-dup docs by construction
+    rows.foreach { r =>
+      assert(r.getAs[String]("gram").split(" ").length == 8)
+      val nd = r.getAs[Long]("n_docs")
+      assert(nd >= 3L)
+      assert(r.getAs[Long]("n_occurrences") >= nd)
+    }
+    val spreads = rows.map(r =>
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences")))
+    assert(spreads.zip(spreads.tail).forall { case ((d1, o1), (d2, o2)) =>
+      d1 > d2 || (d1 == d2 && o1 >= o2)
+    })
+  }
+
   test("dd11: canonical is the min doc of its fingerprint group") {
     val rows = Dedup.normalizedDedup(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
