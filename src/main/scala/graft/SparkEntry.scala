@@ -195,6 +195,8 @@ object SparkEntry {
     "w13_cohort"        -> ((s, d) => Analytics.cohortRetention(s, d)),
     "dd12_lsh_audit"    -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "dd13_boilerplate"  -> ((s, d) => Dedup.boilerplateSpans(s, d)),
+    "a26_linear_fit"    -> ((s, d) => Analytics.linearFit(s, d)),
+    "sim8_ann_recall"   -> ((s, d) => Similarity.annRecallAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1696,5 +1698,34 @@ object SparkEntry {
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
         |ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
         |LIMIT 25""".stripMargin,
+    // sim8_ann_recall: LSH/IVF candidate generation is not
+    // SQL-expressible in DuckDB — rows-only; Pack6Spec pins invariants.
+    "a26_linear_fit" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM t)
+        |SELECT l_returnflag, n,
+        |  round(num / dxx, 6) AS slope_cents,
+        |  round((syd - num / dxx * sxd) / CAST(n AS DOUBLE), 6)
+        |    AS intercept_cents,
+        |  round((num / sqrt(dxx * dyy)) * (num / sqrt(dxx * dyy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -520,6 +520,42 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // --- A26: per-group OLS fit (price vs quantity) — regression as a
+  // single aggregation over exact power sums, the only shape that
+  // scales: n, Σx, Σy, Σxx, Σxy, Σyy as decimal(38,0) sums of integer
+  // per-row terms (y in cents), then slope/intercept/r² as double
+  // expressions over the exact sums. Every double op (cast, product,
+  // divide, sqrt) is IEEE-correctly-rounded → bit-identical across
+  // engines; no second pass, no driver math. ---
+  def linearFit(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = Benchmark2.priceCents(col("l_extendedprice"))
+    val dec = "decimal(38,0)"
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+        sum((x * x).cast(dec)).as("sxx"), sum((x * y).cast(dec)).as("sxy"),
+        sum((y * y).cast(dec)).as("syy"))
+      // covariance/variance numerators; r² via (num/sqrt(d1*d2))² with
+      // an explicit square (x*x), NOT pow() — libm pow isn't correctly
+      // rounded and would reintroduce cross-engine ULP drift
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("dxx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("dyy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .withColumn("r", col("num") / sqrt(col("dxx") * col("dyy")))
+      .select(col("l_returnflag"), col("n"),
+        round(col("num") / col("dxx"), 6).as("slope_cents"),
+        round((dbl(col("sy")) - col("num") / col("dxx") * dbl(col("sx")))
+          / dbl(col("n")), 6).as("intercept_cents"),
+        round(col("r") * col("r"), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   // --- W13: cohort retention matrix — users grouped by first-active
   // week, activity counted per week offset since the cohort started:
   // the standard "does week-3 retention hold across cohorts" table.

@@ -225,26 +225,80 @@ object Similarity {
   // own bucket; exact cosine re-rank inside the bucket. Approximate
   // (bucket boundaries lose some true neighbors) — driver checks rows
   // only; the spec cross-checks recall against SIM1. ---
+  // MULTI-TABLE LSH (the standard hyperplane-LSH design, same math as
+  // MinHash banding): L independent tables of p planes each. A single
+  // p=8 table measured 0.00 recall@3 on this corpus (sim8_ann_recall)
+  // — near-orthogonal 64-dim data rarely agrees on 8 sign bits — while
+  // L tables only need ONE table to collide: P[hit] = 1-(1-s^p)^L.
+  // The trade is an L× larger index (one (table,bucket) row per table
+  // per vector), the classic LSH space-for-recall exchange; candidate
+  // verification stays bounded by per-bucket occupancy.
   def lshAnn(s: SparkSession, d: String,
              numQueryVecs: Int = 5, k: Int = 3,
-             numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = Vectors.randomPlanes(numPlanes, dim)
-    val bucketed = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
+             numTables: Int = 8, planesPerTable: Int = 4,
+             dim: Int = 64): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      t -> Vectors.randomPlanes(planesPerTable, dim, 42L + t))
+    val tb = tables.map { case (t, planes) =>
+      struct(lit(t).as("tbl"),
         Vectors.lshBucket(col("embedding"), planes).as("bucket"))
+    }
+    val bucketed = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), explode(array(tb: _*)).as("e"))
+      .select(col("vec_id"), col("embedding"),
+        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
     val queries = bucketed.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
+        col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
     bucketed.join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      // a pair can collide in several tables — dedup BEFORE scoring so
+      // the cosine runs once per candidate
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
+      .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
         round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "cos_sim", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  // --- SIM8: ANN recall audit — brute-force top-k truth for the probe
+  // queries vs what the LSH-bucket and IVF-probe indexes return: the
+  // recall@k gate a pipeline runs on a sample before trusting an
+  // approximate index at corpus scale (the vector twin of the DD12
+  // dedup audit). Truth is one broadcast crossJoin over the PROBE SET
+  // only (queries × corpus, never corpus²), checkpointed because it
+  // feeds both method branches. ---
+  def annRecallAudit(s: SparkSession, d: String,
+                     numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val truth = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vecCosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+    recallOf("ivf", ivfAnn(s, d, numQueryVecs, k))
+      .unionByName(recallOf("lsh", lshAnn(s, d, numQueryVecs, k)))
+      .orderBy("method")
   }
 
   // --- SIM7: vector preprocessing audit — L2 norm, max-|x|, and the

@@ -124,6 +124,50 @@ class Pack6Spec extends SparkTestBase {
     })
   }
 
+  test("a26: power-sum fit matches Spark's built-in regr_slope/regr_intercept") {
+    // no assumption about the synthetic data's correlation (it has
+    // essentially none) — the invariant is agreement with the built-in
+    // incremental-covariance implementation
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("regr_slope(round(l_extendedprice * 100), l_quantity)").as("es"),
+        expr("regr_intercept(round(l_extendedprice * 100), l_quantity)").as("ei"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("es"), r.getAs[Double]("ei"))).toMap
+    val rows = Analytics.linearFit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (es, ei) = expected(r.getAs[String]("l_returnflag"))
+      assert(math.abs(r.getAs[Double]("slope_cents") - es)
+        <= 1e-3 * math.max(1.0, math.abs(es)))
+      assert(math.abs(r.getAs[Double]("intercept_cents") - ei)
+        <= 1e-3 * math.max(1.0, math.abs(ei)))
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("sim8: audit counts consistent; probed IVF finds some true neighbors") {
+    val rows = Similarity.annRecallAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq == Seq("ivf", "lsh"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_truth") == 15L) // 5 queries x k=3
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    // the IVF index probes the 2 nearest of 16 cells — it must do
+    // better than finding nothing on a 64-dim corpus of this size
+    val ivf = rows.find(_.getAs[String]("method") == "ivf").get
+    assert(ivf.getAs[Long]("n_hits") > 0L)
+    // multi-table LSH (8 tables x 4 planes) must find true neighbors
+    // too — the single-table design this replaced measured 0 hits
+    val lsh = rows.find(_.getAs[String]("method") == "lsh").get
+    assert(lsh.getAs[Long]("n_hits") > 0L)
+  }
+
   test("dd11: canonical is the min doc of its fingerprint group") {
     val rows = Dedup.normalizedDedup(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
