@@ -197,6 +197,9 @@ object SparkEntry {
     "dd13_boilerplate"  -> ((s, d) => Dedup.boilerplateSpans(s, d)),
     "a26_linear_fit"    -> ((s, d) => Analytics.linearFit(s, d)),
     "sim8_ann_recall"   -> ((s, d) => Similarity.annRecallAudit(s, d)),
+    "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
+    "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
+    "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1727,5 +1730,55 @@ object SparkEntry {
         |    AS intercept_cents,
         |  round((num / sqrt(dxx * dyy)) * (num / sqrt(dxx * dyy)), 6) AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "st7_scd_build" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts, event_type, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR event_type <> prev_type)
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id),
+        |           '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+        |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       IS NULL AS INTEGER) AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+    "a27_contingency" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+        |    CAST(count(*) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+        |rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_tot
+        |       FROM c GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(observed) AS BIGINT) AS col_tot
+        |       FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, observed,
+        |  round(CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |        / CAST(n AS DOUBLE), 4) AS expected,
+        |  round((CAST(observed AS DOUBLE)
+        |         - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |        * (CAST(observed AS DOUBLE)
+        |           - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |             / CAST(n AS DOUBLE))
+        |        / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+        |           / CAST(n AS DOUBLE)), 6) AS chi2_cell
+        |FROM c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+        |ORDER BY event_type, dow""".stripMargin,
+    "dp10_shuffle" ->
+      """SELECT doc_id,
+        |  md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents
+        |QUALIFY pos <= 100
+        |ORDER BY pos""".stripMargin,
   )
 }

@@ -556,6 +556,34 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // --- A27: contingency table (event_type × weekday) with expected
+  // counts and per-cell χ² contributions — the independence check
+  // behind "is traffic shape stable across the week". Everything
+  // downstream of the one count agg is per-cell arithmetic over exact
+  // integers (row/col totals via tiny self-aggregations, broadcast
+  // back), so no cross-cell double summation exists to diverge between
+  // engines; the global χ² is the (deterministic) sum of the emitted
+  // column, left to the consumer. weekday = isodow-1 (0=Monday), the
+  // one day-numbering both engines agree on. ---
+  def contingency(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("observed")).as("row_tot"))
+    val colTot = cells.groupBy("dow").agg(sum(col("observed")).as("col_tot"))
+    val n = cells.agg(sum(col("observed")).as("n"))
+    val expected = col("row_tot").cast("double") * col("col_tot").cast("double") /
+      col("n").cast("double")
+    val dev = col("observed").cast("double") - expected
+    cells.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("dow"), col("observed"),
+        round(expected, 4).as("expected"),
+        round(dev * dev / expected, 6).as("chi2_cell"))
+      .orderBy("event_type", "dow")
+  }
+
   // --- W13: cohort retention matrix — users grouped by first-active
   // week, activity counted per week offset since the cohort started:
   // the standard "does week-3 retention hold across cohorts" table.

@@ -325,6 +325,26 @@ object DataPrep {
       .orderBy("o_orderkey")
   }
 
+  // --- DP10: deterministic corpus shuffle — a reproducible global
+  // permutation for training-data ordering, keyed on md5 of a seeded
+  // doc key (md5, not xxhash64: the oracle must order identically, and
+  // md5 is the hash both engines spell the same). The row_number is a
+  // single global sort — at 100 TB you keep just the shuffle_key sort
+  // (range-partitioned, no global window) and let position be implicit
+  // in the output file order; the explicit pos column here is what
+  // makes the op oracle-checkable. ---
+  def deterministicShuffle(s: SparkSession, d: String,
+                           seed: String = "seed42", topK: Int = 100): DataFrame = {
+    val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("shuffle_key"), col("doc_id"))))
+      .filter(col("pos") <= topK)
+      .select(col("doc_id"), col("shuffle_key"), col("pos").cast("long").as("pos"))
+      .orderBy("pos")
+  }
+
   // --- DP9: per-source quality quota — keep the top-N longest docs
   // per source, the curation step that caps any one crawl source's
   // share of the training mix. One shuffle keyed on source; the

@@ -76,6 +76,30 @@ object Windows {
       .orderBy(col("sales").desc, col("o_orderpriority"))
   }
 
+  // --- W14 / ST7: SCD-2 temporal table build — collapse a change
+  // stream into validity intervals [valid_from, valid_to) per user,
+  // the slowly-changing-dimension pattern every warehouse needs: lag
+  // to detect state changes, lead over the change rows to close each
+  // interval, sentinel 9999-12-31 + is_current flag on the open one.
+  // Both windows share the user_id partitioning (one shuffle); the
+  // change filter shrinks the second window's input to state flips
+  // only. ---
+  def scdBuild(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = graft.Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("next_ts").isNull.cast("int").as("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
   def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

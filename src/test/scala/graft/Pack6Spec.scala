@@ -168,6 +168,49 @@ class Pack6Spec extends SparkTestBase {
     assert(lsh.getAs[Long]("n_hits") > 0L)
   }
 
+  test("st7: per-user intervals tile the timeline; exactly one open interval") {
+    val rows = Windows.scdBuild(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[String]("valid_from"))
+      sorted.foreach { r =>
+        assert(r.getAs[String]("valid_from") < r.getAs[String]("valid_to"))
+      }
+      // consecutive intervals chain: each closes where the next opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") == b.getAs[String]("valid_from"))
+          // a change row means the state actually changed
+          assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"))
+        case _ => ()
+      }
+      assert(g.count(_.getAs[Int]("is_current") == 1) == 1)
+      assert(sorted.last.getAs[String]("valid_to") == "9999-12-31 00:00:00")
+    }
+  }
+
+  test("a27: cell counts sum to the table; expected positive; chi2 finite") {
+    val rows = Analytics.contingency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("observed")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Double]("expected") > 0.0)
+      assert(r.getAs[Double]("chi2_cell") >= 0.0)
+    }
+  }
+
+  test("dp10: positions dense from 1, rows ordered by shuffle key") {
+    val rows = DataPrep.deterministicShuffle(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("pos")).toSeq == (1L to rows.length).toSeq)
+    val keys = rows.map(_.getAs[String]("shuffle_key")).toSeq
+    assert(keys == keys.sorted)
+    // reproducible run to run
+    assert(DataPrep.deterministicShuffle(spark, sf).collect().toSeq == rows.toSeq)
+  }
+
   test("dd11: canonical is the min doc of its fingerprint group") {
     val rows = Dedup.normalizedDedup(spark, sf).collect()
     assert(rows.length == Tables.documents(spark, sf).count())
