@@ -566,9 +566,13 @@ object Analytics {
   // column, left to the consumer. weekday = isodow-1 (0=Monday), the
   // one day-numbering both engines agree on. ---
   def contingency(s: SparkSession, d: String): DataFrame = {
+    // the cell table feeds four branches (row totals, col totals,
+    // grand total, final join) — checkpoint it so the events scan +
+    // count agg run once, not four times
     val cells = Tables.events(s, d)
       .groupBy(col("event_type"), weekday(col("ts")).as("dow"))
       .agg(count(lit(1)).as("observed"))
+      .localCheckpoint()
     val rowTot = cells.groupBy("event_type").agg(sum(col("observed")).as("row_tot"))
     val colTot = cells.groupBy("dow").agg(sum(col("observed")).as("col_tot"))
     val n = cells.agg(sum(col("observed")).as("n"))

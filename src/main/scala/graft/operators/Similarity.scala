@@ -220,11 +220,10 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  // --- SIM3: LSH-bucketed ANN — the scale path. 8 deterministic
-  // hyperplanes -> 256 buckets; each query's candidates are only its
-  // own bucket; exact cosine re-rank inside the bucket. Approximate
-  // (bucket boundaries lose some true neighbors) — driver checks rows
-  // only; the spec cross-checks recall against SIM1. ---
+  // --- SIM3: LSH-bucketed ANN — the scale path. Candidates come from
+  // hyperplane-sign bucket collisions, exact cosine re-ranks them;
+  // approximate by construction (driver checks rows only; the sim8
+  // audit measures recall).
   // MULTI-TABLE LSH (the standard hyperplane-LSH design, same math as
   // MinHash banding): L independent tables of p planes each. A single
   // p=8 table measured 0.00 recall@3 on this corpus (sim8_ann_recall)

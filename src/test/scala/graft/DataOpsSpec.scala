@@ -43,15 +43,17 @@ class DataOpsSpec extends SparkTestBase {
       assert(sims == sims.sorted.reverse)
     }
     // every returned neighbor shares the query's bucket in >= 1 of the
-    // L hash tables (multi-table LSH: any single collision qualifies)
-    val perTable = (0 until 8).map { t =>
-      val planes = graft.functions.Vectors.randomPlanes(4, 64, 42L + t)
-      Tables.embeddings(spark, sf)
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          graft.functions.Vectors.lshBucket(
-            org.apache.spark.sql.functions.col("embedding"), planes).as("bucket"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // L hash tables (multi-table LSH: any single collision qualifies);
+    // all 8 bucket columns computed in ONE pass over the embeddings
+    import org.apache.spark.sql.functions.col
+    val bucketCols = (0 until 8).map { t =>
+      graft.functions.Vectors.lshBucket(col("embedding"),
+        graft.functions.Vectors.randomPlanes(4, 64, 42L + t)).as(s"b$t")
     }
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id") +: bucketCols: _*).collect()
+    val perTable = (0 until 8).map(t =>
+      rows.map(r => r.getLong(0) -> r.getLong(1 + t)).toMap)
     a.foreach { r =>
       assert(perTable.exists(m => m(r.getLong(0)) == m(r.getLong(1))),
         s"neighbor ${r.getLong(1)} shares no table bucket with query ${r.getLong(0)}")

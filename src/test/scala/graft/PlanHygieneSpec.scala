@@ -1,17 +1,22 @@
 package graft
 
 /** Global plan hygiene over the ENTIRE query surface: every registered
-  * query is planned (not executed) and its physical plan checked for
-  * the operators that do not survive contact with real data volumes.
+  * query is built and its final physical plan checked for the
+  * operators that do not survive contact with real data volumes.
   *
   * - `CartesianProduct` (the non-broadcast full cross) is banned
   *   outright: at 100 TB any accidental cartesian is a job that never
   *   finishes. Intentional tiny crosses (j8's region×nation grid,
   *   1-row aggregate attachment) plan as BroadcastNestedLoopJoin,
   *   which is fine precisely because one side is broadcast-small.
-  * - Every query must also plan successfully — a resolution error
-  *   anywhere in the 150+ query surface fails here even before the
-  *   oracle gate runs it.
+  * - Every query must also analyze/plan successfully — a resolution
+  *   error anywhere in the surface fails here before the oracle gate.
+  *
+  * Known limits: queries that localCheckpoint intermediates (the
+  * iterative/audit ops) execute those stages during build, and the
+  * checkpointed subtree surfaces as an ExistingRDD scan — operators
+  * UPSTREAM of a checkpoint are invisible to this check (their own
+  * specs audit those pipelines: Pack5/Pack6/DataOpsSpec).
   */
 class PlanHygieneSpec extends SparkTestBase {
 
