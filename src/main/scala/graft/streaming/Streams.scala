@@ -165,6 +165,59 @@ object Streams {
     s.read.parquet(currentSnapshotDir(tableDir).getOrElse(
       sys.error(s"no published snapshot under $tableDir")))
 
+  case class ScdState(currentType: String, sinceMs: Long)
+  case class ScdInterval(user_id: Long, event_type: String,
+                         valid_from: java.sql.Timestamp,
+                         valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD-2 (the incremental twin of operators.Windows
+    * .scdBuild): per-user state change detection over an event stream.
+    * Emits an interval row the moment a user's event_type CHANGES —
+    * the closed interval [since, change_ts) for the previous state;
+    * the open current interval lives only in the group state, so
+    * append mode stays monotone (a row, once emitted, never revises).
+    *
+    * Ordering contract: rows are sorted by event time within each
+    * micro-batch; across batches the state's `sinceMs` only moves
+    * forward, so an event older than the current state start (late
+    * beyond the batch boundary) is dropped rather than splicing
+    * history — the same drop-don't-revise stance as the watermarked
+    * aggregations above. Bounded state: one (type, since) pair per
+    * user.
+    */
+  def scdStream(events: DataFrame,
+                watermark: String = "1 hour"): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ScdState, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[ScdState]) =>
+          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[ScdInterval]
+          sorted.foreach { case (_, t, typ) =>
+            cur match {
+              case None =>
+                cur = Some(ScdState(typ, t.getTime))
+              case Some(st) if t.getTime < st.sinceMs =>
+                () // late beyond the state frontier: drop, don't revise
+              case Some(st) if st.currentType != typ =>
+                out += ScdInterval(user, st.currentType,
+                  new java.sql.Timestamp(st.sinceMs), t)
+                cur = Some(ScdState(typ, t.getTime))
+              case _ => () // same state continues
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ---- Stateful liveness: GreilFS heartbeat/failure detection (G8,
   // Server/managers.py:44-62 — node marked Dead past a timeout) as
   // flatMapGroupsWithState with event-time timeout. ----

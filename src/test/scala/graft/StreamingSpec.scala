@@ -214,4 +214,35 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming SCD emits closed intervals matching the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.scdStream(mem.toDF())
+      .writeStream.format("memory").queryName("scd").outputMode("append").start()
+    try {
+      // user 7: click -> click (no change) -> view -> click, fed across
+      // two batches; user 8: single state, never closes
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", user = 7, typ = "click"),
+        ev(2, "2024-01-01 10:05:00", user = 7, typ = "click"),
+        ev(10, "2024-01-01 10:00:00", user = 8, typ = "view"))
+      q.processAllAvailable()
+      mem.addData(
+        ev(3, "2024-01-01 10:30:00", user = 7, typ = "view"),
+        ev(4, "2024-01-01 11:00:00", user = 7, typ = "click"))
+      q.processAllAvailable()
+      val out = spark.table("scd").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2).toString, r.getTimestamp(3).toString))
+        .sortBy(r => (r._1, r._3))
+      assert(out.toSeq == Seq(
+        (7L, "click", "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0"),
+        (7L, "view", "2024-01-01 10:30:00.0", "2024-01-01 11:00:00.0")),
+        s"closed intervals mismatch: ${out.toSeq}")
+      // the open intervals (user 7 click@11:00, user 8 view@10:00) are
+      // state-only — exactly what batch scdBuild marks is_current=1
+    } finally q.stop()
+  }
 }
