@@ -106,4 +106,42 @@ class PropertySpec extends SparkTestBase {
       }
     }, cases = 6)
   }
+
+  test("histogram: for any width, buckets partition all orders and bound min/max") {
+    val total = Tables.orders(spark, sf).count()
+    val gen = Gen.oneOf(1000.0, 12345.0, 25000.0, 60000.0, 250000.0)
+    check(Prop.forAll(gen) { width =>
+      val rows = Analytics.totalpriceHistogram(spark, sf, width).collect()
+      rows.map(_.getAs[Long]("n")).sum == total &&
+        rows.forall { r =>
+          val b = r.getAs[Int]("bucket")
+          r.getAs[Double]("min_price") >= b * width &&
+            r.getAs[Double]("max_price") < (b + 1) * width
+        }
+    }, cases = 5)
+  }
+
+  test("source quota: for any quota, per-source counts are min(quota, source size)") {
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val gen = Gen.choose(1, 40)
+    check(Prop.forAll(gen) { q =>
+      val perSource = DataPrep.sourceQuota(spark, sf, q).collect()
+        .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+      sizes.forall { case (src, n) =>
+        perSource.getOrElse(src, 0L) == math.min(q.toLong, n)
+      }
+    }, cases = 6)
+  }
+
+  test("deterministic shuffle: any prefix size yields a dense prefix of one fixed permutation") {
+    val full = DataPrep.deterministicShuffle(spark, sf, topK = Int.MaxValue)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val gen = Gen.choose(1, full.length)
+    check(Prop.forAll(gen) { k =>
+      val page = DataPrep.deterministicShuffle(spark, sf, topK = k)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      page == full.take(k)
+    }, cases = 6)
+  }
 }
