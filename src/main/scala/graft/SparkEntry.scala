@@ -200,6 +200,7 @@ object SparkEntry {
     "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
+    "f_cast_suite"      -> ((s, d) => FunctionSuites.castSuite(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1780,5 +1781,17 @@ object SparkEntry {
         |FROM documents
         |QUALIFY pos <= 100
         |ORDER BY pos""".stripMargin,
+    // f_cast_suite oracle bridges the one documented divergence: Spark
+    // CAST truncates double->int while DuckDB rounds -> trunc() in the
+    // oracle; try_cast/TRY_CAST agree (NULL on malformed).
+    "f_cast_suite" ->
+      """SELECT p_partkey,
+        |  CAST(trunc(p_retailprice) AS INTEGER) AS price_trunc,
+        |  CAST(trunc(-p_retailprice) AS INTEGER) AS neg_trunc,
+        |  TRY_CAST(regexp_extract(p_name, '[0-9]+') AS INTEGER) AS name_num,
+        |  TRY_CAST('' || CAST(p_size AS VARCHAR) AS INTEGER) AS roundtrip_int,
+        |  CAST(p_size > 25 AS INTEGER) AS big_flag,
+        |  CAST(CAST(p_size AS DOUBLE) AS VARCHAR) AS size_str
+        |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -446,8 +446,9 @@ object Analytics {
   // revenue — sampling-weight statistics for mixture tuning. All three
   // power sums are exact integers (cents × integer quantity), summed
   // as decimal(38,0): the per-row swx2 term is ~2.5e10, so a LongType
-  // sum would silently wrap past ~4e8 rows per group (well under the
-  // 100 TB design point; Spark's non-ANSI long sum doesn't error).
+  // sum passes 2^63 around ~4e8 rows per group (well under the 100 TB
+  // design point) — an ANSI-mode error, or a silent wrap with ANSI
+  // off; decimal overflows only past 10^38.
   // Decimal sums match DuckDB's HUGEINT sum exactly, so the final
   // double expressions stay bit-identical; one hash agg, partial+
   // final, nothing driver-side. ---

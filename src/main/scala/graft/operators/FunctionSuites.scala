@@ -120,6 +120,29 @@ object FunctionSuites {
         bitwise_not(col("o_orderkey")).as("flipped"))
       .orderBy("o_orderkey")
 
+  // --- F-CAST: cast-semantics family — the conversions every ingest
+  // layer leans on, pinned where engine rules DIVERGE and must be
+  // bridged explicitly in the oracle:
+  //   * Spark (4.x, ANSI default) CAST(double AS INT) truncates toward
+  //     zero; DuckDB's rounds — the oracle spells CAST(trunc(x) AS INT).
+  //   * Malformed string→int ERRORS in both engines' plain CAST;
+  //     try_cast (Spark) ≡ TRY_CAST (DuckDB) → NULL. The tolerant form
+  //     is the one an ingest pipeline actually ships.
+  // Valid numeric strings, bool→int, double→string agree plainly. ---
+  def castSuite(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("int").as("price_trunc"),
+        (-col("p_retailprice")).cast("int").as("neg_trunc"),
+        expr("try_cast(regexp_extract(p_name, '[0-9]+', 0) AS INT)")
+          .as("name_num"),
+        concat(lit(""), col("p_size").cast("string")).cast("int")
+          .as("roundtrip_int"),
+        (col("p_size") > 25).cast("int").as("big_flag"),
+        col("p_size").cast("double").cast("string").as("size_str"))
+      .orderBy("p_partkey")
+
   // --- F-REGEX: regular-expression family over document text —
   // extract / count / test / replace, the primitives every corpus
   // filter chain leans on. All four are codegen'd built-ins running
