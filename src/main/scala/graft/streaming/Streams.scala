@@ -165,7 +165,7 @@ object Streams {
     s.read.parquet(currentSnapshotDir(tableDir).getOrElse(
       sys.error(s"no published snapshot under $tableDir")))
 
-  case class ScdState(currentType: String, sinceMs: Long)
+  case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long)
   case class ScdInterval(user_id: Long, event_type: String,
                          valid_from: java.sql.Timestamp,
                          valid_to: java.sql.Timestamp)
@@ -177,40 +177,43 @@ object Streams {
     * the open current interval lives only in the group state, so
     * append mode stays monotone (a row, once emitted, never revises).
     *
-    * Ordering contract: rows are sorted by event time within each
-    * micro-batch; across batches the state's `sinceMs` only moves
-    * forward, so an event older than the current state start (late
-    * beyond the batch boundary) is dropped rather than splicing
-    * history — the same drop-don't-revise stance as the watermarked
-    * aggregations above. Bounded state: one (type, since) pair per
-    * user.
+    * Ordering contract: rows sort on (event time, event_id) within
+    * each micro-batch — the batch twin's exact tie-break. Across
+    * batches the state tracks the PROCESSED FRONTIER (`maxSeenMs`, the
+    * max event time seen), not just the last change: any event behind
+    * the frontier is dropped, because events after it were already
+    * folded into state and emitting around them would splice history —
+    * the same drop-don't-revise stance as the watermarked aggregations
+    * above. Bounded state: one (type, since, frontier) triple per user.
     */
   def scdStream(events: DataFrame,
                 watermark: String = "1 hour"): Dataset[ScdInterval] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .as[(Long, java.sql.Timestamp, String)]
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[ScdState, ScdInterval](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String, Long)],
          state: GroupState[ScdState]) =>
-          val sorted = rows.toSeq.sortBy(_._2.getTime)
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._4))
           var cur = state.getOption
           val out = Seq.newBuilder[ScdInterval]
-          sorted.foreach { case (_, t, typ) =>
+          sorted.foreach { case (_, t, typ, _) =>
             cur match {
               case None =>
-                cur = Some(ScdState(typ, t.getTime))
-              case Some(st) if t.getTime < st.sinceMs =>
-                () // late beyond the state frontier: drop, don't revise
+                cur = Some(ScdState(typ, t.getTime, t.getTime))
+              case Some(st) if t.getTime < st.maxSeenMs =>
+                () // behind the processed frontier: drop, don't splice
               case Some(st) if st.currentType != typ =>
                 out += ScdInterval(user, st.currentType,
                   new java.sql.Timestamp(st.sinceMs), t)
-                cur = Some(ScdState(typ, t.getTime))
-              case _ => () // same state continues
+                cur = Some(ScdState(typ, t.getTime, t.getTime))
+              case Some(st) =>
+                cur = Some(st.copy(
+                  maxSeenMs = math.max(st.maxSeenMs, t.getTime)))
             }
           }
           cur.foreach(state.update)

@@ -233,6 +233,10 @@ class StreamingSpec extends SparkTestBase {
         ev(3, "2024-01-01 10:30:00", user = 7, typ = "view"),
         ev(4, "2024-01-01 11:00:00", user = 7, typ = "click"))
       q.processAllAvailable()
+      // behind user 7's processed frontier (11:00): must be dropped, not
+      // spliced into already-emitted history
+      mem.addData(ev(5, "2024-01-01 10:45:00", user = 7, typ = "purchase"))
+      q.processAllAvailable()
       val out = spark.table("scd").collect()
         .map(r => (r.getLong(0), r.getString(1),
           r.getTimestamp(2).toString, r.getTimestamp(3).toString))
