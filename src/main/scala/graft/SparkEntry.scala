@@ -347,7 +347,13 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
-    // a8_approx_distinct: HLL sketch — intentionally no oracle (rows-only).
+    // a8: the HLL estimates themselves aren't cross-engine; the audit
+    // emits exact cardinalities + in-bounds bits, which are.
+    "a8_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -409,7 +415,15 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // a12_approx_pct: sketch-based — rows-only by design.
+    // a12: sketch audit — exact quantiles hash-match quantile_cont;
+    // the *_ok bits assert the sketch's rank-error bound held.
+    "a12_approx_pct" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a13_grouping_sets" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, o_orderpriority,
         |  CASE WHEN CAST(year(o_orderdate) AS INTEGER) IS NULL
@@ -1054,8 +1068,17 @@ object SparkEntry {
         |  AND q.quality >= 0.55
         |  AND d.doc_id NOT IN (SELECT doc_b FROM drops)
         |ORDER BY d.doc_id""".stripMargin,
-    // cms1_heavy_hitters: sketch estimates — rows-only (spec asserts the
-    // no-underestimate bound against exact counts).
+    // cms1: sketch audit — exact per-key counts hash-match; est_ok
+    // asserts exact <= estimate <= exact + eps*N (the CMS guarantee).
+    "cms1_heavy_hitters" ->
+      """WITH keys AS (SELECT unnest(generate_series(1, 20)) AS l_suppkey),
+        |cnt AS (SELECT l_suppkey, count(*) AS c FROM lineitem
+        |        WHERE l_suppkey BETWEEN 1 AND 20 GROUP BY 1)
+        |SELECT k.l_suppkey,
+        |  CAST(coalesce(cnt.c, 0) AS BIGINT) AS exact_count,
+        |  TRUE AS est_ok
+        |FROM keys k LEFT JOIN cnt USING (l_suppkey)
+        |ORDER BY l_suppkey""".stripMargin,
     "bf1_bloom_semi" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE EXISTS (SELECT 1 FROM customer c
@@ -1066,7 +1089,19 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm2_media_features: stubbed decoder output — rows-only by design.
+    // mm2: the decode is a stub, but a REPRODUCIBLE one — fingerprint
+    // is the top 60 bits of md5(payload), so the whole mapPartitions
+    // plumbing hash-checks against DuckDB recomputing the same fake.
+    "mm2_media_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, n_bytes,
+        |  CAST(fingerprint % 1920 + 1 AS INTEGER) AS width,
+        |  CAST(fingerprint % 1080 + 1 AS INTEGER) AS height,
+        |  fingerprint
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm3_frame_sample" ->
       """SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,
         |  CAST(frame_start AS INTEGER) AS frame_start,
@@ -1748,7 +1783,7 @@ object SparkEntry {
         |  CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |       IS NULL AS INTEGER) AS is_current
         |FROM changes
-        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |ORDER BY user_id, valid_from, event_type, valid_to""".stripMargin,
     "a27_contingency" ->
       """WITH c AS (
         |  SELECT event_type, CAST(isodow(ts) - 1 AS INTEGER) AS dow,

@@ -82,16 +82,31 @@ object Analytics {
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))
 
-  /** HLL++ approximate distinct — the 100 TB path where exact
-    * countDistinct's shuffle would dominate. Driver checks rows only.
+  /** HLL++ approximate-distinct AUDIT — the 100 TB path where exact
+    * countDistinct's shuffle would dominate, gated the way a pipeline
+    * gates any sketch: estimate vs exact on one audit pass, emitting
+    * the exact cardinalities plus `*_ok` = |approx − exact| ≤ 3·rsd
+    * (the HLL++ error bound with a 50% margin; realized error on this
+    * data is ≈1·rsd). The booleans carry the sketch's contribution
+    * into the DuckDB hash check — an estimate drifting out of bounds
+    * flips a bit the oracle sees.
     * rsd 0.02, not tighter: sketch size grows ~1/rsd² (0.01 cost 4×
     * the registers per partial for one extra bit of accuracy — wrong
     * trade for an op whose whole point is the fixed small sketch).
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    val bound = 3 * 0.02
     Tables.lineitem(s, d)
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+      .select(col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts"))
+          <= col("exact_parts") * bound).as("parts_ok"),
+        (abs(col("ao") - col("exact_orders"))
+          <= col("exact_orders") * bound).as("orders_ok"))
+  }
 
   // --- Percentiles: exact (interpolated, oracle-matched) per group;
   // the approx_percentile partner below is the 100 TB path (fixed-size
@@ -211,17 +226,29 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // t-digest-style sketch AUDIT: approx_percentile(accuracy 10000 →
+  // rank error ≤ 1e-4) checked against the exact interpolated
+  // percentiles at rank ±0.001 (10× the bound — the sketch returns a
+  // real data element, so its VALUE must sit between the exact
+  // quantiles at the widened rank band). Output = the exact quantiles
+  // (hash-matched by DuckDB quantile_cont) + the three bound bits, so
+  // the sketch's behavior is inside the oracle check.
   def approxPercentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-        .as("ps"))
-      // Scalar columns, not array<double>: the driver's rows-only check
-      // still sorts the frame, and array cells break that sort.
+        .as("ps"),
+        expr("percentile(l_extendedprice, array(0.499, 0.5, 0.501, " +
+          "0.899, 0.9, 0.901, 0.989, 0.99, 0.991))").as("ex"))
+      // Scalar columns, not array<double>: the driver's compare sorts
+      // the frame, and array cells break that sort.
       .select(col("l_returnflag"),
-        round(col("ps")(0), 4).as("p50"),
-        round(col("ps")(1), 4).as("p90"),
-        round(col("ps")(2), 4).as("p99"))
+        round(col("ex")(1), 4).as("p50"),
+        round(col("ex")(4), 4).as("p90"),
+        round(col("ex")(7), 4).as("p99"),
+        col("ps")(0).between(col("ex")(0), col("ex")(2)).as("p50_ok"),
+        col("ps")(1).between(col("ex")(3), col("ex")(5)).as("p90_ok"),
+        col("ps")(2).between(col("ex")(6), col("ex")(8)).as("p99_ok"))
       .orderBy("l_returnflag")
 
   // --- A13: explicit GROUPING SETS ((y), (priority), ()) with

@@ -328,20 +328,36 @@ object DataPrep {
   // --- DP10: deterministic corpus shuffle — a reproducible global
   // permutation for training-data ordering, keyed on md5 of a seeded
   // doc key (md5, not xxhash64: the oracle must order identically, and
-  // md5 is the hash both engines spell the same). The row_number is a
-  // single global sort — at 100 TB you keep just the shuffle_key sort
-  // (range-partitioned, no global window) and let position be implicit
-  // in the output file order; the explicit pos column here is what
-  // makes the op oracle-checkable. ---
+  // md5 is the hash both engines spell the same). Global positions use
+  // the W9 two-pass pattern — range-partition on the shuffle key, rank
+  // within each partition, lift with a #partitions-row broadcast
+  // offset table — so no unpartitioned window ever sees the corpus.
+  // The offset table also PRUNES: partitions whose starting offset is
+  // already past topK can contain no kept row (pos = local_rn + offset
+  // > topK), so they drop out of the join entirely. ---
   def deterministicShuffle(s: SparkSession, d: String,
                            seed: String = "seed42", topK: Int = 100): DataFrame = {
     val key = md5(concat(lit(s"$seed:"), col("doc_id").cast("string")).cast("binary"))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), key.as("shuffle_key"))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("shuffle_key"), col("doc_id"))))
+      .repartitionByRange(col("shuffle_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      // pid is only stable within one materialization (see W9 below).
+      .localCheckpoint()
+    val inPart = base.withColumn("local_rn",
+      row_number().over(
+        Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")).cast("long"))
+    val offsets = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("offset") < topK)
+      .select("pid", "offset")
+    inPart.join(broadcast(offsets), "pid")
+      .withColumn("pos", col("local_rn") + col("offset"))
       .filter(col("pos") <= topK)
-      .select(col("doc_id"), col("shuffle_key"), col("pos").cast("long").as("pos"))
+      .select(col("doc_id"), col("shuffle_key"), col("pos"))
       .orderBy("pos")
   }
 

@@ -40,19 +40,26 @@ object Multimodal {
   /** STUB decoder: a real implementation would decode image bytes
     * (JPEG/PNG) and emit pixel-derived features; codecs are absent in
     * this container, so features are a deterministic function of the
-    * bytes (length + first-bytes fingerprint standing in for
-    * width/height/content-hash). Partition-parallel, batch-at-a-time:
-    * the iterator shape is exactly what a JNI/native decoder needs.
+    * bytes: length, plus a content fingerprint = the top 60 bits of
+    * md5(payload) (15 hex chars parsed as an integer), with fake
+    * width/height derived from it. md5-based on purpose — any engine
+    * can recompute it, so even the STUBBED pipeline stays
+    * hash-oracle-checkable end to end (the plumbing is what's under
+    * test). Partition-parallel, batch-at-a-time: the iterator shape is
+    * exactly what a JNI/native decoder needs.
     */
   def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
         // ??? real decode goes here; deterministic fake below
         val n = r.payload.length
-        val fp = r.payload.take(8).foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-        MediaFeatures(r.doc_id, n, width = (fp.abs % 1920).toInt + 1,
-          height = (fp.abs % 1080).toInt + 1, fingerprint = fp)
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        val fp = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        MediaFeatures(r.doc_id, n, width = (fp % 1920).toInt + 1,
+          height = (fp % 1080).toInt + 1, fingerprint = fp)
       }
     }
   }

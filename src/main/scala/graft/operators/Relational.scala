@@ -364,9 +364,16 @@ object Relational {
       .filter(col("okey_a") < col("okey_b") &&
         col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
       .select(col("l_partkey"), col("okey_a"), col("okey_b"),
-        (unix_timestamp(least(col("e_a"), col("e_b")))
-          - unix_timestamp(greatest(col("s_a"), col("s_b"))))
-          .as("overlap_secs"))
+        // date arithmetic (days × 86400), NOT unix_timestamp: the
+        // latter converts through spark.sql.session.timeZone, so the
+        // result would silently diverge from the oracle's pure
+        // date_diff under a DST timezone. The NTZ→date cast is
+        // wall-clock-pure, and both interval endpoints are whole-day
+        // aligned (shipdate + whole-day extension), so days×86400 is
+        // exactly the oracle's date_diff('second', ...).
+        (datediff(least(col("e_a"), col("e_b")).cast("date"),
+            greatest(col("s_a"), col("s_b")).cast("date")).cast("long")
+          * lit(86400L)).as("overlap_secs"))
       .orderBy("l_partkey", "okey_a", "okey_b")
   }
 }

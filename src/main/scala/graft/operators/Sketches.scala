@@ -17,21 +17,36 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  // --- CMS1: Count-Min frequency estimates for probe keys. The
+  // --- CMS1: Count-Min frequency AUDIT for probe keys — the gate a
+  // pipeline runs on a key sample before trusting the sketch at corpus
+  // scale (the frequency twin of the dd12/sim8 recall audits). The
   // sketch (eps x delta counters) replaces a full groupBy-count whose
-  // shuffle would carry every distinct key; estimates are upper bounds
-  // (collisions only ADD), asserted against exact counts in the spec.
-  // Deterministic: fixed seed, exact integer counter merges. Driver
-  // does a rows-only check (no DuckDB CMS to compare against). ---
+  // shuffle would carry every distinct key; per probe key the audit
+  // emits the exact count plus `est_ok` = the CMS guarantee holding:
+  // exact <= estimate <= exact + ceil(eps x N) (collisions only ADD —
+  // never underestimates; the upper bound is the published eps bound).
+  // Deterministic: fixed seed, exact integer counter merges. The exact
+  // side touches only the probe keys (one filtered mini-agg), so the
+  // oracle hash-checks the invariant while the sketch stays the
+  // scale-path artifact. ---
   def cmsHeavyHitters(s: SparkSession, d: String,
                       probeKeys: Seq[Long] = (1L to 20L).toSeq,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
     import s.implicits._
-    val cms = Tables.lineitem(s, d)
-      .stat.countMinSketch("l_suppkey", eps, confidence, seed)
-    probeKeys.map(k => (k, cms.estimateCount(k)))
+    val li = Tables.lineitem(s, d)
+    val cms = li.stat.countMinSketch("l_suppkey", eps, confidence, seed)
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val est = probeKeys.map(k => (k, cms.estimateCount(k)))
       .toDF("l_suppkey", "est_count")
+    val exact = li.filter(col("l_suppkey").isin(probeKeys: _*))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("l_suppkey"), "left_outer")
+      .select(col("l_suppkey"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        (col("est_count") >= coalesce(col("exact_count"), lit(0L)) &&
+          col("est_count") <= coalesce(col("exact_count"), lit(0L)) + lit(slack))
+          .as("est_ok"))
       .orderBy("l_suppkey")
   }
 
@@ -42,15 +57,29 @@ object Sketches {
   // fraction that can possibly match. False positives pass the bloom
   // but are removed by the exact semi join that follows, so the result
   // is EXACTLY the plain semi join (oracled as such). ---
+  // Probe stays codegen'd end to end: both the build (bloom_filter_agg)
+  // and the probe (might_contain) are the native Catalyst expressions
+  // Spark's own runtime row-level filtering injects — no ScalaUDF, no
+  // per-row boxing (SketchesSpec pins the UDF-free plan).
   def bloomSemiJoin(s: SparkSession, d: String,
                     segment: String = "BUILDING", fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
     val dim = Tables.customer(s, d).filter(col("c_mktsegment") === segment)
     val n = math.max(dim.count(), 1L) // sketch sizing needs an estimate
-    val bloom = dim.stat.bloomFilter("c_custkey", n, fpp)
-    val bBloom = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bBloom.value.mightContain(k))
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(col("c_custkey")))),
+        Literal(n), Literal(numBits)).toAggregateExpression())
+    val bloomBytes = dim.select(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(
+      new BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        new XxHash64(Seq(Bridge.expression(col("o_custkey"))))))
     Tables.orders(s, d)
-      .filter(mightContain(col("o_custkey"))) // pre-shuffle prune
+      .filter(mightContain) // pre-shuffle prune
       .join(dim.select("c_custkey"),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_orderkey", "o_custkey", "o_totalprice")

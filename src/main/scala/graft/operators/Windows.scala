@@ -97,7 +97,12 @@ object Windows {
         coalesce(date_format(col("next_ts"), "yyyy-MM-dd HH:mm:ss"),
           lit("9999-12-31 00:00:00")).as("valid_to"),
         col("next_ts").isNull.cast("int").as("is_current"))
-      .orderBy("user_id", "valid_from", "event_type")
+      // valid_to completes the sort key: valid_from is truncated to
+      // seconds while events carry microsecond timestamps, so an
+      // A→B→A flip within one second yields two rows agreeing on
+      // (user_id, valid_from, event_type) but not valid_to — without
+      // it Spark and DuckDB may order those rows differently.
+      .orderBy("user_id", "valid_from", "event_type", "valid_to")
   }
 
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---

@@ -165,7 +165,8 @@ object Streams {
     s.read.parquet(currentSnapshotDir(tableDir).getOrElse(
       sys.error(s"no published snapshot under $tableDir")))
 
-  case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long)
+  case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
+                      maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,
                          valid_from: java.sql.Timestamp,
                          valid_to: java.sql.Timestamp)
@@ -179,12 +180,13 @@ object Streams {
     *
     * Ordering contract: rows sort on (event time, event_id) within
     * each micro-batch — the batch twin's exact tie-break. Across
-    * batches the state tracks the PROCESSED FRONTIER (`maxSeenMs`, the
-    * max event time seen), not just the last change: any event behind
-    * the frontier is dropped, because events after it were already
-    * folded into state and emitting around them would splice history —
-    * the same drop-don't-revise stance as the watermarked aggregations
-    * above. Bounded state: one (type, since, frontier) triple per user.
+    * batches the state tracks the PROCESSED FRONTIER — the max
+    * (event time, event_id) PAIR seen, mirroring the in-batch sort
+    * key — not just the last change: any event at or behind the
+    * frontier is dropped, because events after it were already folded
+    * into state and emitting around them would splice history — the
+    * same drop-don't-revise stance as the watermarked aggregations
+    * above. Bounded state: one (type, since, frontier) tuple per user.
     */
   def scdStream(events: DataFrame,
                 watermark: String = "1 hour"): Dataset[ScdInterval] = {
@@ -201,19 +203,27 @@ object Streams {
           val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._4))
           var cur = state.getOption
           val out = Seq.newBuilder[ScdInterval]
-          sorted.foreach { case (_, t, typ, _) =>
+          sorted.foreach { case (_, t, typ, eid) =>
             cur match {
               case None =>
-                cur = Some(ScdState(typ, t.getTime, t.getTime))
-              case Some(st) if t.getTime < st.maxSeenMs =>
-                () // behind the processed frontier: drop, don't splice
+                cur = Some(ScdState(typ, t.getTime, t.getTime, eid))
+              // The frontier is the full in-batch sort key (ts,
+              // event_id), not ts alone: a redelivered event at
+              // exactly the frontier millisecond would otherwise be
+              // re-processed, and if its type differs it would emit a
+              // spurious interval — the cross-batch drop must honor
+              // the same tie-break the in-batch sort does.
+              case Some(st) if t.getTime < st.maxSeenMs ||
+                  (t.getTime == st.maxSeenMs && eid <= st.maxSeenEventId) =>
+                () // at/behind the processed frontier: drop, don't splice
               case Some(st) if st.currentType != typ =>
                 out += ScdInterval(user, st.currentType,
                   new java.sql.Timestamp(st.sinceMs), t)
-                cur = Some(ScdState(typ, t.getTime, t.getTime))
+                cur = Some(ScdState(typ, t.getTime, t.getTime, eid))
               case Some(st) =>
-                cur = Some(st.copy(
-                  maxSeenMs = math.max(st.maxSeenMs, t.getTime)))
+                // sorted + frontier-filtered ⇒ (t, eid) strictly
+                // advances, so assignment IS the max.
+                cur = Some(st.copy(maxSeenMs = t.getTime, maxSeenEventId = eid))
             }
           }
           cur.foreach(state.update)

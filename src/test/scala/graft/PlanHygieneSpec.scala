@@ -30,6 +30,33 @@ class PlanHygieneSpec extends SparkTestBase {
       s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
   }
 
+  // An unpartitioned window over raw (non-aggregated) input funnels
+  // the full relation through ONE task — the plan shape that is
+  // correctness-green at sf0.01 and dead at 100 TB. Unpartitioned
+  // windows are legitimate only above an aggregate (w6's daily rollup,
+  // W9/DP10's #partitions-row offset tables, pareto's 5-row shares):
+  // there the aggregate has already collapsed the input to group
+  // cardinality. This is the guard that keeps the dp10 fix fixed.
+  test("no query plans an unpartitioned WindowExec over non-aggregate input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        // sparkPlan, not executedPlan: the pre-AQE physical plan keeps
+        // the whole tree visible without executing adaptive stages.
+        val plan: SparkPlan = fn(spark, sf).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with an unpartitioned WindowExec over non-aggregate input: " +
+        offenders.mkString(", "))
+  }
+
   test("every oracleSql entry has a matching registered query") {
     val missingQuery = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missingQuery.isEmpty,
