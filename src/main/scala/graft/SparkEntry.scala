@@ -873,7 +873,11 @@ object SparkEntry {
         |  JOIN cnt cb ON cb.doc_id = doc_b)
         |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
         |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
-    // dd3_minhash_lsh, dd4_simhash: sketch/LSH ops — rows-only by design.
+    // dd3/dd4/dd12: the hash chains are portable (h60 + affine
+    // permutations), so DuckDB replays the FULL approximate pipelines.
+    "dd3_minhash_lsh" -> OracleGen.dd3Sql(),
+    "dd4_simhash" -> OracleGen.dd4Sql(),
+    "dd12_lsh_audit" -> OracleGen.dd12Sql(),
     "dd5_dedup_keep" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (

@@ -27,22 +27,55 @@ object Text {
         sequence(lit(1), size(ws) - lit(n - 1)),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
 
+  /** Cross-engine 60-bit content hash: the leading 15 hex chars of
+    * md5, parsed as a non-negative BIGINT. This is the hash basis for
+    * every pipeline whose DuckDB oracle must REPLAY the hash chain
+    * (MinHash/SimHash dedup, the stubbed media decode) — DuckDB
+    * computes the identical value as
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. At 100 TB, swap
+    * the basis to xxhash64 for raw hash throughput: every consumer's
+    * relational shape is hash-agnostic (same trade tx7_winnowing
+    * documents for its md5 fingerprints).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash permutations as a universal affine family over the
+    * Mersenne field 2^31−1: h_i(x) = (a_i·(x mod 2^31) + b_i) mod P,
+    * with (a_i, b_i) drawn from a fixed seed. All arithmetic stays
+    * under 2^62 (no BIGINT overflow in ANSI engines), so the chain is
+    * bit-reproducible in plain SQL — the property the dd3/dd12 DuckDB
+    * oracles rely on.
+    */
+  val MinhashP: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+  val MinhashM: Long = 2147483648L // 2^31
+
+  def minhashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numHashes)(
+      (1L + rng.nextInt((MinhashP - 1).toInt), rng.nextInt(MinhashP.toInt).toLong))
+  }
+
+  def affineHash(h: Column, a: Long, b: Long): Column =
+    (lit(a) * (h % lit(MinhashM)) + lit(b)) % lit(MinhashP)
+
   /** MinHash signature as a single array Column: `numHashes`
-    * independent permutations simulated as seeded xxhash64, each
-    * taking the min over the doc's shingle set.
+    * affine permutations of the portable h60 gram hash, each taking
+    * the min over the doc's shingle set.
     *
     * PERF: higher-order functions are CodegenFallback (interpreted,
     * ~5µs/element) — fine for ad-hoc use, but the hot dedup pipeline
     * (operators.Dedup.minhashLshPairs) computes the same signature as
     * a codegen'd hash-aggregate over exploded gram rows instead
     * (measured ~50x faster). The hash chain here is intentionally
-    * identical — xxhash64(i, xxhash64(gram)) — so the two forms
-    * produce bit-equal signatures; TextFunctionsSpec asserts that
-    * equivalence against Dedup's aggregate on real documents.
+    * identical — affineHash_i(h60(gram)) — so the two forms produce
+    * bit-equal signatures; TextFunctionsSpec asserts that equivalence
+    * against Dedup's aggregate on real documents.
     */
   def minhashSignature(grams: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(grams, g => xxhash64(i, xxhash64(g)))))
+    array(minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(grams, g => affineHash(h60(g), a, b)))
+    }: _*)
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
     * the token-hash's bit value; the sign becomes the output bit.

@@ -120,32 +120,61 @@ object Dedup {
     jaccardFromShared(shared, gr, threshold)
   }
 
+  /** Distinct (doc_id, h60-gram-hash) rows — the PORTABLE twin of
+    * [[gramRows]] for the pipelines whose DuckDB oracle replays the
+    * full hash chain (dd3/dd12). Same explode shape; the hash basis is
+    * `Text.h60` (top 60 bits of md5) instead of xxhash64, which any
+    * ANSI engine can recompute. At 100 TB swap the basis back to
+    * xxhash64 — every downstream shape is hash-agnostic.
+    */
+  private[operators] def gramRowsPortable(s: SparkSession, d: String,
+                                          n: Int = 3): DataFrame = {
+    val ws = col("ws")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= n)
+      .select(col("doc_id"), ws,
+        explode(sequence(lit(1), size(ws) - lit(n - 1))).as("i"))
+      .select(col("doc_id"),
+        Text.h60(concat_ws(" ",
+          (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*)).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+  }
+
   // --- DD3: MinHash + LSH banding — the 100 TB dedup path. 64-hash
   // signature as ONE hash-aggregate (64 codegen'd min columns), 16
-  // bands x 4 rows hashed straight from the agg columns; candidate
-  // pairs only within band buckets; candidates verified exactly, so
-  // output quality equals DD2 minus LSH misses
-  // (P[miss] = (1-j^4)^16, <2% at j=0.8). ---
+  // bands x 4 rows concatenated straight from the agg columns;
+  // candidate pairs only within band buckets; candidates verified
+  // exactly, so output quality equals DD2 minus LSH misses
+  // (P[miss] = (1-j^4)^16, <2% at j=0.8). The whole chain — h60 gram
+  // hash, affine permutations, band keys, exact verify — is replayed
+  // verbatim by the DuckDB oracle (OracleGen.dd3), so this
+  // approximate op is HASH-checked, not rows-only. ---
   /** (doc_id, h0..h{n-1}) MinHash signatures as one codegen'd
     * hash-aggregate over exploded gram rows. Bit-equal to the HOF form
-    * `functions.Text.minhashSignature` (same xxhash64(i, xxhash64(gram))
+    * `functions.Text.minhashSignature` (same affineHash_i(h60(gram))
     * chain) — TextFunctionsSpec asserts the equivalence.
     */
   private[graft] def minhashSignatures(s: SparkSession, d: String,
                                        numHashes: Int, n: Int = 3): DataFrame = {
-    val gr = gramRows(s, d, n)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("gh"))).as(s"h$i"))
+    val gr = gramRowsPortable(s, d, n)
+    val minCols = Text.minhashParams(numHashes).zipWithIndex.map {
+      case ((a, b), i) => min(Text.affineHash(col("gh"), a, b)).as(s"h$i")
+    }
     gr.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
                       numHashes: Int = 64, bands: Int = 16): DataFrame =
-    verifyJaccard(lshCandidates(s, d, numHashes, bands), gramRows(s, d),
-      threshold)
+    verifyJaccard(lshCandidates(s, d, numHashes, bands),
+      gramRowsPortable(s, d), threshold)
 
-  /** Unverified LSH candidate pairs (band-bucket collisions). */
+  /** Unverified LSH candidate pairs (band-bucket collisions). Band
+    * keys are the concatenated row hashes as a string — ~40 bytes vs
+    * an 8-byte hash, the price of oracle replay; at 100 TB wrap the
+    * concat in xxhash64 before the shuffle (shape unchanged).
+    */
   private[graft] def lshCandidates(s: SparkSession, d: String,
                                    numHashes: Int = 64,
                                    bands: Int = 16): DataFrame = {
@@ -153,7 +182,7 @@ object Dedup {
     val sigs = minhashSignatures(s, d, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+        concat_ws("-", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
           .as("bucket"))
     }
     val banded = sigs
@@ -317,38 +346,42 @@ object Dedup {
     labels
   }
 
-  // --- DD4: SimHash near-dup pairs. 64-bit signature computed as one
-  // hash-agg pass (64 conditional-sum columns, partial agg map-side);
-  // pairs sharing any of four 16-bit chunks (pigeonhole: hamming <= 3
+  // --- DD4: SimHash near-dup pairs. 60-bit signature computed as one
+  // hash-agg pass (60 conditional-sum columns, partial agg map-side);
+  // pairs sharing any of four 15-bit chunks (pigeonhole: hamming <= 3
   // implies >= 1 identical chunk) verified by bit_count(xor).
   // Token instances collapse to (doc_id, h, cnt) FIRST — a cheap
-  // 2-column agg — so the wide 64-sum agg runs over |vocab|-per-doc
+  // 2-column agg — so the wide 60-sum agg runs over |vocab|-per-doc
   // rows, not token instances (3.5x on the repetitive test corpus;
   // real corpora repeat tokens too). Weighted balance sums are
-  // identical to per-instance sums. ---
+  // identical to per-instance sums. 60 bits, not 64: the token hash is
+  // the portable Text.h60, so the ENTIRE pipeline — hash, balance
+  // signs, chunks, hamming — is replayed by the DuckDB oracle
+  // (OracleGen.dd4) and hash-checked, not rows-only. ---
   def simhashPairs(s: SparkSession, d: String,
                    maxHamming: Int = 3): DataFrame = {
+    val bits = 60
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), Text.h60(col("t")).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-    val balanceCols = (0 until 64).map { b =>
+    val balanceCols = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L),
         col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
     }
     val sigs = tok.groupBy("doc_id")
       .agg(balanceCols.head, balanceCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           shiftleft(when(col(s"b$b") >= 0, lit(1L)).otherwise(lit(0L)), b))
           .reduce(_ + _).as("sig"))
     val chunked = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",
-        when(col("c") === 0, col("sig").bitwiseAND(lit(0xFFFFL)))
-          .when(col("c") === 1, shiftright(col("sig"), 16).bitwiseAND(lit(0xFFFFL)))
-          .when(col("c") === 2, shiftright(col("sig"), 32).bitwiseAND(lit(0xFFFFL)))
-          .otherwise(shiftright(col("sig"), 48).bitwiseAND(lit(0xFFFFL))))
+        when(col("c") === 0, col("sig").bitwiseAND(lit(0x7FFFL)))
+          .when(col("c") === 1, shiftright(col("sig"), 15).bitwiseAND(lit(0x7FFFL)))
+          .when(col("c") === 2, shiftright(col("sig"), 30).bitwiseAND(lit(0x7FFFL)))
+          .otherwise(shiftright(col("sig"), 45).bitwiseAND(lit(0x7FFFL))))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
