@@ -2,15 +2,20 @@ package graft
 
 import graft.functions.Text
 
-/** Programmatic DuckDB oracle SQL for pipelines whose hash chains are
-  * replayed cross-engine: the MinHash/LSH and SimHash dedup families
-  * (dd3/dd4/dd12). The SQL embeds the exact literal parameters the
+/** Programmatic DuckDB oracle SQL for pipelines whose hash/math
+  * chains are replayed cross-engine: the MinHash/LSH and SimHash
+  * dedup families (dd3/dd4/dd12) and the ANN index probes
+  * (sim3/sim4/sim8). The SQL embeds the exact literal parameters the
   * Spark operators fold into their plans — affine minhash
-  * coefficients, band layouts, chunk widths — over the portable
-  * `Text.h60` hash basis (top 60 bits of md5, which DuckDB parses as
-  * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). The oracle
-  * therefore computes the IDENTICAL result, and these approximate ops
-  * are hash-checked by the driver rather than rows-only.
+  * coefficients, band layouts, LSH hyperplanes — over portable
+  * primitives: `Text.h60` (top 60 bits of md5, which DuckDB parses as
+  * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`) for hashing, and
+  * explicit left-associative double-precision dot products (term
+  * order identical to FloatVecDot's accumulation loop, so every sign
+  * bit, argmax, and 4dp rounding agrees bit-for-bit) for vector math.
+  * The oracle therefore computes the IDENTICAL result, and these
+  * approximate ops are hash-checked by the driver rather than
+  * rows-only.
   */
 object OracleGen {
 
@@ -105,6 +110,211 @@ object OracleGen {
        |  CASE WHEN n_true = 0 THEN 1.0
        |       ELSE round(CAST(n_hits AS DOUBLE) / n_true, 4) END AS recall
        |FROM t, c2, h""".stripMargin
+
+  // ---- ANN oracle machinery ----------------------------------------
+
+  /** A double literal that parses back to the exact double Spark
+    * computes with (Float→Double widening is exact; Double.toString
+    * round-trips).
+    */
+  private def fmtF(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (s.startsWith("-")) s"($s)" else s
+  }
+
+  /** Explicit left-associative double dot product of two FLOAT[]
+    * columns — bit-identical to FloatVecDot's `acc += (double)a[i] *
+    * (double)b[i]` loop.
+    */
+  def pairDot(a: String, b: String, dim: Int = 64): String =
+    (1 to dim).map(k =>
+      s"CAST($a[$k] AS DOUBLE) * CAST($b[$k] AS DOUBLE)").mkString(" + ")
+
+  /** Dot of a FLOAT[] column with a literal plane — the plane values
+    * are the FLOAT-truncated literals Spark folds into its plan
+    * (Vectors.hyperplaneBit uses lit(p.toFloat)).
+    */
+  private def litDot(a: String, plane: Array[Double]): String =
+    plane.zipWithIndex.map { case (p, i) =>
+      s"CAST($a[${i + 1}] AS DOUBLE) * ${fmtF(p.toFloat.toDouble)}"
+    }.mkString(" + ")
+
+  /** norms CTE: per-vector L2 norm with FloatVecDot's exact
+    * accumulation (vecCosine computes dAB / (sqrt(dAA)·sqrt(dBB));
+    * hoisting the sqrt into a CTE changes nothing bit-wise).
+    */
+  private def normsCte(dim: Int): String =
+    s"""norms AS (
+       |  SELECT vec_id, sqrt(${pairDot("embedding", "embedding", dim)}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  /** buckets CTE: the multi-table hyperplane-LSH assignment — twin of
+    * sources.VectorIndex.lshIndex (same seeded planes, same sign/shift
+    * packing).
+    */
+  private def lshBucketsCte(numTables: Int, planesPerTable: Int,
+                            dim: Int): String = {
+    val structs = (0 until numTables).map { t =>
+      val planes = graft.functions.Vectors.randomPlanes(planesPerTable, dim, 42L + t)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${litDot("embedding", p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"      {'tbl': $t, 'bucket': $bucket}"
+    }.mkString(",\n")
+    s"""buckets AS (
+       |  SELECT vec_id, u.tbl AS tbl, u.bucket AS bucket FROM (
+       |    SELECT vec_id, unnest([
+       |$structs
+       |    ]) AS u FROM embeddings) t)""".stripMargin
+  }
+
+  /** candidate → exact-rerank → top-k tail shared by sim3/sim4:
+    * expects a `cand(query_id, vec_id)` CTE in scope.
+    */
+  private def rerankTail(k: Int, dim: Int): String =
+    s"""scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    round((${pairDot("e.embedding", "qe.embedding", dim)})
+       |          / (ne.nrm * nq.nrm), 4) AS cos_sim
+       |  FROM cand
+       |  JOIN embeddings e  ON e.vec_id = cand.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN norms ne ON ne.vec_id = cand.vec_id
+       |  JOIN norms nq ON nq.vec_id = cand.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  /** sim3_lsh_ann: multi-table LSH bucket probe + exact re-rank. */
+  def sim3Sql(numQueryVecs: Int = 5, k: Int = 3,
+              numTables: Int = 8, planesPerTable: Int = 4,
+              dim: Int = 64): String =
+    s"""WITH ${normsCte(dim)},
+       |${lshBucketsCte(numTables, planesPerTable, dim)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $numQueryVecs),
+       |${rerankTail(k, dim)}""".stripMargin
+
+  /** scores/cells/probes CTEs for IVF: seed centroids = the first
+    * numCells corpus vectors; argmax ties to the LARGER cid (Spark's
+    * array_max over (score, cid) structs).
+    */
+  private def ivfCtes(numQueryVecs: Int, numCells: Int, nProbe: Int,
+                      dim: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |          WHERE vec_id < $numCells),
+       |scores AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS probe_cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores WHERE vec_id < $numQueryVecs) t
+       |  WHERE rn <= $nProbe)""".stripMargin
+
+  /** sim4_ivf_ann: IVF cell probe + exact re-rank. */
+  def sim4Sql(numQueryVecs: Int = 5, k: Int = 3,
+              numCells: Int = 16, nProbe: Int = 2,
+              dim: Int = 64): String =
+    s"""WITH ${normsCte(dim)},
+       |${ivfCtes(numQueryVecs, numCells, nProbe, dim)},
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, cl.vec_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.probe_cell
+       |  WHERE cl.vec_id <> p.query_id),
+       |${rerankTail(k, dim)}""".stripMargin
+
+  /** sim8_ann_recall: brute-force top-k truth (UNROUNDED ordering,
+    * FloatVecDot-exact) vs the sim3/sim4 result sets — n_truth,
+    * n_hits, recall per method.
+    */
+  def sim8Sql(numQueryVecs: Int = 5, k: Int = 3,
+              numTables: Int = 8, planesPerTable: Int = 4,
+              numCells: Int = 16, nProbe: Int = 2,
+              dim: Int = 64): String = {
+    def resCte(name: String, candCte: String): String =
+      s"""$candCte,
+         |${name}_scored AS (
+         |  SELECT cand_$name.query_id, cand_$name.vec_id,
+         |    round((${pairDot("e.embedding", "qe.embedding", dim)})
+         |          / (ne.nrm * nq.nrm), 4) AS cos_sim
+         |  FROM cand_$name
+         |  JOIN embeddings e  ON e.vec_id = cand_$name.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = cand_$name.query_id
+         |  JOIN norms ne ON ne.vec_id = cand_$name.vec_id
+         |  JOIN norms nq ON nq.vec_id = cand_$name.query_id),
+         |${name}_res AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+         |    FROM ${name}_scored) t WHERE rnk <= $k)""".stripMargin
+    val lshCand =
+      s"""cand_lsh AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+         |  FROM buckets q JOIN buckets c
+         |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |   AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $numQueryVecs)""".stripMargin
+    val ivfCand =
+      s"""cand_ivf AS (
+         |  SELECT DISTINCT p.query_id, cl.vec_id
+         |  FROM probes p JOIN cells cl ON cl.cell = p.probe_cell
+         |  WHERE cl.vec_id <> p.query_id)""".stripMargin
+    s"""WITH ${normsCte(dim)},
+       |${lshBucketsCte(numTables, planesPerTable, dim)},
+       |${ivfCtes(numQueryVecs, numCells, nProbe, dim)},
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cs DESC, vec_id ASC) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |        (${pairDot("e.embedding", "q.embedding", dim)})
+       |          / (ne.nrm * nq.nrm) AS cs
+       |      FROM embeddings e
+       |      JOIN norms ne ON ne.vec_id = e.vec_id
+       |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |                  WHERE vec_id < $numQueryVecs) q
+       |      JOIN norms nq ON nq.vec_id = q.vec_id
+       |      WHERE e.vec_id <> q.vec_id) s) r
+       |  WHERE rnk <= $k),
+       |${resCte("ivf", ivfCand)},
+       |${resCte("lsh", lshCand)}
+       |SELECT method, n_truth, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+       |FROM (
+       |  SELECT 'ivf' AS method,
+       |    (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM truth t
+       |     JOIN ivf_res a ON t.query_id = a.query_id
+       |                   AND t.vec_id = a.vec_id) AS n_hits
+       |  UNION ALL
+       |  SELECT 'lsh' AS method,
+       |    (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM truth t
+       |     JOIN lsh_res a ON t.query_id = a.query_id
+       |                   AND t.vec_id = a.vec_id) AS n_hits) x
+       |ORDER BY method""".stripMargin
+  }
 
   /** dd4_simhash: 60-bit SimHash signatures, 4×15-bit pigeonhole
     * chunks, hamming-verified pairs — the full chain replayed.

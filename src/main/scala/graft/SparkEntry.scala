@@ -1011,7 +1011,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
         |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin,
-    // sim3_lsh_ann: approximate ANN — rows-only by design.
+    // sim3/sim4/sim8: the ANN math is portable (explicit left-assoc
+    // double dots, literal planes, table-derived centroids), so
+    // DuckDB replays the index content + probe + re-rank exactly.
+    "sim3_lsh_ann" -> OracleGen.sim3Sql(),
+    "sim4_ivf_ann" -> OracleGen.sim4Sql(),
+    "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

@@ -74,6 +74,21 @@ class PlanSpec extends SparkTestBase {
     assert(fp.contains("codegen id"), s"no codegen spans:\n$fp")
   }
 
+  test("SIM3/SIM4 probe the persisted index: pushed IN filter, broadcast queries") {
+    val p3 = plan(Similarity.lshAnn(spark, sf))
+    assert(p3.contains("In(bkey"),
+      s"LSH probe must push the bucket-key IN filter into the index scan:\n$p3")
+    assert(p3.contains("graft-index"),
+      s"LSH probe must scan the persisted index, not the base table:\n$p3")
+    assert(!p3.contains("SortMergeJoin"),
+      "probe joins broadcast — the index side must not shuffle")
+    val p4 = plan(Similarity.ivfAnn(spark, sf))
+    assert(p4.contains("In(cell"),
+      s"IVF probe must push the cell IN filter into the index scan:\n$p4")
+    assert(p4.contains("graft-index"),
+      s"IVF probe must scan the persisted index:\n$p4")
+  }
+
   test("Q5 broadcasts supplier/nation/region; facts join without cartesian") {
     val p = plan(Benchmark2.q5RegionVolume(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
