@@ -215,6 +215,127 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  // ---- stream↔batch equivalence harness --------------------------------
+  //
+  // The real events table (10k rows, 30 days) is fed through each
+  // streaming operator as FOUR time-contiguous waves with deliberate
+  // disorder: every 13th event is delivered one wave late (≤ ~7.5 days
+  // of lateness, inside the 15-day watermark — must be ABSORBED into
+  // the right windows), one synthetic probe event arrives ~29 days
+  // late (beyond watermark — must be DROPPED), and a far-future
+  // sentinel closes every real window so append mode emits them. The
+  // batch twin is the SAME transform over the same rows as one static
+  // DataFrame (minus the probe, which the stream is required to drop).
+  // Divergence between incremental and recompute-from-scratch results
+  // is exactly the failure mode the reference's Chart refetch loop
+  // (Chart.vue:88-111) papers over — this harness pins it to zero.
+
+  private val sentinelUser = 434343L
+  private val sentinelTs = "2024-03-15 00:00:00"
+
+  private lazy val eqWaves: Seq[Seq[Ev]] = {
+    import spark.implicits._
+    val real = Tables.events(spark, sf).as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val n = real.length
+    val waves = Array.fill(4)(Seq.newBuilder[Ev])
+    real.zipWithIndex.foreach { case (e, i) =>
+      val w = math.min(3, i * 4 / n)
+      val displaced = if (i % 13 == 0 && w < 3) w + 1 else w
+      waves(displaced) += e
+      // redeliver every 29th event one wave later: an exact duplicate
+      // within the watermark (the dedup pair must drop it; the window
+      // pairs never see it — it's only added to the dedup run's input)
+    }
+    waves(3) += Ev(10000000L, ts("2024-01-01 00:00:01"), 424242L, "probe", 1.0, "{}")
+    waves(3) += Ev(10000001L, ts(sentinelTs), sentinelUser, "sentinel", 1.0, "{}")
+    waves.map(_.result()).toSeq
+  }
+
+  /** Batch-twin input: every row the stream must KEEP (all real events
+    * + the sentinel; the beyond-watermark probe excluded).
+    */
+  private lazy val eqBatchInput = {
+    import spark.implicits._
+    (Tables.events(spark, sf).as[Ev].collect().toSeq :+
+      Ev(10000001L, ts(sentinelTs), sentinelUser, "sentinel", 1.0, "{}")).toDF()
+  }
+
+  private def runWaves(name: String, waves: Seq[Seq[Ev]],
+                       xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = xform(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try waves.foreach { w => mem.addData(w: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name)
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map {
+      case t: Timestamp => t.toString
+      case x => String.valueOf(x)
+    }.mkString("|")).toSet
+
+  test("equivalence: tumbling windows — waved late input == batch recompute") {
+    val streamed = runWaves("eq_tumbling", eqWaves,
+      df => Streams.tumblingCounts(df, "1 hour", "15 days"))
+    assert(streamed.filter(col("event_type") === "probe").isEmpty,
+      "beyond-watermark probe must be dropped")
+    val batch = Streams.tumblingCounts(eqBatchInput, "1 hour", "15 days")
+      .filter(col("window_start") < lit(sentinelTs)) // sentinel window never closes
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+
+  test("equivalence: sliding windows — waved late input == batch recompute") {
+    val streamed = runWaves("eq_sliding", eqWaves,
+      df => Streams.slidingValue(df, "1 hour", "15 minutes", "15 days"))
+    val batch = Streams.slidingValue(eqBatchInput, "1 hour", "15 minutes", "15 days")
+      .filter(col("window_start") < lit("2024-02-15 00:00:00"))
+    assert(rowSet(streamed.filter(col("window_start") < lit("2024-02-15 00:00:00")))
+      == rowSet(batch))
+  }
+
+  test("equivalence: session windows — waved late input == batch recompute") {
+    val streamed = runWaves("eq_sessions", eqWaves,
+      df => Streams.sessionWindows(df, "30 minutes", "15 days"))
+    val batch = Streams.sessionWindows(eqBatchInput, "30 minutes", "15 days")
+      .filter(col("user_id") =!= sentinelUser && col("user_id") =!= 424242L)
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+
+  test("equivalence: streaming dedup — redelivered + late input == batch distinct") {
+    // dedup sees extra redeliveries: every 29th wave-0 event repeated in wave 1
+    val dups = eqWaves(0).zipWithIndex.collect { case (e, i) if i % 29 == 0 => e }
+    val waves = Seq(eqWaves(0), dups ++ eqWaves(1), eqWaves(2), eqWaves(3))
+    val streamed = runWaves("eq_dedup", waves,
+      df => Streams.streamingDedup(df, "15 days"))
+      .select("event_id")
+    val batch = eqBatchInput.dropDuplicates("event_id").select("event_id")
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+
+  test("equivalence: streaming SCD closed intervals == batch scdBuild (ordered feed)") {
+    // in-order waves, no displacement: scdStream's drop-don't-splice
+    // late stance intentionally diverges from recompute; the late case
+    // is pinned by the behavior test below, the EQUAL case here.
+    import spark.implicits._
+    val real = Tables.events(spark, sf).as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val waves = real.grouped(math.max(1, real.length / 4 + 1)).map(_.toSeq).toSeq
+    val streamed = runWaves("eq_scd", waves, df => Streams.scdStream(df).toDF())
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"))
+    val batch = graft.operators.Windows.scdBuild(spark, sf)
+      .filter(col("is_current") === 0)
+      .select("user_id", "event_type", "valid_from", "valid_to")
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+
   test("streaming SCD emits closed intervals matching the batch build") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
