@@ -96,15 +96,22 @@ object Analytics {
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     val bound = 3 * 0.02
-    Tables.lineitem(s, d)
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+    // Per-column distinct FIRST, then count + HLL over the distinct
+    // values: two narrow exchanges of distinct keys instead of the
+    // multi-countDistinct Expand (which triples the scanned rows
+    // through the aggregate — measured 3.2 s vs ~0.9 s at sf0.1). The
+    // HLL sketch is insert-idempotent, so building it over the
+    // distinct set yields the IDENTICAL estimate as over the raw
+    // multiset.
+    def auditOne(keyCol: String, prefix: String): DataFrame =
+      Tables.lineitem(s, d).select(keyCol).distinct()
+        .agg(count(lit(1)).as(s"exact_$prefix"),
+          approx_count_distinct(col(keyCol), 0.02).as(s"a_$prefix"))
+    auditOne("l_partkey", "parts").crossJoin(auditOne("l_orderkey", "orders"))
       .select(col("exact_parts"), col("exact_orders"),
-        (abs(col("ap") - col("exact_parts"))
+        (abs(col("a_parts") - col("exact_parts"))
           <= col("exact_parts") * bound).as("parts_ok"),
-        (abs(col("ao") - col("exact_orders"))
+        (abs(col("a_orders") - col("exact_orders"))
           <= col("exact_orders") * bound).as("orders_ok"))
   }
 

@@ -112,13 +112,18 @@ object Dedup {
   private[operators] def ngramJaccardPairsRaw(s: SparkSession, d: String,
                                               threshold: Double): DataFrame = {
     val gr = gramRows(s, d)
-    val shared = gr.as("a")
+    jaccardFromShared(sharedGramCounts(gr), gr, threshold)
+  }
+
+  /** Per-pair shared-gram counts from the distinct gram relation's
+    * self-join — one shuffle over the match rows.
+    */
+  private def sharedGramCounts(gr: DataFrame): DataFrame =
+    gr.as("a")
       .join(gr.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    jaccardFromShared(shared, gr, threshold)
-  }
 
   /** Distinct (doc_id, h60-gram-hash) rows — the PORTABLE twin of
     * [[gramRows]] for the pipelines whose DuckDB oracle replays the
@@ -151,35 +156,42 @@ object Dedup {
   // verbatim by the DuckDB oracle (OracleGen.dd3), so this
   // approximate op is HASH-checked, not rows-only. ---
   /** (doc_id, h0..h{n-1}) MinHash signatures as one codegen'd
-    * hash-aggregate over exploded gram rows. Bit-equal to the HOF form
-    * `functions.Text.minhashSignature` (same affineHash_i(h60(gram))
-    * chain) — TextFunctionsSpec asserts the equivalence.
+    * hash-aggregate over a (doc_id, gh) gram relation. Bit-equal to
+    * the HOF form `functions.Text.minhashSignature` (same
+    * affineHash_i(h60(gram)) chain) — TextFunctionsSpec asserts the
+    * equivalence.
     */
-  private[graft] def minhashSignatures(s: SparkSession, d: String,
-                                       numHashes: Int, n: Int = 3): DataFrame = {
-    val gr = gramRowsPortable(s, d, n)
+  private def minhashSignaturesFrom(gr: DataFrame, numHashes: Int): DataFrame = {
     val minCols = Text.minhashParams(numHashes).zipWithIndex.map {
       case ((a, b), i) => min(Text.affineHash(col("gh"), a, b)).as(s"h$i")
     }
     gr.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
+  private[graft] def minhashSignatures(s: SparkSession, d: String,
+                                       numHashes: Int, n: Int = 3): DataFrame =
+    minhashSignaturesFrom(gramRowsPortable(s, d, n), numHashes)
+
+  // The gram relation feeds BOTH the signature chain and the exact
+  // verify — localCheckpoint materializes the md5 pass once (the two
+  // consumers sit above different joins, which ReuseExchange can't
+  // share).
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame =
-    verifyJaccard(lshCandidates(s, d, numHashes, bands),
-      gramRowsPortable(s, d), threshold)
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val gr = gramRowsPortable(s, d).localCheckpoint()
+    verifyJaccard(lshCandidatesFrom(gr, numHashes, bands), gr, threshold)
+  }
 
   /** Unverified LSH candidate pairs (band-bucket collisions). Band
     * keys are the concatenated row hashes as a string — ~40 bytes vs
     * an 8-byte hash, the price of oracle replay; at 100 TB wrap the
     * concat in xxhash64 before the shuffle (shape unchanged).
     */
-  private[graft] def lshCandidates(s: SparkSession, d: String,
-                                   numHashes: Int = 64,
-                                   bands: Int = 16): DataFrame = {
+  private def lshCandidatesFrom(gr: DataFrame, numHashes: Int,
+                                bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(s, d, numHashes)
+    val sigs = minhashSignaturesFrom(gr, numHashes)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
@@ -196,6 +208,11 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in many bands
   }
 
+  private[graft] def lshCandidates(s: SparkSession, d: String,
+                                   numHashes: Int = 64,
+                                   bands: Int = 16): DataFrame =
+    lshCandidatesFrom(gramRowsPortable(s, d), numHashes, bands)
+
   // --- DD12: LSH recall audit — the quality gate a pipeline runs on a
   // SAMPLE before trusting LSH at full scale: exact truth pairs vs
   // LSH candidate pairs, one summary row. At 100 TB the exact side is
@@ -208,13 +225,17 @@ object Dedup {
                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     // n_true and n_hits come from ONE pass over the truth relation (a
     // left-outer join against candidates), so the quadratic gram
-    // self-join executes once. The candidate relation feeds two
-    // branches (the join + its own count) → localCheckpoint, because
-    // ReuseExchange shares only shuffle subtrees, not the post-shuffle
-    // joins above them.
-    val truth = ngramJaccardPairsRaw(s, d, threshold)
+    // self-join executes once. ONE portable gram relation feeds truth
+    // AND candidates (checkpointed — its consumers sit above different
+    // joins, which ReuseExchange can't share); Jaccard over distinct
+    // h60 hashes equals Jaccard over grams modulo the same ~n²/2⁶⁰
+    // collision odds the whole family accepts. The candidate relation
+    // likewise feeds two branches (the join + its own count) →
+    // localCheckpoint.
+    val gr = gramRowsPortable(s, d).localCheckpoint()
+    val truth = jaccardFromShared(sharedGramCounts(gr), gr, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val cand = lshCandidates(s, d, numHashes, bands).localCheckpoint()
+    val cand = lshCandidatesFrom(gr, numHashes, bands).localCheckpoint()
     truth.join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
         "left_outer")
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))

@@ -20,11 +20,17 @@ package graft
   */
 class PlanHygieneSpec extends SparkTestBase {
 
+  // One planning pass over the whole surface; every check below reads
+  // these. sparkPlan, not executedPlan: the pre-AQE physical plan
+  // keeps the whole tree visible without executing adaptive stages.
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan
+    }
+
   test("no query plans a non-broadcast CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+    val offenders = plans.collect {
+      case (name, p) if p.toString.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty,
       s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
@@ -38,23 +44,29 @@ class PlanHygieneSpec extends SparkTestBase {
   // there the aggregate has already collapsed the input to group
   // cardinality. This is the guard that keeps the dp10 fix fixed.
   test("no query plans an unpartitioned WindowExec over non-aggregate input") {
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        // sparkPlan, not executedPlan: the pre-AQE physical plan keeps
-        // the whole tree visible without executing adaptive stages.
-        val plan: SparkPlan = fn(spark, sf).queryExecution.sparkPlan
-        val bad = plan.collect {
-          case w: WindowExec if w.partitionSpec.isEmpty &&
-              w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty => w
-        }
-        if (bad.nonEmpty) Some(name) else None
+    val offenders = plans.collect {
+      case (name, p) if p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: BaseAggregateExec => a }.isEmpty => w
+      }.nonEmpty => name
     }
     assert(offenders.isEmpty,
       s"queries with an unpartitioned WindowExec over non-aggregate input: " +
         offenders.mkString(", "))
+  }
+
+  // The whole surface is UDF-free: every expression is a codegen'd
+  // builtin or a native Catalyst Expression (FloatVecDot,
+  // bloom_filter_agg/might_contain) — a ScalaUDF anywhere means a
+  // boxed per-row call crept into a hot path.
+  test("no query plans a ScalaUDF — the surface stays codegen-native") {
+    val offenders = plans.collect {
+      case (name, p) if p.toString.contains("UDF") => name
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a ScalaUDF: ${offenders.mkString(", ")}")
   }
 
   test("every oracleSql entry has a matching registered query") {
