@@ -316,6 +316,45 @@ object OracleGen {
        |ORDER BY method""".stripMargin
   }
 
+  /** a28_equidepth_hist: quantile boundaries + comparison-sum bucket
+    * assignment — the same Scala-printed probability literals the
+    * Spark operator embeds.
+    */
+  def a28Sql(buckets: Int = 8): String = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val caseTerms = (1 until buckets).map(i =>
+      s"(CASE WHEN o_totalprice > bs[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH b AS (SELECT quantile_cont(o_totalprice, [${ps.mkString(", ")}]) AS bs
+       |           FROM orders)
+       |SELECT bucket, count(*) AS n, min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+       |    AS sum_price
+       |FROM (SELECT o_totalprice, CAST($caseTerms + 1 AS INTEGER) AS bucket
+       |      FROM orders, b) t
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** w14_ewma: truncated-EWMA unrolled with the exact coefficient
+    * literals the Spark window folds in (α·(1−α)^j, Double.toString).
+    */
+  def w14Sql(alpha: Double = 0.3, span: Int = 20): String = {
+    val terms = (0 until span).map { j =>
+      val coef = alpha * math.pow(1 - alpha, j)
+      val x = if (j == 0) "day_sales"
+              else s"coalesce(lag(day_sales, $j) OVER w, 0.0)"
+      s"$x * $coef"
+    }.mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+       |         round(sum(o_totalprice), 2) AS day_sales
+       |  FROM orders GROUP BY 1)
+       |SELECT day, day_sales, round($terms, 4) AS ewma$span
+       |FROM daily
+       |WINDOW w AS (ORDER BY day)
+       |ORDER BY day""".stripMargin
+  }
+
   /** dd4_simhash: 60-bit SimHash signatures, 4×15-bit pigeonhole
     * chunks, hamming-verified pairs — the full chain replayed.
     */

@@ -201,6 +201,10 @@ object SparkEntry {
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
     "f_cast_suite"      -> ((s, d) => FunctionSuites.castSuite(s, d)),
+    // round-4 pack: weighted sampling, equi-depth profiling, EWMA
+    "sp4_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
+    "a28_equidepth_hist"  -> ((s, d) => Analytics.equiDepthHistogram(s, d)),
+    "w14_ewma"            -> ((s, d) => Windows.ewmaDailySales(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1825,6 +1829,18 @@ object SparkEntry {
         |FROM documents
         |QUALIFY pos <= 100
         |ORDER BY pos""".stripMargin,
+    "sp4_weighted_sample" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |                    AS BIGINT)
+        |               / CAST(greatest(n_chars, 1) AS DOUBLE) ASC,
+        |               doc_id ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
+    "a28_equidepth_hist" -> OracleGen.a28Sql(),
+    "w14_ewma" -> OracleGen.w14Sql(),
     // f_cast_suite oracle bridges the one documented divergence: Spark
     // CAST truncates double->int while DuckDB rounds -> trunc() in the
     // oracle; try_cast/TRY_CAST agree (NULL on malformed).

@@ -258,6 +258,33 @@ object Analytics {
         col("ps")(2).between(col("ex")(6), col("ex")(8)).as("p99_ok"))
       .orderBy("l_returnflag")
 
+  // --- A28: EQUI-DEPTH histogram — buckets of ~equal row count with
+  // data-dependent boundaries (the fixed-width twin is a23). The
+  // boundary vector is ONE exact-percentile aggregate (a 1-row
+  // broadcast); bucket assignment is then a pure scan-side projection
+  // (sum of comparisons against the broadcast boundaries) feeding one
+  // hash-agg — the shape that sizes range partitioners and spots skew
+  // before a big sort at 100 TB. Boundary comparisons are engine-safe:
+  // interpolated quantiles land strictly between adjacent cent-grid
+  // values (or exactly on one), so `v > boundary` agrees cross-engine
+  // even though the interpolation arithmetic differs in the last ulp. ---
+  def equiDepthHistogram(s: SparkSession, d: String, buckets: Int = 8): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = Tables.orders(s, d)
+      .agg(expr(s"percentile(o_totalprice, array(${ps.mkString(", ")}))").as("bs"))
+    Tables.orders(s, d).crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        ((1 until buckets).map(i =>
+          when(col("o_totalprice") > col("bs")(i - 1), 1).otherwise(0))
+          .reduce(_ + _) + lit(1)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        (sum(Benchmark2.priceCents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   // --- A13: explicit GROUPING SETS ((y), (priority), ()) with
   // grouping_id — the general form that rollup/cube specialize.
   // One Expand + one hash-agg, same as rollup. ---

@@ -40,6 +40,31 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  /** SP4: weighted priority sample — k docs per source, selection
+    * probability increasing with document weight (n_chars here): each
+    * doc draws a deterministic priority key = h60(doc_id) / weight, and
+    * the k SMALLEST keys per source win, so doubling a doc's weight
+    * halves its expected key. This is the hash-priority form of
+    * weighted reservoir sampling (Efraimidis–Spirakis uses
+    * u^(1/w)-style keys; the division form keeps the key a pure
+    * IEEE-double op both engines compute bit-identically — ln/pow are
+    * last-ulp engine-dependent, division is not). One window shuffle
+    * keyed on source; the key is a scan-side projection.
+    */
+  def weightedSample(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val key = graft.functions.Text.h60(col("doc_id").cast("string"))
+      .cast("double") / greatest(col("n_chars"), lit(1)).cast("double")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("pri"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** Stratified sampling: per-language keep rates (e.g. downsample the
     * dominant language) expressed as per-class hash thresholds.
     */

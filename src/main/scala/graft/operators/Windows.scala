@@ -105,6 +105,30 @@ object Windows {
       .orderBy("user_id", "valid_from", "event_type", "valid_to")
   }
 
+  // --- W14: EWMA smoothing of daily sales — the exponential twin of
+  // w6's boxcar moving average (trend-following with recency weight).
+  // The recursive EWMA is unrolled to a `span`-term truncated sum with
+  // Scala-side literal coefficients α·(1−α)^j (residual tail weight
+  // (1−α)^span ≈ 8e-4 at α=0.3/span=20 — below the 4dp output grid),
+  // so the whole thing is ONE window over the pre-aggregated daily
+  // relation: no recursion, no state, and both engines evaluate the
+  // identical left-associated literal-coefficient sum bit-for-bit. ---
+  def ewmaDailySales(s: SparkSession, d: String,
+                     alpha: Double = 0.3, span: Int = 20): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("day_sales"))
+    val w = Window.orderBy("day")
+    val terms = (0 until span).map { j =>
+      val coef = alpha * math.pow(1 - alpha, j)
+      (if (j == 0) col("day_sales")
+       else coalesce(lag(col("day_sales"), j).over(w), lit(0.0))) * lit(coef)
+    }
+    daily.select(col("day"), col("day_sales"),
+        round(terms.reduce(_ + _), 4).as(s"ewma$span"))
+      .orderBy("day")
+  }
+
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
   def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -20,6 +20,65 @@ class DataOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${exact.size})")
   }
 
+  test("SP4 weighted sample: k per source, weight tilts selection toward long docs") {
+    val k = 8
+    val out = Sampling.weightedSample(spark, sf, k).collect()
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.keySet == sizes.keySet)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length == math.min(k.toLong, sizes(src)),
+        s"source $src must yield min(k, |source|) rows")
+    }
+    // the weight actually matters: sampled docs skew longer than average
+    val avgAll = Tables.documents(spark, sf).agg(avg(col("n_chars")))
+      .head.getDouble(0)
+    val avgSampled = out.map(_.getAs[Long]("n_chars").toDouble).sum / out.length
+    assert(avgSampled > avgAll,
+      s"weighted sample should favor long docs: sampled=$avgSampled vs corpus=$avgAll")
+    val again = Sampling.weightedSample(spark, sf, k).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("A28 equi-depth histogram: buckets tile all orders with ~equal depth") {
+    val buckets = 8
+    val rows = Analytics.equiDepthHistogram(spark, sf, buckets).collect()
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.length == buckets)
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val target = total.toDouble / buckets
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(math.abs(n - target) <= target * 0.05 + 2,
+        s"bucket ${r.getAs[Int]("bucket")} depth $n far from $target")
+    }
+    // boundaries are real: bucket ranges are disjoint and ordered
+    val ordered = rows.sortBy(_.getAs[Int]("bucket"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"))
+      case _ =>
+    }
+  }
+
+  test("W14 EWMA matches a direct Scala recomputation of the truncated sum") {
+    val alpha = 0.3; val span = 20
+    val rows = Windows.ewmaDailySales(spark, sf, alpha, span)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length > span, "needs more days than the span")
+    val sales = rows.map(_._2)
+    rows.zipWithIndex.foreach { case ((day, _, got), i) =>
+      val expect = (0 until span).map { j =>
+        val x = if (i - j >= 0) sales(i - j) else 0.0
+        x * (alpha * math.pow(1 - alpha, j))
+      }.sum
+      // got is rounded to 4dp by the operator — compare on that grid
+      assert(math.abs(got - expect) < 5.1e-5,
+        s"$day: ewma $got != recomputed $expect")
+    }
+  }
+
   test("DD4 SimHash is deterministic and pairs have low hamming distance") {
     val a = Dedup.simhashPairs(spark, sf).collect()
     val b = Dedup.simhashPairs(spark, sf).collect()
