@@ -201,10 +201,13 @@ object SparkEntry {
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
     "f_cast_suite"      -> ((s, d) => FunctionSuites.castSuite(s, d)),
-    // round-4 pack: weighted sampling, equi-depth profiling, EWMA
+    // round-4 pack: weighted sampling, equi-depth profiling, EWMA,
+    // vocabulary growth, trigram LM
     "sp4_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     "a28_equidepth_hist"  -> ((s, d) => Analytics.equiDepthHistogram(s, d)),
     "w14_ewma"            -> ((s, d) => Windows.ewmaDailySales(s, d)),
+    "tx14_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "tx15_trigram_lm"     -> ((s, d) => TextAnalysis.trigramLm(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1841,6 +1844,40 @@ object SparkEntry {
         |WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
     "a28_equidepth_hist" -> OracleGen.a28Sql(),
     "w14_ewma" -> OracleGen.w14Sql(),
+    "tx14_vocab_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pb AS (SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+        |         count(*) AS n_tokens
+        |       FROM tok GROUP BY 1),
+        |nt AS (SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+        |         count(*) AS new_types
+        |       FROM (SELECT token, min(doc_id) AS first_doc
+        |             FROM tok GROUP BY 1) t
+        |       GROUP BY 1)
+        |SELECT bucket, n_tokens,
+        |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(new_types, 0)) OVER w AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN nt USING (bucket)
+        |WINDOW w AS (ORDER BY bucket
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
+    "tx15_trigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tri AS (
+        |  SELECT ws[i] AS t1, ws[i+1] AS t2, ws[i+2] AS t3
+        |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM w WHERE len(ws) >= 3) t),
+        |tc AS (SELECT t1, t2, t3, count(*) AS n_tri FROM tri GROUP BY 1, 2, 3),
+        |cc AS (SELECT t1, t2, CAST(sum(n_tri) AS BIGINT) AS n_ctx
+        |       FROM tc GROUP BY 1, 2)
+        |SELECT tc.t1, tc.t2, tc.t3, n_tri, n_ctx,
+        |  round(CAST(n_tri AS DOUBLE) / CAST(n_ctx AS DOUBLE), 6) AS prob
+        |FROM tc JOIN cc ON tc.t1 = cc.t1 AND tc.t2 = cc.t2
+        |ORDER BY n_tri DESC, tc.t1 ASC, tc.t2 ASC, tc.t3 ASC
+        |LIMIT 50""".stripMargin,
     // f_cast_suite oracle bridges the one documented divergence: Spark
     // CAST truncates double->int while DuckDB rounds -> trunc() in the
     // oracle; try_cast/TRY_CAST agree (NULL on malformed).

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Text
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the `documents` table (north-star,
@@ -57,6 +58,60 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(topN)
+
+  // --- TX14: vocabulary-growth audit (the Heaps-law curve a tokenizer
+  // plan needs): cumulative distinct-type count vs cumulative token
+  // count at doc-bucket checkpoints. The trick that makes this ONE
+  // relational pass instead of a distinct-count per prefix: a type's
+  // contribution to the curve is fully determined by its FIRST
+  // appearance, so `min(doc_id) per token → bucket → cumsum` yields
+  // the exact running vocabulary size. Two hash-aggs + a cumsum window
+  // over #buckets rows (aggregate input — scale-exempt). ---
+  def vocabGrowth(s: SparkSession, d: String, bucketDocs: Int = 50): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val perBucket = tok
+      .groupBy((col("doc_id") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tok.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy((col("first_doc") / bucketDocs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .orderBy("bucket")
+  }
+
+  // --- TX15: corpus trigram language model — conditional
+  // P(t3 | t1, t2) = count(t1,t2,t3) / count(t1,t2,*) over word
+  // trigrams, top-K by support. Both count relations come from the
+  // SAME exploded trigram rows (the context count is a second
+  // aggregate over the trigram counts — no re-tokenize); integer-ratio
+  // probabilities are cross-engine exact. The n-gram-LM shape that
+  // backs perplexity filters and contamination scoring. ---
+  def trigramLm(s: SparkSession, d: String, topK: Int = 50): DataFrame = {
+    val ws = col("ws")
+    val tri = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 3)
+      .select(explode(sequence(lit(1), size(ws) - lit(2))).as("i"), ws)
+      .select(element_at(ws, col("i")).as("t1"),
+        element_at(ws, col("i") + 1).as("t2"),
+        element_at(ws, col("i") + 2).as("t3"))
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_tri"))
+    val ctx = tri.groupBy("t1", "t2").agg(sum(col("n_tri")).as("n_ctx"))
+    tri.join(ctx, Seq("t1", "t2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n_tri"),
+        col("n_ctx").cast("long").as("n_ctx"),
+        round(col("n_tri").cast("double") / col("n_ctx").cast("double"), 6)
+          .as("prob"))
+      .orderBy(col("n_tri").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(topK)
+  }
 
   // --- TX3: content fingerprint (md5) — the exact-dedup / cache key. ---
   def fingerprints(s: SparkSession, d: String): DataFrame =

@@ -79,6 +79,41 @@ class DataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TX14 vocabulary growth: cumulative curve lands exactly on corpus totals") {
+    val rows = TextAnalysis.vocabGrowth(spark, sf).collect()
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+    val totalTokens = tok.count()
+    val totalTypes = tok.distinct().count()
+    val last = rows.maxBy(_.getAs[Long]("bucket"))
+    assert(last.getAs[Long]("cum_tokens") == totalTokens)
+    assert(last.getAs[Long]("cum_types") == totalTypes)
+    // curve is monotone and new_types can never exceed tokens in bucket
+    val ordered = rows.sortBy(_.getAs[Long]("bucket"))
+    ordered.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_types") <= b.getAs[Long]("cum_types"))
+        assert(a.getAs[Long]("cum_tokens") < b.getAs[Long]("cum_tokens"))
+      case _ =>
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("new_types") <= r.getAs[Long]("n_tokens")))
+  }
+
+  test("TX15 trigram LM: probabilities are exact count ratios in (0,1]") {
+    val rows = TextAnalysis.trigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTri = r.getAs[Long]("n_tri"); val nCtx = r.getAs[Long]("n_ctx")
+      val prob = r.getAs[Double]("prob")
+      assert(nTri >= 1 && nTri <= nCtx)
+      assert(prob > 0 && prob <= 1.0)
+      assert(math.abs(prob -
+        BigDecimal(nTri.toDouble / nCtx)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+  }
+
   test("DD4 SimHash is deterministic and pairs have low hamming distance") {
     val a = Dedup.simhashPairs(spark, sf).collect()
     val b = Dedup.simhashPairs(spark, sf).collect()
