@@ -31,22 +31,31 @@ object Dedup {
   private[operators] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame =
     gramRowsRaw(s, d, n).dropDuplicates("doc_id", "gh")
 
-  /** Undeduplicated (doc_id, gram-hash) rows — a pure map-side
-    * projection (no exchange). Consumers that only need distinct
-    * counts after a later join key on this and dedup in their own
-    * aggregate instead of paying a corpus-wide shuffle here.
+  /** Undeduplicated (doc_id, gram) STRING rows in the codegen
+    * explode + element_at shape — the ONE definition of word-n-gram
+    * generation every hot pipeline builds on (`Text.wordNgrams` is the
+    * CodegenFallback HOF twin, fine for ad-hoc column use only). Pure
+    * map-side projection, no exchange.
     */
-  private[operators] def gramRowsRaw(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[operators] def gramStrings(s: SparkSession, d: String, n: Int): DataFrame = {
     val ws = col("ws")
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(ws) >= n)
       .select(col("doc_id"), ws,
         explode(sequence(lit(1), size(ws) - lit(n - 1))).as("i"))
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ",
-          (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*)).as("gh"))
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*).as("gram"))
   }
+
+  /** Undeduplicated (doc_id, gram-hash) rows — a pure map-side
+    * projection (no exchange). Consumers that only need distinct
+    * counts after a later join key on this and dedup in their own
+    * aggregate instead of paying a corpus-wide shuffle here.
+    */
+  private[operators] def gramRowsRaw(s: SparkSession, d: String, n: Int): DataFrame =
+    gramStrings(s, d, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
 
   // --- DD1: exact dedup — group identical texts, keep min doc_id.
   // Shuffles the md5 fingerprint (32 bytes), not the document body:
@@ -133,18 +142,10 @@ object Dedup {
     * xxhash64 — every downstream shape is hash-agnostic.
     */
   private[operators] def gramRowsPortable(s: SparkSession, d: String,
-                                          n: Int = 3): DataFrame = {
-    val ws = col("ws")
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(ws) >= n)
-      .select(col("doc_id"), ws,
-        explode(sequence(lit(1), size(ws) - lit(n - 1))).as("i"))
-      .select(col("doc_id"),
-        Text.h60(concat_ws(" ",
-          (0 until n).map(k => element_at(ws, col("i") + lit(k))): _*)).as("gh"))
+                                          n: Int = 3): DataFrame =
+    gramStrings(s, d, n)
+      .select(col("doc_id"), Text.h60(col("gram")).as("gh"))
       .dropDuplicates("doc_id", "gh")
-  }
 
   // --- DD3: MinHash + LSH banding — the 100 TB dedup path. 64-hash
   // signature as ONE hash-aggregate (64 codegen'd min columns), 16
@@ -493,9 +494,11 @@ object Dedup {
   // count-on-hash / join-back-winners shape that holds at 100 TB. ---
   def boilerplateSpans(s: SparkSession, d: String, n: Int = 8,
                        minDocs: Long = 3L, topK: Int = 25): DataFrame = {
-    def grams = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(Text.wordNgrams(Text.tokens(col("text")), n)).as("gram"))
+    // gramStrings, not the wordNgrams HOF: this was the suite's
+    // slowest query, and the 8-gram generation over every token
+    // position is exactly the interpreted-lambda hot path the codegen
+    // explode form exists for (measured 4.4 s → ~1.4 s at sf0.1).
+    def grams = gramStrings(s, d, n)
       .select(col("doc_id"), col("gram"), xxhash64(col("gram")).as("gh"))
     val counts = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -343,7 +343,10 @@ object TextAnalysis {
     val uni = ws.select(explode(col("ws")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("n"))
     val total = uni.agg(sum(col("n")).as("big_n"))
-    val bi = ws.select(explode(Text.wordNgrams(col("ws"), 2)).as("bigram"))
+    // codegen explode form, not the wordNgrams HOF (interpreted lambda
+    // per element — the hot-path rule the Dedup header documents)
+    val bi = Dedup.gramStrings(s, d, 2)
+      .select(col("gram").as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
       .withColumn("a", split_part(col("bigram"), lit(" "), lit(1)))
