@@ -208,6 +208,7 @@ object SparkEntry {
     "w14_ewma"            -> ((s, d) => Windows.ewmaDailySales(s, d)),
     "tx14_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "tx15_trigram_lm"     -> ((s, d) => TextAnalysis.trigramLm(s, d)),
+    "tx16_trigram_novelty" -> ((s, d) => TextAnalysis.trigramNovelty(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1864,6 +1865,21 @@ object SparkEntry {
         |WINDOW w AS (ORDER BY bucket
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY bucket""".stripMargin,
+    "tx16_trigram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM w WHERE len(ws) >= 3) t),
+        |c AS (SELECT gram, count(*) AS n_corpus FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN n_corpus >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_common,
+        |  round(CAST(sum(CASE WHEN n_corpus >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS common_ratio
+        |FROM g JOIN c USING (gram)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     "tx15_trigram_lm" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |tri AS (

@@ -113,6 +113,30 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  // --- TX16: per-doc trigram commonality — what fraction of a doc's
+  // word trigrams occur >= commonMin times corpus-wide. High ratio =
+  // boilerplate/template text (or near-dup residue dd* missed); low =
+  // novel prose. The integer-ratio form of the perplexity-style
+  // quality gate: ONE gram pass feeds both the per-doc stream and the
+  // corpus counts (join on 8-byte gram hashes), and the single
+  // count/count division is engine-exact — no logs, no sums of
+  // doubles. ---
+  def trigramNovelty(s: SparkSession, d: String,
+                     commonMin: Long = 3L): DataFrame = {
+    val perDoc = Dedup.gramStrings(s, d, 3)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+    val corpus = perDoc.groupBy("gh").agg(count(lit(1)).as("n_corpus"))
+    perDoc.join(corpus, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("n_corpus") >= commonMin, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_trigrams"),
+        col("n_common").cast("long").as("n_common"),
+        round(col("n_common").cast("double")
+          / col("n_trigrams").cast("double"), 6).as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
   // --- TX3: content fingerprint (md5) — the exact-dedup / cache key. ---
   def fingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

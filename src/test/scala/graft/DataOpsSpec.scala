@@ -114,6 +114,27 @@ class DataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TX16 trigram commonality: exact ratios, bounded, planted dups score high") {
+    val rows = TextAnalysis.trigramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_trigrams"); val c = r.getAs[Long]("n_common")
+      assert(c >= 0 && c <= n)
+      val ratio = r.getAs[Double]("common_ratio")
+      assert(math.abs(ratio - BigDecimal(c.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // exact-duplicate docs (dd1 finds n_copies >= 3 groups at this SF)
+    // must score common_ratio 1.0 — their every trigram repeats
+    val dupIds = Dedup.exactDedup(spark, sf)
+      .filter(col("n_copies") >= 3).select("keep_id")
+      .collect().map(_.getLong(0)).toSet
+    if (dupIds.nonEmpty) {
+      val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("common_ratio")).toMap
+      dupIds.flatMap(byId.get).foreach(v => assert(v == 1.0))
+    }
+  }
+
   test("DD4 SimHash is deterministic and pairs have low hamming distance") {
     val a = Dedup.simhashPairs(spark, sf).collect()
     val b = Dedup.simhashPairs(spark, sf).collect()
