@@ -40,7 +40,7 @@ object OracleGen {
        |gh AS (SELECT DISTINCT doc_id, ${h60("g")} AS h FROM grams)""".stripMargin
 
   /** CTE block from gh → LSH band-bucket candidate pairs (twin of
-    * Dedup.minhashSignatures + lshCandidates).
+    * Dedup.minhashSignatures + lshCandidatesFrom).
     */
   private def lshCandCtes(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands

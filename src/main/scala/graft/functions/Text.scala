@@ -72,10 +72,20 @@ object Text {
     * bit-equal signatures; TextFunctionsSpec asserts that equivalence
     * against Dedup's aggregate on real documents.
     */
-  def minhashSignature(grams: Column, numHashes: Int): Column =
-    array(minhashParams(numHashes).map { case (a, b) =>
-      array_min(transform(grams, g => affineHash(h60(g), a, b)))
-    }: _*)
+  def minhashSignature(grams: Column, numHashes: Int): Column = {
+    // hash each gram ONCE (md5 is the expensive step — embedding
+    // h60(g) inside every per-function lambda would evaluate it
+    // numHashes times per gram: interpreted HOFs get no common-
+    // subexpression elimination), then fan each 8-byte hash out to the
+    // cheap affine family and fold element-wise minima.
+    val perGram = transform(transform(grams, g => h60(g)),
+      h => array(minhashParams(numHashes).map { case (a, b) =>
+        affineHash(h, a, b)
+      }: _*))
+    aggregate(perGram,
+      array(Seq.fill(numHashes)(lit(Long.MaxValue)): _*),
+      (acc, hs) => zip_with(acc, hs, (x, y) => least(x, y)))
+  }
 
   /** 64-bit SimHash over the token multiset: per bit, sum +1/-1 by
     * the token-hash's bit value; the sign becomes the output bit.

@@ -209,11 +209,6 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in many bands
   }
 
-  private[graft] def lshCandidates(s: SparkSession, d: String,
-                                   numHashes: Int = 64,
-                                   bands: Int = 16): DataFrame =
-    lshCandidatesFrom(gramRowsPortable(s, d), numHashes, bands)
-
   // --- DD12: LSH recall audit — the quality gate a pipeline runs on a
   // SAMPLE before trusting LSH at full scale: exact truth pairs vs
   // LSH candidate pairs, one summary row. At 100 TB the exact side is

@@ -24,20 +24,56 @@ import org.apache.spark.sql.functions._
   * centroids), which is what lets the DuckDB oracle recompute the
   * index inline and hash-check the probing queries (OracleGen.sim*).
   *
-  * Lifecycle: `target/graft-index/<sf-leaf>/<kind>`; built lazily on
-  * first use (guarded by parquet's `_SUCCESS` marker + object lock),
-  * reused by every later query in any JVM. Param changes land in a
-  * fresh `kind` directory.
+  * Lifecycle: `target/graft-index/<sf-leaf>-<source-fingerprint>/<kind>`;
+  * built lazily on first use, reused by every later query. The path
+  * fingerprints the SOURCE (absolute path + length + mtime of the
+  * embeddings parquet), so regenerated or swapped data lands in a
+  * fresh directory instead of silently serving a stale index; every
+  * index parameter (incl. dim) is part of `kind`. Builds go to a
+  * per-process temp dir and publish via atomic rename — concurrent
+  * JVMs race safely (the loser discards its build), and a crashed
+  * half-write (dir without `_SUCCESS`) is treated as garbage.
   */
 object VectorIndex {
 
-  private def indexPath(d: String, kind: String): java.nio.file.Path =
+  private def indexPath(d: String, kind: String): java.nio.file.Path = {
+    val src = new java.io.File(d, "embeddings.parquet")
+    val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
     java.nio.file.Paths.get("target", "graft-index",
-      java.nio.file.Paths.get(d).getFileName.toString, kind)
+      s"${java.nio.file.Paths.get(d).getFileName}-$fp", kind)
+  }
 
-  private def ensure(path: java.nio.file.Path)(build: => Unit): Unit =
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val f = p.toFile
+    if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Build into a temp dir, publish with an atomic rename. The object
+    * lock serializes threads in THIS JVM; the rename protocol covers
+    * other JVMs: whoever renames first wins, the loser keeps the
+    * winner's index and deletes its own build.
+    */
+  private def ensure(path: java.nio.file.Path)(build: String => Unit): Unit =
     synchronized {
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) build
+      import java.nio.file.{Files, StandardCopyOption}
+      if (!Files.exists(path.resolve("_SUCCESS"))) {
+        val tmp = path.resolveSibling(path.getFileName.toString +
+          ".tmp." + ProcessHandle.current().pid())
+        build(tmp.toString)
+        try {
+          Files.createDirectories(path.getParent)
+          // a dir without _SUCCESS is a crashed writer's leftovers
+          if (Files.exists(path) && !Files.exists(path.resolve("_SUCCESS")))
+            deleteRecursively(path)
+          Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            deleteRecursively(tmp) // another JVM won the race — use theirs
+        }
+      }
     }
 
   /** Multi-table hyperplane-LSH index: one (vec_id, embedding, tbl,
@@ -48,8 +84,8 @@ object VectorIndex {
   def lshIndex(s: SparkSession, d: String,
                numTables: Int = 8, planesPerTable: Int = 4,
                dim: Int = 64): DataFrame = {
-    val path = indexPath(d, s"lsh_${numTables}x$planesPerTable")
-    ensure(path) {
+    val path = indexPath(d, s"lsh_${numTables}x${planesPerTable}x$dim")
+    ensure(path) { out =>
       val tb = (0 until numTables).map { t =>
         val planes = Vectors.randomPlanes(planesPerTable, dim, 42L + t)
         struct(lit(t).as("tbl"),
@@ -62,7 +98,7 @@ object VectorIndex {
           (col("e.tbl").cast("long") * lit(65536L) + col("e.bucket")).as("bkey"))
         .repartitionByRange(col("bkey"))
         .sortWithinPartitions("bkey")
-        .write.mode("overwrite").parquet(path.toString)
+        .write.mode("overwrite").parquet(out)
     }
     s.read.parquet(path.toString)
   }
@@ -75,13 +111,13 @@ object VectorIndex {
   def ivfIndex(s: SparkSession, d: String, numCells: Int)
               (cellOf: Column => Column): DataFrame = {
     val path = indexPath(d, s"ivf_$numCells")
-    ensure(path) {
+    ensure(path) { out =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           cellOf(col("embedding")).as("cell"))
         .repartitionByRange(col("cell"))
         .sortWithinPartitions("cell")
-        .write.mode("overwrite").parquet(path.toString)
+        .write.mode("overwrite").parquet(out)
     }
     s.read.parquet(path.toString)
   }

@@ -10,23 +10,29 @@ import org.apache.spark.sql.functions._
   */
 class VectorIndexSpec extends SparkTestBase {
 
+  // The index dir is <sf-leaf>-<source-fingerprint>/<kind>; the test
+  // globs on the leaf prefix rather than reproducing the fingerprint.
   private def indexFiles(kind: String): Map[String, Long] = {
-    val dir = java.nio.file.Paths.get("target", "graft-index",
-      java.nio.file.Paths.get(sf).getFileName.toString, kind)
-    val d = dir.toFile
-    if (!d.isDirectory) Map.empty
-    else d.listFiles().filter(_.getName.endsWith(".parquet"))
-      .map(f => f.getName -> f.lastModified()).toMap
+    val root = java.nio.file.Paths.get("target", "graft-index").toFile
+    val leaf = java.nio.file.Paths.get(sf).getFileName.toString
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(leaf + "-"))
+      .flatMap { d =>
+        val k = new java.io.File(d, kind)
+        if (!k.isDirectory) Array.empty[(String, Long)]
+        else k.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
   }
 
   test("LSH index builds once: a second access reuses the same files") {
     val n = Tables.embeddings(spark, sf).count()
     val idx1 = VectorIndex.lshIndex(spark, sf)
     assert(idx1.count() == n * 8, "one row per (vector, table)")
-    val files1 = indexFiles("lsh_8x4")
+    val files1 = indexFiles("lsh_8x4x64")
     assert(files1.nonEmpty)
     VectorIndex.lshIndex(spark, sf).count()
-    assert(indexFiles("lsh_8x4") == files1,
+    assert(indexFiles("lsh_8x4x64") == files1,
       "second access must not rewrite the index")
   }
 
