@@ -44,11 +44,15 @@ object Sampling {
     * probability increasing with document weight (n_chars here): each
     * doc draws a deterministic priority key = h60(doc_id) / weight, and
     * the k SMALLEST keys per source win, so doubling a doc's weight
-    * halves its expected key. This is the hash-priority form of
-    * weighted reservoir sampling (Efraimidis–Spirakis uses
-    * u^(1/w)-style keys; the division form keeps the key a pure
-    * IEEE-double op both engines compute bit-identically — ln/pow are
-    * last-ulp engine-dependent, division is not). One window shuffle
+    * halves its expected key. NOTE the distribution is weight-MONOTONE,
+    * not Efraimidis–Spirakis-exact: with uniform u, the u/w key gives
+    * pairwise win probability ~w_i/(2·w_j) for w_i ≤ w_j rather than
+    * ES's w_i/(w_i+w_j) (ES needs u^(1/w)-style keys, but ln/pow are
+    * last-ulp engine-dependent, while division is a pure IEEE-double op
+    * both engines compute bit-identically — the price of an exact
+    * cross-engine oracle). Heavier docs still strictly dominate in
+    * expectation; use the ES form where calibrated inclusion
+    * probabilities matter more than replayability. One window shuffle
     * keyed on source; the key is a scan-side projection.
     */
   def weightedSample(s: SparkSession, d: String, k: Int = 8): DataFrame = {

@@ -26,29 +26,58 @@ import org.apache.spark.sql.functions._
   *
   * Lifecycle: `target/graft-index/<sf-leaf>-<source-fingerprint>/<kind>`;
   * built lazily on first use, reused by every later query. The path
-  * fingerprints the SOURCE (absolute path + length + mtime of the
-  * embeddings parquet), so regenerated or swapped data lands in a
+  * fingerprints the SOURCE (absolute path + each part file's
+  * name/size/mtime — Spark part names are per-write UUIDs, so any
+  * regeneration moves the fingerprint), so swapped data lands in a
   * fresh directory instead of silently serving a stale index; every
   * index parameter (incl. dim) is part of `kind`. Builds go to a
   * per-process temp dir and publish via atomic rename — concurrent
   * JVMs race safely (the loser discards its build), and a crashed
-  * half-write (dir without `_SUCCESS`) is treated as garbage.
+  * half-write (dir without our own sentinel marker) is treated as
+  * garbage.
   */
 object VectorIndex {
 
-  private def indexPath(d: String, kind: String): java.nio.file.Path = {
-    val src = new java.io.File(d, "embeddings.parquet")
-    val fp = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
-      s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
-    java.nio.file.Paths.get("target", "graft-index",
-      s"${java.nio.file.Paths.get(d).getFileName}-$fp", kind)
+  /** Source fingerprint = every part file's (name, size, mtime), not
+    * the directory entry's own length/mtime: a directory's length is
+    * not content-derived and its mtime tick is coarse, so an in-place
+    * regeneration could otherwise serve a stale index. Spark writes
+    * part files under fresh UUID names, so any rewrite changes the
+    * name list even within one mtime tick.
+    */
+  private[sources] def sourceFingerprint(src: java.io.File): String = {
+    val parts = Option(src.listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(",")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
+      s"${src.getAbsolutePath}|$parts"))
   }
+
+  private def indexPath(d: String, kind: String): java.nio.file.Path =
+    indexPathFor(new java.io.File(d, "embeddings.parquet"), d, kind)
+
+  private[sources] def indexPathFor(src: java.io.File, d: String,
+                                    kind: String): java.nio.file.Path =
+    java.nio.file.Paths.get("target", "graft-index",
+      s"${java.nio.file.Paths.get(d).getFileName}-${sourceFingerprint(src)}",
+      kind)
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     val f = p.toFile
     if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))
     java.nio.file.Files.deleteIfExists(p)
   }
+
+  /** Our own publish marker, written into the build dir AFTER the
+    * parquet write completes and BEFORE the atomic rename — so a
+    * published dir always carries it, independent of whether Spark's
+    * committer was configured to emit `_SUCCESS`
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false would
+    * otherwise make every call classify a healthy index as crashed
+    * leftovers and delete a directory live readers may still scan).
+    */
+  private val Sentinel = "_GRAFT_INDEX_OK"
 
   /** Build into a temp dir, publish with an atomic rename. The object
     * lock serializes threads in THIS JVM; the rename protocol covers
@@ -58,14 +87,15 @@ object VectorIndex {
   private def ensure(path: java.nio.file.Path)(build: String => Unit): Unit =
     synchronized {
       import java.nio.file.{Files, StandardCopyOption}
-      if (!Files.exists(path.resolve("_SUCCESS"))) {
+      if (!Files.exists(path.resolve(Sentinel))) {
         val tmp = path.resolveSibling(path.getFileName.toString +
           ".tmp." + ProcessHandle.current().pid())
         build(tmp.toString)
+        Files.createFile(tmp.resolve(Sentinel))
         try {
           Files.createDirectories(path.getParent)
-          // a dir without _SUCCESS is a crashed writer's leftovers
-          if (Files.exists(path) && !Files.exists(path.resolve("_SUCCESS")))
+          // a dir without our sentinel is a crashed writer's leftovers
+          if (Files.exists(path) && !Files.exists(path.resolve(Sentinel)))
             deleteRecursively(path)
           Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
         } catch {

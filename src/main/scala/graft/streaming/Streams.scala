@@ -187,6 +187,15 @@ object Streams {
     * into state and emitting around them would splice history — the
     * same drop-don't-revise stance as the watermarked aggregations
     * above. Bounded state: one (type, since, frontier) tuple per user.
+    *
+    * Checkpoint compatibility: `ScdState` is the flatMapGroupsWithState
+    * state ENCODER schema, so adding/removing a field (as the
+    * maxSeenEventId frontier addition did) breaks restores from
+    * checkpoints written under the previous schema — Spark fails state
+    * deserialization rather than migrating. Upgrading across a
+    * state-shape change means restarting the query with a fresh
+    * checkpoint directory (or a bumped query name); this is inherent
+    * to case-class state encoders, not specific to this operator.
     */
   def scdStream(events: DataFrame,
                 watermark: String = "1 hour"): Dataset[ScdInterval] = {
