@@ -85,6 +85,61 @@ object OracleGen {
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CTE block from cand + gh → the verified LSH drop set (distinct
+    * doc_b of pairs at/above the Jaccard threshold) — the shared tail
+    * of every keep-set/corpus-select twin running on LSH pairs.
+    */
+  private def lshDropsCtes(threshold: Double): String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS s
+       |           FROM cand c
+       |           JOIN gh ga ON ga.doc_id = c.doc_a
+       |           JOIN gh gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
+       |           GROUP BY 1, 2),
+       |drops AS (SELECT DISTINCT doc_b FROM shared
+       |          JOIN cnt ca ON ca.doc_id = doc_a
+       |          JOIN cnt cb ON cb.doc_id = doc_b
+       |          WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= $threshold)""".stripMargin
+
+  /** dd14_keepset_lsh: DD5's keep set with the pair relation sourced
+    * from the LSH path (dd3) instead of the exact self-join — the
+    * documented 100 TB composition, hash-checked end to end.
+    */
+  def dd14Sql(threshold: Double = 0.5,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |${lshDropsCtes(threshold)}
+       |SELECT doc_id, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
+  /** dp11_corpus_select_lsh: DP1's corpus selection with the near-dup
+    * drop side sourced from the LSH pair relation.
+    */
+  def dp11Sql(qualityFloor: Double = 0.55, threshold: Double = 0.5,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |${lshDropsCtes(threshold)},
+       |q AS (
+       |  SELECT doc_id, round(
+       |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+       |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+       |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+       |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+       |    AS quality
+       |  FROM w)
+       |SELECT d.doc_id, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS INTEGER) AS n_tokens,
+       |  q.quality
+       |FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |WHERE d.lang = 'en'
+       |  AND len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+       |  AND q.quality >= $qualityFloor
+       |  AND d.doc_id NOT IN (SELECT doc_b FROM drops)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** dd12_lsh_audit: exact-Jaccard truth pairs vs the LSH candidate
     * set — n_true / n_candidates / n_hits / recall, one row.
     */

@@ -209,6 +209,12 @@ object SparkEntry {
     "tx14_vocab_growth"   -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "tx15_trigram_lm"     -> ((s, d) => TextAnalysis.trigramLm(s, d)),
     "tx16_trigram_novelty" -> ((s, d) => TextAnalysis.trigramNovelty(s, d)),
+    // round-5 pack: LSH-sourced dedup compositions (the 100 TB pair
+    // source wired through the keep-set / corpus-select tails)
+    "dd14_keepset_lsh"  -> ((s, d) =>
+      Dedup.dedupKeepSetFrom(s, d, Dedup.minhashLshPairsRaw(s, d))),
+    "dp11_corpus_select_lsh" -> ((s, d) =>
+      Pipeline.corpusSelectFrom(s, d, Dedup.minhashLshPairsRaw(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -886,6 +892,8 @@ object SparkEntry {
     "dd3_minhash_lsh" -> OracleGen.dd3Sql(),
     "dd4_simhash" -> OracleGen.dd4Sql(),
     "dd12_lsh_audit" -> OracleGen.dd12Sql(),
+    "dd14_keepset_lsh" -> OracleGen.dd14Sql(),
+    "dp11_corpus_select_lsh" -> OracleGen.dp11Sql(),
     "dd5_dedup_keep" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (

@@ -28,7 +28,7 @@ object Dedup {
     * exploded from a sequence, grams assembled with element_at/concat
     * (no HOF lambdas), hashed to longs immediately.
     */
-  private[operators] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame =
+  private[graft] def gramRows(s: SparkSession, d: String, n: Int = 3): DataFrame =
     gramRowsRaw(s, d, n).dropDuplicates("doc_id", "gh")
 
   /** Undeduplicated (doc_id, gram) STRING rows in the codegen
@@ -89,20 +89,19 @@ object Dedup {
     pairs.select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
-  /** Exact Jaccard for a set of (doc_a, doc_b) candidate pairs, by
-    * counting shared gram-hashes — one codegen'd join+agg, no array
+  /** Shared-gram counts for a set of (doc_a, doc_b) candidate pairs,
+    * by counting shared gram-hashes — one codegen'd join+agg, no array
     * intersections. `gr` must be the distinct (doc_id, gh) relation.
+    * Right only for SMALL candidate sets (LSH band collisions); the
+    * all-candidates form is [[sharedGramCounts]].
     */
-  private def verifyJaccard(pairs: DataFrame, gr: DataFrame,
-                            threshold: Double): DataFrame = {
-    val shared = pairs
+  private def sharedOfCandidates(pairs: DataFrame, gr: DataFrame): DataFrame =
+    pairs
       .join(gr.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(gr.as("gb"),
         col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
-    presentPairs(jaccardFromShared(shared, gr, threshold))
-  }
 
   // --- DD2: exact n-gram Jaccard near-dup pairs (correctness baseline
   // for DD3): candidate pairs = docs sharing >= 1 word-3-gram. The
@@ -124,15 +123,48 @@ object Dedup {
     jaccardFromShared(sharedGramCounts(gr), gr, threshold)
   }
 
-  /** Per-pair shared-gram counts from the distinct gram relation's
-    * self-join — one shuffle over the match rows.
+  /** Default document-frequency cap for the exact gram self-join. A
+    * gram appearing in f documents contributes C(f,2) join rows, so ONE
+    * ubiquitous shingle (cookie banner, license header) turns the
+    * "exact" path quadratic — the classic shingle-DF cap drops such
+    * grams before the join. Grams this common carry no Jaccard signal
+    * anyway (they don't discriminate between documents); the per-doc
+    * denominators stay uncapped, so the only effect on scores is
+    * removing the hot grams' shared-count contribution. The default
+    * sits far above this corpus family's max DF (25 at sf0.1), so
+    * every oracled result is provably identical to the uncapped run;
+    * a 100 TB deployment tunes it to its boilerplate profile (and
+    * feeds [[boilerplateSpans]]'s catalog back as the evidence).
     */
-  private def sharedGramCounts(gr: DataFrame): DataFrame =
-    gr.as("a")
-      .join(gr.as("b"),
+  val DefaultMaxGramDocFreq = 500L
+
+  /** Drop grams whose document frequency exceeds the cap. The window
+    * hash-partitions by `gh` — the same partitioning the self-join
+    * needs next, so the cap rides the exchange the join pays anyway
+    * instead of adding one.
+    */
+  private[graft] def capByDocFreq(gr: DataFrame, maxDocFreq: Long): DataFrame = {
+    val byGh = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    gr.withColumn("df", count(lit(1)).over(byGh))
+      .filter(col("df") <= maxDocFreq)
+      .drop("df")
+  }
+
+  /** Per-pair shared-gram counts from the distinct gram relation's
+    * self-join — one shuffle over the match rows, with the hot-gram
+    * fan-out bounded by the DF cap (≤ C(maxDocFreq, 2) pair rows per
+    * gram, making the worst-case join size a corpus-independent
+    * constant times the gram count).
+    */
+  private def sharedGramCounts(gr: DataFrame,
+                               maxDocFreq: Long = DefaultMaxGramDocFreq): DataFrame = {
+    val g = capByDocFreq(gr, maxDocFreq)
+    g.as("a")
+      .join(g.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
+  }
 
   /** Distinct (doc_id, h60-gram-hash) rows — the PORTABLE twin of
     * [[gramRows]] for the pipelines whose DuckDB oracle replays the
@@ -179,9 +211,22 @@ object Dedup {
   // share).
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    presentPairs(minhashLshPairsRaw(s, d, threshold, numHashes, bands))
+
+  /** Unsorted/unrounded LSH near-dup pair relation — the form
+    * downstream stages ([[dedupKeepSetFrom]], `Pipeline
+    * .corpusSelectFrom`) consume as their 100 TB pair source: candidate
+    * generation is banded (never all-pairs) and the exact verify only
+    * touches candidate rows.
+    */
+  private[graft] def minhashLshPairsRaw(s: SparkSession, d: String,
+                                        threshold: Double = 0.5,
+                                        numHashes: Int = 64,
+                                        bands: Int = 16): DataFrame = {
     val gr = gramRowsPortable(s, d).localCheckpoint()
-    verifyJaccard(lshCandidatesFrom(gr, numHashes, bands), gr, threshold)
+    jaccardFromShared(sharedOfCandidates(
+      lshCandidatesFrom(gr, numHashes, bands), gr), gr, threshold)
   }
 
   /** Unverified LSH candidate pairs (band-bucket collisions). Band
@@ -247,16 +292,23 @@ object Dedup {
   // the higher-id member of some near-dup pair (doc_b side). One
   // anti-join over the pair relation; at 100 TB the pair relation
   // comes from DD3 (LSH) instead of DD2 with identical downstream
-  // shape. ---
+  // shape — that composition is [[dedupKeepSetFrom]] with
+  // [[minhashLshPairsRaw]] (registered as dd14_keepset_lsh). ---
   def dedupKeepSet(s: SparkSession, d: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val dropIds = ngramJaccardPairsRaw(s, d, threshold)
-      .select(col("doc_b").as("doc_id"))
+                   threshold: Double = 0.5): DataFrame =
+    dedupKeepSetFrom(s, d, ngramJaccardPairsRaw(s, d, threshold))
+
+  /** Keep set over ANY (…, doc_b, …) near-dup pair relation — the pair
+    * source is a parameter precisely so the exact baseline (DD2) and
+    * the LSH scale path (DD3) share one downstream shape.
+    */
+  def dedupKeepSetFrom(s: SparkSession, d: String,
+                       pairs: DataFrame): DataFrame =
     Tables.documents(s, d)
-      .join(dropIds.distinct(), Seq("doc_id"), "left_anti")
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
       .select("doc_id", "source")
       .orderBy("doc_id")
-  }
 
   // --- DD7: n-gram containment — |grams(A) ∩ grams(B)| / |grams(A)|,
   // the asymmetric near-dup measure that catches A ⊂ B (quote/boiler-
@@ -268,12 +320,7 @@ object Dedup {
                        threshold: Double = 0.8): DataFrame = {
     val gr = gramRows(s, d)
     val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = gr.as("a")
-      .join(gr.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
+    sharedGramCounts(gr)
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -441,9 +488,13 @@ object Dedup {
                        threshold: Double = 0.5,
                        incomingMod: Long = 4L): DataFrame = {
     val gr = gramRows(s, d, 3)
-    val inc = gr.filter(col("doc_id") % incomingMod === 0)
+    // The batch×corpus gram join has the same hot-gram quadratic mode
+    // as the self-join (|inc_f|·|ex_f| rows per gram), so the DF cap
+    // applies here too; per-doc Jaccard denominators stay uncapped.
+    val capped = capByDocFreq(gr, DefaultMaxGramDocFreq)
+    val inc = capped.filter(col("doc_id") % incomingMod === 0)
       .select(col("doc_id").as("doc_a"), col("gh"))
-    val ex = gr.filter(col("doc_id") % incomingMod =!= 0)
+    val ex = capped.filter(col("doc_id") % incomingMod =!= 0)
       .select(col("doc_id").as("doc_b"), col("gh"))
     val shared = inc.join(ex, "gh")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))

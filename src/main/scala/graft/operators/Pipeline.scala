@@ -22,10 +22,20 @@ object Pipeline {
     */
   def corpusSelect(s: SparkSession, d: String,
                    qualityFloor: Double = 0.55,
-                   jaccardThreshold: Double = 0.5): DataFrame = {
+                   jaccardThreshold: Double = 0.5): DataFrame =
+    corpusSelectFrom(s, d,
+      Dedup.ngramJaccardPairsRaw(s, d, jaccardThreshold), qualityFloor)
+
+  /** Corpus selection over ANY (…, doc_b, …) near-dup pair relation.
+    * The exact pair source (DD2) is the small-scale default; at 100 TB
+    * the same plan runs with `Dedup.minhashLshPairsRaw` (DD3) — banded
+    * candidates, never all-pairs — which is exactly the composition
+    * registered as dp11_corpus_select_lsh.
+    */
+  def corpusSelectFrom(s: SparkSession, d: String, pairs: DataFrame,
+                       qualityFloor: Double = 0.55): DataFrame = {
     val quality = TextAnalysis.qualityScoreRaw(s, d) // (doc_id, quality)
-    val drops = Dedup.ngramJaccardPairsRaw(s, d, jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val drops = pairs.select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, d)
       .filter(col("lang") === "en")
       .withColumn("n_tokens", size(split(col("text"), " ")))

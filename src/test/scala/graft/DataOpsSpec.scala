@@ -20,6 +20,38 @@ class DataOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${lsh.size}/${exact.size})")
   }
 
+  test("DF cap bounds per-gram fan-out and is inert at/above the corpus max DF") {
+    val gr = Dedup.gramRows(spark, sf, 3)
+    val maxDf = gr.groupBy("gh").count().agg(max("count")).head.getLong(0)
+    // a binding cap: every surviving gram's doc frequency is <= cap,
+    // so the self-join's per-gram contribution is <= C(cap, 2) rows
+    val cap = math.max(1L, maxDf - 1)
+    val worst = Dedup.capByDocFreq(gr, cap)
+      .groupBy("gh").count().agg(max("count")).head.getLong(0)
+    assert(worst <= cap, s"gram with df=$worst survived cap=$cap")
+    // a non-binding cap passes the relation through untouched
+    assert(Dedup.capByDocFreq(gr, maxDf).count() == gr.count())
+    // the shipped default must sit far above this corpus family's max
+    // DF — that is what makes every oracled dd-result provably equal
+    // to the uncapped computation
+    assert(maxDf < Dedup.DefaultMaxGramDocFreq,
+      s"corpus max DF $maxDf reached the default cap; oracles would drift")
+  }
+
+  test("DD14 keep set on LSH pairs contains the exact-pair keep set") {
+    val exact = Dedup.dedupKeepSet(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaLsh = Dedup.dedupKeepSetFrom(spark, sf,
+        Dedup.minhashLshPairsRaw(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // LSH can only MISS pairs, so its drop set is a subset and its
+    // keep set a superset of the exact path's
+    assert(exact.subsetOf(viaLsh),
+      "LSH keep set must contain every exactly-kept doc")
+    val total = Tables.documents(spark, sf).count()
+    assert(viaLsh.size < total, "planted dups mean something gets dropped")
+  }
+
   test("SP4 weighted sample: k per source, weight tilts selection toward long docs") {
     val k = 8
     val out = Sampling.weightedSample(spark, sf, k).collect()
