@@ -119,7 +119,7 @@ object Dedup {
     */
   private[operators] def ngramJaccardPairsRaw(s: SparkSession, d: String,
                                               threshold: Double): DataFrame = {
-    val gr = gramRows(s, d)
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
     jaccardFromShared(sharedGramCounts(gr), gr, threshold)
   }
 
@@ -173,7 +173,7 @@ object Dedup {
     * ANSI engine can recompute. At 100 TB swap the basis back to
     * xxhash64 — every downstream shape is hash-agnostic.
     */
-  private[operators] def gramRowsPortable(s: SparkSession, d: String,
+  private[graft] def gramRowsPortable(s: SparkSession, d: String,
                                           n: Int = 3): DataFrame =
     gramStrings(s, d, n)
       .select(col("doc_id"), Text.h60(col("gram")).as("gh"))
@@ -205,10 +205,6 @@ object Dedup {
                                        numHashes: Int, n: Int = 3): DataFrame =
     minhashSignaturesFrom(gramRowsPortable(s, d, n), numHashes)
 
-  // The gram relation feeds BOTH the signature chain and the exact
-  // verify — localCheckpoint materializes the md5 pass once (the two
-  // consumers sit above different joins, which ReuseExchange can't
-  // share).
   def minhashLshPairs(s: SparkSession, d: String,
                       threshold: Double = 0.5,
                       numHashes: Int = 64, bands: Int = 16): DataFrame =
@@ -218,24 +214,30 @@ object Dedup {
     * downstream stages ([[dedupKeepSetFrom]], `Pipeline
     * .corpusSelectFrom`) consume as their 100 TB pair source: candidate
     * generation is banded (never all-pairs) and the exact verify only
-    * touches candidate rows.
+    * touches candidate rows. Both the gram relation and the banding
+    * come from the PERSISTED text index (built once per corpus,
+    * `sources.TextIndex`) — the signature chain is never recomputed at
+    * query time, the round-3 ANN-index lesson applied one layer over.
     */
   private[graft] def minhashLshPairsRaw(s: SparkSession, d: String,
                                         threshold: Double = 0.5,
                                         numHashes: Int = 64,
                                         bands: Int = 16): DataFrame = {
-    val gr = gramRowsPortable(s, d).localCheckpoint()
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
     jaccardFromShared(sharedOfCandidates(
-      lshCandidatesFrom(gr, numHashes, bands), gr), gr, threshold)
+      candidatesFromBanded(
+        graft.sources.TextIndex.bandIndex(s, d, numHashes, bands)),
+      gr), gr, threshold)
   }
 
-  /** Unverified LSH candidate pairs (band-bucket collisions). Band
-    * keys are the concatenated row hashes as a string — ~40 bytes vs
-    * an 8-byte hash, the price of oracle replay; at 100 TB wrap the
+  /** (doc_id, band, bucket) LSH banding of the MinHash signatures —
+    * the relation `sources.TextIndex.bandIndex` persists. Band keys
+    * are the concatenated row hashes as a string — ~40 bytes vs an
+    * 8-byte hash, the price of oracle replay; at 100 TB wrap the
     * concat in xxhash64 before the shuffle (shape unchanged).
     */
-  private def lshCandidatesFrom(gr: DataFrame, numHashes: Int,
-                                bands: Int): DataFrame = {
+  private[graft] def bandedSignatures(gr: DataFrame, numHashes: Int,
+                                      bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignaturesFrom(gr, numHashes)
     val bandStructs = (0 until bands).map { b =>
@@ -243,16 +245,21 @@ object Dedup {
         concat_ws("-", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
           .as("bucket"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Unverified LSH candidate pairs (band-bucket collisions) from a
+    * banded relation — one equi-join on (band, bucket).
+    */
+  private def candidatesFromBanded(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b") // same pair can collide in many bands
-  }
 
   // --- DD12: LSH recall audit — the quality gate a pipeline runs on a
   // SAMPLE before trusting LSH at full scale: exact truth pairs vs
@@ -266,17 +273,19 @@ object Dedup {
                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
     // n_true and n_hits come from ONE pass over the truth relation (a
     // left-outer join against candidates), so the quadratic gram
-    // self-join executes once. ONE portable gram relation feeds truth
-    // AND candidates (checkpointed — its consumers sit above different
-    // joins, which ReuseExchange can't share); Jaccard over distinct
-    // h60 hashes equals Jaccard over grams modulo the same ~n²/2⁶⁰
-    // collision odds the whole family accepts. The candidate relation
-    // likewise feeds two branches (the join + its own count) →
-    // localCheckpoint.
-    val gr = gramRowsPortable(s, d).localCheckpoint()
+    // self-join executes once. The gram relation and the banding both
+    // come from the persisted text index (a parquet scan per consumer
+    // — no checkpointing needed now that the md5/signature pass isn't
+    // recomputed inline); Jaccard over distinct h60 hashes equals
+    // Jaccard over grams modulo the same ~n²/2⁶⁰ collision odds the
+    // whole family accepts. The candidate relation feeds two branches
+    // (the join + its own count) → localCheckpoint.
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
     val truth = jaccardFromShared(sharedGramCounts(gr), gr, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val cand = lshCandidatesFrom(gr, numHashes, bands).localCheckpoint()
+    val cand = candidatesFromBanded(
+      graft.sources.TextIndex.bandIndex(s, d, numHashes, bands))
+      .localCheckpoint()
     truth.join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
         "left_outer")
       .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))
@@ -318,7 +327,7 @@ object Dedup {
   // relation. ---
   def containmentPairs(s: SparkSession, d: String,
                        threshold: Double = 0.8): DataFrame = {
-    val gr = gramRows(s, d)
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
     val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sharedGramCounts(gr)
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -487,7 +496,10 @@ object Dedup {
   def incrementalDedup(s: SparkSession, d: String,
                        threshold: Double = 0.5,
                        incomingMod: Long = 4L): DataFrame = {
-    val gr = gramRows(s, d, 3)
+    // The corpus side reads the persisted gram index — the steady-state
+    // ingest shape: only the incoming batch's grams are new work (here
+    // both sides slice the one index because the test corpus is static).
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
     // The batch×corpus gram join has the same hot-gram quadratic mode
     // as the self-join (|inc_f|·|ex_f| rows per gram), so the DF cap
     // applies here too; per-doc Jaccard denominators stay uncapped.

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted text-dedup indexes over the `documents` table — the
+  * build-once side of the MinHash/LSH dedup scale path, mirroring what
+  * [[VectorIndex]] does for ANN (same fingerprinted path layout, same
+  * atomic-rename publish via `VectorIndex.ensure`).
+  *
+  * Round 4 recomputed shingles + 64 minhash permutations for the whole
+  * corpus inside EVERY query that touched the LSH family (dd3, dd12,
+  * dd14, dp11) and re-parsed document text for every exact-gram query
+  * (dd2, dd5, dd7, dd8, dd10, dp1). Both relations are deterministic
+  * pure functions of the corpus, which is exactly what makes them
+  * indexes rather than caches:
+  *
+  *  - [[gramIndex]]: the distinct (doc_id, gh) word-n-gram relation,
+  *    in either hash basis (xxhash64 for the fast exact family, the
+  *    portable h60 for oracle-replayed pipelines). Persisting it
+  *    amortizes the text parse + explode + per-doc dedup shuffle; a
+  *    consumer's first shuffle is then the one its own join needs.
+  *  - [[bandIndex]]: the (doc_id, band, bucket) LSH banding of the
+  *    64-hash MinHash signatures. Candidate generation becomes a
+  *    self-join of a 3-column parquet scan — the signature chain is
+  *    never recomputed at query time.
+  *
+  * At 100 TB these are the tables a dedup service maintains next to
+  * the corpus (rebuilt incrementally as batches arrive); the
+  * steady-state query cost is the probe, not the signature pass. The
+  * index contents are bit-identical to the inline computation (same
+  * deterministic hash chains), so every DuckDB oracle replay is
+  * unaffected — asserted by TextIndexSpec.
+  */
+object TextIndex {
+
+  private def docsFile(d: String) = new java.io.File(d, "documents.parquet")
+
+  /** Persisted distinct (doc_id, gh) gram relation. `portable = false`
+    * gives the xxhash64 basis (exact-dedup family), `portable = true`
+    * the h60 md5 basis the DuckDB oracles replay (LSH family).
+    */
+  def gramIndex(s: SparkSession, d: String, n: Int = 3,
+                portable: Boolean = false): DataFrame = {
+    val basis = if (portable) "h60" else "xx64"
+    val path = VectorIndex.indexPathFor(docsFile(d), d, s"grams_${n}_$basis")
+    VectorIndex.ensure(path) { out =>
+      val base =
+        if (portable) Dedup.gramRowsPortable(s, d, n)
+        else Dedup.gramRows(s, d, n)
+      base.write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** Persisted (doc_id, band, bucket) LSH banding of the MinHash
+    * signatures (built over the portable gram relation, so dd3's
+    * oracle replays it verbatim). Every banding parameter is part of
+    * the index identity.
+    */
+  def bandIndex(s: SparkSession, d: String,
+                numHashes: Int = 64, bands: Int = 16,
+                n: Int = 3): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"bands_${numHashes}x${bands}_$n")
+    VectorIndex.ensure(path) { out =>
+      Dedup.bandedSignatures(gramIndex(s, d, n, portable = true),
+          numHashes, bands)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+}

@@ -82,9 +82,10 @@ object VectorIndex {
   /** Build into a temp dir, publish with an atomic rename. The object
     * lock serializes threads in THIS JVM; the rename protocol covers
     * other JVMs: whoever renames first wins, the loser keeps the
-    * winner's index and deletes its own build.
+    * winner's index and deletes its own build. Shared with
+    * [[TextIndex]] — one publish protocol for every index family.
     */
-  private def ensure(path: java.nio.file.Path)(build: String => Unit): Unit =
+  private[sources] def ensure(path: java.nio.file.Path)(build: String => Unit): Unit =
     synchronized {
       import java.nio.file.{Files, StandardCopyOption}
       if (!Files.exists(path.resolve(Sentinel))) {

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.TextIndex
+
+/** The persisted text-dedup index layer: built once per corpus,
+  * reused afterwards, and bit-identical to the inline gram/signature
+  * computation the DuckDB oracles replay.
+  */
+class TextIndexSpec extends SparkTestBase {
+
+  private def indexFiles(kind: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get("target", "graft-index").toFile
+    val leaf = java.nio.file.Paths.get(sf).getFileName.toString
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(leaf + "-"))
+      .flatMap { d =>
+        val k = new java.io.File(d, kind)
+        if (!k.isDirectory) Array.empty[(String, Long)]
+        else k.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" -> f.lastModified())
+      }.toMap
+  }
+
+  test("gram index builds once: a second access reuses the same files") {
+    TextIndex.gramIndex(spark, sf, 3, portable = true).count()
+    val files1 = indexFiles("grams_3_h60")
+    assert(files1.nonEmpty)
+    TextIndex.gramIndex(spark, sf, 3, portable = true).count()
+    assert(indexFiles("grams_3_h60") == files1,
+      "second access must not rewrite the index")
+  }
+
+  test("gram index content equals the inline gram relation (both bases)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(TextIndex.gramIndex(spark, sf, 3, portable = true)) ==
+      asSet(Dedup.gramRowsPortable(spark, sf, 3)))
+    assert(asSet(TextIndex.gramIndex(spark, sf, 3)) ==
+      asSet(Dedup.gramRows(spark, sf, 3)))
+  }
+
+  test("band index content equals inline banding of the signatures") {
+    val idx = TextIndex.bandIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val inline = Dedup.bandedSignatures(
+        Dedup.gramRowsPortable(spark, sf, 3), 64, 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(idx == inline, "persisted banding must equal the inline chain")
+  }
+}
