@@ -31,10 +31,12 @@ object Bench {
       catch { case _: Throwable => () } // failures surface in the timed pass
     }
 
-    // best-of-2 per query: a single local[32] pass is GC/OS-noisy
-    // (observed 3x run-to-run swings on projection-only queries)
+    // best-of-3 per query: a single local[32] pass is GC/OS-noisy
+    // (observed 3x run-to-run swings on projection-only queries, and
+    // best-of-2 still left ±15% swings between identical-code runs —
+    // the round-4 q18/q19 "regressions" were exactly that noise)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
+      val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -258,18 +258,66 @@ object OracleGen {
        |  WHERE q.vec_id < $numQueryVecs),
        |${rerankTail(k, dim)}""".stripMargin
 
-  /** scores/cells/probes CTEs for IVF: seed centroids = the first
-    * numCells corpus vectors; argmax ties to the LARGER cid (Spark's
-    * array_max over (score, cid) structs).
+  /** Lloyd-training CTE chain: cent0 = the first k corpus vectors,
+    * then `iters` unrolled M-steps (cent1..cent$iters), each the
+    * exact twin of sources.VectorIndex.lloydCentroids' driver loop —
+    * argmax-dot assignment with ties to the LARGER cid, per-dim AVG
+    * snapped to REAL on the 1e-6 grid via floor(avg·1e6 + 0.5)/1e6,
+    * empty clusters carrying the previous centroid. The grid snap
+    * absorbs cross-engine partial-sum ULP drift, so every iteration
+    * starts from bit-identical REAL centroids in both engines (the
+    * Spark trainer's early stop only fires at an exact fixed point,
+    * where further unrolled iterations are no-ops).
+    */
+  private def lloydCtes(k: Int, iters: Int, dim: Int): String = {
+    val head =
+      s"""ldims AS (SELECT unnest(generate_series(1, $dim)) AS dim),
+         |cent0 AS (SELECT vec_id AS cid, embedding AS cemb
+         |          FROM embeddings WHERE vec_id < $k)""".stripMargin
+    // Every cent$t is referenced TWICE (next scores + next carry-over
+    // coalesce); MATERIALIZED stops DuckDB from inlining the chain,
+    // which would otherwise expand the plan 2^iters-fold.
+    val steps = (1 to iters).map { t =>
+      s"""lsc$t AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid,
+         |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+         |  FROM embeddings e CROSS JOIN cent${t - 1} c),
+         |lasg$t AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY score DESC, cid DESC) AS rn
+         |    FROM lsc$t) t WHERE rn = 1),
+         |lavg$t AS MATERIALIZED (
+         |  SELECT a.cid, g.dim,
+         |    CAST(floor(avg(CAST(e.embedding[g.dim] AS DOUBLE))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS REAL) AS val,
+         |    count(*) AS n
+         |  FROM lasg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  CROSS JOIN ldims g
+         |  GROUP BY a.cid, g.dim),
+         |cent$t AS MATERIALIZED (
+         |  SELECT c.cid,
+         |    list(coalesce(av.val, c.cemb[g.dim]) ORDER BY g.dim) AS cemb
+         |  FROM cent${t - 1} c CROSS JOIN ldims g
+         |  LEFT JOIN lavg$t av ON av.cid = c.cid AND av.dim = g.dim
+         |  GROUP BY c.cid)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** scores/cells/probes CTEs for IVF: LLOYD-TRAINED centroids
+    * (cent$iters of [[lloydCtes]] — the twin of the persisted
+    * VectorIndex.lloydCentroids/ivfIndex build); argmax ties to the
+    * LARGER cid (Spark's array_max over (score, cid) structs).
     */
   private def ivfCtes(numQueryVecs: Int, numCells: Int, nProbe: Int,
-                      dim: Int): String =
-    s"""cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-       |          WHERE vec_id < $numCells),
+                      dim: Int, iters: Int = 8): String =
+    s"""${lloydCtes(numCells, iters, dim)},
        |scores AS (
        |  SELECT e.vec_id, c.cid,
        |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
-       |  FROM embeddings e CROSS JOIN cent c),
+       |  FROM embeddings e CROSS JOIN cent$iters c),
        |cells AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -295,6 +343,46 @@ object OracleGen {
        |  FROM probes p JOIN cells cl ON cl.cell = p.probe_cell
        |  WHERE cl.vec_id <> p.query_id),
        |${rerankTail(k, dim)}""".stripMargin
+
+  /** km3_lloyd_converged: iterations 1..iters-1 from [[lloydCtes]],
+    * then the FINAL E/M step reported per (cluster, dim) — member
+    * count, updated centroid, grid-rounded shift vs the previous
+    * iterate, and the float fixed-point flag. Twin of
+    * Similarity.lloydConvergence.
+    */
+  def km3Sql(k: Int = 4, iters: Int = 8, dim: Int = 64): String = {
+    val p = iters - 1
+    val cNew = s"coalesce(CAST(sa.val AS REAL), c.cemb[g.dim])"
+    s"""WITH ${lloydCtes(k, p, dim)},
+       |fsc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+       |  FROM embeddings e CROSS JOIN cent$p c),
+       |fasg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM fsc) t WHERE rn = 1),
+       |favg AS (
+       |  SELECT a.cid, g.dim,
+       |    floor(avg(CAST(e.embedding[g.dim] AS DOUBLE))
+       |          * 1000000.0 + 0.5) / 1000000.0 AS val,
+       |    count(*) AS n
+       |  FROM fasg a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  CROSS JOIN ldims g
+       |  GROUP BY a.cid, g.dim)
+       |SELECT CAST(c.cid AS INTEGER) AS cluster,
+       |  CAST(g.dim AS INTEGER) AS dim,
+       |  CAST(coalesce(sa.n, 0) AS BIGINT) AS n_members,
+       |  $cNew AS centroid,
+       |  floor(abs(CAST($cNew AS DOUBLE) - CAST(c.cemb[g.dim] AS DOUBLE))
+       |        * 1000000.0 + 0.5) / 1000000.0 AS shift,
+       |  ($cNew = c.cemb[g.dim]) AS dim_converged
+       |FROM cent$p c CROSS JOIN ldims g
+       |LEFT JOIN favg sa ON sa.cid = c.cid AND sa.dim = g.dim
+       |ORDER BY cluster, dim""".stripMargin
+  }
 
   /** sim8_ann_recall: brute-force top-k truth (UNROUNDED ordering,
     * FloatVecDot-exact) vs the sim3/sim4 result sets — n_truth,

@@ -134,6 +134,7 @@ object SparkEntry {
     "sim5_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim6_knn_join"     -> ((s, d) => Similarity.knnJoin(s, d)),
     "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
+    "km3_lloyd_converged" -> ((s, d) => Similarity.lloydConvergence(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
@@ -1032,6 +1033,7 @@ object SparkEntry {
     // DuckDB replays the index content + probe + re-rank exactly.
     "sim3_lsh_ann" -> OracleGen.sim3Sql(),
     "sim4_ivf_ann" -> OracleGen.sim4Sql(),
+    "km3_lloyd_converged" -> OracleGen.km3Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,

@@ -45,4 +45,24 @@ object Vectors {
     val rng = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
+
+  private def dotScoreStructs(cents: Array[Array[Float]], v: Column) =
+    cents.zipWithIndex.map { case (c, cid) =>
+      struct(graft.plans.VectorExpressions.vecDot(v,
+        array(c.map(f => lit(f)): _*)).as("score"), lit(cid).as("cid"))
+    }
+
+  /** Argmax-by-dot cell assignment against a literal centroid table:
+    * one codegen'd projection, ties to the LARGER cid (lexicographic
+    * struct max == `ORDER BY score DESC, cid DESC` in the oracle).
+    */
+  def nearestCellByDot(cents: Array[Array[Float]])(v: Column): Column =
+    array_max(array(dotScoreStructs(cents, v): _*)).getField("cid")
+
+  /** Top-n cells by dot score (the nProbe probe-cell rule) — same
+    * ordering and tie rule as [[nearestCellByDot]].
+    */
+  def nearestCellsByDot(cents: Array[Array[Float]], n: Int)(v: Column): Column =
+    slice(reverse(array_sort(array(dotScoreStructs(cents, v): _*))), 1, n)
+      .getField("cid")
 }

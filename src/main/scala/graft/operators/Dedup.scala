@@ -37,9 +37,16 @@ object Dedup {
     * CodegenFallback HOF twin, fine for ad-hoc column use only). Pure
     * map-side projection, no exchange.
     */
-  private[operators] def gramStrings(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[operators] def gramStrings(s: SparkSession, d: String, n: Int): DataFrame =
+    gramStringsOf(Tables.documents(s, d), n)
+
+  /** Same projection over an arbitrary (doc_id, text) relation — the
+    * form a streaming micro-batch grams its incoming documents with
+    * (Streams.incrementalDedupStream).
+    */
+  private[graft] def gramStringsOf(docs: DataFrame, n: Int): DataFrame = {
     val ws = col("ws")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(ws) >= n)
       .select(col("doc_id"), ws,
@@ -56,6 +63,14 @@ object Dedup {
   private[operators] def gramRowsRaw(s: SparkSession, d: String, n: Int): DataFrame =
     gramStrings(s, d, n)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+
+  /** Distinct (doc_id, gh) grams of an arbitrary (doc_id, text)
+    * relation — the micro-batch side of the streaming ingest path.
+    */
+  private[graft] def gramRowsOf(docs: DataFrame, n: Int): DataFrame =
+    gramStringsOf(docs, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .dropDuplicates("doc_id", "gh")
 
   // --- DD1: exact dedup — group identical texts, keep min doc_id.
   // Shuffles the md5 fingerprint (32 bytes), not the document body:

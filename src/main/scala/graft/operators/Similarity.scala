@@ -97,39 +97,39 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** M-steps the IVF coarse quantizer trains for (sim4/sim8) — part
+    * of the index identity AND of the oracle SQL, which unrolls
+    * exactly this many iterations (OracleGen.lloydCtes).
+    */
+  val IvfLloydIters = 8
+
   // --- SIM4: IVF-style ANN over the PERSISTED cell index. Centroids
-  // are k deterministic seed vectors (a real deployment would
-  // Lloyd-iterate them offline); the corpus is assigned to cells ONCE
-  // at index-build time (VectorIndex.ivfIndex — one codegen'd
-  // projection, centroids inlined as literals), not per query. A
-  // query computes its nProbe nearest cells (an nq-row projection),
-  // collects those few cell ids, and probes the index with an IN
-  // filter that prunes at parquet row-group level — at 100 TB each
-  // query READS ~nProbe/k of the corpus rather than scanning and
-  // re-assigning all of it. Exact cosine re-ranks the probed rows. ---
+  // are LLOYD-TRAINED at index-build time (VectorIndex.lloydCentroids:
+  // IvfLloydIters grid-rounded M-steps from the deterministic seeds),
+  // and the corpus is assigned to cells ONCE at index-build time
+  // (VectorIndex.ivfIndex — one codegen'd projection, trained
+  // centroids inlined as literals), not per query. A query computes
+  // its nProbe nearest cells (an nq-row projection), collects those
+  // few cell ids, and probes the index with an IN filter that prunes
+  // at parquet row-group level — at 100 TB each query READS
+  // ~nProbe/k of the corpus rather than scanning and re-assigning all
+  // of it. Exact cosine re-ranks the probed rows. ---
   def ivfAnn(s: SparkSession, d: String,
              numQueryVecs: Int = 5, k: Int = 3,
              numCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    import graft.plans.VectorExpressions.vecDot
+    import graft.functions.Vectors.{nearestCellByDot, nearestCellsByDot}
     val e = Tables.embeddings(s, d)
-    // deterministic coarse centroids: the first numCells vectors
-    // (shared seed-collect; cell scoring below uses vecDot, not cosine)
-    val centroids: Array[(Int, Array[Float])] = seedCentroids(e, numCells)
-    def centroidCol(c: Array[Float]): org.apache.spark.sql.Column =
-      array(c.map(v => lit(v)): _*)
-    // nearest-cell id = argmin distance = argmax dot (unit-ish data);
-    // array_max over (score, cid) structs gives a deterministic argmax
-    // (ties to the LARGER cid — the oracle mirrors this)
+    // trained coarse centroids — a k-row read of the persisted
+    // centroid table (training ran once, at build)
+    val centroids = graft.sources.VectorIndex.lloydCentroidArrays(
+      s, d, numCells, IvfLloydIters)
     def cellOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      array_max(array(centroids.map { case (cid, cvec) =>
-        struct(vecDot(v, centroidCol(cvec)).as("score"), lit(cid).as("cid"))
-      }: _*)).getField("cid")
+      nearestCellByDot(centroids)(v)
     def cellsOf(v: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-      slice(reverse(array_sort(array(centroids.map { case (cid, cvec) =>
-        struct(vecDot(v, centroidCol(cvec)).as("score"), lit(cid).as("cid"))
-      }: _*))), 1, n).getField("cid")
+      nearestCellsByDot(centroids, n)(v)
 
-    val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells)(cellOf)
+    val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
+      s"ivf_lloyd_${numCells}x$IvfLloydIters")(cellOf)
     val queries = e.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(cellsOf(col("embedding"), nProbe)).as("probe_cell"))
@@ -203,6 +203,45 @@ object Similarity {
       .groupBy(col("cluster"), col("pos").cast("int").as("dim"))
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("col").cast("double")), 4).as("centroid"))
+      .orderBy("cluster", "dim")
+  }
+
+  // --- KM3: Lloyd convergence audit — the loop that composes KM1's
+  // E-step and KM2's M-step into actual k-means training (the
+  // componentsFromPairs-style iterate-with-a-guard, applied to the
+  // quantizer). Iterations 1..iters-1 run through the PERSISTED
+  // trainer (VectorIndex.lloydCentroids — grid-rounded, replay-safe);
+  // the query itself executes the FINAL E/M step in-plan and reports,
+  // per (cluster, dim): member count, the updated centroid, the shift
+  // against the previous iterate, and whether that dimension has
+  // reached the float fixed point. The DuckDB oracle unrolls the same
+  // iters M-steps as CTEs and hash-matches every column — the
+  // convergence claim is cross-engine-verified, not asserted. ---
+  def lloydConvergence(s: SparkSession, d: String,
+                       k: Int = 4, iters: Int = 8): DataFrame = {
+    import graft.functions.Vectors.nearestCellByDot
+    require(iters >= 2, "need at least one persisted step plus the reported one")
+    val prev = graft.sources.VectorIndex.lloydCentroidArrays(s, d, k, iters - 1)
+    val e = Tables.embeddings(s, d)
+    import s.implicits._
+    val prevDF = (for { c <- 0 until k; i <- prev(c).indices }
+      yield (c, i + 1, prev(c)(i))).toDF("cluster", "dim", "prev")
+    val step = e.select(nearestCellByDot(prev)(col("embedding")).as("cluster"),
+        col("embedding"))
+      .select(col("cluster"), posexplode(col("embedding")))
+      .groupBy(col("cluster"), (col("pos") + lit(1)).as("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("col").cast("double")).as("m"))
+    // grid snap exactly as the trainer: floor(avg·1e6 + 0.5)/1e6 → FLOAT
+    val snapped = (floor(col("m") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .cast("float")
+    val centroid = coalesce(snapped, col("prev")) // empty cluster carries over
+    broadcast(prevDF).join(step, Seq("cluster", "dim"), "left_outer")
+      .select(col("cluster"), col("dim"),
+        coalesce(col("n"), lit(0L)).as("n_members"),
+        centroid.as("centroid"),
+        (floor(abs(centroid.cast("double") - col("prev").cast("double"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("shift"),
+        (centroid === col("prev")).as("dim_converged"))
       .orderBy("cluster", "dim")
   }
 

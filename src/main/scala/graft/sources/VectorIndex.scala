@@ -134,14 +134,92 @@ object VectorIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Lloyd-trained coarse-quantizer centroids, persisted as a k-row
+    * (cid, n_members, cemb) table: exactly `iters` M-steps from the
+    * first-k seed vectors (the km1/km2 seed rule), assignment =
+    * argmax dot with ties to the larger cid, each updated centroid
+    * snapped to FLOAT on a 1e-6 grid via `floor(avg·1e6 + 0.5)/1e6`.
+    * The grid snap is what makes the loop cross-engine replayable:
+    * Spark's and DuckDB's partial-sum orders drift by ULPs, the grid
+    * absorbs the drift, and every later iteration starts from
+    * bit-identical centroids — so the DuckDB oracle can unroll the
+    * same `iters` M-steps as CTEs and hash-match (OracleGen.lloydCtes).
+    * Empty clusters carry their previous centroid. The driver loop
+    * stops early ONLY at an exact fixed point (c_t == c_{t-1}), which
+    * is replay-safe: further unrolled iterations are no-ops. Each
+    * iteration is one corpus scan + a k·dim hash-agg — the same
+    * shuffle shape as km2, which is why this trains at 100 TB (and in
+    * practice a quantizer trains on a bounded sample anyway).
+    */
+  def lloydCentroids(s: SparkSession, d: String, k: Int,
+                     iters: Int, dim: Int = 64): DataFrame = {
+    require(iters >= 1, "lloydCentroids needs at least one M-step")
+    val path = indexPath(d, s"lloyd_${k}x${iters}x$dim")
+    ensure(path) { out =>
+      import org.apache.spark.sql.types._
+      val e = Tables.embeddings(s, d)
+      var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
+        .orderBy("vec_id").select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      var counts = Array.fill(k)(0L)
+      var fixed = false
+      var t = 0
+      while (t < iters && !fixed) {
+        val rows = e.select(
+            graft.functions.Vectors.nearestCellByDot(cents)(col("embedding"))
+              .as("cell"),
+            col("embedding"))
+          .select(col("cell"), posexplode(col("embedding")))
+          .groupBy("cell", "pos")
+          .agg(count(lit(1)).as("n"),
+            avg(col("col").cast("double")).as("m"))
+          .collect()
+        val next = cents.map(_.clone()) // empty clusters carry over
+        val nc = Array.fill(k)(0L)
+        rows.foreach { r =>
+          val cell = r.getInt(0)
+          nc(cell) = r.getLong(2)
+          next(cell)(r.getInt(1)) =
+            (math.floor(r.getDouble(3) * 1e6 + 0.5) / 1e6).toFloat
+        }
+        fixed = (0 until k).forall(i => java.util.Arrays.equals(next(i), cents(i)))
+        cents = next; counts = nc; t += 1
+      }
+      val schema = StructType(Seq(
+        StructField("cid", IntegerType, nullable = false),
+        StructField("n_members", LongType, nullable = false),
+        StructField("cemb", ArrayType(FloatType, containsNull = false),
+          nullable = false)))
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      (0 until k).foreach { i =>
+        rows.add(org.apache.spark.sql.Row(i, counts(i), cents(i).toSeq))
+      }
+      s.createDataFrame(rows, schema)
+        .repartition(1).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** Collected form of [[lloydCentroids]] — k·dim floats, the literal
+    * table the assignment/probe projections inline.
+    */
+  def lloydCentroidArrays(s: SparkSession, d: String, k: Int,
+                          iters: Int, dim: Int = 64): Array[Array[Float]] =
+    lloydCentroids(s, d, k, iters, dim)
+      .orderBy("cid").select(col("cemb")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
   /** IVF (coarse-quantizer) index: (vec_id, embedding, cell), cell
     * assigned by the caller-supplied rule — the SAME `cellOf`
     * projection the query side uses for probe selection, passed in so
-    * build and probe can never drift.
+    * build and probe can never drift. `kind` carries every parameter
+    * of the assignment rule (e.g. the Lloyd iteration count).
     */
-  def ivfIndex(s: SparkSession, d: String, numCells: Int)
+  def ivfIndex(s: SparkSession, d: String, numCells: Int,
+               kind: String = "")
               (cellOf: Column => Column): DataFrame = {
-    val path = indexPath(d, s"ivf_$numCells")
+    val path = indexPath(d,
+      if (kind.nonEmpty) kind else s"ivf_$numCells")
     ensure(path) { out =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),

@@ -165,6 +165,76 @@ object Streams {
     s.read.parquet(currentSnapshotDir(tableDir).getOrElse(
       sys.error(s"no published snapshot under $tableDir")))
 
+  /** One micro-batch of streaming incremental dedup: gram the incoming
+    * (doc_id, text) batch and match it against the PERSISTED corpus
+    * gram index ([[graft.sources.TextIndex.gramIndex]]) — the exact
+    * per-batch body of [[incrementalDedupStream]], shaped like
+    * `Dedup.incrementalDedup` (DD10): candidates are batch×corpus rows
+    * sharing a gram (never corpus×corpus), hot grams are dropped by
+    * the same corpus-wide doc-frequency cap, Jaccard denominators stay
+    * uncapped, best match = max Jaccard with smallest existing id on
+    * ties. Steady-state cost scales with the batch, not the corpus —
+    * only the batch's grams are new work; the corpus side is an index
+    * scan pre-filtered by the join.
+    */
+  def incrementalDedupBatch(batch: DataFrame, corpusDir: String,
+                            threshold: Double = 0.5,
+                            incomingMod: Long = 4L): DataFrame = {
+    import graft.operators.Dedup
+    val s = batch.sparkSession
+    val idx = graft.sources.TextIndex.gramIndex(s, corpusDir, 3)
+    val capped = Dedup.capByDocFreq(idx, Dedup.DefaultMaxGramDocFreq)
+    val ex = capped.filter(col("doc_id") % incomingMod =!= 0)
+      .select(col("doc_id").as("doc_b"), col("gh"))
+    val bg = Dedup.gramRowsOf(batch, 3)
+    // the batch side honors the same cap via the precomputed hot-gram
+    // list (a corpus-wide statistic an ingest service keeps beside the
+    // index), so stream and batch runs see identical candidate sets
+    val hot = idx.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DefaultMaxGramDocFreq).select("gh")
+    val inc = bg.join(hot, Seq("gh"), "left_anti")
+      .select(col("doc_id").as("doc_a"), col("gh"))
+    val cntA = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cntB = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = inc.join(ex, "gh")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val jac = shared
+      .join(cntA.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cntB.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .withColumn("jac",
+        col("shared").cast("double") / (col("ca.n") + col("cb.n") - col("shared")))
+      .filter(col("jac") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a").orderBy(col("jac").desc, col("doc_b").asc)
+    jac.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_a").as("inc_doc"), col("doc_b").as("match_doc"),
+        round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Streaming twin of `Dedup.incrementalDedup` (DD10): incoming
+    * documents matched per micro-batch against the persisted corpus
+    * gram index via foreachBatch, results appended to a parquet match
+    * table. A redelivered document recomputes the IDENTICAL match row
+    * (the match is a pure function of the document and the index), so
+    * the sink is idempotent under read-side `dropDuplicates` — the
+    * same upsert-by-recompute stance as [[hourlyAggSink]], without
+    * needing keyed state: this operator keeps NO stream state at all,
+    * which is what makes it restartable mid-corpus at 100 TB.
+    */
+  def incrementalDedupStream(incoming: DataFrame, corpusDir: String,
+                             outDir: String, checkpointDir: String,
+                             threshold: Double = 0.5,
+                             incomingMod: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        incrementalDedupBatch(batch.toDF(), corpusDir, threshold, incomingMod)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

@@ -318,6 +318,29 @@ class StreamingSpec extends SparkTestBase {
     assert(rowSet(streamed) == rowSet(batch))
   }
 
+  test("equivalence: streaming incremental dedup == batch dd10 (waved + redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val incoming = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 4 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // three waves plus a LATE REDELIVERY of wave-0 documents: the match
+    // is a pure function of (doc, index), so the redelivered docs must
+    // produce byte-identical rows, absorbed by the read-side dedup
+    val waves = incoming.grouped(math.max(1, incoming.length / 3 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("dd10stream").toString
+    val q = Streams.incrementalDedupStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      sf, s"$root/out", s"$root/ck")
+    try (waves :+ waves.head.take(5)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/out").dropDuplicates("inc_doc")
+    val batch = graft.operators.Dedup.incrementalDedup(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch))
+  }
+
   test("equivalence: streaming SCD closed intervals == batch scdBuild (ordered feed)") {
     // in-order waves, no displacement: scdStream's drop-don't-splice
     // late stance intentionally diverges from recompute; the late case

@@ -58,4 +58,40 @@ class VectorIndexSpec extends SparkTestBase {
       .count()
     assert(bad == 0)
   }
+
+  test("Lloyd trainer: builds once, grid-snapped, and a further step from " +
+       "a fixed point is a no-op") {
+    val k = 4
+    val c8 = VectorIndex.lloydCentroidArrays(spark, sf, k, 8)
+    assert(c8.length == k && c8.forall(_.length == 64))
+    // every trained coordinate sits on the 1e-6 grid (the snap is what
+    // makes the loop cross-engine replayable)
+    c8.flatten.foreach { f =>
+      val d = f.toDouble
+      val grid = math.floor(d * 1e6 + 0.5) / 1e6
+      assert(math.abs(grid.toFloat - f) == 0f, s"$f not float-snapped to grid")
+    }
+    // reuse: second access must not rewrite
+    val files1 = indexFiles("lloyd_4x8x64")
+    assert(files1.nonEmpty)
+    VectorIndex.lloydCentroidArrays(spark, sf, k, 8)
+    assert(indexFiles("lloyd_4x8x64") == files1)
+    // monotone prefix property: iters=7 then one more M-step must give
+    // exactly the iters=8 table (the definition km3's final step and
+    // the oracle's unrolled CTE chain both rely on)
+    val c7 = VectorIndex.lloydCentroidArrays(spark, sf, k, 7)
+    val stepped = graft.operators.Similarity.lloydConvergence(spark, sf, k, 8)
+      .select("cluster", "dim", "centroid").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getFloat(2))).toMap
+    (0 until k).foreach { c =>
+      (0 until 64).foreach { i =>
+        assert(stepped((c, i + 1)) == c8(c)(i),
+          s"km3's reported step must equal the persisted iters=8 centroid ($c,$i)")
+      }
+    }
+    assert(c7.flatten.toSeq != c8.flatten.toSeq ||
+      graft.operators.Similarity.lloydConvergence(spark, sf, k, 8)
+        .filter(!col("dim_converged")).count() == 0,
+      "if c7 == c8 the convergence flags must all be true")
+  }
 }
