@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale soak: derives a ~sf1 corpus from sf0.1 (testdata is
+  * read-only, so the derived tables land in `target/soak/sf1`) and
+  * runs the dedup / ANN / data-prep / text / streaming-twin families
+  * against it, comparing per-row cost with the same queries at sf0.1 —
+  * the empirical leg of the 100×-scale argument (every prior claim was
+  * from plan shape alone).
+  *
+  * Construction keeps the soak honest:
+  *  - `documents`: 10 shifted copies; copies 1..9 get a per-copy word
+  *    tag (`w` → `w_i`), making their vocabularies DISJOINT — without
+  *    it every doc would have 9 exact near-dups and the pair families
+  *    would grow quadratically BY DATA (45 cross-copy pairs per doc),
+  *    which would measure the corpus, not the operator. With disjoint
+  *    copies the true pair structure is exactly 10× sf0.1's.
+  *  - `embeddings`: 10 shifted copies, dim-0 jittered per copy so
+  *    vectors aren't byte-identical across copies.
+  *  - `events`: 10 shifted copies (ids and users offset, timestamps
+  *    kept — 10× event density per window, the realistic growth mode);
+  *    written with nano-long `ts` so `Tables.events` reads the soak
+  *    dir exactly like the driver's TIMESTAMP(NANOS) files.
+  *
+  * Each query runs TWICE at the soak scale: the first pass pays any
+  * persisted-index build (TextIndex / VectorIndex / Lloyd — amortized
+  * once per corpus in production), the second measures steady state.
+  * Emits SOAK.json: per query, sf0.1 warm time, soak build + steady
+  * times, and the steady per-row factor (soak_s / (base_s · 10) — ≤ ~1
+  * means the operator scaled no worse than linearly per row).
+  */
+object Soak {
+
+  private val Copies = 10
+  private val Stride = 1000000L
+
+  private def buildIfMissing(s: SparkSession, base: String, out: String): Unit = {
+    val done = new java.io.File(out, "_SOAK_OK")
+    if (done.exists()) return
+    val outDir = new java.io.File(out)
+    outDir.mkdirs()
+
+    def shifted(df: DataFrame, i: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      f(df, i)
+
+    // documents: disjoint vocabularies per copy (see scaladoc)
+    val docs = Tables.documents(s, base)
+    (0 until Copies).map { i =>
+      val tagged =
+        if (i == 0) docs
+        else docs.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_" + i))), " "))
+      tagged.withColumn("doc_id", col("doc_id") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings: shifted ids, per-copy jitter on dim 0
+    val emb = Tables.embeddings(s, base)
+    (0 until Copies).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * Stride))
+        .withColumn("embedding",
+          concat(array((element_at(col("embedding"), 1) +
+            lit(i * 0.001f)).cast("float")),
+            slice(col("embedding"), 2, 10000)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events: shifted ids/users, ts re-encoded as nano longs so
+    // Tables.events reads the soak dir like the driver's files
+    val ev = Tables.events(s, base)
+    (0 until Copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * Stride))
+        .withColumn("user_id", col("user_id") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    java.nio.file.Files.createFile(done.toPath)
+    ()
+  }
+
+  /** The soaked families: everything here reads only documents /
+    * embeddings / events (the derived tables). lineitem-family OLAP
+    * queries are already scale-covered by the driver's own bench tiers.
+    */
+  private val SoakQueries = Seq(
+    "dd1_exact_dedup", "dd3_minhash_lsh", "dd5_dedup_keep",
+    "dd8_components", "dd10_incremental", "dd13_boilerplate",
+    "sim1_cosine_topk", "sim3_lsh_ann", "sim4_ivf_ann", "sim6_knn_join",
+    "sim8_ann_recall", "km3_lloyd_converged",
+    "sp1_hash_sample", "sp3_stratified",
+    "dp1_corpus_select", "dp3_token_pack", "dp7_chunk", "dp10_shuffle",
+    "tx2_token_freq", "tx5_lang_id", "tx12_tfidf",
+    "st1_hourly_events", "st2_sessionize", "st6_rolling_wau")
+
+  private def time(fn: => Unit): Double = {
+    val t0 = System.nanoTime()
+    fn
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val out = if (args.length > 1) args(1) else "target/soak/sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildIfMissing(spark, base, out)
+
+    def run(name: String, dir: String): Double =
+      time(SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+
+    val rows = SoakQueries.map { name =>
+      // warm base (indexes usually pre-built from earlier rounds), then
+      // measure; soak pass 1 pays index builds, pass 2 is steady state
+      run(name, base)
+      val baseS = run(name, base)
+      val soakBuild = run(name, out)
+      val soakSteady = run(name, out)
+      val perRow = soakSteady / (baseS * Copies)
+      System.err.println(
+        f"[soak] $name%-22s base=$baseS%6.2fs build=$soakBuild%7.2fs " +
+        f"steady=$soakSteady%7.2fs perRow=$perRow%5.2f")
+      f""""$name":{"base_s":$baseS%.3f,"soak_build_s":$soakBuild%.3f,"soak_steady_s":$soakSteady%.3f,"per_row_factor":$perRow%.3f}"""
+    }
+    val json =
+      s"""{"base":"$base","copies":$Copies,"queries":${rows.mkString("{", ",", "}")}}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.json"),
+      json + "\n")
+    spark.stop()
+  }
+}
