@@ -69,16 +69,24 @@ object OracleGen {
   /** dd3_minhash_lsh: LSH candidates verified by exact Jaccard over
     * the shared distinct-h60 gram counts.
     */
-  def dd3Sql(threshold: Double = 0.5,
-             numHashes: Int = 64, bands: Int = 16): String =
-    s"""WITH $gramCtes,
-       |${lshCandCtes(numHashes, bands)},
-       |cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+  /** cnt + shared CTEs from cand + gh: the exact-Jaccard verify over
+    * shared distinct-h60 gram counts — ONE definition composed by the
+    * dd3 pair query and every keep-set/corpus-select twin, so a change
+    * to the verify shape cannot diverge between them.
+    */
+  private val lshVerifyCtes: String =
+    s"""cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
        |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS s
        |           FROM cand c
        |           JOIN gh ga ON ga.doc_id = c.doc_a
        |           JOIN gh gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
-       |           GROUP BY 1, 2),
+       |           GROUP BY 1, 2)""".stripMargin
+
+  def dd3Sql(threshold: Double = 0.5,
+             numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |$lshVerifyCtes,
        |j AS (SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (ca.n + cb.n - s) AS jac
        |      FROM shared JOIN cnt ca ON ca.doc_id = doc_a
        |                  JOIN cnt cb ON cb.doc_id = doc_b)
@@ -90,12 +98,7 @@ object OracleGen {
     * of every keep-set/corpus-select twin running on LSH pairs.
     */
   private def lshDropsCtes(threshold: Double): String =
-    s"""cnt AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
-       |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS s
-       |           FROM cand c
-       |           JOIN gh ga ON ga.doc_id = c.doc_a
-       |           JOIN gh gb ON gb.doc_id = c.doc_b AND ga.h = gb.h
-       |           GROUP BY 1, 2),
+    s"""$lshVerifyCtes,
        |drops AS (SELECT DISTINCT doc_b FROM shared
        |          JOIN cnt ca ON ca.doc_id = doc_a
        |          JOIN cnt cb ON cb.doc_id = doc_b
@@ -312,7 +315,8 @@ object OracleGen {
     * LARGER cid (Spark's array_max over (score, cid) structs).
     */
   private def ivfCtes(numQueryVecs: Int, numCells: Int, nProbe: Int,
-                      dim: Int, iters: Int = 8): String =
+                      dim: Int,
+                      iters: Int = graft.operators.Similarity.IvfLloydIters): String =
     s"""${lloydCtes(numCells, iters, dim)},
        |scores AS (
        |  SELECT e.vec_id, c.cid,
@@ -332,12 +336,16 @@ object OracleGen {
        |    FROM scores WHERE vec_id < $numQueryVecs) t
        |  WHERE rn <= $nProbe)""".stripMargin
 
-  /** sim4_ivf_ann: IVF cell probe + exact re-rank. */
+  /** sim4_ivf_ann: IVF cell probe + exact re-rank. `iters` must be
+    * Similarity.IvfLloydIters — SparkEntry passes it through so the
+    * Spark index and the oracle replay can never train differently.
+    */
   def sim4Sql(numQueryVecs: Int = 5, k: Int = 3,
               numCells: Int = 16, nProbe: Int = 2,
-              dim: Int = 64): String =
+              dim: Int = 64,
+              iters: Int = graft.operators.Similarity.IvfLloydIters): String =
     s"""WITH ${normsCte(dim)},
-       |${ivfCtes(numQueryVecs, numCells, nProbe, dim)},
+       |${ivfCtes(numQueryVecs, numCells, nProbe, dim, iters)},
        |cand AS (
        |  SELECT DISTINCT p.query_id, cl.vec_id
        |  FROM probes p JOIN cells cl ON cl.cell = p.probe_cell
@@ -350,7 +358,9 @@ object OracleGen {
     * iterate, and the float fixed-point flag. Twin of
     * Similarity.lloydConvergence.
     */
-  def km3Sql(k: Int = 4, iters: Int = 8, dim: Int = 64): String = {
+  def km3Sql(k: Int = graft.operators.Similarity.Km3K,
+             iters: Int = graft.operators.Similarity.Km3Iters,
+             dim: Int = 64): String = {
     val p = iters - 1
     val cNew = s"coalesce(CAST(sa.val AS REAL), c.cemb[g.dim])"
     s"""WITH ${lloydCtes(k, p, dim)},

@@ -42,9 +42,6 @@ object Soak {
     val outDir = new java.io.File(out)
     outDir.mkdirs()
 
-    def shifted(df: DataFrame, i: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
-      f(df, i)
-
     // documents: disjoint vocabularies per copy (see scaladoc)
     val docs = Tables.documents(s, base)
     (0 until Copies).map { i =>

@@ -103,6 +103,13 @@ object Similarity {
     */
   val IvfLloydIters = 8
 
+  /** km3's training shape — like [[IvfLloydIters]], referenced by BOTH
+    * the Spark operator and its OracleGen registration (SparkEntry), so
+    * the two sides cannot drift.
+    */
+  val Km3K = 4
+  val Km3Iters = 8
+
   // --- SIM4: IVF-style ANN over the PERSISTED cell index. Centroids
   // are LLOYD-TRAINED at index-build time (VectorIndex.lloydCentroids:
   // IvfLloydIters grid-rounded M-steps from the deterministic seeds),
@@ -218,7 +225,7 @@ object Similarity {
   // iters M-steps as CTEs and hash-matches every column — the
   // convergence claim is cross-engine-verified, not asserted. ---
   def lloydConvergence(s: SparkSession, d: String,
-                       k: Int = 4, iters: Int = 8): DataFrame = {
+                       k: Int = Km3K, iters: Int = Km3Iters): DataFrame = {
     import graft.functions.Vectors.nearestCellByDot
     require(iters >= 2, "need at least one persisted step plus the reported one")
     val prev = graft.sources.VectorIndex.lloydCentroidArrays(s, d, k, iters - 1)
@@ -235,7 +242,8 @@ object Similarity {
     val snapped = (floor(col("m") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
       .cast("float")
     val centroid = coalesce(snapped, col("prev")) // empty cluster carries over
-    broadcast(prevDF).join(step, Seq("cluster", "dim"), "left_outer")
+    // broadcast the RIGHT side: a left-outer BHJ can only build on it
+    prevDF.join(broadcast(step), Seq("cluster", "dim"), "left_outer")
       .select(col("cluster"), col("dim"),
         coalesce(col("n"), lit(0L)).as("n_members"),
         centroid.as("centroid"),

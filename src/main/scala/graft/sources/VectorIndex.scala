@@ -46,10 +46,15 @@ object VectorIndex {
     * name list even within one mtime tick.
     */
   private[sources] def sourceFingerprint(src: java.io.File): String = {
-    val parts = Option(src.listFiles()).getOrElse(Array.empty)
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(",")
+    // A single-file source (the shipped testdata layout) has no part
+    // files — fingerprint the file itself, or the path-only hash would
+    // silently serve a stale index after an in-place regeneration.
+    val parts =
+      if (src.isDirectory)
+        src.listFiles().sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString(",")
+      else s"${src.length}:${src.lastModified}"
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(
       s"${src.getAbsolutePath}|$parts"))
   }
@@ -88,6 +93,14 @@ object VectorIndex {
   private[sources] def ensure(path: java.nio.file.Path)(build: String => Unit): Unit =
     synchronized {
       import java.nio.file.{Files, StandardCopyOption}
+      // Migration shim: a published dir from before the sentinel switch
+      // carries Spark's _SUCCESS but not our marker — adopt it (write
+      // the sentinel) instead of deleting a healthy index other readers
+      // may be scanning. A crashed write has neither marker and is
+      // still rebuilt.
+      if (!Files.exists(path.resolve(Sentinel)) &&
+          Files.exists(path.resolve("_SUCCESS")))
+        Files.createFile(path.resolve(Sentinel))
       if (!Files.exists(path.resolve(Sentinel))) {
         val tmp = path.resolveSibling(path.getFileName.toString +
           ".tmp." + ProcessHandle.current().pid())

@@ -177,26 +177,47 @@ object Streams {
     * only the batch's grams are new work; the corpus side is an index
     * scan pre-filtered by the join.
     */
-  def incrementalDedupBatch(batch: DataFrame, corpusDir: String,
-                            threshold: Double = 0.5,
-                            incomingMod: Long = 4L): DataFrame = {
+  /** Corpus-side relations for [[incrementalDedupBatch]], all pure
+    * functions of the static corpus index: the hot-gram list (the DF
+    * cap as a precomputed statistic an ingest service keeps beside the
+    * index), the capped existing-side gram rows, and the per-doc gram
+    * counts (Jaccard denominators — uncapped). Computed ONCE per
+    * stream and localCheckpoint'd, so micro-batches never re-shuffle
+    * the corpus.
+    */
+  case class DedupCorpusSides(hot: DataFrame, ex: DataFrame, cntB: DataFrame)
+
+  def dedupCorpusSides(s: org.apache.spark.sql.SparkSession,
+                       corpusDir: String,
+                       incomingMod: Long = 4L): DedupCorpusSides = {
     import graft.operators.Dedup
-    val s = batch.sparkSession
     val idx = graft.sources.TextIndex.gramIndex(s, corpusDir, 3)
-    val capped = Dedup.capByDocFreq(idx, Dedup.DefaultMaxGramDocFreq)
-    val ex = capped.filter(col("doc_id") % incomingMod =!= 0)
-      .select(col("doc_id").as("doc_b"), col("gh"))
-    val bg = Dedup.gramRowsOf(batch, 3)
-    // the batch side honors the same cap via the precomputed hot-gram
-    // list (a corpus-wide statistic an ingest service keeps beside the
-    // index), so stream and batch runs see identical candidate sets
     val hot = idx.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") > Dedup.DefaultMaxGramDocFreq).select("gh")
-    val inc = bg.join(hot, Seq("gh"), "left_anti")
+      .localCheckpoint()
+    // anti-join against the hot list == capByDocFreq (hot is its exact
+    // complement on the distinct gram relation) — one cap definition
+    // shared by both sides
+    val ex = idx.join(hot, Seq("gh"), "left_anti")
+      .filter(col("doc_id") % incomingMod =!= 0)
+      .select(col("doc_id").as("doc_b"), col("gh"))
+      .localCheckpoint()
+    val cntB = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    DedupCorpusSides(hot, ex, cntB)
+  }
+
+  def incrementalDedupBatch(batch: DataFrame, corpus: DedupCorpusSides,
+                            threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val bg = Dedup.gramRowsOf(batch, 3)
+    // the batch side honors the same cap via the hot-gram list, so
+    // stream and batch runs see identical candidate sets
+    val inc = bg.join(corpus.hot, Seq("gh"), "left_anti")
       .select(col("doc_id").as("doc_a"), col("gh"))
     val cntA = bg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cntB = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = inc.join(ex, "gh")
+    val cntB = corpus.cntB
+    val shared = inc.join(corpus.ex, "gh")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val jac = shared
       .join(cntA.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -224,16 +245,19 @@ object Streams {
   def incrementalDedupStream(incoming: DataFrame, corpusDir: String,
                              outDir: String, checkpointDir: String,
                              threshold: Double = 0.5,
-                             incomingMod: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery =
+                             incomingMod: Long = 4L): org.apache.spark.sql.streaming.StreamingQuery = {
+    // corpus-side relations materialize once, before the first batch
+    val corpus = dedupCorpusSides(incoming.sparkSession, corpusDir, incomingMod)
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        incrementalDedupBatch(batch.toDF(), corpusDir, threshold, incomingMod)
+        incrementalDedupBatch(batch.toDF(), corpus, threshold)
           .write.mode("append").parquet(outDir)
         ()
       }
       .start()
+  }
 
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
