@@ -135,6 +135,7 @@ object SparkEntry {
     "sim6_knn_join"     -> ((s, d) => Similarity.knnJoin(s, d)),
     "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
     "km3_lloyd_converged" -> ((s, d) => Similarity.lloydConvergence(s, d)),
+    "dd15_semantic_dedup" -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
@@ -263,7 +264,9 @@ object SparkEntry {
     "j1_join_nested" ->
       """SELECT o.o_orderkey, o.o_totalprice,
         |  count(l.l_linenumber) AS n_lines,
-        |  coalesce(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 0.0) AS revenue,
+        |  coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |           / 10000.0, 0.0) AS revenue,
         |  coalesce(string_agg(CAST(l.l_linenumber AS VARCHAR), ',' ORDER BY l.l_linenumber), '')
         |    AS line_numbers
         |FROM orders o LEFT OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -280,7 +283,9 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "j4_star_join" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -372,9 +377,12 @@ object SparkEntry {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0 AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,
         |  round(avg(l_discount), 4) AS avg_disc,
@@ -386,7 +394,9 @@ object SparkEntry {
     "q3_ship_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
         |  o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -546,7 +556,9 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q19_disjunction" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |         AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 1 AND 11)
@@ -566,7 +578,9 @@ object SparkEntry {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |           AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1034,6 +1048,7 @@ object SparkEntry {
     "sim3_lsh_ann" -> OracleGen.sim3Sql(),
     "sim4_ivf_ann" -> OracleGen.sim4Sql(),
     "km3_lloyd_converged" -> OracleGen.km3Sql(),
+    "dd15_semantic_dedup" -> OracleGen.dd15Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,

@@ -49,9 +49,14 @@ object Analytics {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+        // exact integer-cents sums (j1's sf0.001 lesson: float sums sit
+        // on half-cent rounding boundaries where the engines disagree);
+        // the tax term compounds to 1e-6 currency units, still integer
+        (sum(Benchmark2.priceCents(col("l_extendedprice"))) / 100.0)
+          .as("sum_base_price"),
+        (sum(Benchmark2.lineRevenueCents1e4) / 10000.0).as("sum_disc_price"),
+        (sum(Benchmark2.lineRevenueCents1e4 *
+          (lit(100L) + Benchmark2.priceCents(col("l_tax")))) / 1000000.0)
           .as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),

@@ -164,6 +164,5 @@ object Benchmark2 {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
           col("l_quantity").between(20, 30)))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg((sum(lineRevenueCents1e4) / 10000.0).as("revenue"))
 }

@@ -45,8 +45,7 @@ object Benchmark3 {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("total_revenue"))
+      .agg((sum(Benchmark2.lineRevenueCents1e4) / 10000.0).as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("mr"))
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))

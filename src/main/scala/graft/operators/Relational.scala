@@ -131,7 +131,11 @@ object Relational {
       .groupBy("o_orderkey", "o_totalprice")
       .agg(
         count(col("l_linenumber")).as("n_lines"),
-        coalesce(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2), lit(0.0))
+        // exact integer-cents revenue (Benchmark2.lineRevenueCents1e4):
+        // round(sum(double),2) sat on a half-cent boundary at sf0.001
+        // where Spark's BigDecimal-string and DuckDB's binary rounding
+        // disagree — the one parity rule every revenue agg follows
+        coalesce(sum(Benchmark2.lineRevenueCents1e4) / 10000.0, lit(0.0))
           .as("revenue"),
         array_join(sort_array(collect_list(col("l_linenumber"))).cast("array<string>"), ",")
           .as("line_numbers"))
@@ -168,7 +172,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg((sum(Benchmark2.lineRevenueCents1e4) / 10000.0).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }

@@ -158,6 +158,32 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // --- DD15: semantic (embedding-cluster) dedup — the SemDeDup shape:
+  // the Lloyd-TRAINED coarse quantizer bounds the quadratic. Candidate
+  // pairs exist only WITHIN a cell of the persisted IVF index (the
+  // same index sim4 probes), so the pair join is corpus²/k-ish instead
+  // of corpus², and the cell-sorted parquet layout makes the self-join
+  // effectively partition-local. Exact cosine verifies candidates; at
+  // 100 TB this is the standard embedding-dedup recipe (cluster, then
+  // pairwise only inside clusters). Fully oracled: DuckDB replays the
+  // training chain + cell assignment + explicit left-assoc dots. ---
+  def semanticDedupPairs(s: SparkSession, d: String,
+                         threshold: Double = 0.3,
+                         numCells: Int = 16): DataFrame = {
+    import graft.functions.Vectors.nearestCellByDot
+    val cents = graft.sources.VectorIndex.lloydCentroidArrays(
+      s, d, numCells, IvfLloydIters)
+    val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
+      s"ivf_lloyd_${numCells}x$IvfLloydIters")(nearestCellByDot(cents))
+    idx.as("a").join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", vecCosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cs") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cs"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   // --- SIM5: cosine range search — every vector within a similarity
   // radius of the query (the "find all near neighbors" primitive;
   // top-k's threshold twin). Broadcast query, one corpus scan. ---
