@@ -39,10 +39,11 @@ object OracleGen {
        |  FROM w),
        |gh AS (SELECT DISTINCT doc_id, ${h60("g")} AS h FROM grams)""".stripMargin
 
-  /** CTE block from gh → LSH band-bucket candidate pairs (twin of
-    * Dedup.minhashSignatures + lshCandidatesFrom).
+  /** CTE block from gh → the (doc_id, band, bucket) banded MinHash
+    * relation (twin of Dedup.minhashSignatures + bandedSignatures —
+    * what sources.TextIndex.bandIndex persists).
     */
-  private def lshCandCtes(numHashes: Int, bands: Int): String = {
+  private def lshBandedCtes(numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val minCols = Text.minhashParams(numHashes).zipWithIndex.map {
       case ((a, b), i) => s"  min(${affine("h", a, b)}) AS h$i"
@@ -59,12 +60,39 @@ object OracleGen {
        |  SELECT doc_id, u.band AS band, u.bucket AS bucket FROM (
        |    SELECT doc_id, unnest([
        |$bandStructs
-       |    ]) AS u FROM sig) t),
+       |    ]) AS u FROM sig) t)""".stripMargin
+  }
+
+  /** CTE block from gh → LSH band-bucket candidate pairs (twin of
+    * Dedup.candidatesFromBanded over the banded relation).
+    */
+  private def lshCandCtes(numHashes: Int, bands: Int): String =
+    s"""${lshBandedCtes(numHashes, bands)},
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.bucket = b.bucket
        |          AND a.doc_id < b.doc_id)""".stripMargin
-  }
+
+  /** dd16_doc_neardup_probe: near-dups of ONE document by probing the
+    * banded relation with the query doc's own band keys — the twin of
+    * Dedup.docNearDupProbe's pushed-down IN probe.
+    */
+  def dd16Sql(queryDoc: Long = 8L, threshold: Double = 0.3,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshBandedCtes(numHashes, bands)},
+       |cand AS (SELECT DISTINCT CAST($queryDoc AS BIGINT) AS doc_a,
+       |                c.doc_id AS doc_b
+       |         FROM banded q JOIN banded c
+       |           ON q.band = c.band AND q.bucket = c.bucket
+       |         WHERE q.doc_id = $queryDoc AND c.doc_id <> $queryDoc),
+       |$lshVerifyCtes
+       |SELECT doc_b AS match_doc,
+       |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
+       |FROM shared JOIN cnt ca ON ca.doc_id = doc_a
+       |            JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= $threshold
+       |ORDER BY match_doc""".stripMargin
 
   /** dd3_minhash_lsh: LSH candidates verified by exact Jaccard over
     * the shared distinct-h60 gram counts.

@@ -136,6 +136,7 @@ object SparkEntry {
     "km1_centroid_assign" -> ((s, d) => Similarity.nearestCentroid(s, d)),
     "km3_lloyd_converged" -> ((s, d) => Similarity.lloydConvergence(s, d)),
     "dd15_semantic_dedup" -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
+    "dd16_doc_neardup_probe" -> ((s, d) => Dedup.docNearDupProbe(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
@@ -1049,6 +1050,7 @@ object SparkEntry {
     "sim4_ivf_ann" -> OracleGen.sim4Sql(),
     "km3_lloyd_converged" -> OracleGen.km3Sql(),
     "dd15_semantic_dedup" -> OracleGen.dd15Sql(),
+    "dd16_doc_neardup_probe" -> OracleGen.dd16Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,

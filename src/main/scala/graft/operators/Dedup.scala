@@ -265,6 +265,33 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  // --- DD16: near-dups of ONE query document by POINT-PROBING the
+  // persisted band index — the steady-state "is this doc already in
+  // the corpus?" check an ingest service runs before admitting a
+  // document (the text twin of sim3's bucket probe). The query doc's
+  // `bands` band keys are collected (a bands-row driver collect) and
+  // pushed down as an IN filter over the band table, so the probe
+  // reads only the buckets the doc lands in — never the corpus; the
+  // exact Jaccard verify then touches only collided candidates. ---
+  def docNearDupProbe(s: SparkSession, d: String,
+                      queryDoc: Long = 8L,
+                      threshold: Double = 0.3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val banded = graft.sources.TextIndex.bandIndex(s, d, numHashes, bands)
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
+    val probeKeys = banded.filter(col("doc_id") === queryDoc)
+      .select(concat_ws("#", col("band"), col("bucket")).as("bk"))
+      .collect().map(_.getString(0))
+    val cand = banded
+      .filter(concat_ws("#", col("band"), col("bucket")).isin(probeKeys: _*) &&
+        col("doc_id") =!= queryDoc)
+      .select(lit(queryDoc).as("doc_a"), col("doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
+      .select(col("doc_b").as("match_doc"), col("jaccard"))
+      .orderBy("match_doc")
+  }
+
   /** Unverified LSH candidate pairs (band-bucket collisions) from a
     * banded relation — one equi-join on (band, bucket).
     */
