@@ -279,12 +279,18 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val banded = graft.sources.TextIndex.bandIndex(s, d, numHashes, bands)
     val gr = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
-    val probeKeys = banded.filter(col("doc_id") === queryDoc)
-      .select(concat_ws("#", col("band"), col("bucket")).as("bk"))
-      .collect().map(_.getString(0))
+    // Probe predicate as an OR of (band, bucket) equalities on STORED
+    // columns — this reaches the parquet scan as pushed data filters
+    // (row-group pruning); an isin over a concat would be a computed
+    // expression Spark cannot push below the scan.
+    val probePairs = banded.filter(col("doc_id") === queryDoc)
+      .select(col("band"), col("bucket")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val probePred = probePairs
+      .map { case (b, k) => col("band") === b && col("bucket") === k }
+      .reduceOption(_ || _).getOrElse(lit(false))
     val cand = banded
-      .filter(concat_ws("#", col("band"), col("bucket")).isin(probeKeys: _*) &&
-        col("doc_id") =!= queryDoc)
+      .filter(probePred && col("doc_id") =!= queryDoc)
       .select(lit(queryDoc).as("doc_a"), col("doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
