@@ -65,4 +65,37 @@ object Vectors {
   def nearestCellsByDot(cents: Array[Array[Float]], n: Int)(v: Column): Column =
     slice(reverse(array_sort(array(dotScoreStructs(cents, v): _*))), 1, n)
       .getField("cid")
+
+  /** Scala-side twin of [[nearestCellByDot]], for the Lloyd TRAINING
+    * loop only (VectorIndex.lloydCentroids). Identical arithmetic —
+    * left-to-right double accumulation over float products, exactly
+    * FloatVecDot's loop — and identical tie rule: `Double.compare`
+    * matches Spark's total order on doubles (NaN greatest), and `>=`
+    * under ascending cid iteration resolves ties to the LARGER cid,
+    * as array_max's lexicographic (score, cid) struct max does.
+    * Exists because the expression form re-codegens a k×dim-literal
+    * argmax every training iteration: at large k the janino compile,
+    * not the data scan, dominates the build (measured ~15 s/iteration
+    * at k=160). The PROBE side keeps the codegen expression — it
+    * compiles once and runs inside whole-stage codegen.
+    */
+  def nearestCellScala(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var bestCid = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cc = cents(c)
+      var acc = 0.0
+      var i = 0
+      while (i < cc.length) {
+        acc += v(i).toDouble * cc(i).toDouble
+        i += 1
+      }
+      if (java.lang.Double.compare(acc, bestScore) >= 0) {
+        bestScore = acc; bestCid = c
+      }
+      c += 1
+    }
+    bestCid
+  }
 }

@@ -136,7 +136,7 @@ object Similarity {
       nearestCellsByDot(centroids, n)(v)
 
     val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
-      s"ivf_lloyd_${numCells}x$IvfLloydIters")(cellOf)
+      s"ivf_lloyd_${numCells}x${IvfLloydIters}t${graft.sources.VectorIndex.LloydTrainCap}")(cellOf)
     val queries = e.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(cellsOf(col("embedding"), nProbe)).as("probe_cell"))
@@ -174,7 +174,7 @@ object Similarity {
     val cents = graft.sources.VectorIndex.lloydCentroidArrays(
       s, d, numCells, IvfLloydIters)
     val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
-      s"ivf_lloyd_${numCells}x$IvfLloydIters")(nearestCellByDot(cents))
+      s"ivf_lloyd_${numCells}x${IvfLloydIters}t${graft.sources.VectorIndex.LloydTrainCap}")(nearestCellByDot(cents))
     idx.as("a").join(idx.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cs", vecCosine(col("a.embedding"), col("b.embedding")))

@@ -147,6 +147,19 @@ object VectorIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Training-scan bound for [[lloydCentroids]]: corpora with more
+    * rows than this train the quantizer on a deterministic systematic
+    * sample (`vec_id ≡ 0 (mod ⌈n/cap⌉)`) — the FAISS posture: training
+    * cost must be corpus-size-independent, only the one-time cell
+    * ASSIGNMENT (ivfIndex) scans everything. Every oracled SF
+    * (embeddings ≤ 2,000 rows at sf0.1) sits far below the cap, so the
+    * sample modulus there is 1 and the trained centroids — and every
+    * sim4/sim8/dd15/km3 hash — are provably identical to full-corpus
+    * training; the DuckDB replay (OracleGen.lloydCtes) therefore needs
+    * no sampling clause.
+    */
+  val LloydTrainCap = 16384L
+
   /** Lloyd-trained coarse-quantizer centroids, persisted as a k-row
     * (cid, n_members, cemb) table: exactly `iters` M-steps from the
     * first-k seed vectors (the km1/km2 seed rule), assignment =
@@ -159,18 +172,35 @@ object VectorIndex {
     * same `iters` M-steps as CTEs and hash-match (OracleGen.lloydCtes).
     * Empty clusters carry their previous centroid. The driver loop
     * stops early ONLY at an exact fixed point (c_t == c_{t-1}), which
-    * is replay-safe: further unrolled iterations are no-ops. Each
-    * iteration is one corpus scan + a k·dim hash-agg — the same
-    * shuffle shape as km2, which is why this trains at 100 TB (and in
-    * practice a quantizer trains on a bounded sample anyway).
+    * is replay-safe: further unrolled iterations are no-ops.
+    *
+    * Two scale choices keep training cost bounded:
+    *  - the scan is capped by [[LloydTrainCap]] (see there);
+    *  - the per-iteration assignment runs as a broadcast-centroid
+    *    Scala map (Vectors.nearestCellScala — the arithmetic twin of
+    *    the codegen expression), NOT the k×dim-literal argmax
+    *    projection: that expression re-codegens per iteration and at
+    *    k=160 the janino compile made an 8-iteration build take ~2
+    *    minutes on a 20k-row corpus. Probe/assignment paths that run
+    *    once still use the codegen form.
+    * Each iteration is one bounded sample scan + a k·dim hash-agg
+    * (`n_members` counts the final training assignment over that
+    * sample).
     */
   def lloydCentroids(s: SparkSession, d: String, k: Int,
-                     iters: Int, dim: Int = 64): DataFrame = {
+                     iters: Int, dim: Int = 64,
+                     maxTrainRows: Long = LloydTrainCap): DataFrame = {
     require(iters >= 1, "lloydCentroids needs at least one M-step")
-    val path = indexPath(d, s"lloyd_${k}x${iters}x$dim")
+    val path = indexPath(d, s"lloyd_${k}x${iters}x${dim}t$maxTrainRows")
     ensure(path) { out =>
       import org.apache.spark.sql.types._
       val e = Tables.embeddings(s, d)
+      val n = e.count()
+      val mod = math.max(1L, (n + maxTrainRows - 1) / maxTrainRows)
+      val train = if (mod > 1) e.filter(pmod(col("vec_id"), lit(mod)) === 0)
+                  else e
+      import s.implicits._
+      val trainVecs = train.select(col("embedding")).as[Array[Float]]
       var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
         .orderBy("vec_id").select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
@@ -178,15 +208,16 @@ object VectorIndex {
       var fixed = false
       var t = 0
       while (t < iters && !fixed) {
-        val rows = e.select(
-            graft.functions.Vectors.nearestCellByDot(cents)(col("embedding"))
-              .as("cell"),
-            col("embedding"))
+        val bc = s.sparkContext.broadcast(cents)
+        val rows = trainVecs
+          .map(v => (graft.functions.Vectors.nearestCellScala(bc.value, v), v))
+          .toDF("cell", "embedding")
           .select(col("cell"), posexplode(col("embedding")))
           .groupBy("cell", "pos")
           .agg(count(lit(1)).as("n"),
             avg(col("col").cast("double")).as("m"))
           .collect()
+        bc.destroy()
         val next = cents.map(_.clone()) // empty clusters carry over
         val nc = Array.fill(k)(0L)
         rows.foreach { r =>
@@ -217,8 +248,9 @@ object VectorIndex {
     * table the assignment/probe projections inline.
     */
   def lloydCentroidArrays(s: SparkSession, d: String, k: Int,
-                          iters: Int, dim: Int = 64): Array[Array[Float]] =
-    lloydCentroids(s, d, k, iters, dim)
+                          iters: Int, dim: Int = 64,
+                          maxTrainRows: Long = LloydTrainCap): Array[Array[Float]] =
+    lloydCentroids(s, d, k, iters, dim, maxTrainRows)
       .orderBy("cid").select(col("cemb")).collect()
       .map(_.getSeq[Float](0).toArray)
 

@@ -72,10 +72,10 @@ class VectorIndexSpec extends SparkTestBase {
       assert(math.abs(grid.toFloat - f) == 0f, s"$f not float-snapped to grid")
     }
     // reuse: second access must not rewrite
-    val files1 = indexFiles("lloyd_4x8x64")
+    val files1 = indexFiles(s"lloyd_4x8x64t${VectorIndex.LloydTrainCap}")
     assert(files1.nonEmpty)
     VectorIndex.lloydCentroidArrays(spark, sf, k, 8)
-    assert(indexFiles("lloyd_4x8x64") == files1)
+    assert(indexFiles(s"lloyd_4x8x64t${VectorIndex.LloydTrainCap}") == files1)
     // monotone prefix property: iters=7 then one more M-step must give
     // exactly the iters=8 table (the definition km3's final step and
     // the oracle's unrolled CTE chain both rely on)
@@ -93,5 +93,38 @@ class VectorIndexSpec extends SparkTestBase {
       graft.operators.Similarity.lloydConvergence(spark, sf, k, 8)
         .filter(!col("dim_converged")).count() == 0,
       "if c7 == c8 the convergence flags must all be true")
+  }
+
+  test("Scala-side training assignment equals the codegen argmax expression") {
+    // The trainer assigns via Vectors.nearestCellScala (broadcast map);
+    // probes and the persisted IVF assignment use the codegen literal
+    // argmax. The two must agree on every corpus vector, or training
+    // and probing would drift.
+    val cents = VectorIndex.lloydCentroidArrays(spark, sf, 4, 8)
+    val viaExpr = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        Vectors.nearestCellByDot(cents)(col("embedding")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaScala = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        Vectors.nearestCellScala(cents, r.getSeq[Float](1).toArray)).toMap
+    assert(viaExpr == viaScala)
+  }
+
+  test("bounded training sample: a capped build trains on vec_id % mod == 0 " +
+       "and still produces a grid-snapped table") {
+    val n = Tables.embeddings(spark, sf).count()
+    val cap = math.max(1L, n / 4) // force mod > 1
+    val c = VectorIndex.lloydCentroidArrays(spark, sf, 4, 2,
+      maxTrainRows = cap)
+    assert(c.length == 4 && c.forall(_.length == 64))
+    c.flatten.foreach { f =>
+      val grid = math.floor(f.toDouble * 1e6 + 0.5) / 1e6
+      assert(math.abs(grid.toFloat - f) == 0f, s"$f not float-snapped")
+    }
+    assert(indexFiles(s"lloyd_4x2x64t$cap").nonEmpty,
+      "the cap is part of the index identity")
   }
 }
