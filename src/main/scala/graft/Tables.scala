@@ -24,26 +24,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nano longs
-    * (legacy conf) and convert to TimestampType (micros — Spark's native
-    * precision) so downstream operators see a normal timestamp column.
+  /** `events.ts` has shipped in three physical forms across testdata
+    * generations: TIMESTAMP(NANOS) (unreadable without the nanosAsLong
+    * legacy conf → surfaces as LongType nano epochs), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ), and plain
+    * TIMESTAMP. Normalize all three to TimestampType (micros, UTC
+    * session) so every downstream operator sees one stable column type.
     *
-    * NOTE the conf is session-scoped and stays set (it must hold at
-    * execution time, when each file footer is re-converted, so a
-    * save/restore around the read would break the scan): after the
-    * first events() call, OTHER nanos-timestamp parquet reads in this
-    * session also stop erroring and surface raw longs. Acceptable
-    * here — without the conf those reads fail outright — but callers
-    * reading foreign nanos tables should convert explicitly as below.
+    * NOTE the nanosAsLong conf is session-scoped and stays set (it must
+    * hold at execution time, when each file footer is re-converted, so a
+    * save/restore around the read would break the scan). Harmless when
+    * the data is already micros; callers reading foreign nanos tables
+    * should convert explicitly as below.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
         // integral `div`, not `/`: nano epochs (~1.7e18) overflow the
         // 53-bit mantissa if divided as doubles
-        "timestamp_micros(ts div 1000)"))
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // UTC session timezone ⇒ wall-clock-preserving, value-identical
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
