@@ -142,6 +142,10 @@ object SparkEntry {
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
     "cms1_heavy_hitters"-> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
     "bf1_bloom_semi"    -> ((s, d) => Sketches.bloomSemiJoin(s, d)),
+    "a29_sketch_reagg"  -> ((s, d) => Sketches.sketchReagg(s, d)),
+    // derived physical layouts: partition pruning + bucketed co-location
+    "pp1_partition_prune" -> ((s, d) => graft.sources.Marts.partitionPrunedDaily(s, d)),
+    "bk1_bucketed_join"   -> ((s, d) => graft.sources.Marts.bucketedJoin(s, d)),
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -1129,6 +1133,38 @@ object SparkEntry {
         |              WHERE c.c_custkey = o.o_custkey
         |                AND c.c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
+    // pp1/bk1: derived physical layouts — same results as the raw
+    // tables (the oracle reads RAW parquet), different plans: pp1's
+    // date slice prunes whole day directories, bk1's fact-fact join
+    // shuffles neither side (MartsSpec pins both plan shapes).
+    "pp1_partition_prune" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |  AND CAST(ts AS DATE) <  DATE '2024-01-13'
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
+    "bk1_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // a29: sketch-reaggregation audit — exact distincts hash-match;
+    // est_ok asserts the monthly HLL estimates AND the union-merged
+    // TOTAL estimate stay within 3·rsd of exact (the a8/cms1 pattern).
+    "a29_sketch_reagg" ->
+      """SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS ym,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  TRUE AS est_ok
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 999999, CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE
+        |FROM orders
+        |ORDER BY ym""".stripMargin,
     "mm1_media_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5

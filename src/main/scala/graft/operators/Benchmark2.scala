@@ -38,7 +38,7 @@ object Benchmark2 {
     round(c * 100).cast("long")
 
   /** Exact per-row line revenue in 1e-4 currency units as a long. */
-  private[operators] def lineRevenueCents1e4: org.apache.spark.sql.Column =
+  private[graft] def lineRevenueCents1e4: org.apache.spark.sql.Column =
     priceCents(col("l_extendedprice")) *
       (lit(100L) - priceCents(col("l_discount")))
 

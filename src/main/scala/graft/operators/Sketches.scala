@@ -50,6 +50,47 @@ object Sketches {
       .orderBy("l_suppkey")
   }
 
+  // --- A29: HLL sketch REAGGREGATION audit — the pre-aggregated-cube
+  // posture at 100 TB: per-partition (here per-month) Datasketches HLL
+  // sketches are stored once, and any coarser rollup (the yearly /
+  // all-time distinct) is answered by MERGING the stored sketches
+  // (hll_union_agg) instead of rescanning raw data. countDistinct
+  // cannot reaggregate (distinct counts don't add across overlapping
+  // key sets); the sketch union does, which is why sketch columns —
+  // not distinct counts — are what a 100 TB mart materializes.
+  // Audit shape (the a8/cms1 pattern): per-month exact distinct + the
+  // monthly sketch estimate in-bounds boolean, plus one TOTAL row
+  // whose estimate comes ONLY from the merged monthly sketches while
+  // its exact side is the global distinct — a drifting merge flips a
+  // boolean the DuckDB oracle hashes. Per-month distinct first, then
+  // count + sketch over the distinct keys (insert-idempotence, the a8
+  // Expand-avoidance trick). lgK=14 → rsd ≈ 1.04/√2¹⁴ ≈ 0.8%; bound
+  // 3·rsd with a +2 absolute floor for tiny months (where the sparse-
+  // mode sketch is exact anyway). ---
+  def sketchReagg(s: SparkSession, d: String, lgK: Int = 14): DataFrame = {
+    val bound = 3 * 1.04 / math.sqrt((1 << lgK).toDouble)
+    def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(est - exact) <= greatest(exact * bound, lit(2.0))
+    val mc = Tables.orders(s, d)
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("ym"), col("o_custkey"))
+      .distinct()
+    val monthly = mc.groupBy("ym")
+      .agg(count(lit(1)).as("exact_cust"),
+        hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"))
+    val monthlyOut = monthly.select(col("ym"), col("exact_cust"),
+      ok(hll_sketch_estimate(col("sk")), col("exact_cust")).as("est_ok"))
+    // TOTAL: exact = global distinct; estimate = union of the 80 stored
+    // monthly sketches — the raw keys are never rescanned on this path.
+    val totalExact = mc.select("o_custkey").distinct()
+      .agg(count(lit(1)).as("exact_cust"))
+    val totalOut = monthly.agg(hll_union_agg(col("sk"), lit(true)).as("u"))
+      .crossJoin(totalExact)
+      .select(lit(999999).as("ym"), col("exact_cust"),
+        ok(hll_sketch_estimate(col("u")), col("exact_cust")).as("est_ok"))
+    monthlyOut.unionByName(totalOut).orderBy("ym")
+  }
+
   // --- BF1: Bloom-pruned semi join. The bloom filter over the dim's
   // keys broadcasts (~1.2 bytes/key at 1% fpp) and prunes fact rows
   // BEFORE the shuffle — at 100 TB this is the difference between

@@ -55,4 +55,22 @@ class SketchesSpec extends SparkTestBase {
       assert(bloom.mightContain(k), s"false negative for $k")
     }
   }
+
+  test("A29 sketch reaggregation: estimates in bounds, TOTAL from merged sketches") {
+    val out = Sketches.sketchReagg(spark, sf).collect()
+    assert(out.length > 2, "expected monthly rows plus a TOTAL row")
+    assert(out.forall(_.getAs[Boolean]("est_ok")),
+      "every monthly estimate and the union-merged TOTAL must be in bounds")
+    val total = out.filter(_.getAs[Int]("ym") == 999999)
+    assert(total.length == 1)
+    // TOTAL's exact side really is the global distinct (not the sum of
+    // monthly distincts — customers order in many months)
+    val globalDistinct = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(total.head.getAs[Long]("exact_cust") == globalDistinct)
+    val monthlySum = out.filter(_.getAs[Int]("ym") != 999999)
+      .map(_.getAs[Long]("exact_cust")).sum
+    assert(monthlySum > globalDistinct,
+      "reaggregation must be non-trivial: monthly distincts overlap")
+  }
 }
