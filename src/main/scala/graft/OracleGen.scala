@@ -121,6 +121,31 @@ object OracleGen {
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** dd17_incremental_index: dd3's chain restricted to pairs whose
+    * larger member is in the arriving batch (doc_id >= max·4/5 + 1,
+    * exact integer arithmetic — batch ids are all above base ids, so
+    * the batch member of any base×batch pair is always doc_b). The
+    * Spark side answers this from base + delta index directories; the
+    * oracle replays the full signature chain and applies the same
+    * boundary, proving the incremental layout is answer-identical.
+    */
+  def dd17Sql(threshold: Double = 0.5,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshBandedCtes(numHashes, bands)},
+       |bound AS (SELECT max(doc_id) * 4 // 5 + 1 AS b FROM documents),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id
+       |         WHERE b.doc_id >= (SELECT b FROM bound)),
+       |$lshVerifyCtes,
+       |j AS (SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (ca.n + cb.n - s) AS jac
+       |      FROM shared JOIN cnt ca ON ca.doc_id = doc_a
+       |                  JOIN cnt cb ON cb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+       |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
   /** CTE block from cand + gh → the verified LSH drop set (distinct
     * doc_b of pairs at/above the Jaccard threshold) — the shared tail
     * of every keep-set/corpus-select twin running on LSH pairs.

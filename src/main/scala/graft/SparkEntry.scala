@@ -137,6 +137,7 @@ object SparkEntry {
     "km3_lloyd_converged" -> ((s, d) => Similarity.lloydConvergence(s, d)),
     "dd15_semantic_dedup" -> ((s, d) => Similarity.semanticDedupPairs(s, d)),
     "dd16_doc_neardup_probe" -> ((s, d) => Dedup.docNearDupProbe(s, d)),
+    "dd17_incremental_index" -> ((s, d) => Dedup.incrementalLshPairs(s, d)),
     // north-star M6: end-to-end corpus selection
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
@@ -1055,6 +1056,7 @@ object SparkEntry {
     "km3_lloyd_converged" -> OracleGen.km3Sql(),
     "dd15_semantic_dedup" -> OracleGen.dd15Sql(),
     "dd16_doc_neardup_probe" -> OracleGen.dd16Sql(),
+    "dd17_incremental_index" -> OracleGen.dd17Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,

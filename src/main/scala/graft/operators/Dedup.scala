@@ -298,6 +298,40 @@ object Dedup {
       .orderBy("match_doc")
   }
 
+  // --- DD17: incremental BAND-INDEX maintenance — the batch-arrival
+  // twin of dd16's single-doc probe. A batch of new documents lands;
+  // signatures are computed for the BATCH ONLY and published as a
+  // delta directory (the base index is never read-modified-rewritten —
+  // TextIndexSpec asserts its files are byte-untouched), and the
+  // batch's near-dup pairs come from band collisions of delta × (base
+  // ∪ delta). At 100 TB this is the ingest loop: per-batch cost is
+  // proportional to the BATCH, never the corpus; a nightly compaction
+  // can fold deltas, but correctness never requires it (MinHash
+  // signatures are per-document, so base ∪ delta IS the full index).
+  // Batch boundary = max_id·4/5 + 1 in exact integer arithmetic (the
+  // dd15 lesson: parameters must scale with the corpus), replayed
+  // verbatim by the DuckDB oracle. ---
+  def incrementalLshPairs(s: SparkSession, d: String,
+                          threshold: Double = 0.5,
+                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val maxId = graft.Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val base = graft.sources.TextIndex.bandIndexBase(s, d, boundary, numHashes, bands)
+    val delta = graft.sources.TextIndex.bandIndexDelta(s, d, boundary, numHashes, bands)
+    // delta on the BUILD side: every pair involves a batch doc, and
+    // batch ids are all > base ids, so the batch member is always the
+    // pair's doc_b — the probe side streams base ∪ delta past it.
+    val cand = base.unionByName(delta).as("a")
+      .join(delta.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
+    presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
+  }
+
   /** Unverified LSH candidate pairs (band-bucket collisions) from a
     * banded relation — one equi-join on (band, bucket).
     */

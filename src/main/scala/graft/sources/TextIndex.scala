@@ -70,4 +70,42 @@ object TextIndex {
     }
     s.read.parquet(path.toString)
   }
+
+  // --- Incremental maintenance (dd17). A MinHash signature is a pure
+  // per-document function, so the band index of corpus ∪ batch is
+  // EXACTLY (band index of corpus) ∪ (band index of batch): a new
+  // batch never touches existing index files — the ingest job writes
+  // one delta directory and the logical index is the union. That
+  // no-rewrite property is the whole point of the layout at 100 TB
+  // (TextIndexSpec asserts base bytes are untouched by a delta build
+  // and that base ∪ delta is row-identical to the full index). ---
+
+  private def bandSlice(s: SparkSession, d: String, kindSuffix: String,
+                        numHashes: Int, bands: Int, n: Int)
+                       (slice: DataFrame => DataFrame): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"bands_${numHashes}x${bands}_${n}_$kindSuffix")
+    VectorIndex.ensure(path) { out =>
+      Dedup.bandedSignatures(slice(gramIndex(s, d, n, portable = true)),
+          numHashes, bands)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** The band index as it stood BEFORE the batch: docs < `boundary`. */
+  def bandIndexBase(s: SparkSession, d: String, boundary: Long,
+                    numHashes: Int = 64, bands: Int = 16,
+                    n: Int = 3): DataFrame =
+    bandSlice(s, d, s"lt$boundary", numHashes, bands, n)(
+      _.filter(org.apache.spark.sql.functions.col("doc_id") < boundary))
+
+  /** The batch delta: docs >= `boundary` — the ONLY signature work an
+    * ingest pays; published as its own directory next to the base.
+    */
+  def bandIndexDelta(s: SparkSession, d: String, boundary: Long,
+                     numHashes: Int = 64, bands: Int = 16,
+                     n: Int = 3): DataFrame =
+    bandSlice(s, d, s"ge$boundary", numHashes, bands, n)(
+      _.filter(org.apache.spark.sql.functions.col("doc_id") >= boundary))
 }

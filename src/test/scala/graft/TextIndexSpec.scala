@@ -48,4 +48,46 @@ class TextIndexSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(idx == inline, "persisted banding must equal the inline chain")
   }
+
+  test("incremental maintenance: base ∪ delta == full index, base files untouched") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+    val base = TextIndex.bandIndexBase(spark, sf, boundary)
+    // snapshot the base directory BEFORE the delta build
+    val baseDir = new java.io.File(
+      new java.net.URI(base.inputFiles.head)).getParentFile
+    def snapshot() = baseDir.listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = snapshot()
+
+    val delta = TextIndex.bandIndexDelta(spark, sf, boundary)
+    assert(snapshot() == before,
+      "building the delta must not touch any base index file")
+
+    val union = rows(base) ++ rows(delta)
+    assert(rows(TextIndex.bandIndex(spark, sf)) == union,
+      "base ∪ delta must be row-identical to the full band index")
+    assert(rows(base).nonEmpty && rows(delta).nonEmpty)
+    assert(rows(base).forall(_._1 < boundary))
+    assert(rows(delta).forall(_._1 >= boundary))
+  }
+
+  test("DD17 incremental pairs == full-corpus LSH pairs involving the batch") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val inc = Dedup.incrementalLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._2 >= boundary).toSet
+    assert(inc == full,
+      "the incremental path must find exactly the full path's batch pairs")
+  }
 }
