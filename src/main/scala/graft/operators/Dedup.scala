@@ -72,6 +72,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .dropDuplicates("doc_id", "gh")
 
+  /** Portable-hash twin of [[gramRowsOf]] — the basis the LSH band
+    * index persists, for micro-batches maintaining that index
+    * (Streams.lshIndexMaintainStream).
+    */
+  private[graft] def gramRowsPortableOf(docs: DataFrame, n: Int): DataFrame =
+    gramStringsOf(docs, n)
+      .select(col("doc_id"), Text.h60(col("gram")).as("gh"))
+      .dropDuplicates("doc_id", "gh")
+
   // --- DD1: exact dedup — group identical texts, keep min doc_id.
   // Shuffles the md5 fingerprint (32 bytes), not the document body:
   // at 100 TB the exchange carries fingerprints only. ---
@@ -88,7 +97,7 @@ object Dedup {
     * (round + orderBy) belongs to the query boundary, not the 100 TB
     * pipeline interior.
     */
-  private def jaccardFromShared(shared: DataFrame, gr: DataFrame,
+  private[graft] def jaccardFromShared(shared: DataFrame, gr: DataFrame,
                                 threshold: Double): DataFrame = {
     val cnt = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     shared
@@ -100,7 +109,7 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
-  private def presentPairs(pairs: DataFrame): DataFrame =
+  private[graft] def presentPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
@@ -110,7 +119,7 @@ object Dedup {
     * Right only for SMALL candidate sets (LSH band collisions); the
     * all-candidates form is [[sharedGramCounts]].
     */
-  private def sharedOfCandidates(pairs: DataFrame, gr: DataFrame): DataFrame =
+  private[graft] def sharedOfCandidates(pairs: DataFrame, gr: DataFrame): DataFrame =
     pairs
       .join(gr.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(gr.as("gb"),

@@ -259,6 +259,78 @@ object Streams {
       .start()
   }
 
+  /** Streaming twin of `Dedup.incrementalLshPairs` (DD17): the ingest
+    * stream MAINTAINS the persisted LSH text index. Per micro-batch:
+    *
+    *  1. admission — docs already indexed (a redelivery) are dropped by
+    *     an anti-join against the delta directories' doc ids, so the
+    *     index never holds a document twice;
+    *  2. delta publish — the batch's portable gram rows and banded
+    *     signatures are written as `b<batchId>` subdirectories (a
+    *     replayed micro-batch OVERWRITES its own delta — the standard
+    *     idempotent foreachBatch layout);
+    *  3. probe — the batch's bands join base ∪ all deltas for
+    *     candidates, exact-verified over base ∪ delta grams, appended
+    *     to the match output.
+    *
+    * No keyed stream state: the index directories ARE the state
+    * (append-only, restart-safe), exactly the dd17 batch layout — so
+    * the union of emitted pairs over any wave/redelivery schedule
+    * equals the batch operator's answer (StreamingSpec equivalence).
+    */
+  def lshIndexMaintainStream(incoming: DataFrame, corpusDir: String,
+                             boundary: Long, workDir: String,
+                             checkpointDir: String,
+                             threshold: Double = 0.5,
+                             numHashes: Int = 64, bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val s = incoming.sparkSession
+    val base = graft.sources.TextIndex
+      .bandIndexBase(s, corpusDir, boundary, numHashes, bands).localCheckpoint()
+    val baseGr = graft.sources.TextIndex
+      .gramIndex(s, corpusDir, 3, portable = true)
+      .filter(col("doc_id") < boundary).localCheckpoint()
+    def deltaDirs(kind: String): Seq[String] =
+      Option(new java.io.File(s"$workDir/$kind").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("b"))
+        .map(_.getAbsolutePath)
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val existingBands = deltaDirs("bands")
+        val fresh = existingBands match {
+          case Seq() => batch.toDF()
+          case dirs => batch.toDF().join(
+            s.read.parquet(dirs: _*).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+        }
+        val bGr = Dedup.gramRowsPortableOf(fresh, 3).localCheckpoint()
+        bGr.write.mode("overwrite").parquet(s"$workDir/grams/b$batchId")
+        Dedup.bandedSignatures(bGr, numHashes, bands)
+          .write.mode("overwrite").parquet(s"$workDir/bands/b$batchId")
+        val allBands = base.unionByName(s.read.parquet(deltaDirs("bands"): _*))
+        val allGr = baseGr.unionByName(s.read.parquet(deltaDirs("grams"): _*))
+        val batchBands = s.read.parquet(s"$workDir/bands/b$batchId")
+        // symmetric: arrival order is NOT id order, so the batch doc may
+        // be either pair member — normalize to (least, greatest) so a
+        // pair matches the batch operator's doc_a < doc_b orientation
+        val cand = allBands.as("a")
+          .join(batchBands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        Dedup.presentPairs(Dedup.jaccardFromShared(
+            Dedup.sharedOfCandidates(cand, allGr), allGr, threshold))
+          .write.mode("append").parquet(s"$workDir/out")
+        ()
+      }
+      .start()
+  }
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

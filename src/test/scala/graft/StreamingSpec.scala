@@ -341,6 +341,42 @@ class StreamingSpec extends SparkTestBase {
     assert(rowSet(streamed) == rowSet(batch))
   }
 
+  test("equivalence: streaming index maintenance == batch dd17 (shuffled waves + redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val batchDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= boundary)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // arrival order deliberately != id order: a near-dup pair may see
+    // its LARGER id arrive first, so the probe must match batch docs on
+    // either pair side
+    val shuffled = new scala.util.Random(7).shuffle(batchDocs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("dd17stream").toString
+    val q = Streams.lshIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      sf, boundary, root, s"$root/ck")
+    try (waves :+ waves.head.take(7)).foreach { w => // + late redelivery
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$root/out")
+      .dropDuplicates("doc_a", "doc_b")
+    val batch = graft.operators.Dedup.incrementalLshPairs(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch),
+      "streamed index maintenance must find exactly the batch dd17 pairs")
+    // redelivered docs must not be double-indexed
+    val indexed = spark.read.parquet(
+      new java.io.File(s"$root/bands").listFiles()
+        .filter(_.getName.startsWith("b")).map(_.getAbsolutePath): _*)
+    val perDoc = indexed.groupBy("doc_id").count()
+      .filter(col("count") =!= 16).count()
+    assert(perDoc == 0, "every doc must appear in the index exactly once (16 bands)")
+  }
+
   test("equivalence: streaming SCD closed intervals == batch scdBuild (ordered feed)") {
     // in-order waves, no displacement: scdStream's drop-don't-splice
     // late stance intentionally diverges from recompute; the late case
