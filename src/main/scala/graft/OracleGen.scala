@@ -121,6 +121,40 @@ object OracleGen {
        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
        |WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
+  /** zo1_zorder_keys: DuckDB replay of the Morton interleave — the
+    * same five binary-magic-numbers spread rounds as
+    * `graft.plans.MortonInterleave.spread`, constants interpolated
+    * from the very masks the Scala code uses so the two can never
+    * drift. Hour index = epoch microseconds integer-divided to hours
+    * (the floor semantics of Spark's `unix_timestamp`).
+    */
+  def zo1Sql(k: Int = 20): String = {
+    val masks = Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    val rounds = masks.zipWithIndex.map { case ((sh, m), i) =>
+      val prev = if (i == 0) "src" else s"r$i"
+      s"""r${i + 1} AS (SELECT event_id, user_id,
+         |  (xa | (xa << $sh)) & $m AS xa,
+         |  (ya | (ya << $sh)) & $m AS ya FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT max(user_id) + 1 AS uden,
+       |    min((epoch_us(ts) // 1000000) // 3600) AS hmin,
+       |    max((epoch_us(ts) // 1000000) // 3600)
+       |      - min((epoch_us(ts) // 1000000) // 3600) + 1 AS hden
+       |  FROM events),
+       |src AS (
+       |  SELECT event_id, user_id,
+       |    ((user_id * 1024) // (SELECT uden FROM dims)) & 4294967295 AS xa,
+       |    (((((epoch_us(ts) // 1000000) // 3600) - (SELECT hmin FROM dims))
+       |       * 1024) // (SELECT hden FROM dims)) & 4294967295 AS ya
+       |  FROM events),
+       |$rounds
+       |SELECT event_id, user_id, (xa | (ya << 1)) AS zkey
+       |FROM r5 ORDER BY zkey, event_id LIMIT $k""".stripMargin
+  }
+
   /** dd17_incremental_index: dd3's chain restricted to pairs whose
     * larger member is in the arriving batch (doc_id >= max·4/5 + 1,
     * exact integer arithmetic — batch ids are all above base ids, so

@@ -147,6 +147,7 @@ object SparkEntry {
     // derived physical layouts: partition pruning + bucketed co-location
     "pp1_partition_prune" -> ((s, d) => graft.sources.Marts.partitionPrunedDaily(s, d)),
     "bk1_bucketed_join"   -> ((s, d) => graft.sources.Marts.bucketedJoin(s, d)),
+    "zo1_zorder_keys"     -> ((s, d) => graft.sources.Marts.zorderTopKeys(s, d)),
     // north-star M6: multimodal plumbing
     "mm1_media_meta"    -> ((s, d) => Multimodal.mediaMeta(s, d)),
     "mm2_media_features"-> ((s, d) => Multimodal.mediaFeatures(s, d)),
@@ -1057,6 +1058,7 @@ object SparkEntry {
     "dd15_semantic_dedup" -> OracleGen.dd15Sql(),
     "dd16_doc_neardup_probe" -> OracleGen.dd16Sql(),
     "dd17_incremental_index" -> OracleGen.dd17Sql(),
+    "zo1_zorder_keys" -> OracleGen.zo1Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,

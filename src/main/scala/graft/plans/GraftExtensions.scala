@@ -44,7 +44,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1))),
     (FunctionIdentifier("vec_cos"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_cos"),
-      cosExpr _))
+      cosExpr _),
+    (FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      (exprs: Seq[Expression]) => MortonInterleave(exprs.head, exprs(1))))
 
   /** Register on an already-built session (the extensions class only
     * applies at builder time). Also installs the HOF-dot-product

@@ -66,6 +66,54 @@ object Marts {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy("event_date")
 
+  // --- Z-ordered clustering mart ---
+
+  /** Events clustered on the Morton interleave of (user_id, hour
+    * index) — the multi-dimensional layout: range-partitioned and
+    * sorted by `zkey`, every output file holds a NARROW range of BOTH
+    * dimensions (MartsSpec measures the per-file spans), so parquet
+    * min/max stats prune a 2-D slice predicate where a 1-D time sort
+    * could only prune time.
+    *
+    * Both dimensions are rank-normalized onto a fixed 1024-cell grid
+    * (exact integer arithmetic from the dimension's min/max) before
+    * interleaving: z-curves only cluster when the interleaved bit
+    * widths are comparable, and the raw widths here are SF-dependent
+    * (15 users at sf0.001 vs 1500 at sf0.1, against a fixed ~720-hour
+    * span). The normalization constants come from one tiny stats agg
+    * at build time and are replayed by the oracle as subqueries.
+    */
+  def eventsZOrdered(s: SparkSession, d: String,
+                     numFiles: Int = 16): DataFrame = {
+    val path = VectorIndex.indexPathFor(
+      new java.io.File(d, "events.parquet"), d, s"events_zorder_$numFiles")
+    VectorIndex.ensure(path) { out =>
+      val hourIdx = "unix_timestamp(ts) div 3600"
+      val stats = Tables.events(s, d)
+        .agg(max(col("user_id")).as("umax"),
+          min(expr(hourIdx)).as("hmin"), max(expr(hourIdx)).as("hmax")).head
+      val (umax, hmin, hmax) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      Tables.events(s, d)
+        .withColumn("zkey", graft.plans.MortonInterleave.morton(
+          expr(s"user_id * 1024 div ${umax + 1}"),
+          expr(s"(($hourIdx) - $hmin) * 1024 div ${hmax - hmin + 1}")))
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** ZO1: the leading edge of the z-ordered layout — first k events in
+    * Morton order (codegen'd [[graft.plans.MortonInterleave]] key,
+    * replayed bit-for-bit by the DuckDB oracle's shift/mask chain).
+    */
+  def zorderTopKeys(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    eventsZOrdered(s, d)
+      .select("event_id", "user_id", "zkey")
+      .orderBy("zkey", "event_id")
+      .limit(k)
+
   // --- Bucketed co-located join mart ---
 
   private val NumBuckets = 8
