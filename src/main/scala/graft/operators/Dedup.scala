@@ -522,9 +522,14 @@ object Dedup {
   // the portable Text.h60, so the ENTIRE pipeline — hash, balance
   // signs, chunks, hamming — is replayed by the DuckDB oracle
   // (OracleGen.dd4) and hash-checked, not rows-only. ---
-  def simhashPairs(s: SparkSession, d: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val bits = 60
+  /** The 60-bit SimHash signature relation (doc_id, sig) — the
+    * deterministic per-document function [[graft.sources.TextIndex
+    * .simhashIndex]] persists (same build-once rationale as the
+    * MinHash band index: the signature pass is corpus-wide work no
+    * QUERY should repeat).
+    */
+  private[graft] def simhashSignatures(s: SparkSession, d: String,
+                                       bits: Int = 60): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .select(col("doc_id"), Text.h60(col("t")).as("h"))
@@ -533,12 +538,17 @@ object Dedup {
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L),
         col("cnt")).otherwise(-col("cnt"))).as(s"b$b")
     }
-    val sigs = tok.groupBy("doc_id")
+    tok.groupBy("doc_id")
       .agg(balanceCols.head, balanceCols.tail: _*)
       .select(col("doc_id"),
         (0 until bits).map(b =>
           shiftleft(when(col(s"b$b") >= 0, lit(1L)).otherwise(lit(0L)), b))
           .reduce(_ + _).as("sig"))
+  }
+
+  def simhashPairs(s: SparkSession, d: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = graft.sources.TextIndex.simhashIndex(s, d)
     val chunked = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",

@@ -71,6 +71,20 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Persisted (doc_id, sig) 60-bit SimHash signatures — dd4's
+    * corpus-wide signature pass, paid once per corpus instead of per
+    * query (the same lesson as [[bandIndex]]; bit-identical to the
+    * inline chain, so the dd4 oracle replay is unaffected).
+    */
+  def simhashIndex(s: SparkSession, d: String, bits: Int = 60): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d, s"simhash_$bits")
+    VectorIndex.ensure(path) { out =>
+      Dedup.simhashSignatures(s, d, bits)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   // --- Incremental maintenance (dd17). A MinHash signature is a pure
   // per-document function, so the band index of corpus ∪ batch is
   // EXACTLY (band index of corpus) ∪ (band index of batch): a new
