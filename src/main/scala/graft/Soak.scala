@@ -84,9 +84,11 @@ object Soak {
     * queries are already scale-covered by the driver's own bench tiers.
     */
   private val SoakQueries = Seq(
-    "dd1_exact_dedup", "dd3_minhash_lsh", "dd5_dedup_keep",
+    "dd1_exact_dedup", "dd3_minhash_lsh", "dd4_simhash", "dd5_dedup_keep",
     "dd8_components", "dd10_incremental", "dd13_boilerplate",
     "dd14_keepset_lsh", "dd15_semantic_dedup", "dd16_doc_neardup_probe",
+    "dd17_incremental_index",
+    "pp1_partition_prune", "zo1_zorder_keys",
     "sim1_cosine_topk", "sim3_lsh_ann", "sim4_ivf_ann", "sim6_knn_join",
     "sim8_ann_recall", "km3_lloyd_converged",
     "sp1_hash_sample", "sp3_stratified",
