@@ -474,6 +474,46 @@ object OracleGen {
        |SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM scored
        |WHERE cs >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** sim9_ivf_knn_join: every vector's top-k within-cell neighbors —
+    * dd15's candidate chain with the threshold replaced by a per-vector
+    * (cs DESC, id ASC) rank, both pair orientations.
+    */
+  def sim9Sql(k: Int = 3, numCells: Int = 16, dim: Int = 64,
+              iters: Int = graft.operators.Similarity.IvfLloydIters): String =
+    s"""WITH ${normsCte(dim)},
+       |${lloydCtes(numCells, iters, dim)},
+       |scores AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+       |  FROM embeddings e CROSS JOIN cent$iters c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT p.id_a, p.id_b,
+       |    (${pairDot("ea.embedding", "eb.embedding", dim)})
+       |      / (na.nrm * nb.nrm) AS cs
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.id_a
+       |  JOIN embeddings eb ON eb.vec_id = p.id_b
+       |  JOIN norms na ON na.vec_id = p.id_a
+       |  JOIN norms nb ON nb.vec_id = p.id_b),
+       |ranked AS (
+       |  SELECT id_a, id_b, cs,
+       |    row_number() OVER (PARTITION BY id_a
+       |                       ORDER BY cs DESC, id_b ASC) AS rnk
+       |  FROM scored)
+       |SELECT id_a AS vec_id, id_b AS nbr_id, round(cs, 4) AS cos_sim,
+       |  CAST(rnk AS INTEGER) AS rnk
+       |FROM ranked WHERE rnk <= $k ORDER BY vec_id, rnk""".stripMargin
+
   /** km3_lloyd_converged: iterations 1..iters-1 from [[lloydCtes]],
     * then the FINAL E/M step reported per (cluster, dim) — member
     * count, updated centroid, grid-rounded shift vs the previous

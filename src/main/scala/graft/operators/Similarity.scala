@@ -184,6 +184,36 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // --- SIM9: IVF kNN SELF-join — every vector's top-k neighbors, the
+  // kNN-GRAPH builder (the substrate of graph-based dedup, HNSW-style
+  // index construction, and cluster refinement). Brute force is
+  // corpus² dots; here candidates exist only WITHIN a vector's cell of
+  // the persisted Lloyd-trained IVF index (the dd15 candidate shape),
+  // so the join is corpus²/cells-ish and cell-local over the
+  // cell-sorted parquet; one window per vector ranks its candidate
+  // stream (the sim6 ranking shape). nProbe=1 by construction — a
+  // production build probes adjacent cells for recall; the shape is
+  // unchanged. Fully oracled: DuckDB replays training + assignment +
+  // explicit dots + the same (cs DESC, id ASC) rank. ---
+  def ivfKnnJoin(s: SparkSession, d: String,
+                 k: Int = 3, numCells: Int = 16): DataFrame = {
+    import graft.functions.Vectors.nearestCellByDot
+    val cents = graft.sources.VectorIndex.lloydCentroidArrays(
+      s, d, numCells, IvfLloydIters)
+    val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
+      s"ivf_lloyd_${numCells}x${IvfLloydIters}t${graft.sources.VectorIndex.LloydTrainCap}")(nearestCellByDot(cents))
+    val w = Window.partitionBy(col("a.vec_id"))
+      .orderBy(col("cs").desc, col("b.vec_id").asc)
+    idx.as("a").join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cs", vecCosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(col("cs"), 4).as("cos_sim"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
   // --- SIM5: cosine range search — every vector within a similarity
   // radius of the query (the "find all near neighbors" primitive;
   // top-k's threshold twin). Broadcast query, one corpus scan. ---

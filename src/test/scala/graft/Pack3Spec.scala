@@ -187,6 +187,30 @@ class Pack3Spec extends SparkTestBase {
     }
   }
 
+  test("sim9: IVF kNN join ranks within-cell neighbors, k per vector max") {
+    val r = Similarity.ivfKnnJoin(spark, sf).collect()
+    assert(r.nonEmpty)
+    val byVec = r.groupBy(_.getLong(0))
+    byVec.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("rnk")).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"ranks not dense: $ranks")
+      assert(ranks.length <= 3, "more than k neighbors for one vector")
+      val sims = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.sameElements(sims.sorted.reverse), "ranks must follow cs desc")
+    }
+    // neighbors really are cell-mates under the same trained quantizer
+    val cents = graft.sources.VectorIndex.lloydCentroidArrays(
+      spark, sf, 16, Similarity.IvfLloydIters)
+    val cellOf = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.Vectors.nearestCellByDot(cents)(col("embedding")).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    r.foreach { row =>
+      assert(cellOf(row.getLong(0)) == cellOf(row.getLong(1)),
+        s"pair (${row.getLong(0)},${row.getLong(1)}) crosses cells")
+    }
+  }
+
   test("mm3: frame positions follow the stride and cover each document") {
     val r = Multimodal.frameSample(spark, sf)
     assert(r.filter((col("frame_start") - 1) % 256 =!= 0).count() == 0)
