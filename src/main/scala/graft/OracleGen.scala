@@ -474,6 +474,49 @@ object OracleGen {
        |SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM scored
        |WHERE cs >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** tx17_bpe_merges: the BPE training loop unrolled as CTE blocks —
+    * per round, adjacent-pair counts over the delimited symbol strings
+    * (|sym| framing, see TextAnalysis.bpeMerges), argmax with
+    * (count DESC, pair ASC) tie-break, then a plain replace() merge
+    * (same left-to-right non-overlap semantics in both engines). Pair
+    * extraction indexes the symbol list against a bounded series —
+    * words here are ≤ 64 symbols; a longer corpus raises the bound.
+    */
+  def tx17Sql(merges: Int = 10): String = {
+    val rounds = (0 until merges).map { i =>
+      s"""sy_$i AS (
+         |  SELECT freq,
+         |    string_split(substr(wstr, 2, length(wstr) - 2), '||') AS sy
+         |  FROM words_$i),
+         |pc_$i AS (
+         |  SELECT sy[g.j] AS a, sy[g.j + 1] AS b, sum(freq) AS cnt
+         |  FROM sy_$i, (SELECT unnest(generate_series(1, 64)) AS j) g
+         |  WHERE g.j <= len(sy) - 1
+         |  GROUP BY 1, 2),
+         |best_$i AS (
+         |  SELECT a, b, cnt FROM pc_$i
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |words_${i + 1} AS (
+         |  SELECT replace(w.wstr, '|' || bb.a || '||' || bb.b || '|',
+         |                 '|' || bb.a || bb.b || '|') AS wstr, w.freq
+         |  FROM words_$i w CROSS JOIN best_$i bb)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until merges).map { i =>
+      s"""SELECT $i AS step, a AS sym_a, b AS sym_b,
+         |  CAST(cnt AS BIGINT) AS pair_count, a || b AS merged
+         |FROM best_$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words_0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wstr,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0
+       |  GROUP BY 1),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   /** sim9_ivf_knn_join: every vector's top-k within-cell neighbors —
     * dd15's candidate chain with the threshold replaced by a per-vector
     * (cs DESC, id ASC) rank, both pair orientations.

@@ -207,6 +207,7 @@ object SparkEntry {
     "a26_linear_fit"    -> ((s, d) => Analytics.linearFit(s, d)),
     "sim8_ann_recall"   -> ((s, d) => Similarity.annRecallAudit(s, d)),
     "sim9_ivf_knn_join" -> ((s, d) => Similarity.ivfKnnJoin(s, d)),
+    "tx17_bpe_merges"   -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
@@ -1062,6 +1063,7 @@ object SparkEntry {
     "zo1_zorder_keys" -> OracleGen.zo1Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
+    "tx17_bpe_merges" -> OracleGen.tx17Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

@@ -386,4 +386,56 @@ object TextAnalysis {
       .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
         round(col("lift_raw"), 4).as("lift"))
   }
+
+  // --- TX17: BPE merge training — the tokenizer-training inner loop
+  // as Spark relational algebra, one merge per round:
+  //
+  //   1. words as delimited symbol strings ("value" → "|v||a||l||u||e|"
+  //      — the |sym| framing makes the pair-merge a plain substring
+  //      replace with NO shared boundary characters, so left-to-right
+  //      non-overlapping replacement == the standard greedy BPE merge);
+  //   2. adjacent-pair counts weighted by corpus word frequency (exact
+  //      integers — deterministic argmax with (count DESC, pair ASC)
+  //      tie-break);
+  //   3. merge the winning pair in every word; repeat.
+  //
+  // The corpus is scanned ONCE (the word-frequency aggregate); every
+  // round then runs over the localCheckpoint'd vocabulary relation —
+  // vocab-sized, corpus-independent, exactly how production BPE
+  // trainers work (count words first, train on the weighted vocab).
+  // Per-round driver traffic is the single winning pair. The DuckDB
+  // oracle unrolls the same rounds as CTE blocks (replace() has the
+  // same left-to-right non-overlap semantics) and hash-checks every
+  // merge decision. ---
+  def bpeMerges(s: SparkSession, d: String, merges: Int = 10): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    var words: DataFrame = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("regexp_replace(w, '(.)', '|$1|')").as("wstr"), col("freq"))
+      .localCheckpoint()
+    val steps = (0 until merges).map { i =>
+      val best = words
+        .select(col("freq"), expr(
+          "split(substring(wstr, 2, length(wstr) - 2), '\\\\|\\\\|')").as("sy"))
+        // guard: sequence(1, 0) is DESCENDING in Spark, not empty
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(
+          expr("transform(sequence(1, size(sy) - 1), " +
+            "j -> struct(sy[j - 1] AS a, sy[j] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).head
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      words = words
+        .withColumn("wstr", expr(s"replace(wstr, '|$a||$b|', '|$a$b|')"))
+        .localCheckpoint()
+      (i, a, b, cnt, a + b)
+    }
+    import s.implicits._
+    steps.toDF("step", "sym_a", "sym_b", "pair_count", "merged")
+      .orderBy("step")
+  }
 }

@@ -316,4 +316,24 @@ class Pack6Spec extends SparkTestBase {
     assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
     assert(fps(4L) != fps(1L))
   }
+
+  test("tx17: BPE merges are monotone in count and compose learned symbols") {
+    val m = TextAnalysis.bpeMerges(spark, sf, merges = 8).collect()
+    assert(m.length == 8)
+    assert(m.map(_.getAs[Int]("step")).toSeq == (0 until 8))
+    // greedy BPE invariant: counts never increase as merges consume mass
+    val counts = m.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"merge counts must be non-increasing: $counts")
+    assert(counts.forall(_ > 0))
+    // merged symbol is the concatenation and unique per step
+    m.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("sym_a") + r.getAs[String]("sym_b"))
+    }
+    assert(m.map(_.getAs[String]("merged")).distinct.length == 8)
+    // determinism: a second run reproduces the identical merge table
+    val again = TextAnalysis.bpeMerges(spark, sf, merges = 8).collect()
+    assert(m.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
