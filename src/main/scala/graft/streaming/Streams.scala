@@ -131,24 +131,89 @@ object Streams {
               .unionByName(batch)
           case None => batch
         }
-        val snapName = s"snap_$batchId"
-        updated.coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(tableDir, snapName).getPath)
-        // Atomic publish: write pointer beside, then rename over _CURRENT.
-        val ptrTmp = new java.io.File(tableDir, "_CURRENT.tmp")
-        java.nio.file.Files.write(ptrTmp.toPath,
-          snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(ptrTmp.toPath,
-          new java.io.File(tableDir, "_CURRENT").toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // Prune superseded snapshots (readers hold the new pointer now).
-        new java.io.File(tableDir).listFiles()
-          .filter(f => f.isDirectory && f.getName.startsWith("snap_") && f.getName != snapName)
-          .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+        publishSnapshot(tableDir, batchId, updated)
         ()
       }
       .start()
+
+  /** The snapshot publish protocol shared by every foreachBatch table
+    * sink: write `snap_<batchId>`, atomically rename a pointer file
+    * (`_CURRENT`) at it, prune superseded snapshots. A crash mid-batch
+    * leaves the previous snapshot intact; a replayed batch overwrites
+    * its own snap dir.
+    */
+  private def publishSnapshot(tableDir: String, batchId: Long,
+                              updated: DataFrame): Unit = {
+    val snapName = s"snap_$batchId"
+    updated.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(tableDir, snapName).getPath)
+    val ptrTmp = new java.io.File(tableDir, "_CURRENT.tmp")
+    java.nio.file.Files.write(ptrTmp.toPath,
+      snapName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(ptrTmp.toPath,
+      new java.io.File(tableDir, "_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_") && f.getName != snapName)
+      .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+  }
+
+  /** Streaming MERGEABLE-SKETCH sink — the a29 posture maintained by
+    * the stream: per micro-batch, each day's HLL sketch of the batch's
+    * user ids is UNIONED into a per-day sketch snapshot (the
+    * [[publishSnapshot]] pointer protocol). The stored column IS the
+    * sketch (binary); estimates come out at read time
+    * ([[readSketchTable]]), and any coarser rollup is a further union
+    * of stored sketches — raw keys are never rescanned.
+    *
+    * Sketch insert and union are idempotent and commutative on
+    * register maxima, so late data and REDELIVERY need no special
+    * handling: the final registers equal a one-shot batch build's
+    * exactly (StreamingSpec asserts estimate equality under shuffled
+    * waves + redelivery). This is what makes sketch columns the
+    * streaming-safe form of distinct-count state — a count-based
+    * upsert would double-count a redelivered row.
+    */
+  def sketchSink(events: DataFrame, tableDir: String,
+                 checkpointDir: String,
+                 lgK: Int = 12): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bsk = batch.toDF()
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+        val updated = currentSnapshotDir(tableDir) match {
+          case Some(cur) =>
+            batch.sparkSession.read.parquet(cur)
+              .select(col("day"), col("sk").as("sk_old"))
+              .join(bsk.select(col("day"), col("sk").as("sk_new")),
+                Seq("day"), "full_outer")
+              .select(col("day"),
+                when(col("sk_old").isNull, col("sk_new"))
+                  .when(col("sk_new").isNull, col("sk_old"))
+                  .otherwise(hll_union(col("sk_old"), col("sk_new"))).as("sk"))
+          case None => bsk
+        }
+        publishSnapshot(tableDir, batchId, updated)
+        ()
+      }
+      .start()
+
+  /** Read side of [[sketchSink]]: per-day distinct estimates plus the
+    * all-time estimate from the union of the stored day sketches.
+    */
+  def readSketchTable(s: org.apache.spark.sql.SparkSession,
+                      tableDir: String): DataFrame = {
+    val t = readAggTable(s, tableDir)
+    t.select(col("day"), hll_sketch_estimate(col("sk")).as("n_users"))
+      .unionByName(t.agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+        .select(lit(null).cast("date").as("day"),
+          hll_sketch_estimate(col("u")).as("n_users")))
+      .orderBy(col("day").asc_nulls_last)
+  }
 
   private def currentSnapshotDir(tableDir: String): Option[String] = {
     val ptr = new java.io.File(tableDir, "_CURRENT")

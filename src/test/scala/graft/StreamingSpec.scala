@@ -377,6 +377,39 @@ class StreamingSpec extends SparkTestBase {
     assert(perDoc == 0, "every doc must appear in the index exactly once (16 bands)")
   }
 
+  test("equivalence: streaming sketch sink == batch HLL (shuffled waves + redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("user_id"))
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val shuffled = new scala.util.Random(11).shuffle(rows)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val root = java.nio.file.Files.createTempDirectory("sksink").toString
+    val q = Streams.sketchSink(
+      mem.toDF().select(col("_1").as("ts"), col("_2").as("user_id")),
+      s"$root/tbl", s"$root/ck")
+    // three shuffled waves plus a redelivery of part of wave 0: sketch
+    // insert/union are idempotent, so the replay must not move any estimate
+    try (waves :+ waves.head.take(50)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.readSketchTable(spark, s"$root/tbl").collect()
+      .map(r => Option(r.getDate(0)).map(_.toString).getOrElse("TOTAL")
+        -> r.getAs[Long]("n_users")).toMap
+    val perDay = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("n_users")).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("n_users")).toMap
+    val total = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))))
+      .head.getLong(0)
+    assert(streamed == perDay + ("TOTAL" -> total),
+      "merged micro-batch sketches must equal the one-shot batch sketches")
+  }
+
   test("equivalence: streaming SCD closed intervals == batch scdBuild (ordered feed)") {
     // in-order waves, no displacement: scdStream's drop-don't-splice
     // late stance intentionally diverges from recompute; the late case
