@@ -208,6 +208,7 @@ object SparkEntry {
     "sim8_ann_recall"   -> ((s, d) => Similarity.annRecallAudit(s, d)),
     "sim9_ivf_knn_join" -> ((s, d) => Similarity.ivfKnnJoin(s, d)),
     "tx17_bpe_merges"   -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
+    "sim10_ann_incremental" -> ((s, d) => Similarity.lshAnnIncremental(s, d)),
     "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
@@ -1064,6 +1065,9 @@ object SparkEntry {
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),
+    // sim10's oracle IS sim3's: the split (base ∪ delta) index must be
+    // answer-identical to the monolithic one — hash-proved equivalence.
+    "sim10_ann_incremental" -> OracleGen.sim3Sql(),
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

@@ -352,9 +352,15 @@ object Similarity {
   def lshAnn(s: SparkSession, d: String,
              numQueryVecs: Int = 5, k: Int = 3,
              numTables: Int = 8, planesPerTable: Int = 4,
-             dim: Int = 64): DataFrame = {
-    val idx = graft.sources.VectorIndex.lshIndex(
-      s, d, numTables, planesPerTable, dim)
+             dim: Int = 64): DataFrame =
+    lshProbe(graft.sources.VectorIndex.lshIndex(
+      s, d, numTables, planesPerTable, dim), numQueryVecs, k)
+
+  /** The sim3 probe over ANY lsh-index relation — shared with the
+    * incremental base ∪ delta form (sim10), so the two paths can never
+    * drift.
+    */
+  private def lshProbe(idx: DataFrame, numQueryVecs: Int, k: Int): DataFrame = {
     val queries = idx.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bkey").as("q_bkey"))
@@ -377,6 +383,28 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "vec_id", "cos_sim", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  // --- SIM10: incremental ANN index maintenance — the embedding twin
+  // of dd17. A batch of new vectors (ids >= max·4/5 + 1) is bucketed
+  // ALONE and published as a delta directory; the probe runs over
+  // base ∪ delta. Hyperplane bucketing is a pure per-vector function,
+  // so the split index is row-identical to the monolithic one — the
+  // oracle is literally sim3's (same answer, different physical
+  // layout), which hash-proves the equivalence. Per-batch ingest cost
+  // scales with the batch; the base is never read-modified-rewritten. ---
+  def lshAnnIncremental(s: SparkSession, d: String,
+                        numQueryVecs: Int = 5, k: Int = 3,
+                        numTables: Int = 8, planesPerTable: Int = 4,
+                        dim: Int = 64): DataFrame = {
+    val maxId = Tables.embeddings(s, d)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val base = graft.sources.VectorIndex.lshIndexBase(
+      s, d, boundary, numTables, planesPerTable, dim)
+    val delta = graft.sources.VectorIndex.lshIndexDelta(
+      s, d, boundary, numTables, planesPerTable, dim)
+    lshProbe(base.unionByName(delta), numQueryVecs, k)
   }
 
   // --- SIM8: ANN recall audit — brute-force top-k truth for the probe

@@ -127,15 +127,27 @@ object VectorIndex {
     */
   def lshIndex(s: SparkSession, d: String,
                numTables: Int = 8, planesPerTable: Int = 4,
-               dim: Int = 64): DataFrame = {
-    val path = indexPath(d, s"lsh_${numTables}x${planesPerTable}x$dim")
+               dim: Int = 64): DataFrame =
+    lshIndexSlice(s, d, "", numTables, planesPerTable, dim)(identity)
+
+  /** Bucketing is a pure per-vector function, so the index of any
+    * corpus slice is the row-subset of the full index — which is what
+    * makes the base/delta incremental layout below exact (the ANN twin
+    * of TextIndex's dd17 maintenance; VectorIndexSpec asserts base
+    * bytes untouched and base ∪ delta == full).
+    */
+  private def lshIndexSlice(s: SparkSession, d: String, kindSuffix: String,
+                            numTables: Int, planesPerTable: Int, dim: Int)
+                           (slice: DataFrame => DataFrame): DataFrame = {
+    val path = indexPath(d,
+      s"lsh_${numTables}x${planesPerTable}x$dim$kindSuffix")
     ensure(path) { out =>
       val tb = (0 until numTables).map { t =>
         val planes = Vectors.randomPlanes(planesPerTable, dim, 42L + t)
         struct(lit(t).as("tbl"),
           Vectors.lshBucket(col("embedding"), planes).as("bucket"))
       }
-      Tables.embeddings(s, d)
+      slice(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"), explode(array(tb: _*)).as("e"))
         .select(col("vec_id"), col("embedding"),
           col("e.tbl").as("tbl"), col("e.bucket").as("bucket"),
@@ -146,6 +158,23 @@ object VectorIndex {
     }
     s.read.parquet(path.toString)
   }
+
+  /** The ANN index as it stood before the batch: vectors < boundary. */
+  def lshIndexBase(s: SparkSession, d: String, boundary: Long,
+                   numTables: Int = 8, planesPerTable: Int = 4,
+                   dim: Int = 64): DataFrame =
+    lshIndexSlice(s, d, s"_lt$boundary", numTables, planesPerTable, dim)(
+      _.filter(col("vec_id") < boundary))
+
+  /** The arriving batch's delta: vectors >= boundary — the only
+    * bucketing work an embedding ingest pays; its own directory, the
+    * base is never rewritten.
+    */
+  def lshIndexDelta(s: SparkSession, d: String, boundary: Long,
+                    numTables: Int = 8, planesPerTable: Int = 4,
+                    dim: Int = 64): DataFrame =
+    lshIndexSlice(s, d, s"_ge$boundary", numTables, planesPerTable, dim)(
+      _.filter(col("vec_id") >= boundary))
 
   /** Training-scan bound for [[lloydCentroids]]: corpora with more
     * rows than this train the quantizer on a deterministic systematic

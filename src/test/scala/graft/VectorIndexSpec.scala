@@ -127,4 +127,33 @@ class VectorIndexSpec extends SparkTestBase {
     assert(indexFiles(s"lloyd_4x2x64t$cap").nonEmpty,
       "the cap is part of the index identity")
   }
+
+  test("incremental ANN: base ∪ delta == full index, base untouched; sim10 == sim3") {
+    import org.apache.spark.sql.functions.{col, max}
+    val maxId = Tables.embeddings(spark, sf)
+      .agg(max(col("vec_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "bucket", "bkey").collect()
+        .map(_.toString).toSet
+
+    val base = VectorIndex.lshIndexBase(spark, sf, boundary)
+    val baseDir = new java.io.File(
+      new java.net.URI(base.inputFiles.head)).getParentFile
+    def snapshot() = baseDir.listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = snapshot()
+    val delta = VectorIndex.lshIndexDelta(spark, sf, boundary)
+    assert(snapshot() == before,
+      "building the delta must not touch any base index file")
+    assert(rows(base) ++ rows(delta) == rows(VectorIndex.lshIndex(spark, sf)),
+      "bucketing is per-vector pure: base ∪ delta must equal the full index")
+    assert(base.select("vec_id").collect().map(_.getLong(0)).forall(_ < boundary))
+    assert(delta.select("vec_id").collect().map(_.getLong(0)).forall(_ >= boundary))
+
+    val inc = graft.operators.Similarity.lshAnnIncremental(spark, sf).collect()
+    val mono = graft.operators.Similarity.lshAnn(spark, sf).collect()
+    assert(inc.map(_.toString).toSeq == mono.map(_.toString).toSeq,
+      "the split index must answer identically to the monolithic one")
+  }
 }
