@@ -209,6 +209,7 @@ object SparkEntry {
     "sim9_ivf_knn_join" -> ((s, d) => Similarity.ivfKnnJoin(s, d)),
     "tx17_bpe_merges"   -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "sim10_ann_incremental" -> ((s, d) => Similarity.lshAnnIncremental(s, d)),
+    "dp12_bucketed_pack" -> ((s, d) => DataPrep.lengthBucketedPack(s, d)),
     "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
@@ -1068,6 +1069,31 @@ object SparkEntry {
     // sim10's oracle IS sim3's: the split (base ∪ delta) index must be
     // answer-identical to the monolithic one — hash-proved equivalence.
     "sim10_ann_incremental" -> OracleGen.sim3Sql(),
+    "dp12_bucketed_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+        |    length(bin(CAST(n_chars AS BIGINT))) - 1 AS bucket
+        |  FROM documents),
+        |b AS (SELECT bucket,
+        |    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 32
+        |      AS batch_id, len FROM docs),
+        |bb AS (SELECT bucket, batch_id, max(len) AS mx, count(*) AS n,
+        |    sum(len) AS sl FROM b GROUP BY 1, 2),
+        |bs AS (SELECT 'bucketed' AS policy,
+        |    CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(sl) AS BIGINT) AS total_chars,
+        |    CAST(sum(mx * n) AS BIGINT) AS padded_chars FROM bb),
+        |ib AS (SELECT doc_id // 32 AS batch_id, max(len) AS mx,
+        |    count(*) AS n, sum(len) AS sl FROM docs GROUP BY 1),
+        |iss AS (SELECT 'id_block' AS policy,
+        |    CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(sl) AS BIGINT) AS total_chars,
+        |    CAST(sum(mx * n) AS BIGINT) AS padded_chars FROM ib)
+        |SELECT policy, n_batches, total_chars, padded_chars,
+        |  round(CAST(padded_chars - total_chars AS DOUBLE) / padded_chars, 6)
+        |    AS waste_ratio
+        |FROM (SELECT * FROM bs UNION ALL SELECT * FROM iss)
+        |ORDER BY policy""".stripMargin,
     "sim5_range_search" ->
       """SELECT b.vec_id, b.label,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

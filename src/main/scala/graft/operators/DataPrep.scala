@@ -67,6 +67,48 @@ object DataPrep {
       .orderBy("source", "doc_id")
   }
 
+  // --- DP12: length-bucketed batch packing — the padding-efficiency
+  // op behind every LLM training loader: batching similar-length
+  // sequences together (here: same log2-length bucket, dp4's exact
+  // integer bucketing) bounds the per-batch padding to the batch max,
+  // where arrival-order batching pads every short doc up to whatever
+  // long doc shares its batch. Output is the audit both policies'
+  // totals — batches, real chars, padded chars (Σ batch_max·batch_n),
+  // waste ratio — so the layout decision is itself a checked query
+  // (DataPrepSpec asserts bucketed waste < arrival-order waste; the
+  // oracle hash-checks both). The bucketed window partitions by
+  // bucket; the arrival-order policy is id-block batching (doc_id div
+  // batchSize) — no global window (the dp10 lesson). All integer math
+  // except the final rounded ratio. ---
+  def lengthBucketedPack(s: SparkSession, d: String,
+                         batchSize: Int = 32): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"))
+      .withColumn("bucket", (length(bin(col("len"))) - 1).cast("int"))
+    def policyStats(assigned: DataFrame, policy: String): DataFrame =
+      assigned.groupBy("gk", "batch_id")
+        .agg(max(col("len")).as("mx"), count(lit(1)).as("n"),
+          sum(col("len")).as("sl"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("sl")).cast("long").as("total_chars"),
+          sum(col("mx") * col("n")).cast("long").as("padded_chars"))
+        .select(lit(policy).as("policy"), col("n_batches"),
+          col("total_chars"), col("padded_chars"),
+          round((col("padded_chars") - col("total_chars")).cast("double")
+            / col("padded_chars"), 6).as("waste_ratio"))
+    val wb = Window.partitionBy("bucket").orderBy("doc_id")
+    val bucketed = docs
+      .withColumn("batch_id",
+        ((row_number().over(wb) - 1) / batchSize).cast("long"))
+      .withColumn("gk", col("bucket").cast("long"))
+    val idBlock = docs
+      .withColumn("batch_id", (col("doc_id") / batchSize).cast("long"))
+      .withColumn("gk", lit(0L))
+    policyStats(bucketed, "bucketed")
+      .unionByName(policyStats(idBlock, "id_block"))
+      .orderBy("policy")
+  }
+
   // --- DP4: corpus length histogram on a log2 grid. floor(log2(n)) is
   // computed as length(bin(n))-1 — pure integer/string ops, no float
   // log whose ulp error could flip a doc across a power-of-2 boundary

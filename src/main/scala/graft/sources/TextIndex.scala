@@ -122,4 +122,30 @@ object TextIndex {
                      n: Int = 3): DataFrame =
     bandSlice(s, d, s"ge$boundary", numHashes, bands, n)(
       _.filter(org.apache.spark.sql.functions.col("doc_id") >= boundary))
+
+  /** Nightly compaction of the incremental layout: fold base + delta
+    * into a successor directory by READING FILES — signatures are
+    * never recomputed (the fold is a union + re-cluster on the probe
+    * key, so row-group stats serve (band, bucket) point probes again
+    * after many deltas fragmented them). Correctness never requires
+    * compaction (base ∪ delta IS the index); it restores probe
+    * locality. The inputs stay published until an operator retires
+    * them — concurrent readers may still hold the old pointer, the
+    * same discipline as every ensure-managed directory.
+    */
+  def compactBandIndex(s: SparkSession, d: String, boundary: Long,
+                       numHashes: Int = 64, bands: Int = 16,
+                       n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"bands_${numHashes}x${bands}_${n}_compacted$boundary")
+    VectorIndex.ensure(path) { out =>
+      bandIndexBase(s, d, boundary, numHashes, bands, n)
+        .unionByName(bandIndexDelta(s, d, boundary, numHashes, bands, n))
+        .repartitionByRange(col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
 }

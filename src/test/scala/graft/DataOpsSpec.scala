@@ -249,4 +249,19 @@ class DataOpsSpec extends SparkTestBase {
     val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
     assert(Dedup.exactDedup(spark, sf).count() == nDistinct)
   }
+
+  test("dp12: length bucketing beats arrival-order batching on padding waste") {
+    val r = DataPrep.lengthBucketedPack(spark, sf).collect()
+    assert(r.length == 2)
+    val m = r.map(x => x.getString(0) -> x).toMap
+    // both policies account for every char exactly once
+    assert(m("bucketed").getAs[Long]("total_chars") ==
+      m("id_block").getAs[Long]("total_chars"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("padded_chars") >= row.getAs[Long]("total_chars"))
+    }
+    assert(m("bucketed").getAs[Double]("waste_ratio") <
+      m("id_block").getAs[Double]("waste_ratio"),
+      s"bucketing must reduce padding: ${r.toSeq}")
+  }
 }

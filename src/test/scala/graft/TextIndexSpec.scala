@@ -77,6 +77,28 @@ class TextIndexSpec extends SparkTestBase {
     assert(rows(delta).forall(_._1 >= boundary))
   }
 
+  test("compaction folds base + delta into a successor, row-identical to the full index") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val compacted = TextIndex.compactBandIndex(spark, sf, boundary)
+    assert(rows(compacted) == rows(TextIndex.bandIndex(spark, sf)),
+      "compaction must be a pure file fold: successor == full index")
+    // the successor is re-clustered on the probe key: within every
+    // file, (band, bucket) runs are sorted
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = compacted
+      .select(input_file_name().as("f"), col("band"), col("bucket"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rs =>
+      val keys = rs.map(r => (r.getInt(1), r.getString(2))).toSeq
+      assert(keys == keys.sorted, "file not sorted on (band, bucket)")
+    }
+  }
+
   test("DD17 incremental pairs == full-corpus LSH pairs involving the batch") {
     import org.apache.spark.sql.functions.col
     val maxId = Tables.documents(spark, sf)
