@@ -90,7 +90,9 @@ object Soak {
     "dd17_incremental_index",
     "pp1_partition_prune", "zo1_zorder_keys",
     "sim1_cosine_topk", "sim3_lsh_ann", "sim4_ivf_ann", "sim6_knn_join",
-    "sim8_ann_recall", "km3_lloyd_converged",
+    "sim8_ann_recall", "sim9_ivf_knn_join", "sim10_ann_incremental",
+    "km3_lloyd_converged",
+    "tx17_bpe_merges", "dp12_bucketed_pack",
     "sp1_hash_sample", "sp3_stratified",
     "dp1_corpus_select", "dp3_token_pack", "dp7_chunk", "dp10_shuffle",
     "dp11_corpus_select_lsh",
@@ -115,6 +117,13 @@ object Soak {
     name match {
       case "dd15_semantic_dedup" => Some((s, dir) =>
         graft.operators.Similarity.semanticDedupPairs(s, dir,
+          numCells = 16 * Copies))
+      // same quadratic-by-parameter mode as dd15: cells must grow with
+      // the corpus to hold cell occupancy (and so within-cell pair
+      // count per vector) constant; the trained k=16·copies quantizer
+      // is shared with dd15's soak build
+      case "sim9_ivf_knn_join" => Some((s, dir) =>
+        graft.operators.Similarity.ivfKnnJoin(s, dir,
           numCells = 16 * Copies))
       case _ => None
     }
