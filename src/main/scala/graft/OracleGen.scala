@@ -517,6 +517,38 @@ object OracleGen {
        |ORDER BY step""".stripMargin
   }
 
+  /** tx18_cdc_shared: content-defined chunking replay — boundary
+    * positions where h60 of the w-char window ≡ 0 (mod divisor),
+    * chunks from the per-doc lead() window, h60 chunk fingerprints,
+    * shared-chunk rollup. Position series bound 1024 covers this
+    * corpus family's ≤ 600-char documents; a longer corpus raises it.
+    */
+  def tx18Sql(window: Int = 16, divisor: Int = 64, topK: Int = 25): String =
+    s"""WITH bounds AS (
+       |  SELECT doc_id, g.pos FROM documents,
+       |    (SELECT unnest(generate_series(2, 1024)) AS pos) g
+       |  WHERE length(text) >= ${window + 1}
+       |    AND g.pos <= length(text) - ${window - 1}
+       |    AND ${h60(s"substr(text, g.pos, $window)")} % $divisor = 0),
+       |starts AS (
+       |  SELECT doc_id, 1 AS pos FROM documents
+       |  UNION ALL SELECT doc_id, pos FROM bounds),
+       |spans AS (
+       |  SELECT doc_id, pos,
+       |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+       |  FROM starts),
+       |ch AS (
+       |  SELECT s.doc_id,
+       |    coalesce(s.next, length(d.text) + 1) - s.pos AS clen,
+       |    ${h60("substr(d.text, s.pos, coalesce(s.next, length(d.text) + 1) - s.pos)")} AS fp
+       |  FROM spans s JOIN documents d ON d.doc_id = s.doc_id)
+       |SELECT fp, CAST(clen AS BIGINT) AS clen,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM ch GROUP BY fp, clen
+       |HAVING count(DISTINCT doc_id) >= 2 AND clen >= $window
+       |ORDER BY n_docs DESC, clen DESC, fp ASC LIMIT $topK""".stripMargin
+
   /** sim9_ivf_knn_join: every vector's top-k within-cell neighbors —
     * dd15's candidate chain with the threshold replaced by a per-vector
     * (cs DESC, id ASC) rank, both pair orientations.

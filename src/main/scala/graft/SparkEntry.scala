@@ -210,6 +210,7 @@ object SparkEntry {
     "tx17_bpe_merges"   -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     "sim10_ann_incremental" -> ((s, d) => Similarity.lshAnnIncremental(s, d)),
     "dp12_bucketed_pack" -> ((s, d) => DataPrep.lengthBucketedPack(s, d)),
+    "tx18_cdc_shared"   -> ((s, d) => TextAnalysis.cdcSharedChunks(s, d)),
     "st7_scd_build"     -> ((s, d) => Windows.scdBuild(s, d)),
     "a27_contingency"   -> ((s, d) => Analytics.contingency(s, d)),
     "dp10_shuffle"      -> ((s, d) => DataPrep.deterministicShuffle(s, d)),
@@ -1066,6 +1067,7 @@ object SparkEntry {
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),
+    "tx18_cdc_shared" -> OracleGen.tx18Sql(),
     // sim10's oracle IS sim3's: the split (base ∪ delta) index must be
     // answer-identical to the monolithic one — hash-proved equivalence.
     "sim10_ann_incremental" -> OracleGen.sim3Sql(),

@@ -407,6 +407,64 @@ object TextAnalysis {
   // oracle unrolls the same rounds as CTE blocks (replace() has the
   // same left-to-right non-overlap semantics) and hash-checks every
   // merge decision. ---
+  // --- TX18: content-defined chunking + chunk-level dedup. Fixed-size
+  // chunking breaks under a single inserted character (every later
+  // chunk shifts); CDC puts boundaries where a rolling content hash
+  // hits a modulus (h60 of the w-char window ≡ 0 mod D → average chunk
+  // ~D chars), so identical passages chunk identically REGARDLESS of
+  // their offset in the document — the property that lets chunk-level
+  // dedup catch copied paragraphs doc-level near-dup misses. Stateless
+  // variant (no min/max chunk guards): every position tests
+  // independently, which is what makes it one scan + a per-doc window
+  // — production guards add a sequential pass per doc, shape
+  // otherwise unchanged. Output: chunks shared by ≥2 documents
+  // (portable h60 fingerprints, exact integer counts — the DuckDB
+  // oracle replays the whole chain). ---
+  def cdcSharedChunks(s: SparkSession, d: String,
+                      window: Int = 16, divisor: Int = 64,
+                      topK: Int = 25): DataFrame =
+    cdcSharedChunksOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      window, divisor, topK)
+
+  /** Same over an arbitrary (doc_id, text) relation — the form the
+    * shift-invariance property test drives with constructed documents.
+    */
+  private[graft] def cdcSharedChunksOf(docsIn: DataFrame,
+                                       window: Int, divisor: Int,
+                                       topK: Int): DataFrame = {
+    val docs = docsIn.select(col("doc_id"), col("text"))
+    // boundary positions: 2..len-w+1 (a chunk always starts at 1)
+    val bounds = docs.filter(length(col("text")) >= window + 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(2), length(col("text")) - (window - 1))).as("pos"))
+      .filter(Text.h60(expr(s"substring(text, pos, $window)")) % divisor === 0)
+      .select(col("doc_id"), col("pos"))
+    val starts = docs.select(col("doc_id"), lit(1).as("pos"))
+      .unionByName(bounds)
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val chunks = starts
+      .withColumn("next", lead(col("pos"), 1).over(wdoc))
+      .join(docs, "doc_id")
+      .select(col("doc_id"),
+        col("pos").as("start"),
+        (coalesce(col("next"), length(col("text")) + 1) - col("pos")).as("clen"),
+        Text.h60(expr("substring(text, pos, " +
+          "coalesce(next, length(text) + 1) - pos)")).as("fp"))
+    chunks.groupBy("fp", "clen")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      // report only chunks at least one window long: sub-window slivers
+      // (boundary-adjacent runs) are trivially shared and carry no
+      // copied-passage signal — production CDC suppresses them with a
+      // min-chunk guard at boundary time; the stateless variant filters
+      // them at the report instead
+      .filter(col("n_docs") >= 2 && col("clen") >= window)
+      .orderBy(col("n_docs").desc, col("clen").desc, col("fp").asc)
+      .limit(topK)
+  }
+
   def bpeMerges(s: SparkSession, d: String, merges: Int = 10): DataFrame = {
     import org.apache.spark.sql.DataFrame
     var words: DataFrame = Tables.documents(s, d)

@@ -317,6 +317,27 @@ class Pack6Spec extends SparkTestBase {
     assert(fps(4L) != fps(1L))
   }
 
+  test("tx18: CDC chunking is shift-invariant — a prefixed copy shares long chunks") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the open field while the watchful farmer counts " +
+      "sheep beside the old stone wall near the river bend at dusk ") * 3
+    val docs = Seq((0L, base), (1L, "INSERTED PREFIX 12345 " + base))
+      .toDF("doc_id", "text")
+    val shared = TextAnalysis.cdcSharedChunksOf(docs, 16, 64, 25).collect()
+    // boundaries depend only on local content, so after the insertion
+    // the chunking re-synchronizes and interior chunks match EXACTLY —
+    // the property fixed-size chunking cannot have
+    assert(shared.exists(r => r.getAs[Long]("n_docs") == 2 &&
+      r.getAs[Int]("clen") >= 64),
+      s"expected a long chunk shared across the shifted copy, got ${shared.toSeq}")
+    // and the real corpus yields shared passages too
+    val corpus = TextAnalysis.cdcSharedChunks(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(r => r.getAs[Long]("n_docs") >= 2 &&
+      r.getAs[Int]("clen") >= 16))
+  }
+
   test("tx17: BPE merges are monotone in count and compose learned symbols") {
     val m = TextAnalysis.bpeMerges(spark, sf, merges = 8).collect()
     assert(m.length == 8)
