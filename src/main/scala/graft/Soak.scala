@@ -92,7 +92,8 @@ object Soak {
     "sim1_cosine_topk", "sim3_lsh_ann", "sim4_ivf_ann", "sim6_knn_join",
     "sim8_ann_recall", "sim9_ivf_knn_join", "sim10_ann_incremental",
     "km3_lloyd_converged",
-    "tx17_bpe_merges", "dp12_bucketed_pack",
+    "tx17_bpe_merges", "tx18_cdc_shared", "mm5_frame_dedup",
+    "dp12_bucketed_pack",
     "sp1_hash_sample", "sp3_stratified",
     "dp1_corpus_select", "dp3_token_pack", "dp7_chunk", "dp10_shuffle",
     "dp11_corpus_select_lsh",

@@ -174,6 +174,7 @@ object SparkEntry {
     "w10_gapfill"       -> ((s, d) => DataPrep.calendarGapFill(s, d)),
     "a20_moments"       -> ((s, d) => Analytics.momentsSuite(s, d)),
     "mm4_label_lang"    -> ((s, d) => Multimodal.labelLangProfile(s, d)),
+    "mm5_frame_dedup"   -> ((s, d) => Multimodal.frameDedup(s, d)),
     "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
     "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
@@ -1230,6 +1231,16 @@ object SparkEntry {
         |        unnest(generate_series(1, length(text) - 63, 256)) AS frame_start
         |      FROM documents WHERE length(text) >= 64)
         |ORDER BY doc_id, frame_no""".stripMargin,
+    "mm5_frame_dedup" ->
+      """SELECT frame_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM (SELECT doc_id, md5(substring(text, frame_start, 64)) AS frame_md5
+        |      FROM (SELECT doc_id, text,
+        |              unnest(generate_series(1, length(text) - 63, 256))
+        |                AS frame_start
+        |            FROM documents WHERE length(text) >= 64))
+        |GROUP BY frame_md5 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, frame_md5 ASC LIMIT 25""".stripMargin,
     "sim6_knn_join" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 8),

@@ -98,6 +98,25 @@ object Multimodal {
           .as("frame_md5"))
       .orderBy("doc_id", "frame_no")
 
+  // --- MM5 (oracled): cross-document FRAME dedup — the multimodal
+  // twin of chunk-level text dedup (tx18): identical media segments
+  // shared by several documents reveal copied or re-encoded media even
+  // when the CONTAINERS differ (different ids, metadata, surrounding
+  // frames) — exactly how a pipeline catches the same clip re-uploaded
+  // inside different files. Pure composition: mm3's deterministic
+  // frame fingerprints, one hash-agg on the 32-byte fingerprint (the
+  // payload never shuffles), exact integer counts. ---
+  def frameDedup(s: SparkSession, d: String,
+                 frameLen: Int = 64, stride: Int = 256,
+                 topK: Int = 25): DataFrame =
+    frameSample(s, d, frameLen, stride)
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("frame_md5").asc)
+      .limit(topK)
+
   // --- MM4 (oracled): cross-modal alignment audit — join the text
   // modality to its paired embedding row (doc_id = vec_id is the
   // pairing key the synthetic tables share) and profile cluster-label

@@ -221,6 +221,21 @@ class Pack3Spec extends SparkTestBase {
     assert(r.select("doc_id").distinct().count() == expected)
   }
 
+  test("mm5: shared frames occur in >= 2 docs; counts match a recount") {
+    val r = Multimodal.frameDedup(spark, sf).collect()
+    assert(r.nonEmpty, "corpus has exact near-dups, so shared frames must exist")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") >= 2)
+      assert(row.getAs[Long]("n_frames") >= row.getAs[Long]("n_docs"))
+    }
+    // recount the top fingerprint independently through frameSample
+    val top = r.head.getAs[String]("frame_md5")
+    val recount = Multimodal.frameSample(spark, sf)
+      .filter(col("frame_md5") === top)
+      .select("doc_id").distinct().count()
+    assert(recount == r.head.getAs[Long]("n_docs"))
+  }
+
   test("tx7: winnowing coverage guarantee holds for both hash variants") {
     // every sliding window of 4 consecutive grams must contain at least
     // one selected fingerprint — i.e. for each doc, selected positions
