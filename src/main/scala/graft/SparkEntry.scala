@@ -175,6 +175,7 @@ object SparkEntry {
     "a20_moments"       -> ((s, d) => Analytics.momentsSuite(s, d)),
     "mm4_label_lang"    -> ((s, d) => Multimodal.labelLangProfile(s, d)),
     "mm5_frame_dedup"   -> ((s, d) => Multimodal.frameDedup(s, d)),
+    "w15_twap"          -> ((s, d) => Windows.twapDaily(s, d)),
     "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
     "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
@@ -1959,6 +1960,29 @@ object SparkEntry {
         |WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
     "a28_equidepth_hist" -> OracleGen.a28Sql(),
     "w14_ewma" -> OracleGen.w14Sql(),
+    // w15: exact integer TWAP — value in micro-units times gap seconds,
+    // one double division at the end (the lineRevenueCents rule)
+    "w15_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    strftime(ts, '%Y-%m-%d') AS day,
+        |    epoch_us(ts) // 1000000 AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day, value,
+        |    coalesce(lead(sec) OVER (PARTITION BY user_id, day
+        |                             ORDER BY ts, event_id), sec) - sec
+        |      AS gap_s
+        |  FROM e),
+        |f AS (SELECT user_id, day,
+        |        CAST(round(value * 1000000) AS BIGINT) AS v_micro, gap_s
+        |      FROM g WHERE gap_s > 0)
+        |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_obs,
+        |  CAST(sum(gap_s) AS BIGINT) AS total_s,
+        |  round((CAST(sum(v_micro * gap_s) AS DOUBLE) / 1000000.0)
+        |        / CAST(sum(gap_s) AS DOUBLE), 6) AS twap
+        |FROM f GROUP BY user_id, day HAVING count(*) >= 2
+        |ORDER BY user_id, day""".stripMargin,
     "tx14_vocab_growth" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

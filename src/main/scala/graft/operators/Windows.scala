@@ -129,6 +129,37 @@ object Windows {
       .orderBy("day")
   }
 
+  // --- W15: time-weighted average (TWAP) over IRREGULAR event times —
+  // the finance/metrics aggregate a plain AVG gets wrong when
+  // observations arrive unevenly: each value is weighted by how long
+  // it remained current (the gap to the user's next event that day).
+  // Exact integer arithmetic end to end: value scaled to micro-units
+  // (round(v·1e6) as long) times gap in SECONDS — products ≤ ~1e14,
+  // day-sums ≤ ~1e17, inside long — with ONE double division at the
+  // end, so Spark and DuckDB agree bit-for-bit (the lineRevenueCents
+  // rule applied to a window aggregate). Per-user window, never
+  // global; last event of a user-day has no successor and carries no
+  // weight (the [t, next) step-function convention). ---
+  def twapDaily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .withColumn("gap_s",
+        (coalesce(unix_timestamp(lead(col("ts"), 1).over(w)), unix_timestamp(col("ts")))
+          - unix_timestamp(col("ts"))).cast("long"))
+      .filter(col("gap_s") > 0)
+      .withColumn("v_micro", round(col("value") * 1e6).cast("long"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("gap_s")).as("total_s"),
+        round((sum(col("v_micro") * col("gap_s")) / 1e6)
+          / sum(col("gap_s")), 6).as("twap"))
+      .filter(col("n_obs") >= 2)
+      .orderBy("user_id", "day")
+  }
+
   // --- W4: lag/lead offsets — per-customer order-over-order deltas. ---
   def lagLeadDeltas(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

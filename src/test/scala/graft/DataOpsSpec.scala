@@ -111,6 +111,36 @@ class DataOpsSpec extends SparkTestBase {
     }
   }
 
+  test("W15 TWAP is duration-weighted: bounded by min/max and != plain AVG somewhere") {
+    val rows = Windows.twapDaily(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute one user-day directly from the events
+    val r0 = rows.head
+    val (u, day) = (r0.getLong(0), r0.getString(1))
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") === u &&
+        date_format(col("ts"), "yyyy-MM-dd") === day)
+      .select(unix_timestamp(col("ts")).as("sec"), col("value"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._3))
+    val weighted = evs.zip(evs.tail).collect {
+      case ((s0, v, _), (s1, _, _)) if s1 > s0 => (v, s1 - s0)
+    }
+    val expect = weighted.map { case (v, g) =>
+      math.round(v * 1e6) * g }.sum / 1e6 / weighted.map(_._2).sum
+    assert(math.abs(r0.getAs[Double]("twap") - expect) < 1e-6,
+      s"user $u $day: twap ${r0.getAs[Double]("twap")} != direct $expect")
+    // the weighting is real: some user-day differs from the unweighted mean
+    val diffs = rows.take(50).count { r =>
+      val vals = Tables.events(spark, sf)
+        .filter(col("user_id") === r.getLong(0) &&
+          date_format(col("ts"), "yyyy-MM-dd") === r.getString(1))
+        .agg(avg(col("value"))).head.getDouble(0)
+      math.abs(vals - r.getAs[Double]("twap")) > 1e-3
+    }
+    assert(diffs > 0, "TWAP never differing from AVG would mean the weights are dead")
+  }
+
   test("TX14 vocabulary growth: cumulative curve lands exactly on corpus totals") {
     val rows = TextAnalysis.vocabGrowth(spark, sf).collect()
     val tok = Tables.documents(spark, sf)
