@@ -348,53 +348,79 @@ object Streams {
                              checkpointDir: String,
                              threshold: Double = 0.5,
                              numHashes: Int = 64, bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.Dedup
     val s = incoming.sparkSession
     val base = graft.sources.TextIndex
       .bandIndexBase(s, corpusDir, boundary, numHashes, bands).localCheckpoint()
     val baseGr = graft.sources.TextIndex
       .gramIndex(s, corpusDir, 3, portable = true)
       .filter(col("doc_id") < boundary).localCheckpoint()
-    def deltaDirs(kind: String): Seq[String] =
-      Option(new java.io.File(s"$workDir/$kind").listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("b"))
-        .map(_.getAbsolutePath)
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val existingBands = deltaDirs("bands")
-        val fresh = existingBands match {
-          case Seq() => batch.toDF()
-          case dirs => batch.toDF().join(
-            s.read.parquet(dirs: _*).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-        }
-        val bGr = Dedup.gramRowsPortableOf(fresh, 3).localCheckpoint()
-        bGr.write.mode("overwrite").parquet(s"$workDir/grams/b$batchId")
-        Dedup.bandedSignatures(bGr, numHashes, bands)
-          .write.mode("overwrite").parquet(s"$workDir/bands/b$batchId")
-        val allBands = base.unionByName(s.read.parquet(deltaDirs("bands"): _*))
-        val allGr = baseGr.unionByName(s.read.parquet(deltaDirs("grams"): _*))
-        val batchBands = s.read.parquet(s"$workDir/bands/b$batchId")
-        // symmetric: arrival order is NOT id order, so the batch doc may
-        // be either pair member — normalize to (least, greatest) so a
-        // pair matches the batch operator's doc_a < doc_b orientation
-        val cand = allBands.as("a")
-          .join(batchBands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") =!= col("b.doc_id"))
-          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        Dedup.presentPairs(Dedup.jaccardFromShared(
-            Dedup.sharedOfCandidates(cand, allGr), allGr, threshold))
-          .write.mode("append").parquet(s"$workDir/out")
-        ()
+        indexMaintainBatch(batch.toDF(), batchId, base, baseGr, workDir,
+          threshold, numHashes, bands)
       }
       .start()
   }
+
+  private def deltaDirs(workDir: String, kind: String): Seq[String] =
+    Option(new java.io.File(s"$workDir/$kind").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getAbsolutePath)
+
+  /** One micro-batch of [[lshIndexMaintainStream]] — extracted so the
+    * CHECKPOINT-REPLAY path (same batchId re-run after a crash between
+    * delta publish and checkpoint commit) is directly testable.
+    */
+  private[graft] def indexMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                        base: DataFrame, baseGr: DataFrame,
+                                        workDir: String, threshold: Double,
+                                        numHashes: Int, bands: Int): Unit = {
+    import graft.operators.Dedup
+    val s = batchDf.sparkSession
+    // Admission must EXCLUDE this batch's own delta directory: a
+    // checkpoint replay of batch N (crash after the delta publish,
+    // before the checkpoint commit) re-sees its own published rows,
+    // and filtering against them would overwrite delta N with an
+    // EMPTY relation — silently dropping those documents from the
+    // index. Excluded, the replay recomputes the identical delta
+    // and the overwrite is a no-op; docs redelivered in a LATER
+    // batch (different id) are still dropped by the other dirs.
+    val existingBands = deltaDirs(workDir, "bands")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val fresh = existingBands match {
+      case Seq() => batchDf
+      case dirs => batchDf.join(
+        s.read.parquet(dirs: _*).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+    val bGr = Dedup.gramRowsPortableOf(fresh, 3).localCheckpoint()
+    bGr.write.mode("overwrite").parquet(s"$workDir/grams/b$batchId")
+    Dedup.bandedSignatures(bGr, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$workDir/bands/b$batchId")
+    val allBands = base.unionByName(
+      s.read.parquet(deltaDirs(workDir, "bands"): _*))
+    val allGr = baseGr.unionByName(
+      s.read.parquet(deltaDirs(workDir, "grams"): _*))
+    val batchBands = s.read.parquet(s"$workDir/bands/b$batchId")
+    // symmetric: arrival order is NOT id order, so the batch doc may
+    // be either pair member — normalize to (least, greatest) so a
+    // pair matches the batch operator's doc_a < doc_b orientation
+    val cand = allBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    Dedup.presentPairs(Dedup.jaccardFromShared(
+        Dedup.sharedOfCandidates(cand, allGr), allGr, threshold))
+      .write.mode("append").parquet(s"$workDir/out")
+    ()
+  }
+
 
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)

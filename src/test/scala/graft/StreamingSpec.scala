@@ -377,6 +377,32 @@ class StreamingSpec extends SparkTestBase {
     assert(perDoc == 0, "every doc must appear in the index exactly once (16 bands)")
   }
 
+  test("index maintenance survives a same-batch-id checkpoint replay") {
+    import org.apache.spark.sql.functions.max
+    val maxId = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val base = graft.sources.TextIndex
+      .bandIndexBase(spark, sf, boundary).localCheckpoint()
+    val baseGr = graft.sources.TextIndex
+      .gramIndex(spark, sf, 3, portable = true)
+      .filter(col("doc_id") < boundary).localCheckpoint()
+    val batch = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= boundary).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("dd17replay").toString
+    Streams.indexMaintainBatch(batch, 0L, base, baseGr, root, 0.5, 64, 16)
+    val afterFirst = spark.read.parquet(s"$root/bands/b0").count()
+    assert(afterFirst > 0)
+    // crash between delta publish and checkpoint commit → batch 0 replays
+    Streams.indexMaintainBatch(batch, 0L, base, baseGr, root, 0.5, 64, 16)
+    assert(spark.read.parquet(s"$root/bands/b0").count() == afterFirst,
+      "a replayed batch must rewrite its identical delta, not an empty one")
+    val pairs = spark.read.parquet(s"$root/out")
+      .dropDuplicates("doc_a", "doc_b")
+    assert(rowSet(pairs) == rowSet(graft.operators.Dedup.incrementalLshPairs(spark, sf)),
+      "post-replay match output must equal the batch dd17 answer")
+  }
+
   test("equivalence: streaming sketch sink == batch HLL (shuffled waves + redelivery)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
