@@ -98,7 +98,7 @@ object Soak {
     "dp1_corpus_select", "dp3_token_pack", "dp7_chunk", "dp10_shuffle",
     "dp11_corpus_select_lsh",
     "tx2_token_freq", "tx5_lang_id", "tx12_tfidf",
-    "st1_hourly_events", "st2_sessionize", "st6_rolling_wau")
+    "st1_hourly_events", "st2_sessionize", "st6_rolling_wau", "w15_twap")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer
