@@ -176,6 +176,7 @@ object SparkEntry {
     "mm4_label_lang"    -> ((s, d) => Multimodal.labelLangProfile(s, d)),
     "mm5_frame_dedup"   -> ((s, d) => Multimodal.frameDedup(s, d)),
     "w15_twap"          -> ((s, d) => Windows.twapDaily(s, d)),
+    "dd18_cluster_reps" -> ((s, d) => Dedup.clusterRepresentatives(s, d)),
     "km2_centroid_update" -> ((s, d) => Similarity.centroidUpdate(s, d)),
     "w11_funnel"        -> ((s, d) => Windows.conversionFunnel(s, d)),
     "f_bitwise_suite"   -> ((s, d) => FunctionSuites.bitwiseSuite(s, d)),
@@ -1284,6 +1285,54 @@ object SparkEntry {
         |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
         |SELECT doc AS doc_id, min(r) AS comp FROM reach
         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // dd18: dd8's component chain + tx4's quality, one argmax per
+    // component (quality DESC, doc_id ASC)
+    "dd18_cluster_reps" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+        |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+        |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+        |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+        |    AS quality
+        |  FROM w),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc),
+        |comp AS (SELECT doc AS doc_id, min(r) AS comp FROM reach GROUP BY doc),
+        |jq AS (SELECT c.comp, c.doc_id, q.quality
+        |       FROM comp c JOIN q ON q.doc_id = c.doc_id),
+        |best AS (
+        |  SELECT comp, doc_id, quality,
+        |    row_number() OVER (PARTITION BY comp
+        |                       ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM jq),
+        |m AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM jq GROUP BY comp)
+        |SELECT b.comp, b.doc_id AS rep_doc, b.quality AS rep_quality,
+        |  m.n_members
+        |FROM best b JOIN m ON m.comp = b.comp
+        |WHERE b.rn = 1 ORDER BY b.comp""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

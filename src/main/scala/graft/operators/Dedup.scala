@@ -455,6 +455,30 @@ object Dedup {
     componentsFromPairs(nodes, pairs, maxIter, jumpFrom).orderBy("doc_id")
   }
 
+  // --- DD18: cluster REPRESENTATIVE selection — the decision step
+  // after dd8's components: of each near-dup cluster, exactly one
+  // document survives into the corpus, chosen by quality (tx4's score)
+  // with the smaller id on ties — the policy-made-explicit version of
+  // dd5's blunt keep-smallest-id rule. One window over the components
+  // relation (partitioned by component, never global) plus a count
+  // join; at 100 TB this is the reduce side of dedup — components and
+  // quality are both already partition-parallel relations. ---
+  def clusterRepresentatives(s: SparkSession, d: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val comps = dedupComponents(s, d, threshold)
+    val q = TextAnalysis.qualityScoreRaw(s, d)
+    val jq = comps.join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("quality").desc, col("doc_id").asc)
+    val members = comps.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    jq.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(members, "comp")
+      .select(col("comp"), col("doc_id").as("rep_doc"),
+        col("quality").as("rep_quality"), col("n_members"))
+      .orderBy("comp")
+  }
+
   /** Min-label connected components over an undirected (doc_a, doc_b)
     * pair relation; `nodes` supplies the full vertex set (isolated
     * docs label themselves). See [[dedupComponents]] for the round

@@ -175,6 +175,26 @@ class Pack3Spec extends SparkTestBase {
     assert(sizes.exists(_ >= 3), "expected a chained component of size >= 3")
   }
 
+  test("dd18: exactly one representative per component, quality-maximal") {
+    val reps = Dedup.clusterRepresentatives(spark, sf).collect()
+    val comps = Dedup.dedupComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.length == comps.map(_._2).distinct.length,
+      "one rep per component")
+    assert(reps.map(_.getAs[Long]("n_members")).sum == comps.length,
+      "members must partition the corpus")
+    val q = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val byComp = comps.groupBy(_._2)
+    reps.foreach { r =>
+      val members = byComp(r.getAs[Long]("comp")).map(_._1)
+      assert(members.contains(r.getAs[Long]("rep_doc")),
+        "rep must belong to its own component")
+      assert(members.map(q).max == r.getAs[Double]("rep_quality"),
+        "rep must carry the component's maximal quality")
+    }
+  }
+
   test("sim6: kNN join returns exactly k ranked neighbors per query") {
     val r = Similarity.knnJoin(spark, sf).collect()
     val byQuery = r.groupBy(_.getLong(0))
