@@ -232,6 +232,13 @@ object SparkEntry {
       Dedup.dedupKeepSetFrom(s, d, Dedup.minhashLshPairsRaw(s, d))),
     "dp11_corpus_select_lsh" -> ((s, d) =>
       Pipeline.corpusSelectFrom(s, d, Dedup.minhashLshPairsRaw(s, d))),
+    // round-6 pack: distributed graph analytics (integer-exact PageRank,
+    // degree-oriented triangles, market-basket support) + HLL intersection
+    "gr1_pagerank"      -> ((s, d) => Graph.pageRank(s, d)),
+    "gr2_triangles"     -> ((s, d) => Graph.triangleCount(s, d)),
+    "gr3_copurchase"    -> ((s, d) => Graph.copurchaseSupport(s, d)),
+    "a30_hll_intersect" -> ((s, d) => Sketches.hllIntersect(s, d)),
+    "gr4_hop_distance"  -> ((s, d) => Graph.hopDistance(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2093,5 +2100,57 @@ object SparkEntry {
         |  CAST(p_size > 25 AS INTEGER) AS big_flag,
         |  CAST(CAST(p_size AS DOUBLE) AS VARCHAR) AS size_str
         |FROM part WHERE p_partkey < 2000 ORDER BY p_partkey""".stripMargin,
+    // gr1: the oracle replays the identical unrolled fixed-point chain
+    // (integer `//` = Spark `div` for the all-positive ranks; per-round
+    // CAST because DuckDB sum() promotes BIGINT to HUGEINT)
+    "gr1_pagerank" -> operators.Graph.pageRankOracleSql(),
+    "gr4_hop_distance" -> operators.Graph.hopDistanceOracleSql(),
+    "gr2_triangles" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |und AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS MATERIALIZED (SELECT n, count(*) AS dg FROM
+        |    (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
+        |  GROUP BY 1),
+        |oriented AS MATERIALIZED (
+        |  SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+        |              THEN pa ELSE pb END AS lo,
+        |         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+        |              THEN pb ELSE pa END AS hi
+        |  FROM und JOIN deg d1 ON d1.n = und.pa JOIN deg d2 ON d2.n = und.pb),
+        |closed AS (
+        |  SELECT x.hi AS w1, y.hi AS w2
+        |  FROM oriented x JOIN oriented y ON x.lo = y.lo AND x.hi < y.hi
+        |  WHERE EXISTS (SELECT 1 FROM und WHERE pa = x.hi AND pb = y.hi))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles""".stripMargin,
+    "gr3_copurchase" ->
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |    FROM lineitem),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |pair_n AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM pairs GROUP BY 1, 2),
+        |item_n AS (SELECT pk, CAST(count(*) AS BIGINT) AS item_n
+        |  FROM op GROUP BY 1)
+        |SELECT pa, pb, pair_n, ia.item_n AS a_n, ib.item_n AS b_n
+        |FROM pair_n JOIN item_n ia ON ia.pk = pa JOIN item_n ib ON ib.pk = pb
+        |ORDER BY pair_n DESC, pa ASC, pb ASC LIMIT 100""".stripMargin,
+    // a30: exacts hash-match; the sketch inclusion-exclusion path
+    // contributes the in-bounds boolean (a8/a29/cms1 audit shape)
+    "a30_hll_intersect" ->
+      """SELECT 1996 AS year_a, 1997 AS year_b,
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |     WHERE year(o_orderdate) = 1996) AS exact_a,
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |     WHERE year(o_orderdate) = 1997) AS exact_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM
+        |    (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
+        |    AS exact_both,
+        |  TRUE AS est_ok""".stripMargin,
   )
 }

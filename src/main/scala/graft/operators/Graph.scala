@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relations derived from the sales
+  * tables — the iterative-propagation family beyond dd8's connected
+  * components. The reference has no graph surface (its only multi-row
+  * "analytics" are Chart.vue's client-side GROUP BYs,
+  * `movie_ticket_website/src/components/Chart.vue:96-111`); these are
+  * extension operators a 100 TB pipeline needs once relationships —
+  * who-bought-from-whom, what-sells-with-what — become first-class.
+  *
+  * Design stances shared by the family:
+  *  - Graphs are plain DataFrames of edges; every iteration is a
+  *    join + hash-agg that Catalyst plans like any other query (no
+  *    vertex-program runtime, no driver-side adjacency).
+  *  - Iterative ranks use INTEGER fixed-point arithmetic (`div`, the
+  *    integral division) so every engine — Spark partial/final aggs in
+  *    any partition order, DuckDB replaying the same chain — produces
+  *    bit-identical values. Floating-point PageRank cannot be
+  *    hash-oracled across engines; scaled-long PageRank can, because
+  *    integer sums are associative-commutative exactly.
+  *  - Lineage is cut per round with `localCheckpoint` (the
+  *    componentsFromPairs lesson, `Dedup.scala`): without it the
+  *    iteration nests 5 joins deep in one plan and the optimizer
+  *    re-derives the edge relation per round.
+  */
+object Graph {
+
+  /** Undirected customer↔supplier trade graph: an edge per DISTINCT
+    * (customer, supplier) pair that shares at least one order line.
+    * Ids are disambiguated into one node space (cust → 2k,
+    * supp → 2k+1) because the two key domains overlap. Both directions
+    * are materialized (undirected = symmetric edge relation), which
+    * also guarantees no dangling nodes: every node with an out-edge
+    * has in-edges, so no teleport-mass correction is needed.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val one = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    one.unionByName(one.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  // --- GR1: PageRank, integer-exact. rank_{k+1}(v) =
+  // (15·SCALE) div 100  +  (85 · Σ_{u→v} rank_k(u) div outdeg(u)) div 100,
+  // all in scaled longs (SCALE = 1e9 → 9 fractional digits — headroom:
+  // even 1e8 nodes keep 85·Σ ranks < 2^63). Each round is one
+  // edges⋈ranks join shuffled on the edge key plus one hash-agg
+  // shuffled on dst — the canonical message-passing shape; nothing is
+  // collected, the driver loop only counts rounds. Fixed iteration
+  // count (default 5) because fixed-point iteration is deterministic —
+  // no convergence read needed for correctness, and at corpus scale a
+  // power-iteration budget is what a scheduler allocates anyway.
+  // Ranks carry outdeg along so the per-round join count stays at one.
+  // The DuckDB oracle replays the identical unrolled chain (generated
+  // by [[pageRankOracleSql]] from the same parameters). ---
+  def pageRank(s: SparkSession, d: String,
+               iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .localCheckpoint()
+    val teleport = 15L * scale / 100L
+    var ranks = deg.select(col("node"), col("outdeg"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      ranks = deg.join(
+          contrib.groupBy("node")
+            .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("pr")),
+          "node")
+        .select(col("node"), col("outdeg"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("pr")).orderBy("node")
+  }
+
+  /** The oracle twin of [[pageRank]]: unrolled CTE chain in ANSI SQL
+    * (DuckDB `//` = integral division on BIGINT, matching Spark `div`
+    * for the all-positive ranks). `sum()` promotes to HUGEINT in
+    * DuckDB, so each round casts back to BIGINT — exact, the values
+    * never exceed 2^63.
+    */
+  def pageRankOracleSql(iters: Int = 5, scale: Long = 1000000000L): String = {
+    val teleport = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, d.outdeg,
+         |    CAST($teleport + (85 * sum(r.pr // r.outdeg)) // 100 AS BIGINT) AS pr
+         |  FROM r${i - 1} r JOIN edges e ON e.src = r.node
+         |  JOIN deg d ON d.node = e.dst
+         |  GROUP BY d.node, d.outdeg)""".stripMargin
+    }.mkString(",\n")
+    // edges/deg are referenced by every round — MATERIALIZED, or an
+    // inlining engine re-derives the distinct-join prefix per round
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, outdeg, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node, pr FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  // --- GR4: single-source hop distance (BFS / min-plus relaxation) —
+  // the frontier-expansion primitive next to gr1's power iteration and
+  // dd8's label propagation. dist_{r+1}(v) = min(dist_r(v),
+  // min_{u→v} dist_r(u) + 1), seeded at the smallest node id (always
+  // present, no hardcoded key). Each round is one edges⋈dist join +
+  // one min hash-agg; the sentinel 999999 stands in for ∞ (integer min
+  // is exact, so the whole iteration hash-oracles). The driver loop
+  // early-exits when a round changes nothing and `require`s
+  // convergence within maxIter — on the dense trade graph the
+  // eccentricity is 4-5 hops; the fixed 8-round oracle chain is
+  // idempotent past convergence, so early exit never diverges from
+  // the unrolled replay. ---
+  private val HopInf = 999999L
+
+  def hopDistance(s: SparkSession, d: String, maxIter: Int = 8): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val seed = edges.agg(min(col("src"))).head.getLong(0)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("v"))
+      val next = dist.select(col("node"), col("dist").as("v"))
+        .unionByName(relaxed)
+        .groupBy("node").agg(min(col("v")).as("dist"))
+        .localCheckpoint()
+      converged = next.join(dist.withColumnRenamed("dist", "prev"), "node")
+        .filter(col("dist") =!= col("prev")).isEmpty
+      dist = next
+      iter += 1
+    }
+    require(converged,
+      s"BFS did not converge within $maxIter rounds; rounds needed = graph eccentricity")
+    dist.filter(col("dist") < HopInf).orderBy("node")
+  }
+
+  /** Oracle twin of [[hopDistance]]: the same min-plus chain unrolled
+    * to `iters` rounds (≥ the graph eccentricity; extra rounds are
+    * idempotent, so Spark's early exit and the fixed chain agree).
+    * Each round references the previous one TWICE (keep-old ∪ relax),
+    * so the CTEs are forced MATERIALIZED — inlining would duplicate
+    * the whole prefix per reference, exponential in `iters`.
+    */
+  def hopDistanceOracleSql(iters: Int = 8): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(min(v) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist AS v FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, r.dist + 1 FROM d${i - 1} r
+         |    JOIN edges e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |d0 AS (SELECT src AS node,
+       |    CAST(CASE WHEN src = (SELECT min(src) FROM edges)
+       |         THEN 0 ELSE $HopInf END AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT src FROM edges)),
+       |$rounds
+       |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
+  }
+
+  /** Undirected co-purchase graph over parts: an edge per DISTINCT
+    * part pair appearing in the same order, stored once in canonical
+    * a < b orientation. (order, part) is deduplicated FIRST so a part
+    * on two lines of one order neither self-pairs nor double-counts.
+    * The per-order self-join is keyed on l_orderkey — fan-out is
+    * items-per-order², bounded by basket size, never corpus size.
+    */
+  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+  }
+
+  // --- GR2: triangle counting, degree-oriented. The naive wedge join
+  // explodes on hub nodes (a part in f baskets contributes f² wedges);
+  // the classic fix (Schank–Wagner / Suri–Vassilvitskii's MR version)
+  // orients every edge from the (degree, id)-smaller endpoint to the
+  // larger, bounding out-degree by O(√m), so the wedge relation is
+  // near-linear in edges. Wedges = oriented⋈oriented on the common
+  // low node; each wedge is closed by an equi-join back to the
+  // oriented edge set. Every triangle is counted exactly once (its
+  // unique degree-ordering). Output is one audit row (nodes, edges,
+  // triangles) — the global clustering shape of the basket graph. ---
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val und = copurchaseEdges(s, d).distinct().localCheckpoint()
+    val deg = und.select(col("pa").as("n")).unionByName(und.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo = smaller endpoint under the total order
+    val e = und
+      .join(deg.withColumnRenamed("n", "pa").withColumnRenamed("deg", "da"), "pa")
+      .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("deg", "db"), "pb")
+    val before = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = e.select(
+        when(before, col("pa")).otherwise(col("pb")).as("lo"),
+        when(before, col("pb")).otherwise(col("pa")).as("hi"))
+      .localCheckpoint()
+    // wedges around lo; (hi1, hi2) canonicalized by plain id order so
+    // the closing join can probe the UNDIRECTED edge set in one shot
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+      .select(col("x.hi").as("w1"), col("y.hi").as("w2"))
+    // closing edge: (w1, w2) has w1 < w2 by construction and `und` is
+    // canonical pa < pb, so the probe is a pure EQUI join (an OR over
+    // both orientations would degrade to a nested-loop). Semi keeps
+    // each wedge row at most once; two wedges closing the same (w1,w2)
+    // from different lo's are different triangles and stay distinct rows.
+    val closed = wedges.join(und,
+      col("w1") === col("pa") && col("w2") === col("pb"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  // --- GR3: market-basket pair mining — co-purchase support counts.
+  // pair_n = orders containing both parts; a_n / b_n = orders
+  // containing each part alone (the ingredients of confidence
+  // pair_n/a_n and lift; emitted as exact counts — ratios are the
+  // caller's division). One bounded per-basket self-join (same shape
+  // as GR2's edge build) + one hash-agg; item counts join in by key.
+  // Top 100 by support with full-key tie-break keeps the output
+  // stable and small at any scale. ---
+  def copurchaseSupport(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemN = op.groupBy("pk").agg(count(lit(1)).as("item_n"))
+    val pairN = copurchaseEdges(s, d)
+      .groupBy("pa", "pb").agg(count(lit(1)).as("pair_n"))
+    pairN
+      .join(itemN.select(col("pk").as("pa"), col("item_n").as("a_n")), "pa")
+      .join(itemN.select(col("pk").as("pb"), col("item_n").as("b_n")), "pb")
+      .select("pa", "pb", "pair_n", "a_n", "b_n")
+      .orderBy(col("pair_n").desc, col("pa").asc, col("pb").asc)
+      .limit(topK)
+  }
+}

@@ -91,6 +91,51 @@ object Sketches {
     monthlyOut.unionByName(totalOut).orderBy("ym")
   }
 
+  // --- A30: HLL INTERSECTION estimate via inclusion–exclusion —
+  // |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) comes from
+  // MERGING the two stored sketches (never rescanning raw keys: the
+  // a29 reaggregation posture). Sketch unions are lossless, but
+  // inclusion–exclusion DIFFERENCES the estimates, so the error is
+  // absolute in the set sizes, not the intersection — the audit bound
+  // is therefore 3·rsd·(|A|+|B|+|A∪B|) plus a small-set floor, and the
+  // operator's honest contract at 100 TB is "good when the overlap is
+  // a nontrivial fraction of the sets". Audit shape (a8/a29/cms1
+  // pattern): exact distincts + exact intersection hash-match in the
+  // oracle; the sketch path contributes one in-bounds boolean.
+  // Sets: customers active in consecutive years (year-over-year
+  // retention at sketch scale — st5's question, answerable from a
+  // sketch mart without the raw fact table). ---
+  def hllIntersect(s: SparkSession, d: String,
+                   yearA: Int = 1996, yearB: Int = 1997,
+                   lgK: Int = 14): DataFrame = {
+    val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+    val o = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).as("yr"), col("o_custkey"))
+    def keys(yr: Int) = o.filter(col("yr") === yr).select("o_custkey").distinct()
+    val a = keys(yearA).localCheckpoint()
+    val b = keys(yearB).localCheckpoint()
+    val skA = a.agg(hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"))
+    val skB = b.agg(hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"))
+    // union estimate from the two stored sketches only
+    val merged = skA.unionByName(skB)
+      .agg(hll_union_agg(col("sk"), lit(true)).as("u"))
+    val exactA = a.count()
+    val exactB = b.count()
+    val exactBoth = a.join(b, "o_custkey").count()
+    val est = skA.select(hll_sketch_estimate(col("sk")).as("ea"))
+      .crossJoin(skB.select(hll_sketch_estimate(col("sk")).as("eb")))
+      .crossJoin(merged.select(hll_sketch_estimate(col("u")).as("eu")))
+      .select((col("ea") + col("eb") - col("eu")).cast("double").as("est_both"),
+        col("eu").cast("double").as("est_union"))
+      .head()
+    val bound = 3.0 * rsd * (exactA + exactB +
+      (exactA + exactB - exactBoth)) + 16.0
+    val ok = math.abs(est.getDouble(0) - exactBoth) <= bound
+    import s.implicits._
+    Seq((yearA, yearB, exactA, exactB, exactBoth, ok))
+      .toDF("year_a", "year_b", "exact_a", "exact_b", "exact_both", "est_ok")
+  }
+
   // --- BF1: Bloom-pruned semi join. The bloom filter over the dim's
   // keys broadcasts (~1.2 bytes/key at 1% fpp) and prunes fact rows
   // BEFORE the shuffle — at 100 TB this is the difference between

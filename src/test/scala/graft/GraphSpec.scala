@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Graph, Sketches}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the graph-analytics pack (gr1-gr3) and the
+  * HLL intersection audit (a30). Cross-engine value parity is the
+  * oracle gate's job; these pin internal consistency, an independent
+  * recomputation of the triangle count, and the plan shapes that
+  * must hold at scale.
+  */
+class GraphSpec extends SparkTestBase {
+
+  test("gr1: every rank >= teleport mass, total mass bounded by n*scale") {
+    val rows = Graph.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val teleport = 15L * 1000000000L / 100L
+    rows.foreach(r => assert(r.getAs[Long]("pr") >= teleport))
+    // floor division only ever loses mass, never creates it
+    val total = rows.map(_.getAs[Long]("pr")).sum
+    assert(total <= rows.length.toLong * 1000000000L)
+  }
+
+  test("gr1: node space is the interleaved cust/supp encoding, both sides present") {
+    val nodes = Graph.pageRank(spark, sf).select("node").collect().map(_.getLong(0))
+    assert(nodes.exists(_ % 2 == 0), "no customer nodes")
+    assert(nodes.exists(_ % 2 == 1), "no supplier nodes")
+    assert(nodes.distinct.length == nodes.length)
+  }
+
+  test("gr2: degree-oriented count equals the naive id-ordered triangle join") {
+    val got = Graph.triangleCount(spark, sf).head.getAs[Long]("n_triangles")
+    // independent recomputation: enumerate (a,b,c), a<b<c, all three
+    // edges present — the textbook definition, no orientation trick
+    val und = Graph.copurchaseEdges(spark, sf).distinct()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(und.as("e3"),
+        col("e1.pa") === col("e3.pa") && col("e2.pb") === col("e3.pb"))
+      .count()
+    assert(got == naive, s"oriented=$got naive=$naive")
+  }
+
+  test("gr3: support counts are consistent (pair_n <= min(a_n, b_n), canonical order)") {
+    val rows = Graph.copurchaseSupport(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("pair_n") <=
+        math.min(r.getAs[Long]("a_n"), r.getAs[Long]("b_n")))
+    }
+    // descending support with full-key tie-break = strict total order
+    val keys = rows.map(r => (-r.getAs[Long]("pair_n"),
+      r.getAs[Long]("pa"), r.getAs[Long]("pb")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("gr2/gr3: wedge and support joins are shuffled equi-joins, never nested loops") {
+    // the 1-row audit crossJoins in gr2's FINAL select are broadcast
+    // and harmless; the wedge/support pipelines themselves must not
+    // contain any nested loop, which is what copurchaseSupport (no
+    // audit tail) pins exactly
+    val plan = Graph.copurchaseSupport(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in gr3 plan:\n$plan")
+  }
+
+  test("a30: audit row internally consistent and in-bounds") {
+    val r = Sketches.hllIntersect(spark, sf).head
+    assert(r.getAs[Boolean]("est_ok"))
+    val (a, b, both) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+      r.getAs[Long]("exact_both"))
+    assert(both <= math.min(a, b))
+    assert(a > 0 && b > 0)
+  }
+
+  test("gr4: BFS distances — unique zero at the seed, bipartite parity holds") {
+    val rows = Graph.hopDistance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val zeros = rows.filter(_.getAs[Long]("dist") == 0L)
+    assert(zeros.length == 1)
+    val seed = zeros.head.getAs[Long]("node")
+    assert(seed == rows.map(_.getAs[Long]("node")).min)
+    // customer↔supplier edges only ⇒ dist parity tracks node-side parity
+    rows.foreach { r =>
+      val sameSide = (r.getAs[Long]("node") - seed) % 2 == 0
+      assert((r.getAs[Long]("dist") % 2 == 0) == sameSide)
+    }
+  }
+
+  test("gr1: fixed-point iteration is deterministic across partitionings") {
+    val a = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(a.sameElements(b))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
