@@ -79,6 +79,35 @@ object Soak {
     ()
   }
 
+  /** Sales tables for the graph-family soak, derived DISJOINTLY (every
+    * key shifted per copy): the trade / co-purchase graphs become 10
+    * independent copies of sf0.1's, so iteration count stays fixed
+    * while per-round join volume is exactly 10× — the per-row factor
+    * measures the operator, not a densified graph. Guarded separately
+    * from the corpus tables so pre-existing soak dirs pick these up
+    * without a rebuild.
+    */
+  private def buildSalesIfMissing(s: SparkSession, base: String, out: String): Unit = {
+    val done = new java.io.File(out, "_SOAK_OK_SALES")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val ord = Tables.orders(s, base)
+    (0 until Copies).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * Stride))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = Tables.lineitem(s, base)
+    (0 until Copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * Stride))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * Stride))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    java.nio.file.Files.createFile(done.toPath)
+    ()
+  }
+
   /** The soaked families: everything here reads only documents /
     * embeddings / events (the derived tables). lineitem-family OLAP
     * queries are already scale-covered by the driver's own bench tiers.
@@ -98,7 +127,8 @@ object Soak {
     "dp1_corpus_select", "dp3_token_pack", "dp7_chunk", "dp10_shuffle",
     "dp11_corpus_select_lsh",
     "tx2_token_freq", "tx5_lang_id", "tx12_tfidf",
-    "st1_hourly_events", "st2_sessionize", "st6_rolling_wau", "w15_twap")
+    "st1_hourly_events", "st2_sessionize", "st6_rolling_wau", "w15_twap",
+    "gr1_pagerank", "gr2_triangles", "gr3_copurchase", "gr4_hop_distance")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer
@@ -150,6 +180,7 @@ object Soak {
     spark.sparkContext.setLogLevel("WARN")
 
     buildIfMissing(spark, base, out)
+    buildSalesIfMissing(spark, base, out)
 
     def run(name: String, dir: String, soakSide: Boolean): Double = {
       val fn = (if (soakSide) soakForm(name) else None)

@@ -239,6 +239,8 @@ object SparkEntry {
     "gr3_copurchase"    -> ((s, d) => Graph.copurchaseSupport(s, d)),
     "a30_hll_intersect" -> ((s, d) => Sketches.hllIntersect(s, d)),
     "gr4_hop_distance"  -> ((s, d) => Graph.hopDistance(s, d)),
+    "dd19_prefix_filter" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
+    "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2105,6 +2107,52 @@ object SparkEntry {
     // CAST because DuckDB sum() promotes BIGINT to HUGEINT)
     "gr1_pagerank" -> operators.Graph.pageRankOracleSql(),
     "gr4_hop_distance" -> operators.Graph.hopDistanceOracleSql(),
+    // dd19: the prefix filter is LOSSLESS, so the oracle is dd2's
+    // independent all-pairs formulation verbatim — a different
+    // algorithm arriving at a bit-identical relation is the strongest
+    // oracle this family has
+    "dd19_prefix_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (ca.n + cb.n - s) AS jac
+        |  FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j
+        |WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // tx19: identical literals + association order on both engines;
+    // comparison happens on the round-6 score (tx12's float discipline)
+    "tx19_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE token IN ('window', 'merge', 'scan') GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+        |      AS contrib
+        |  FROM tf JOIN dfq ON tf.token = dfq.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id, st)
+        |SELECT doc_id, round(sum(contrib), 6) AS bm25
+        |FROM c GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "gr2_triangles" ->
       """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),

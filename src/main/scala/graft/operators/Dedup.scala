@@ -667,6 +667,50 @@ object Dedup {
       .orderBy("train_doc", "eval_doc")
   }
 
+  // --- DD19: PREFIX-FILTERED exact Jaccard join (the SSJoin/PPJoin
+  // family) — the third exact-pair candidate source next to
+  // share-any-gram (dd2) and LSH banding (dd3), and the one that stays
+  // EXACT while shrinking the candidate set. Grams get a global total
+  // order by (document frequency, hash) — rarest first; a doc with n
+  // grams exposes only its first n − ⌈t·n⌉ + 1 grams (its "prefix") to
+  // the candidate self-join. Lossless by the prefix-filter lemma
+  // [Chaudhuri et al., SSJoin, ICDE'06]: J(A,B) ≥ t ⇒ |A∩B| ≥
+  // ⌈t·max(|A|,|B|)⌉ = α, and sets with overlap ≥ α must collide
+  // within their (|X| − α + 1)-prefixes — our per-set ⌈t·|X|⌉ prefix is
+  // at least that long. At 100 TB the win is structural: candidates
+  // key on the RARE end of the gram spectrum (prefix grams have the
+  // lowest DF by construction), so the self-join fan-out concentrates
+  // where C(f,2) is smallest — the hot-gram problem the dd2 path
+  // handles with a DF cap simply cannot arise. The length filter
+  // (t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes survivors before the exact
+  // verify. Per-doc prefix selection is one window PARTITIONED BY
+  // doc_id over the gram index — no global rank is ever materialized
+  // (the (df, gh) pair IS the global order, computed per row).
+  // Oracled by dd2's independent all-pairs formulation: the filter is
+  // lossless, so the result relation is bit-identical. ---
+  def prefixFilterJaccardPairs(s: SparkSession, d: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
+    val dfreq = gr.groupBy("gh").agg(count(lit(1)).as("df"))
+    val sizes = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("gh").asc)
+    val prefix = gr.join(dfreq, "gh")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
+      .select("doc_id", "gh", "n")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
+      .filter(lit(threshold) * col("a.n") <= col("b.n") &&
+        lit(threshold) * col("b.n") <= col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
+  }
+
   // --- DD13: boilerplate-span catalog — word 8-grams repeated across
   // >= minDocs distinct documents, the substring-level signal that
   // doc-level dedup misses (license headers, navigation chrome,

@@ -496,4 +496,47 @@ object TextAnalysis {
     steps.toDF("step", "sym_a", "sym_b", "pair_count", "merged")
       .orderBy("step")
   }
+
+  // --- TX19: BM25 ranked retrieval — the search-engine scoring layer
+  // over the same tf/df/length statistics tx12 materializes. Okapi
+  // BM25 (k1 = 1.2, b = 0.75): idf smoothed as ln(1 + (N − df + ½)/
+  // (df + ½)), tf saturated by k1 and normalized by doc length against
+  // the corpus mean. At 100 TB this is three broadcastable side tables
+  // (per-term df, corpus N/avgdl — both tiny) against one partition-
+  // parallel tf relation: the only corpus-wide shuffle is the tf
+  // group-by, and the query-term filter cuts it to the posting lists
+  // of the query terms BEFORE the shuffle (predicate on the exploded
+  // token — at scale, an inverted index / pp1-style partition by term
+  // serves the same filter from layout). Constants are written as the
+  // SAME literals on both engines and every arithmetic step is double
+  // with identical association order, so round-6 scores cross-match
+  // (the tx12/tx13 float discipline). Ordering is by the ROUNDED
+  // score with doc_id tie-break — a total order both engines agree on.
+  def bm25TopDocs(s: SparkSession, d: String,
+                  terms: Seq[String] = Seq("window", "merge", "scan"),
+                  topK: Int = 20): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tok.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+    contrib.groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }
