@@ -2156,8 +2156,12 @@ object SparkEntry {
     "gr2_triangles" ->
       """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |    FROM lineitem),
-        |und AS MATERIALIZED (SELECT DISTINCT a.pk AS pa, b.pk AS pb
-        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |und AS MATERIALIZED (
+        |  SELECT pa, pb FROM (
+        |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n
+        |    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |    GROUP BY 1, 2)
+        |  WHERE n >= 2),
         |deg AS MATERIALIZED (SELECT n, count(*) AS dg FROM
         |    (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
         |  GROUP BY 1),

@@ -180,34 +180,41 @@ object Graph {
        |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
   }
 
-  /** Undirected co-purchase graph over parts: an edge per DISTINCT
-    * part pair appearing in the same order, stored once in canonical
-    * a < b orientation. (order, part) is deduplicated FIRST so a part
-    * on two lines of one order neither self-pairs nor double-counts.
-    * The per-order self-join is keyed on l_orderkey — fan-out is
-    * items-per-order², bounded by basket size, never corpus size.
+  /** The SUPPORT-THRESHOLDED basket graph: part pairs co-purchased in
+    * at least `minSupport` distinct orders. On uniform purchase data
+    * the raw pair graph is noise-dense (sf0.1: 1.196M edges, nearly
+    * all support-1 coincidences) while the thresholded signal graph
+    * SATURATES (~3.5k edges at every measured SF) — thresholding is
+    * both the standard market-basket practice and what keeps
+    * triangle counting output-meaningful and near-constant-cost as
+    * the corpus grows: the expensive part (the support count) is one
+    * bounded per-basket self-join + hash-agg, linear in baskets.
     */
-  private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def supportedEdges(s: SparkSession, d: String,
+                                    minSupport: Int): DataFrame = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    pairRowsOf(op).groupBy("pa", "pb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .select("pa", "pb")
   }
 
-  // --- GR2: triangle counting, degree-oriented. The naive wedge join
-  // explodes on hub nodes (a part in f baskets contributes f² wedges);
-  // the classic fix (Schank–Wagner / Suri–Vassilvitskii's MR version)
-  // orients every edge from the (degree, id)-smaller endpoint to the
-  // larger, bounding out-degree by O(√m), so the wedge relation is
-  // near-linear in edges. Wedges = oriented⋈oriented on the common
-  // low node; each wedge is closed by an equi-join back to the
-  // oriented edge set. Every triangle is counted exactly once (its
-  // unique degree-ordering). Output is one audit row (nodes, edges,
-  // triangles) — the global clustering shape of the basket graph. ---
-  def triangleCount(s: SparkSession, d: String): DataFrame = {
-    val und = copurchaseEdges(s, d).distinct().localCheckpoint()
+  // --- GR2: triangle counting, degree-oriented, over the support-
+  // thresholded basket graph (min co-purchase support 2 — see
+  // [[supportedEdges]] for why raw support-1 edges are noise). The
+  // naive wedge join explodes on hub nodes (a part in f baskets
+  // contributes f² wedges); the classic fix (Schank–Wagner /
+  // Suri–Vassilvitskii's MR version) orients every edge from the
+  // (degree, id)-smaller endpoint to the larger, bounding out-degree
+  // by O(√m), so the wedge relation is near-linear in edges. Wedges =
+  // oriented⋈oriented on the common low node; each wedge is closed by
+  // an equi-join back to the edge set. Every triangle is counted
+  // exactly once (its unique degree-ordering). Output is one audit
+  // row (nodes, edges, triangles) — the clustering shape of the
+  // co-purchase signal graph. ---
+  def triangleCount(s: SparkSession, d: String, minSupport: Int = 2): DataFrame = {
+    val und = supportedEdges(s, d, minSupport).localCheckpoint()
     val deg = und.select(col("pa").as("n")).unionByName(und.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): lo = smaller endpoint under the total order
@@ -245,18 +252,45 @@ object Graph {
   // as GR2's edge build) + one hash-agg; item counts join in by key.
   // Top 100 by support with full-key tie-break keeps the output
   // stable and small at any scale. ---
-  def copurchaseSupport(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+  def copurchaseSupport(s: SparkSession, d: String, topK: Int = 100): DataFrame =
+    supportFromItems(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(),
+      topK)
+
+  /** The support computation over any distinct (ok, pk) basket-item
+    * relation. The per-basket pair derivation here and the ranked
+    * tail in [[supportFromCounts]] are exactly what the streaming
+    * index maintains incrementally (Streams.supportIndexMaintainStream
+    * publishes the pair rows per batch; its read side aggregates them
+    * and enters [[supportFromCounts]] with the same shapes).
+    */
+  private[graft] def supportFromItems(op: DataFrame, topK: Int): DataFrame = {
     val itemN = op.groupBy("pk").agg(count(lit(1)).as("item_n"))
-    val pairN = copurchaseEdges(s, d)
+    val pairN = pairRowsOf(op)
       .groupBy("pa", "pb").agg(count(lit(1)).as("pair_n"))
+    supportFromCounts(pairN, itemN, topK)
+  }
+
+  /** Per-basket canonical pair rows (pa < pb, one row per basket the
+    * pair co-occurs in) of a distinct (ok, pk) relation.
+    */
+  private[graft] def pairRowsOf(op: DataFrame): DataFrame =
+    op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"),
+        col("a.ok").as("ok"))
+
+  /** Ranked support tail over aggregated (pa, pb, pair_n) and
+    * (pk, item_n) relations.
+    */
+  private[graft] def supportFromCounts(pairN: DataFrame, itemN: DataFrame,
+                                       topK: Int): DataFrame =
     pairN
       .join(itemN.select(col("pk").as("pa"), col("item_n").as("a_n")), "pa")
       .join(itemN.select(col("pk").as("pb"), col("item_n").as("b_n")), "pb")
       .select("pa", "pb", "pair_n", "a_n", "b_n")
       .orderBy(col("pair_n").desc, col("pa").asc, col("pb").asc)
       .limit(topK)
-  }
 }

@@ -422,6 +422,75 @@ object Streams {
   }
 
 
+  /** Streaming twin of Graph.copurchaseSupport (GR3): the basket
+    * ingest stream MAINTAINS the co-purchase pair index. Contract: a
+    * micro-batch row is one (ok, pk) order line and a basket's lines
+    * arrive within ONE micro-batch (baskets are atomic events), so
+    * every pair is batch-local and the published deltas are exact.
+    * Per batch, the dd17 delta layout:
+    *
+    *  1. admission — orders already indexed (redelivered in a LATER
+    *     batch) are dropped by an anti-join on the item deltas' order
+    *     ids, EXCLUDING this batch's own delta (the checkpoint-replay
+    *     lesson: a replayed batch must recompute an identical delta,
+    *     not filter against its own rows and publish emptiness);
+    *  2. delta publish — the batch's distinct (ok, pk) items and its
+    *     canonical (pa, pb, ok) pair rows land in b<batchId> dirs (a
+    *     replay OVERWRITES its own delta — idempotent).
+    *
+    * No keyed stream state: the delta directories ARE the state.
+    * [[readSupportIndex]] aggregates the published pair/item rows and
+    * enters the batch operator's own ranked tail
+    * (Graph.supportFromCounts), so stream-maintained support over any
+    * wave/redelivery schedule equals the batch gr3 answer
+    * (StreamingSpec equivalence). At 100 TB the per-batch cost is the
+    * batch's baskets only — pair fan-out bounded by basket size — and
+    * a nightly compaction can fold deltas without affecting reads.
+    */
+  def supportIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        supportMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  /** One micro-batch of [[supportIndexMaintainStream]] — extracted so
+    * the same-batch-id checkpoint replay is directly testable.
+    */
+  private[graft] def supportMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                          workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val existing = deltaDirs(workDir, "items")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchItems = batchDf.select(col("ok"), col("pk")).distinct()
+    val fresh = existing match {
+      case Seq() => batchItems
+      case dirs => batchItems.join(
+        s.read.parquet(dirs: _*).select("ok").distinct(),
+        Seq("ok"), "left_anti")
+    }
+    fresh.write.mode("overwrite").parquet(s"$workDir/items/b$batchId")
+    val items = s.read.parquet(s"$workDir/items/b$batchId")
+    graft.operators.Graph.pairRowsOf(items)
+      .write.mode("overwrite").parquet(s"$workDir/pairs/b$batchId")
+    ()
+  }
+
+  /** Read side of the streaming support index: aggregate the delta
+    * pair/item rows, then the batch operator's own ranked tail.
+    */
+  def readSupportIndex(s: org.apache.spark.sql.SparkSession, workDir: String,
+                       topK: Int = 100): DataFrame = {
+    val items = s.read.parquet(deltaDirs(workDir, "items"): _*)
+    val pairs = s.read.parquet(deltaDirs(workDir, "pairs"): _*)
+    graft.operators.Graph.supportFromCounts(
+      pairs.groupBy("pa", "pb").agg(count(lit(1)).as("pair_n")),
+      items.groupBy("pk").agg(count(lit(1)).as("item_n")), topK)
+  }
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

@@ -32,7 +32,7 @@ class GraphSpec extends SparkTestBase {
     val got = Graph.triangleCount(spark, sf).head.getAs[Long]("n_triangles")
     // independent recomputation: enumerate (a,b,c), a<b<c, all three
     // edges present — the textbook definition, no orientation trick
-    val und = Graph.copurchaseEdges(spark, sf).distinct()
+    val und = Graph.supportedEdges(spark, sf, 2)
     val naive = und.as("e1")
       .join(und.as("e2"), col("e1.pb") === col("e2.pa"))
       .join(und.as("e3"),

@@ -488,4 +488,47 @@ class StreamingSpec extends SparkTestBase {
       // state-only — exactly what batch scdBuild marks is_current=1
     } finally q.stop()
   }
+
+  test("equivalence: streaming support maintenance == batch gr3 (order-atomic waves + redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSeq
+    // waves split BY ORDER — baskets are atomic events, the stream's
+    // documented contract — in shuffled (non-key) arrival order
+    val byOrder = lines.groupBy(_._1).toSeq
+    val shuffled = new scala.util.Random(11).shuffle(byOrder)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1))
+      .map(_.flatMap(_._2)).toSeq
+    val mem = MemoryStream[(Long, Long)]
+    val root = java.nio.file.Files.createTempDirectory("gr3stream").toString
+    val q = Streams.supportIndexMaintainStream(
+      mem.toDF().select(col("_1").as("ok"), col("_2").as("pk")),
+      root, s"$root/ck")
+    // + a late redelivery of some wave-1 baskets: admission must drop
+    // the already-indexed orders wholesale
+    try (waves :+ waves.head.take(9)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.readSupportIndex(spark, root)
+    val batch = graft.operators.Graph.copurchaseSupport(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch),
+      "stream-maintained support must equal the batch gr3 answer")
+  }
+
+  test("support index maintenance survives a same-batch-id checkpoint replay") {
+    val batch = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val root = java.nio.file.Files.createTempDirectory("gr3replay").toString
+    Streams.supportMaintainBatch(batch, 0L, root)
+    // crash between delta publish and checkpoint commit → same id re-runs
+    Streams.supportMaintainBatch(batch, 0L, root)
+    val streamed = Streams.readSupportIndex(spark, root)
+    assert(rowSet(streamed) == rowSet(graft.operators.Graph.copurchaseSupport(spark, sf)),
+      "post-replay support must equal the batch gr3 answer")
+    val dupItems = spark.read.parquet(s"$root/items/b0")
+      .groupBy("ok", "pk").count().filter(col("count") > 1).count()
+    assert(dupItems == 0, "no order line may be indexed twice after a replay")
+  }
 }
