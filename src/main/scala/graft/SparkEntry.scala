@@ -241,6 +241,7 @@ object SparkEntry {
     "gr4_hop_distance"  -> ((s, d) => Graph.hopDistance(s, d)),
     "dd19_prefix_filter" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
     "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
+    "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2107,6 +2108,7 @@ object SparkEntry {
     // CAST because DuckDB sum() promotes BIGINT to HUGEINT)
     "gr1_pagerank" -> operators.Graph.pageRankOracleSql(),
     "gr4_hop_distance" -> operators.Graph.hopDistanceOracleSql(),
+    "gr5_personalized_pr" -> operators.Graph.personalizedPageRankOracleSql(),
     // dd19: the prefix filter is LOSSLESS, so the oracle is dd2's
     // independent all-pairs formulation verbatim — a different
     // algorithm arriving at a bit-identical relation is the strongest

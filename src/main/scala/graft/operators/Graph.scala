@@ -111,6 +111,83 @@ object Graph {
        |SELECT node, pr FROM r$iters ORDER BY node""".stripMargin
   }
 
+  // --- GR5: PERSONALIZED PageRank — gr1 with the teleport mass
+  // restricted to a seed set (here: the BUILDING-segment customers),
+  // the topic-sensitive variant [Haveliwala, WWW'02] a curation
+  // pipeline uses to rank a corpus "from the perspective of" a target
+  // domain slice. Same scaled-long fixed-point chain as gr1, two
+  // deltas: r0 is `scale` on seeds / 0 elsewhere, and the per-round
+  // additive term is `is_seed · teleport` instead of a uniform
+  // constant. Zero-rank nodes cost nothing extra (their contributions
+  // are exact integer zeros flowing through the same join), and the
+  // plan shape is identical to gr1's — one join + one agg per round.
+  // Nodes unreachable from the seed set keep rank exactly 0 and are
+  // filtered from the output (bipartite trade graph: both sides
+  // reachable in 2 hops wherever connected). ---
+  def personalizedPageRank(s: SparkSession, d: String,
+                           segment: String = "BUILDING",
+                           iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val seedIds = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === segment)
+      .select((col("c_custkey") * 2).as("node"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .join(seedIds.withColumn("is_seed", lit(1L)), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("is_seed"))
+      .localCheckpoint()
+    val teleport = 15L * scale / 100L
+    var ranks = deg.select(col("node"), col("outdeg"), col("is_seed"),
+      (col("is_seed") * scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      ranks = deg.join(
+          contrib.groupBy("node")
+            .agg(expr("(85 * sum(c)) div 100").as("flow")),
+          "node")
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          (col("is_seed") * teleport + col("flow")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("pr") > 0)
+      .select(col("node"), col("pr")).orderBy("node")
+  }
+
+  /** Oracle twin of [[personalizedPageRank]] — gr1's unrolled chain
+    * with the seeded r0 and seeded teleport term.
+    */
+  def personalizedPageRankOracleSql(segment: String = "BUILDING",
+                                    iters: Int = 5,
+                                    scale: Long = 1000000000L): String = {
+    val teleport = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, d.outdeg, d.is_seed,
+         |    CAST(d.is_seed * $teleport
+         |         + (85 * sum(r.pr // r.outdeg)) // 100 AS BIGINT) AS pr
+         |  FROM r${i - 1} r JOIN edges e ON e.src = r.node
+         |  JOIN deg d ON d.node = e.dst
+         |  GROUP BY d.node, d.outdeg, d.is_seed)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg,
+       |    CAST(CASE WHEN src IN (SELECT c_custkey*2 FROM customer
+       |                           WHERE c_mktsegment = '$segment')
+       |         THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, outdeg, is_seed,
+       |    CAST(is_seed * $scale AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node, pr FROM r$iters WHERE pr > 0 ORDER BY node""".stripMargin
+  }
+
   // --- GR4: single-source hop distance (BFS / min-plus relaxation) —
   // the frontier-expansion primitive next to gr1's power iteration and
   // dd8's label propagation. dist_{r+1}(v) = min(dist_r(v),

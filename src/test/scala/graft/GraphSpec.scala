@@ -88,6 +88,27 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("gr5: seeded teleport — every seed holds its floor, non-seeds only inherit flow") {
+    val rows = Graph.personalizedPageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val teleport = 15L * 1000000000L / 100L
+    val seedIds = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") * 2).as("node"))
+      .collect().map(_.getLong(0)).toSet
+    val ranked = rows.map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr"))).toMap
+    // every ACTIVE seed keeps at least its own teleport mass
+    ranked.foreach { case (n, pr) =>
+      if (seedIds.contains(n)) assert(pr >= teleport)
+    }
+    assert(ranked.keys.exists(seedIds.contains), "no active seed in result")
+    assert(ranked.keys.exists(n => !seedIds.contains(n)),
+      "flow never reached a non-seed — propagation broken")
+    // personalization concentrates mass: total is bounded by what the
+    // seeds inject (|seeds|·scale is a loose ceiling; floor-div only loses)
+    assert(ranked.values.sum <= seedIds.size.toLong * 1000000000L)
+  }
+
   test("gr1: fixed-point iteration is deterministic across partitionings") {
     val a = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
