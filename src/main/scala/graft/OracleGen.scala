@@ -482,8 +482,25 @@ object OracleGen {
     * extraction indexes the symbol list against a bounded series —
     * words here are ≤ 64 symbols; a longer corpus raises the bound.
     */
-  def tx17Sql(merges: Int = 10): String = {
-    val rounds = (0 until merges).map { i =>
+  /** tx20's oracle: replay tx17's training rounds, then ENCODE — the
+    * final vocabulary's symbols, weighted by word frequency, ranked.
+    */
+  def tx20Sql(merges: Int = 10, topK: Int = 30): String =
+    s"""WITH words_0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wstr,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0
+       |  GROUP BY 1),
+       |${bpeRounds(merges)}
+       |SELECT token, CAST(sum(freq) AS BIGINT) AS n FROM (
+       |  SELECT unnest(string_split(substr(wstr, 2, length(wstr) - 2), '||'))
+       |    AS token, freq
+       |  FROM words_$merges)
+       |GROUP BY token ORDER BY n DESC, token ASC LIMIT $topK""".stripMargin
+
+  private def bpeRounds(merges: Int): String =
+    (0 until merges).map { i =>
       s"""sy_$i AS (
          |  SELECT freq,
          |    string_split(substr(wstr, 2, length(wstr) - 2), '||') AS sy
@@ -501,6 +518,9 @@ object OracleGen {
          |                 '|' || bb.a || bb.b || '|') AS wstr, w.freq
          |  FROM words_$i w CROSS JOIN best_$i bb)""".stripMargin
     }.mkString(",\n")
+
+  def tx17Sql(merges: Int = 10): String = {
+    val rounds = bpeRounds(merges)
     val out = (0 until merges).map { i =>
       s"""SELECT $i AS step, a AS sym_a, b AS sym_b,
          |  CAST(cnt AS BIGINT) AS pair_count, a || b AS merged

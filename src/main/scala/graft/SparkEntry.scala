@@ -242,6 +242,11 @@ object SparkEntry {
     "dd19_prefix_filter" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
     "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
+    "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
+    "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
+    "sim11_mmr"          -> ((s, d) => Similarity.mmrDiversify(s, d)),
+    "tx20_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncodeTopTokens(s, d)),
+    "dp13_temperature_mix" -> ((s, d) => DataPrep.temperatureMix(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2109,6 +2114,11 @@ object SparkEntry {
     "gr1_pagerank" -> operators.Graph.pageRankOracleSql(),
     "gr4_hop_distance" -> operators.Graph.hopDistanceOracleSql(),
     "gr5_personalized_pr" -> operators.Graph.personalizedPageRankOracleSql(),
+    "sq3_session_paths" -> operators.DataPrep.sessionPathsOracleSql(),
+    "gr6_cheapest_route" -> operators.Graph.cheapestRouteOracleSql(),
+    "sim11_mmr" -> operators.Similarity.mmrOracleSql(),
+    "tx20_bpe_encode" -> OracleGen.tx20Sql(),
+    "dp13_temperature_mix" -> operators.DataPrep.temperatureMixOracleSql(),
     // dd19: the prefix filter is LOSSLESS, so the oracle is dd2's
     // independent all-pairs formulation verbatim — a different
     // algorithm arriving at a bit-identical relation is the strongest

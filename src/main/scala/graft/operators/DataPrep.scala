@@ -421,4 +421,143 @@ object DataPrep {
         col("rk").cast("int").as("rk"))
       .orderBy("source", "rk")
   }
+
+  // --- SQ3: top in-session event paths — the 3-step event-type
+  // sequences users actually take WITHIN a session (30-min gap
+  // sessionization, st2's exact rule), ranked by frequency: the
+  // path-mining statistic behind navigation analysis and funnel
+  // discovery, one level up from sq2's single-step transitions.
+  // One shuffle on user_id covers both the session assignment and the
+  // two lead()s (same window spec → one WindowExec); path strings
+  // never leave the per-user partition until the tiny per-path
+  // hash-agg. Paths must not span sessions, so the leads re-partition
+  // on (user_id, session_id) — a second window over the SAME shuffled
+  // data (session_id is a function of the first window's order), which
+  // Spark plans without a second exchange. At 100 TB: linear scans,
+  // k^3-bounded aggregate output — no scale risk. ---
+  def sessionPaths(s: SparkSession, d: String,
+                   gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > gapMinutes * 60L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(bySession))
+      .withColumn("t3", lead(col("event_type"), 2).over(bySession))
+      .filter(col("t3").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path").asc)
+  }
+
+  /** Oracle twin of [[sessionPaths]] — the identical
+    * sessionize-then-lead chain in ANSI SQL (st2's epoch-difference
+    * session rule verbatim).
+    */
+  def sessionPathsOracleSql(gapMinutes: Int = 30): String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |  FROM events),
+       |flags AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    CASE WHEN prev_ts IS NULL
+       |           OR (CAST(floor(epoch(ts)) AS BIGINT)
+       |               - CAST(floor(epoch(prev_ts)) AS BIGINT))
+       |              > ${gapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM seq),
+       |sess AS (
+       |  SELECT user_id, event_id, ts, event_type,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flags),
+       |paths AS (
+       |  SELECT user_id,
+       |    event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+       |                              ORDER BY ts, event_id) AS t2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id, session_id
+       |                              ORDER BY ts, event_id) AS t3
+       |  FROM sess)
+       |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+       |  count(*) AS n, count(DISTINCT user_id) AS n_users
+       |FROM paths WHERE t3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path ASC""".stripMargin
+
+  // --- DP13: temperature-scaled source mixture — the multilingual /
+  // multi-source sampling rule from large-LM data work (sample source
+  // i with probability ∝ n_i^α, α<1 flattening the mix so dominant
+  // sources are down-weighted and small sources up-weighted). The
+  // quota math runs on the per-source COUNTS (a handful of rows —
+  // α-powers and shares are plain IEEE doubles computed identically
+  // by any engine); document selection is then the deterministic
+  // md5-rank filter (sp2's rule) against the per-source target, so
+  // the whole sample is reproducible row-for-row. One count agg + one
+  // per-source window rank: two shuffles on source, nothing driver
+  // side. At 100 TB the rank-filter is the standard scale shape
+  // (per-source ordered take), and the quota table broadcasts. ---
+  def temperatureMix(s: SparkSession, d: String,
+                     alpha: Double = 0.5,
+                     budgetFrac: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val wsum = Window.partitionBy()
+    val quotas = counts
+      .withColumn("wt", pow(col("n_src").cast("double"), alpha))
+      .withColumn("share", col("wt") / sum(col("wt")).over(wsum))
+      .withColumn("budget",
+        floor(sum(col("n_src")).over(wsum).cast("double") * budgetFrac))
+      .withColumn("target_n",
+        least(col("n_src"),
+          floor(col("budget").cast("double") * col("share")).cast("long")))
+      .select("source", "target_n")
+    val byHash = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+        col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(byHash).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("target_n"))
+      .select(col("source"), col("doc_id"), col("rk"), col("target_n"))
+      .orderBy("source", "rk")
+  }
+
+  /** Oracle twin of [[temperatureMix]]: the identical quota math
+    * (same power/share/floor chain — scalar IEEE ops on the per-source
+    * counts, bit-identical across engines) and the same md5-rank
+    * selection.
+    */
+  def temperatureMixOracleSql(alpha: Double = 0.5,
+                              budgetFrac: Double = 0.4): String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM documents GROUP BY source),
+       |quotas AS (
+       |  SELECT source, n_src,
+       |    least(n_src, CAST(floor(
+       |      floor(CAST(sum(n_src) OVER () AS DOUBLE) * $budgetFrac)
+       |      * (pow(CAST(n_src AS DOUBLE), $alpha)
+       |         / sum(pow(CAST(n_src AS DOUBLE), $alpha)) OVER ())
+       |    ) AS BIGINT)) AS target_n
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+       |    AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, r.rk, q.target_n
+       |FROM ranked r JOIN quotas q ON r.source = q.source
+       |WHERE r.rk <= q.target_n
+       |ORDER BY r.source, r.rk""".stripMargin
 }

@@ -235,6 +235,79 @@ object Graph {
     * so the CTEs are forced MATERIALIZED — inlining would duplicate
     * the whole prefix per reference, exponential in `iters`.
     */
+  // --- GR6: single-source CHEAPEST route — gr4's min-plus relaxation
+  // with integer edge weights (Bellman–Ford as relational algebra).
+  // The trade edge (cust, supp) is weighted by the SMALLEST l_quantity
+  // on any order line linking the pair — "cheapest hand-off on that
+  // relationship" — so weights are small exact integers and every
+  // relaxation is integer min/plus, which hash-oracles across engines.
+  // Weighted shortest paths can use MORE hops than the BFS
+  // eccentricity (a chain of cheap edges beats one expensive hop), so
+  // the round budget is higher than gr4's and convergence is `require`d;
+  // the unrolled oracle chain is idempotent past convergence, so the
+  // Spark early exit and the fixed replay agree. Per round: one
+  // edges⋈dist join + one min hash-agg — identical scale shape to gr4. ---
+  def cheapestRoute(s: SparkSession, d: String, maxIter: Int = 12): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    val seed = edges.agg(min(col("src"))).head.getLong(0)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("v"))
+      val next = dist.select(col("node"), col("dist").as("v"))
+        .unionByName(relaxed)
+        .groupBy("node").agg(min(col("v")).as("dist"))
+        .localCheckpoint()
+      converged = next.join(dist.withColumnRenamed("dist", "prev"), "node")
+        .filter(col("dist") =!= col("prev")).isEmpty
+      dist = next
+      iter += 1
+    }
+    require(converged,
+      s"Bellman-Ford did not converge within $maxIter rounds")
+    dist.filter(col("dist") < HopInf).orderBy("node")
+  }
+
+  /** Oracle twin of [[cheapestRoute]]: the weighted min-plus chain
+    * unrolled to `iters` rounds (≥ rounds-to-convergence; extra rounds
+    * idempotent — same contract as [[hopDistanceOracleSql]]).
+    */
+  def cheapestRouteOracleSql(iters: Int = 12): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, CAST(min(v) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist AS v FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, r.dist + e.w FROM d${i - 1} r
+         |    JOIN edges e ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst,
+       |    CAST(min(l_quantity) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (SELECT src, dst, w FROM e0
+       |  UNION ALL SELECT dst, src, w FROM e0),
+       |d0 AS (SELECT src AS node,
+       |    CAST(CASE WHEN src = (SELECT min(src) FROM edges)
+       |         THEN 0 ELSE $HopInf END AS BIGINT) AS dist
+       |  FROM (SELECT DISTINCT src FROM edges)),
+       |$rounds
+       |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
+  }
+
   def hopDistanceOracleSql(iters: Int = 8): String = {
     val rounds = (1 to iters).map { i =>
       s"""d$i AS MATERIALIZED (SELECT node, CAST(min(v) AS BIGINT) AS dist FROM (

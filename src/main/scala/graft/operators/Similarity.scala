@@ -466,4 +466,102 @@ object Similarity {
           / size(col("dv")).cast("double"), 8).as("mean_qerr"))
       .orderBy("vec_id")
   }
+
+  // --- SIM11: MMR diversified top-k — maximal marginal relevance
+  // [Carbonell & Goldstein, SIGIR'98]: greedily pick k results
+  // maximizing relW·rel(q,c) − divW·max_{s∈picked} sim(c,s), the
+  // retrieval-diversification step a RAG / curation pipeline runs on
+  // top of plain top-k so near-duplicate hits don't crowd the result.
+  // Scale shape: the DISTRIBUTED work is the candidate prune (one
+  // corpus scan → top-`poolN` by relevance, TakeOrderedAndProject);
+  // the greedy selection then runs as k tiny DataFrame rounds over the
+  // bounded pool (poolN rows, poolN² pairwise sims) — O(poolN·k) work
+  // independent of corpus size, nothing collected. Relevance and
+  // pairwise sims are rounded to 4 decimals first (the sim1/sim2
+  // portability contract), so scores live on a coarse lattice and the
+  // greedy argmax (ties → smaller vec_id) is engine-exact. ---
+  def mmrDiversify(s: SparkSession, d: String, queryId: Long = 0L,
+                   poolN: Int = 24, k: Int = 8,
+                   relW: Double = 0.7, divW: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(vecCosine(col("embedding"), col("q_emb")), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(poolN)
+      .localCheckpoint()
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(vecCosine(col("a.embedding"), col("b.embedding")), 4).as("sim"))
+      .localCheckpoint()
+    val pool = cand.select(col("vec_id"), col("rel"))
+    var sel = pool
+      .select(col("vec_id"), col("rel"), lit(0.0).as("score"),
+        lit(0).as("pick_order"))
+      .limit(0).localCheckpoint()
+    for (i <- 1 to k) {
+      val ms = sims.join(sel.select(col("vec_id").as("ib")), Seq("ib"))
+        .groupBy(col("ia").as("vec_id")).agg(max(col("sim")).as("maxsim"))
+      val pick = pool
+        .join(sel.select("vec_id"), Seq("vec_id"), "left_anti")
+        .join(ms, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("rel"),
+          (lit(relW) * col("rel")
+            - lit(divW) * coalesce(col("maxsim"), lit(0.0))).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1)
+        .select(col("vec_id"), col("rel"), col("score"),
+          lit(i).as("pick_order"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("pick_order"), col("vec_id"), col("rel"), col("score"))
+      .orderBy("pick_order")
+  }
+
+  /** Oracle twin of [[mmrDiversify]]: the greedy argmax chain unrolled
+    * to k rounds. Round i's candidate scores LEFT JOIN the max-sim
+    * against the picked set s_{i-1} (empty for i=1 → coalesce 0 — the
+    * plain relevance argmax), so every round is the same shape. All
+    * inputs to the score are 4-decimal-rounded doubles and the weights
+    * print exactly (shortest-repr round-trip), so the argmax and the
+    * score itself are bit-identical across engines.
+    */
+  def mmrOracleSql(queryId: Long = 0L, poolN: Int = 24, k: Int = 8,
+                   relW: Double = 0.7, divW: Double = 0.3): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.rel,
+         |    $relW * c.rel - $divW * coalesce(ms.maxsim, 0.0) AS score
+         |  FROM cand c
+         |  LEFT JOIN (SELECT ia, max(sim) AS maxsim FROM sims
+         |             WHERE ib IN (SELECT vec_id FROM s${i - 1})
+         |             GROUP BY ia) ms ON ms.ia = c.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})),
+         |s$i AS MATERIALIZED (
+         |  SELECT * FROM s${i - 1} UNION ALL
+         |  SELECT vec_id, rel, score, CAST($i AS INTEGER) FROM (
+         |    SELECT * FROM p$i ORDER BY score DESC, vec_id ASC LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = $queryId),
+       |cand AS MATERIALIZED (
+       |  SELECT b.vec_id, b.embedding,
+       |    round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+       |                                 CAST(q.embedding AS DOUBLE[])), 4) AS rel
+       |  FROM embeddings b, q WHERE b.vec_id <> $queryId
+       |  ORDER BY rel DESC, b.vec_id ASC LIMIT $poolN),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                 CAST(b.embedding AS DOUBLE[])), 4) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id,
+       |         CAST(NULL AS DOUBLE) AS rel, CAST(NULL AS DOUBLE) AS score,
+       |         CAST(NULL AS INTEGER) AS pick_order WHERE FALSE),
+       |$rounds
+       |SELECT pick_order, vec_id, rel, score FROM s$k ORDER BY pick_order""".stripMargin
+  }
 }

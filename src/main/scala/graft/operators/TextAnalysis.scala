@@ -466,6 +466,41 @@ object TextAnalysis {
   }
 
   def bpeMerges(s: SparkSession, d: String, merges: Int = 10): DataFrame = {
+    val (steps, _) = bpeTrain(s, d, merges)
+    import s.implicits._
+    steps.toDF("step", "sym_a", "sym_b", "pair_count", "merged")
+      .orderBy("step")
+  }
+
+  // --- TX20: BPE ENCODING — apply the trained merge table to the
+  // corpus and report the resulting token distribution (top-k by
+  // corpus frequency). Training's |sym| framing makes application a
+  // rank-ordered chain of plain substring replaces over the WEIGHTED
+  // VOCABULARY — the corpus is still scanned exactly once (the word-
+  // frequency aggregate); encoding cost is vocab-sized, corpus-
+  // independent, and each token's corpus count is Σ freq over the
+  // words containing it — exactly how production tokenizers batch-
+  // encode (encode distinct words, multiply by counts). The DuckDB
+  // oracle replays training AND encoding (same replace semantics),
+  // so every merge decision and the final token histogram are both
+  // hash-checked. ---
+  def bpeEncodeTopTokens(s: SparkSession, d: String,
+                         merges: Int = 10, topK: Int = 30): DataFrame = {
+    val (_, words) = bpeTrain(s, d, merges)
+    words
+      .select(col("freq"), expr(
+        "split(substring(wstr, 2, length(wstr) - 2), '\\\\|\\\\|')").as("sy"))
+      .select(explode(col("sy")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Shared trainer for tx17/tx20: the merge-step log AND the final
+    * merged vocabulary relation.
+    */
+  private def bpeTrain(s: SparkSession, d: String, merges: Int)
+      : (Seq[(Int, String, String, Long, String)], DataFrame) = {
     import org.apache.spark.sql.DataFrame
     var words: DataFrame = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
@@ -492,9 +527,7 @@ object TextAnalysis {
         .localCheckpoint()
       (i, a, b, cnt, a + b)
     }
-    import s.implicits._
-    steps.toDF("step", "sym_a", "sym_b", "pair_count", "merged")
-      .orderBy("step")
+    (steps, words)
   }
 
   // --- TX19: BM25 ranked retrieval — the search-engine scoring layer

@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{DataPrep, Graph, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 session-path / mixture /
+  * weighted-path / MMR additions (sq3, dp13, gr6, sim11). Each is
+  * also hash-oracled end-to-end (SparkEntry.oracleSql); these tests
+  * pin the properties the hash can't express.
+  */
+class Pack8Spec extends SparkTestBase {
+
+  test("sq3: every counted path has 3 steps and n >= 1, ordered by n desc") {
+    val rows = DataPrep.sessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("path").split(">").length == 3))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.forall(_ >= 1L))
+    assert(ns.sameElements(ns.sorted.reverse))
+    // n_users can never exceed the path count
+    assert(rows.forall(r => r.getAs[Long]("n_users") <= r.getAs[Long]("n")))
+  }
+
+  test("sq3: total path instances == sum over sessions of max(len-2, 0)") {
+    // conservation: each session of m events contributes exactly m-2
+    // 3-grams (0 if m < 3) — paths never cross session boundaries
+    val expected = graft.operators.Analytics.sessionize(spark, sf)
+      .select(greatest(col("n_events") - 2, lit(0L)).as("c"))
+      .agg(sum("c")).head.getLong(0)
+    val got = DataPrep.sessionPaths(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(got == expected, s"path instances $got != $expected")
+  }
+
+  test("dp13: per-source take respects the temperature quota and the md5 rank order") {
+    val out = DataPrep.temperatureMix(spark, sf)
+    val perSrc = out.groupBy("source")
+      .agg(count(lit(1)).as("taken"), max("rk").as("max_rk"),
+        max("target_n").as("tgt"))
+      .collect()
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { r =>
+      // dense rank prefix: exactly target_n rows, ranks 1..target_n
+      assert(r.getAs[Long]("taken") == r.getAs[Long]("tgt"))
+      assert(r.getAs[Long]("max_rk") == r.getAs[Long]("tgt"))
+    }
+  }
+
+  test("dp13: alpha < 1 flattens the mix — small sources keep a larger fraction") {
+    val counts = Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
+    val frac = DataPrep.temperatureMix(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("taken"))
+      .join(counts, "source")
+      .select(col("source"), col("n_src"),
+        col("taken").cast("double") / col("n_src").cast("double"))
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    if (frac.length >= 2 && frac.head._1 < frac.last._1) {
+      assert(frac.head._2 >= frac.last._2 - 1e-9,
+        s"smallest source kept ${frac.head._2}, largest ${frac.last._2}")
+    }
+  }
+
+  test("gr6: weighted distances are positive, triangle-consistent vs hops") {
+    val hops = Graph.hopDistance(spark, sf).withColumnRenamed("dist", "h")
+    val cheap = Graph.cheapestRoute(spark, sf).withColumnRenamed("dist", "c")
+    val joined = hops.join(cheap, "node").collect()
+    assert(joined.nonEmpty)
+    // same reachable set (same edge relation, weights >= 1)
+    assert(hops.count() == cheap.count())
+    joined.foreach { r =>
+      val (h, c) = (r.getAs[Long]("h"), r.getAs[Long]("c"))
+      // each hop costs at least 1 (min quantity >= 1), at most 50
+      assert(c >= h, s"node ${r.get(0)}: weighted $c < hops $h")
+      assert(c <= h * 50, s"node ${r.get(0)}: weighted $c > 50x hops $h")
+    }
+  }
+
+  test("sim11: picks are distinct, from the pool, first pick is the relevance argmax") {
+    val rows = Similarity.mmrDiversify(spark, sf, k = 5).collect()
+    assert(rows.length == 5)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+    val byOrder = rows.sortBy(_.getAs[Int]("pick_order"))
+    // pick 1 maximizes plain relevance (score = relW * rel)
+    val first = byOrder.head
+    assert(math.abs(first.getAs[Double]("score")
+      - 0.7 * first.getAs[Double]("rel")) < 1e-12)
+    assert(rows.map(_.getAs[Double]("rel")).max
+      == first.getAs[Double]("rel"))
+  }
+
+  test("tx20: encoding conserves character mass and compresses the token stream") {
+    import graft.operators.TextAnalysis
+    val tokens = TextAnalysis.bpeEncodeTopTokens(spark, sf, topK = 1000000)
+    // token-weighted char mass == raw corpus char mass (spaces removed):
+    // merges rewrite segmentation, never content
+    val tokChars = tokens
+      .agg(sum(length(col("token")) * col("n"))).head.getLong(0)
+    val rawChars = Tables.documents(spark, sf)
+      .select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head.getLong(0)
+    assert(tokChars == rawChars, s"char mass $tokChars != $rawChars")
+    // 10 merges must strictly shrink the token count vs char count
+    val nTokens = tokens.agg(sum("n")).head.getLong(0)
+    assert(nTokens < rawChars, s"no compression: $nTokens tokens vs $rawChars chars")
+    // the LAST merge's target must survive into the emitted vocabulary
+    // (earlier targets can legitimately be consumed by later merges)
+    val lastMerged = TextAnalysis.bpeMerges(spark, sf)
+      .orderBy(col("step").desc).limit(1).head.getAs[String]("merged")
+    val emitted = tokens.select("token").collect().map(_.getString(0)).toSet
+    assert(emitted.contains(lastMerged),
+      s"last trained merge '$lastMerged' missing from encoding")
+  }
+
+  test("sim11: diversification changes the order vs plain top-k") {
+    val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
+      .orderBy("pick_order")
+      .collect().map(_.getAs[Long]("vec_id"))
+    val topk = Similarity.cosineTopK(spark, sf, k = 8)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // same universe of candidates, but MMR must not be the identity
+    // permutation of relevance order (the corpus has near-dup clusters)
+    assert(!mmr.sameElements(topk), "MMR degenerated to plain top-k")
+  }
+}
