@@ -247,6 +247,8 @@ object SparkEntry {
     "sim11_mmr"          -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "tx20_bpe_encode"    -> ((s, d) => TextAnalysis.bpeEncodeTopTokens(s, d)),
     "dp13_temperature_mix" -> ((s, d) => DataPrep.temperatureMix(s, d)),
+    "gr7_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
+    "a31_decile_lift"    -> ((s, d) => Analytics.decileLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2119,6 +2121,27 @@ object SparkEntry {
     "sim11_mmr" -> operators.Similarity.mmrOracleSql(),
     "tx20_bpe_encode" -> OracleGen.tx20Sql(),
     "dp13_temperature_mix" -> operators.DataPrep.temperatureMixOracleSql(),
+    "gr7_label_prop" -> operators.Graph.labelPropagationOracleSql(),
+    "a31_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |nt AS (
+        |  SELECT cents,
+        |    ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+        |  FROM spend),
+        |agg AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM nt GROUP BY 1)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_cust, cents,
+        |  round(CAST(cents AS DOUBLE)
+        |        / CAST(sum(cents) OVER () AS DOUBLE), 6) AS share,
+        |  round(CAST(sum(cents) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / CAST(sum(cents) OVER () AS DOUBLE), 6) AS cum_share
+        |FROM agg ORDER BY decile""".stripMargin,
     // dd19: the prefix filter is LOSSLESS, so the oracle is dd2's
     // independent all-pairs formulation verbatim — a different
     // algorithm arriving at a bit-identical relation is the strongest

@@ -702,4 +702,39 @@ object Analytics {
         col("wau"))
       .orderBy("window_end")
   }
+
+  // --- A31: decile lift / gain chart — rank customers by lifetime
+  // spend, cut into 10 equal-frequency bins, report each decile's
+  // revenue share and cumulative share: the concentration statistic
+  // ("top 10% of customers carry X% of revenue") behind campaign
+  // targeting, next to w12's 80/20 Pareto per-part view. Spend is
+  // summed in exact integer cents; ntile runs over the CUSTOMER
+  // AGGREGATE (dimension-sized, not fact-sized — the fact scan never
+  // sees a global window), with a fully deterministic (spend DESC,
+  // custkey ASC) total order so both engines cut identical bins
+  // (ANSI ntile: the first n mod 10 bins take the extra row). At
+  // 100 TB the customer aggregate's global sort is the dp10
+  // range-partition + offset two-pass; the 10-row share math is
+  // trivial either way. ---
+  def decileLift(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
+    val bySpend = Window.orderBy(col("cents").desc, col("o_custkey").asc)
+    val agg = spend
+      .withColumn("decile", ntile(10).over(bySpend))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+    val total = Window.partitionBy()
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("share",
+        round(col("cents").cast("double")
+          / sum(col("cents")).over(total).cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cents")).over(cum).cast("double")
+          / sum(col("cents")).over(total).cast("double"), 6))
+      .orderBy("decile")
+  }
 }

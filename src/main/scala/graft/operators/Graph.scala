@@ -330,6 +330,74 @@ object Graph {
        |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
   }
 
+  // --- GR7: community detection by synchronous label propagation
+  // [Raghavan et al., 2007] over the support-thresholded co-purchase
+  // graph — "which products cluster into baskets together", the
+  // segmentation step after gr2/gr3 quantify pairwise affinity.
+  // label_0(v) = v; each round every node adopts the label most
+  // frequent among its neighbors (tie → smallest label — the
+  // deterministic variant; synchronous fixed-round schedule because
+  // async LPA is order-dependent and cannot be replayed cross-engine).
+  // Per round: one edges⋈labels join + one (node, label) hash-agg +
+  // one per-node window argmax — all partitioned on real keys; the
+  // thresholded graph saturates in size (gr2's finding), so rounds
+  // are near-constant cost at any corpus scale. Labels are node ids
+  // (exact integers) and the argmax is count-then-label lexicographic,
+  // so every round hash-oracles; the DuckDB twin unrolls the same
+  // rounds. ---
+  def labelPropagation(s: SparkSession, d: String,
+                       minSupport: Int = 2, rounds: Int = 4): DataFrame = {
+    val e0 = supportedEdges(s, d, minSupport)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("cnt").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      labels = labels.join(edges, labels("node") === edges("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
+  /** Oracle twin of [[labelPropagation]] — the same synchronous
+    * majority-label rounds unrolled (row_number argmax with the
+    * identical (count DESC, label ASC) total order).
+    */
+  def labelPropagationOracleSql(minSupport: Int = 2, rounds: Int = 4): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS cnt
+         |  FROM l${i - 1} l JOIN edges e ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pr AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+       |  ON a.ok = b.ok AND a.pk < b.pk),
+       |e0 AS MATERIALIZED (SELECT pa, pb FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $minSupport),
+       |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+       |  UNION ALL SELECT pb, pa FROM e0),
+       |l0 AS (SELECT node, node AS lbl FROM
+       |  (SELECT DISTINCT src AS node FROM edges)),
+       |$rs
+       |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   /** The SUPPORT-THRESHOLDED basket graph: part pairs co-purchased in
     * at least `minSupport` distinct orders. On uniform purchase data
     * the raw pair graph is noise-dense (sf0.1: 1.196M edges, nearly

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DataPrep, Graph, Similarity}
+import graft.operators.{Analytics, DataPrep, Graph, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Semantic invariants for the round-6 session-path / mixture /
@@ -113,6 +113,32 @@ class Pack8Spec extends SparkTestBase {
     val emitted = tokens.select("token").collect().map(_.getString(0)).toSet
     assert(emitted.contains(lastMerged),
       s"last trained merge '$lastMerged' missing from encoding")
+  }
+
+  test("gr7: labels are graph nodes and propagation merges communities") {
+    val labels = Graph.labelPropagation(spark, sf).collect()
+    assert(labels.nonEmpty)
+    val nodes = labels.map(_.getAs[Long]("node")).toSet
+    val lbls = labels.map(_.getAs[Long]("lbl")).toSet
+    // a label is always some node's id (labels start as identities)
+    assert(lbls.subsetOf(nodes), s"foreign labels: ${lbls -- nodes}")
+    // propagation must coarsen: strictly fewer communities than nodes
+    assert(lbls.size < nodes.size,
+      s"no merging: ${lbls.size} labels over ${nodes.size} nodes")
+  }
+
+  test("a31: equal-frequency bins, shares sum to 1, cumulative monotone") {
+    val rows = Analytics.decileLift(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val ns = rows.map(_.getAs[Long]("n_cust"))
+    assert(ns.max - ns.min <= 1, s"ntile bins uneven: ${ns.mkString(",")}")
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(cums.last - 1.0) < 1e-5)
+    // ranked by spend: the top decile carries the largest share
+    assert(shares.head == shares.max)
   }
 
   test("sim11: diversification changes the order vs plain top-k") {
