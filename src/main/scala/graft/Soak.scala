@@ -130,7 +130,8 @@ object Soak {
     "st1_hourly_events", "st2_sessionize", "st6_rolling_wau", "w15_twap",
     "gr1_pagerank", "gr2_triangles", "gr3_copurchase", "gr4_hop_distance",
     "gr6_cheapest_route", "gr7_label_prop", "sq3_session_paths",
-    "dp13_temperature_mix", "sim11_mmr", "tx20_bpe_encode")
+    "dp13_temperature_mix", "sim11_mmr", "tx20_bpe_encode",
+    "tx21_textrank", "a31_decile_lift")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

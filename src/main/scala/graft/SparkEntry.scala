@@ -249,6 +249,7 @@ object SparkEntry {
     "dp13_temperature_mix" -> ((s, d) => DataPrep.temperatureMix(s, d)),
     "gr7_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
     "a31_decile_lift"    -> ((s, d) => Analytics.decileLift(s, d)),
+    "tx21_textrank"      -> ((s, d) => TextAnalysis.textRank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2122,6 +2123,7 @@ object SparkEntry {
     "tx20_bpe_encode" -> OracleGen.tx20Sql(),
     "dp13_temperature_mix" -> operators.DataPrep.temperatureMixOracleSql(),
     "gr7_label_prop" -> operators.Graph.labelPropagationOracleSql(),
+    "tx21_textrank" -> operators.TextAnalysis.textRankOracleSql(),
     "a31_decile_lift" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -436,13 +436,29 @@ object DataPrep {
   // Spark plans without a second exchange. At 100 TB: linear scans,
   // k^3-bounded aggregate output — no scale risk. ---
   def sessionPaths(s: SparkSession, d: String,
-                   gapMinutes: Int = 30): DataFrame = {
+                   gapMinutes: Int = 30): DataFrame =
+    sessionPathRows(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+      gapMinutes)
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path").asc)
+
+  /** The per-instance (user_id, path) rows over an arbitrary event
+    * relation — shared by sq3 and its index-maintaining stream twin
+    * (Streams.sessionPathMaintainStream), which recomputes exactly
+    * this relation per affected user.
+    */
+  private[graft] def sessionPathRows(events: DataFrame,
+                                     gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -453,11 +469,8 @@ object DataPrep {
       .withColumn("t2", lead(col("event_type"), 1).over(bySession))
       .withColumn("t3", lead(col("event_type"), 2).over(bySession))
       .filter(col("t3").isNotNull)
-      .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
-        .as("path"))
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("n").desc, col("path").asc)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
   }
 
   /** Oracle twin of [[sessionPaths]] — the identical

@@ -530,6 +530,95 @@ object TextAnalysis {
     (steps, words)
   }
 
+  // --- TX21: TextRank keyword extraction [Mihalcea & Tarau, EMNLP'04]
+  // — WEIGHTED PageRank over the word co-occurrence graph: nodes are
+  // vocabulary words, edge weight = corpus-wide count of the two words
+  // appearing ADJACENT (either order), and the stationary rank is the
+  // keyword salience score. This composes the text family with gr1's
+  // integer fixed-point machinery: rank_{k+1}(v) = teleport +
+  // (85 · Σ_{u~v} (pr_u · w_uv) div strength_u) div 100 in scaled
+  // longs (strength_u = Σ_v w_uv), so every round hash-oracles — the
+  // weighted variant gr1/gr5 don't cover. The corpus is scanned ONCE
+  // (the adjacency-count aggregate); iterations then run over the
+  // VOCABULARY graph — corpus-independent size, the same
+  // count-first-then-train shape as tx17. Adjacent pairs come from a
+  // per-row array transform (filter empties first so adjacency is
+  // over real tokens), never a positional self-join. Overflow: the
+  // per-edge product pr·w needs pr·max(w) < 2^63 — holds through
+  // petabyte-scale adjacency counts (pr ≤ |V|·scale ≈ 3e10 here);
+  // an extreme corpus would rescale weights by their GCD first. ---
+  def textRank(s: SparkSession, d: String, iters: Int = 5,
+               scale: Long = 1000000000L, topK: Int = 20): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(expr("filter(split(text, ' '), x -> length(x) > 0)").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i - 1] AS a, ws[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val directed = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = directed.localCheckpoint()
+    val deg = edges.groupBy("src").agg(sum(col("w")).as("strength"))
+      .select(col("src").as("node"), col("strength"))
+      .localCheckpoint()
+    val teleport = 15L * scale / 100L
+    var ranks = deg.select(col("node"), col("strength"),
+      lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .select(col("dst").as("node"),
+          expr("(pr * w) div strength").as("c"))
+      ranks = deg.join(
+          contrib.groupBy("node")
+            .agg((lit(teleport) + expr("(85 * sum(c)) div 100")).as("pr")),
+          "node")
+        .select(col("node"), col("strength"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node").as("word"), col("pr"))
+      .orderBy(col("pr").desc, col("word").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[textRank]]: the weighted fixed-point chain
+    * unrolled (gr1's contract — DuckDB `//` matches Spark `div` on
+    * the all-positive ranks; per-round CAST undoes HUGEINT promotion).
+    */
+  def textRankOracleSql(iters: Int = 5, scale: Long = 1000000000L,
+                        topK: Int = 20): String = {
+    val teleport = 15L * scale / 100L
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, d.strength,
+         |    CAST($teleport + (85 * sum((r.pr * e.w) // r.strength)) // 100
+         |      AS BIGINT) AS pr
+         |  FROM r${i - 1} r JOIN edges e ON e.src = r.node
+         |  JOIN deg d ON d.node = e.dst
+         |  GROUP BY d.node, d.strength)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> length(x) > 0)
+       |    AS ws FROM documents),
+       |p0 AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> {'a': ws[i], 'b': ws[i + 1]})) AS p FROM w),
+       |pairs AS (SELECT p.a AS a, p.b AS b FROM p0),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)
+       |  GROUP BY 1, 2),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, CAST(sum(w) AS BIGINT) AS strength
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, strength, CAST($scale AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node AS word, pr FROM r$iters
+       |ORDER BY pr DESC, word ASC LIMIT $topK""".stripMargin
+  }
+
   // --- TX19: BM25 ranked retrieval — the search-engine scoring layer
   // over the same tf/df/length statistics tx12 materializes. Okapi
   // BM25 (k1 = 1.2, b = 0.75): idf smoothed as ln(1 + (N − df + ½)/

@@ -491,6 +491,105 @@ object Streams {
       items.groupBy("pk").agg(count(lit(1)).as("item_n")), topK)
   }
 
+  /** Streaming maintenance of sq3's session-path statistics — the
+    * index-maintaining twin for SESSION-SCOPED state, where (unlike
+    * dd17's docs or gr3's baskets) the unit of recomputation is the
+    * USER: a late event can bridge two of a user's sessions or extend
+    * one, rewriting that user's path contribution wholesale, so the
+    * only redelivery-safe incremental shape is per-user recompute,
+    * not per-event accumulation.
+    *
+    * Per micro-batch:
+    *   1. ADMIT: dedup the batch on event_id against all PRIOR event
+    *      deltas (excluding the batch's own delta — the dd17
+    *      checkpoint-replay rule: a crash between publish and commit
+    *      re-runs the same batch id, which must overwrite its own
+    *      delta, not anti-join against it);
+    *   2. publish the fresh events as `events/b<id>` (append-only,
+    *      overwrite-idempotent);
+    *   3. RECOMPUTE: for exactly the users present in the fresh
+    *      events, rebuild their ENTIRE path relation from all event
+    *      deltas (the batch operator's own sessionPathRows chain) and
+    *      publish as `paths/b<id>` plus a `users/b<id>` presence
+    *      marker — the marker, not the path rows, carries versioning,
+    *      so a user whose recompute yields zero paths still
+    *      supersedes their stale rows.
+    *
+    * No keyed stream state: the deltas ARE the state. The read side
+    * keeps each user's LATEST version (max marker batch) and enters
+    * the batch operator's own ranked tail, so any wave / late
+    * redelivery / replay schedule lands on the batch sq3 answer
+    * (StreamingSpec equivalence). At 100 TB the per-batch cost is
+    * (events of users active in the batch) — the standard
+    * sessionization-maintenance cost — and reads prune to the
+    * latest-marker join; nightly compaction folds deltas.
+    */
+  def sessionPathMaintainStream(incoming: DataFrame, workDir: String,
+                                checkpointDir: String,
+                                gapMinutes: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sessionPathMaintainBatch(batch.toDF(), batchId, workDir, gapMinutes)
+      }
+      .start()
+
+  /** One micro-batch of [[sessionPathMaintainStream]] — extracted so
+    * the same-batch-id checkpoint replay is directly testable.
+    */
+  private[graft] def sessionPathMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                              workDir: String,
+                                              gapMinutes: Int): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "events")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchEvents = batchDf
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .dropDuplicates("event_id")
+    val fresh = prior match {
+      case Seq() => batchEvents
+      case dirs =>
+        // the dedup anti-join only needs prior event ids OF THE
+        // BATCH'S USERS (event ids are globally unique and carry
+        // their user) — at scale, user-partitioned delta layout
+        // turns this into a pruned scan, not a full-history read
+        val batchUsers = batchEvents.select("user_id").distinct()
+        batchEvents.join(
+          s.read.parquet(dirs: _*).join(batchUsers, "user_id")
+            .select("event_id").distinct(),
+          Seq("event_id"), "left_anti")
+    }
+    fresh.write.mode("overwrite").parquet(s"$workDir/events/b$batchId")
+    val users = s.read.parquet(s"$workDir/events/b$batchId")
+      .select("user_id").distinct().localCheckpoint()
+    val affected = s.read.parquet(deltaDirs(workDir, "events"): _*)
+      .join(users, "user_id")
+    graft.operators.DataPrep.sessionPathRows(affected, gapMinutes)
+      .write.mode("overwrite").parquet(s"$workDir/paths/b$batchId")
+    users.withColumn("bid", lit(batchId))
+      .write.mode("overwrite").parquet(s"$workDir/users/b$batchId")
+    ()
+  }
+
+  /** Read side of the streaming path index: each user's latest
+    * recompute, then the batch operator's own ranked tail.
+    */
+  def readSessionPaths(s: org.apache.spark.sql.SparkSession,
+                       workDir: String): DataFrame = {
+    val latest = s.read.parquet(deltaDirs(workDir, "users"): _*)
+      .groupBy("user_id").agg(max(col("bid")).as("bid"))
+    val paths = deltaDirs(workDir, "paths").map { dir =>
+      val bid = dir.substring(dir.lastIndexOf("/b") + 2).toLong
+      s.read.parquet(dir).withColumn("bid", lit(bid))
+    }.reduce(_ unionByName _)
+    paths.join(latest, Seq("user_id", "bid"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path").asc)
+  }
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

@@ -141,6 +141,23 @@ class Pack8Spec extends SparkTestBase {
     assert(shares.head == shares.max)
   }
 
+  test("tx21: ranks are positive, rank mass is conserved within teleport bounds") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.textRank(spark, sf, topK = 1000).collect()
+    assert(rows.nonEmpty)
+    val prs = rows.map(_.getAs[Long]("pr"))
+    assert(prs.forall(_ > 0L))
+    // every node's rank is at least the teleport floor
+    assert(prs.forall(_ >= 150000000L))
+    // ordered by salience desc with word tie-break
+    assert(prs.sameElements(prs.sorted.reverse))
+    // stochastic fixed point: total mass stays within [85%, 100%] of
+    // n*scale (integer floor-division only ever loses mass)
+    val n = rows.length.toLong
+    assert(prs.sum <= n * 1000000000L)
+    assert(prs.sum >= n * 850000000L)
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")

@@ -531,4 +531,66 @@ class StreamingSpec extends SparkTestBase {
       .groupBy("ok", "pk").count().filter(col("count") > 1).count()
     assert(dupItems == 0, "no order line may be indexed twice after a replay")
   }
+
+  test("equivalence: streaming session-path maintenance == batch sq3 (event-shuffled waves + redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), 0.0, "{}")).toSeq
+    // events are NOT atomic units here — waves split users' histories
+    // arbitrarily (the per-user-recompute contract), in shuffled order
+    val shuffled = new scala.util.Random(13).shuffle(evs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[Ev]
+    val root = java.nio.file.Files.createTempDirectory("sq3stream").toString
+    val q = Streams.sessionPathMaintainStream(mem.toDF(), root, s"$root/ck")
+    // + a late redelivery of some wave-1 events: admission drops them
+    try (waves :+ waves.head.take(17)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.readSessionPaths(spark, root)
+    val batch = graft.operators.DataPrep.sessionPaths(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch),
+      "stream-maintained paths must equal the batch sq3 answer")
+  }
+
+  test("a late event that bridges two sessions REWRITES the user's paths") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sq3bridge").toString
+    // two 2-event sessions (35-min gap): no 3-step path exists yet
+    val b0 = Seq(
+      ev(1, "2024-01-01 10:00:00", user = 5, typ = "view"),
+      ev(2, "2024-01-01 10:05:00", user = 5, typ = "click"),
+      ev(3, "2024-01-01 10:40:00", user = 5, typ = "cart"),
+      ev(4, "2024-01-01 10:45:00", user = 5, typ = "purchase"))
+    Streams.sessionPathMaintainBatch(b0.toDF(), 0L, root, 30)
+    assert(Streams.readSessionPaths(spark, root).count() == 0,
+      "two 2-event sessions must yield no paths")
+    // the late middle event closes the gap: ONE 5-event session
+    val b1 = Seq(ev(5, "2024-01-01 10:20:00", user = 5, typ = "detail"))
+    Streams.sessionPathMaintainBatch(b1.toDF(), 1L, root, 30)
+    val got = Streams.readSessionPaths(spark, root).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n"))).toSet
+    assert(got == Set(("view>click>detail", 1L), ("click>detail>cart", 1L),
+      ("detail>cart>purchase", 1L)),
+      s"bridged session paths wrong: $got")
+  }
+
+  test("session-path maintenance survives a same-batch-id checkpoint replay") {
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val root = java.nio.file.Files.createTempDirectory("sq3replay").toString
+    Streams.sessionPathMaintainBatch(batch, 0L, root, 30)
+    // crash between delta publish and checkpoint commit → same id re-runs
+    Streams.sessionPathMaintainBatch(batch, 0L, root, 30)
+    val streamed = Streams.readSessionPaths(spark, root)
+    assert(rowSet(streamed) == rowSet(graft.operators.DataPrep.sessionPaths(spark, sf)),
+      "post-replay paths must equal the batch sq3 answer")
+    val dupEvents = spark.read.parquet(s"$root/events/b0")
+      .groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupEvents == 0, "no event may be indexed twice after a replay")
+  }
 }
