@@ -250,6 +250,9 @@ object SparkEntry {
     "gr7_label_prop"     -> ((s, d) => Graph.labelPropagation(s, d)),
     "a31_decile_lift"    -> ((s, d) => Analytics.decileLift(s, d)),
     "tx21_textrank"      -> ((s, d) => TextAnalysis.textRank(s, d)),
+    "dp14_curriculum"    -> ((s, d) => DataPrep.curriculumOrder(s, d)),
+    "w16_rolling_z"      -> ((s, d) => Windows.rollingAnomaly(s, d)),
+    "gr8_kcore"          -> ((s, d) => Graph.kCore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2124,6 +2127,35 @@ object SparkEntry {
     "dp13_temperature_mix" -> operators.DataPrep.temperatureMixOracleSql(),
     "gr7_label_prop" -> operators.Graph.labelPropagationOracleSql(),
     "tx21_textrank" -> operators.TextAnalysis.textRankOracleSql(),
+    "dp14_curriculum" -> operators.DataPrep.curriculumOrderOracleSql(),
+    "gr8_kcore" -> operators.Graph.kCoreOracleSql(),
+    "w16_rolling_z" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER win AS c,
+        |    CAST(sum(n) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER win AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    CASE WHEN (CAST(s2 AS DOUBLE) / 7.0
+        |               - (CAST(s1 AS DOUBLE) / 7.0) * (CAST(s1 AS DOUBLE) / 7.0)) > 0
+        |         THEN round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / 7.0)
+        |              / sqrt(CAST(s2 AS DOUBLE) / 7.0
+        |                     - (CAST(s1 AS DOUBLE) / 7.0)
+        |                       * (CAST(s1 AS DOUBLE) / 7.0)), 4)
+        |         ELSE 0.0 END AS z
+        |  FROM w WHERE c = 7)
+        |SELECT event_type, day, n, z,
+        |  CAST(abs(z) > 1.5 AS INTEGER) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "a31_decile_lift" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -507,6 +507,57 @@ object DataPrep {
        |FROM paths WHERE t3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path ASC""".stripMargin
 
+  // --- DP14: curriculum ordering — the corpus arranged for curriculum
+  // training: quality BANDS descending (highest-quality band first),
+  // deterministically shuffled WITHIN each band (the md5 rule — order
+  // inside a band must not correlate with doc id or source), then cut
+  // into fixed-size training batches. Composes tx4's quality score
+  // with dp10's shuffle discipline; the band assignment is pure
+  // per-row arithmetic on the rounded score, the within-band rank is
+  // one per-band window (distributes on band; at scale band ⊕ a hash
+  // prefix is the finer partition key), and batch ids derive from the
+  // rank — no global window anywhere. ---
+  def curriculumOrder(s: SparkSession, d: String,
+                      batchSize: Int = 32): DataFrame = {
+    val banded = TextAnalysis.qualityScoreRaw(s, d)
+      .withColumn("band",
+        least(floor(col("quality") * 5).cast("long"), lit(4L)).cast("int"))
+    val byBand = Window.partitionBy("band")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc,
+        col("doc_id").asc)
+    banded
+      .withColumn("rn", row_number().over(byBand).cast("long"))
+      .select(col("band"), col("doc_id"), col("rn"),
+        expr(s"(rn - 1) div $batchSize").as("batch_id"))
+      .orderBy(col("band").desc, col("rn").asc)
+  }
+
+  /** Oracle twin of [[curriculumOrder]] — tx4's quality formula
+    * verbatim, then the identical band/rank/batch chain.
+    */
+  def curriculumOrderOracleSql(batchSize: Int = 32): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, round(
+       |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+       |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+       |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+       |                   AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4) AS quality
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(least(CAST(floor(quality * 5) AS BIGINT), 4) AS INTEGER)
+       |      AS band
+       |  FROM q),
+       |r AS (
+       |  SELECT band, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY band
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+       |    AS BIGINT) AS rn
+       |  FROM b)
+       |SELECT band, doc_id, rn,
+       |  CAST((rn - 1) // $batchSize AS BIGINT) AS batch_id
+       |FROM r ORDER BY band DESC, rn ASC""".stripMargin
+
   // --- DP13: temperature-scaled source mixture — the multilingual /
   // multi-source sampling rule from large-LM data work (sample source
   // i with probability ∝ n_i^α, α<1 flattening the mix so dominant

@@ -398,6 +398,72 @@ object Graph {
        |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
   }
 
+  // --- GR8: k-core decomposition (the k-core subgraph) — iterative
+  // peeling: repeatedly drop nodes with degree < k until the
+  // remaining subgraph is stable; what survives is the graph's
+  // cohesive backbone (every member has ≥ k neighbors INSIDE the
+  // core), the standard denoising step before community/influence
+  // analysis and a different lens than gr2's triangles or gr7's
+  // labels. Runs on the support-thresholded basket graph. Each round
+  // is one degree hash-agg + two semi-joins (keep-set on both edge
+  // endpoints); peeling is MONOTONE (edges only shrink), so the loop
+  // converges and extra oracle rounds are idempotent — the gr4
+  // early-exit-vs-unrolled-replay contract. All-integer, so the
+  // surviving (node, core degree) relation hash-oracles. ---
+  def kCore(s: SparkSession, d: String, k: Int = 3,
+            minSupport: Int = 2, maxIter: Int = 12): DataFrame = {
+    val e0 = supportedEdges(s, d, minSupport)
+    var edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      val next = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      converged = next.count() == edges.count()
+      edges = next
+      iter += 1
+    }
+    require(converged, s"k-core peeling did not stabilize within $maxIter rounds")
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy("node")
+  }
+
+  /** Oracle twin of [[kCore]]: the peeling rounds unrolled (monotone →
+    * idempotent past convergence).
+    */
+  def kCoreOracleSql(k: Int = 3, minSupport: Int = 2,
+                     iters: Int = 12): String = {
+    val rs = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM e${i - 1}
+         |  GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.node
+         |  JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pr AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+       |  ON a.ok = b.ok AND a.pk < b.pk),
+       |s0 AS MATERIALIZED (SELECT pa, pb FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $minSupport),
+       |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM s0
+       |  UNION ALL SELECT pb, pa FROM s0),
+       |$rs
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$iters GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   /** The SUPPORT-THRESHOLDED basket graph: part pairs co-purchased in
     * at least `minSupport` distinct orders. On uniform purchase data
     * the raw pair graph is noise-dense (sf0.1: 1.196M edges, nearly

@@ -244,4 +244,42 @@ object Windows {
         nth_value(col("l_orderkey"), 3).over(full).as("third_order"))
       .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber")
   }
+
+  // --- W16: rolling z-score anomaly detection — per event type, each
+  // day's count against its own trailing 7-day mean/std: the
+  // monitoring primitive behind traffic-drop/spike alerting, the
+  // ROLLING complement of a22's global z outliers. The window carries
+  // exact integer POWER SUMS (Σn, Σn² over 6 preceding + current) and
+  // derives mean/var in doubles only at the end — identical
+  // association on both engines, so the z values cross-match at 4
+  // decimals. Only full 7-day windows score (partial windows would
+  // flag every series start); σ = 0 windows emit z = 0 (a constant
+  // series has no anomaly signal, and dividing by √0 is the only
+  // nondeterminism risk in the chain). One shuffle on event_type for
+  // the tiny daily aggregate; the window never sees raw events. ---
+  def rollingAnomaly(s: SparkSession, d: String,
+                     threshold: Double = 1.5): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("c", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("n")).over(win))
+      .withColumn("s2", sum(col("n") * col("n")).over(win))
+      .filter(col("c") === 7)
+      .withColumn("mean", col("s1").cast("double") / lit(7.0))
+      .withColumn("variance",
+        col("s2").cast("double") / lit(7.0) - col("mean") * col("mean"))
+      .withColumn("z",
+        when(col("variance") > 0,
+          round((col("n").cast("double") - col("mean"))
+            / sqrt(col("variance")), 4))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        (abs(col("z")) > threshold).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

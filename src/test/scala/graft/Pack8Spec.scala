@@ -158,6 +158,50 @@ class Pack8Spec extends SparkTestBase {
     assert(prs.sum >= n * 850000000L)
   }
 
+  test("dp14: bands partition the corpus, batches are contiguous rank blocks") {
+    val out = DataPrep.curriculumOrder(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.length.toLong == total, "curriculum must cover every doc")
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    out.groupBy(_.getAs[Int]("band")).foreach { case (_, rows) =>
+      val rns = rows.map(_.getAs[Long]("rn")).sorted
+      assert(rns.head == 1L && rns.last == rns.length.toLong,
+        "within-band ranks must be dense 1..n")
+      rows.foreach(r =>
+        assert(r.getAs[Long]("batch_id") == (r.getAs[Long]("rn") - 1) / 32))
+    }
+  }
+
+  test("w16: z-scores come only from full 7-day windows and flag consistently") {
+    import graft.operators.Windows
+    val rows = Windows.rollingAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (z, flag) = (r.getAs[Double]("z"), r.getAs[Int]("is_anomaly"))
+      assert((math.abs(z) > 1.5) == (flag == 1), s"flag mismatch at z=$z")
+    }
+    // each series' first 6 days never score (partial windows filtered)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(count(lit(1)).as("days"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("days"))).toMap
+    val scored = rows.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.length.toLong).toMap
+    scored.foreach { case (typ, nScored) =>
+      assert(nScored == daily(typ) - 6,
+        s"$typ: scored $nScored of ${daily(typ)} days")
+    }
+  }
+
+  test("gr8: every surviving node has >= k neighbors inside the core") {
+    val core = Graph.kCore(spark, sf, k = 3).collect()
+    assert(core.nonEmpty)
+    assert(core.forall(_.getAs[Long]("deg") >= 3L),
+      "k-core member below k inside the core")
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")
