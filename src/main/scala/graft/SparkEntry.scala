@@ -253,6 +253,8 @@ object SparkEntry {
     "dp14_curriculum"    -> ((s, d) => DataPrep.curriculumOrder(s, d)),
     "w16_rolling_z"      -> ((s, d) => Windows.rollingAnomaly(s, d)),
     "gr8_kcore"          -> ((s, d) => Graph.kCore(s, d)),
+    "mm6_scene_cuts"     -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "a32_ks_test"        -> ((s, d) => Analytics.ksTest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2128,6 +2130,59 @@ object SparkEntry {
     "gr7_label_prop" -> operators.Graph.labelPropagationOracleSql(),
     "tx21_textrank" -> operators.TextAnalysis.textRankOracleSql(),
     "dp14_curriculum" -> operators.DataPrep.curriculumOrderOracleSql(),
+    "mm6_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,
+        |    CAST(('0x' || substr(md5(substring(text, frame_start, 64)), 1, 15))
+        |         AS BIGINT) % 256 AS luma
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 63, 256)) AS frame_start
+        |        FROM documents WHERE length(text) >= 64)),
+        |l AS (
+        |  SELECT doc_id, frame_no, luma,
+        |    lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev_luma
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, frame_no,
+        |    CASE WHEN prev_luma IS NOT NULL AND abs(luma - prev_luma) > 96
+        |         THEN 1 ELSE 0 END AS is_cut
+        |  FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(is_cut) AS BIGINT) AS n_cuts,
+        |  CAST(sum(CASE WHEN is_cut = 1 THEN frame_no ELSE 0 END) AS BIGINT)
+        |    AS cut_possum
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "a32_ks_test" ->
+      """WITH seg AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT cents, CAST(sum(in_a) AS BIGINT) AS cnt_a,
+        |    CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
+        |  FROM seg GROUP BY 1),
+        |c AS (
+        |  SELECT cents,
+        |    CAST(sum(cnt_a) OVER w AS BIGINT) AS ca,
+        |    CAST(sum(cnt_b) OVER w AS BIGINT) AS cb,
+        |    CAST(sum(cnt_a) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cnt_b) OVER () AS BIGINT) AS nb
+        |  FROM pv
+        |  WINDOW w AS (ORDER BY cents
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT na, nb,
+        |    round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+        |      AS d_stat
+        |  FROM c GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b, d_stat,
+        |  round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+        |        / CAST(na * nb AS DOUBLE)), 6) AS crit_05,
+        |  CAST(d_stat > round(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+        |       / CAST(na * nb AS DOUBLE)), 6) AS INTEGER) AS reject
+        |FROM g""".stripMargin,
     "gr8_kcore" -> operators.Graph.kCoreOracleSql(),
     "w16_rolling_z" ->
       """WITH daily AS (

@@ -737,4 +737,48 @@ object Analytics {
           / sum(col("cents")).over(total).cast("double"), 6))
       .orderBy("decile")
   }
+
+  // --- A32: two-sample Kolmogorov–Smirnov test — are two segments'
+  // order-value distributions the same? D = sup_v |F₁(v) − F₂(v)|
+  // over the pooled distinct values, with the asymptotic α = 0.05
+  // critical value c(α)·√((n₁+n₂)/(n₁·n₂)), c(0.05) = 1.358 — the
+  // drift-detection statistic a pipeline runs before assuming one
+  // segment generalizes to another. Exact integer machinery: prices
+  // in cents, per-value counts, CUMULATIVE counts via one ordered
+  // window over the per-value AGGREGATE (distinct-value-sized; the
+  // dp10 range-partition two-pass is the 100 TB form of this sort);
+  // ECDFs become doubles only at the final division, same association
+  // both engines. The sup over step points evaluated post-jump is the
+  // exact D for right-continuous ECDFs. ---
+  def ksTest(s: SparkSession, d: String,
+             segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val seg = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(Benchmark2.priceCents(col("o_totalprice")).as("cents"),
+        when(col("c_mktsegment") === segA, 1).otherwise(0).as("in_a"))
+    val perValue = seg.groupBy("cents")
+      .agg(sum(col("in_a")).as("cnt_a"),
+        sum(lit(1) - col("in_a")).as("cnt_b"))
+    val cum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    perValue
+      .withColumn("ca", sum(col("cnt_a")).over(cum))
+      .withColumn("cb", sum(col("cnt_b")).over(cum))
+      .withColumn("na", sum(col("cnt_a")).over(total))
+      .withColumn("nb", sum(col("cnt_b")).over(total))
+      .withColumn("gap",
+        abs(col("ca").cast("double") / col("na").cast("double")
+          - col("cb").cast("double") / col("nb").cast("double")))
+      .groupBy("na", "nb")
+      .agg(round(max(col("gap")), 6).as("d_stat"))
+      .withColumn("crit_05",
+        round(lit(1.358) * sqrt((col("na") + col("nb")).cast("double")
+          / (col("na") * col("nb")).cast("double")), 6))
+      .withColumn("reject", (col("d_stat") > col("crit_05")).cast("int"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("d_stat"), col("crit_05"), col("reject"))
+  }
 }

@@ -133,4 +133,35 @@ object Multimodal {
         round(avg(col("n_chars")), 4).as("avg_chars"),
         max(col("n_chars")).as("max_chars"))
       .orderBy("label", "lang")
+
+  // --- MM6 (oracled): scene-cut detection — temporal segmentation of
+  // a media stream: a per-frame scalar feature (here the stub "luma" =
+  // frame fingerprint mod 256; a real decoder emits mean luminance),
+  // compared frame-to-frame inside each document, a cut wherever the
+  // jump exceeds the threshold. This is THE standard shot-boundary
+  // primitive (pre-clip chunking for video training data); the Spark
+  // shape is mm3's sampled frames + one per-doc lag window + a per-doc
+  // aggregate — frames never leave their document's partition. The
+  // doc-level output (frame count, cut count, exact cut-position
+  // checksum) keeps the relation compact while still pinning every
+  // cut decision in the hash. ---
+  def sceneCuts(s: SparkSession, d: String,
+                frameLen: Int = 64, stride: Int = 256,
+                threshold: Int = 96): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_no")
+    frameSample(s, d, frameLen, stride)
+      .withColumn("luma",
+        expr("conv(substring(frame_md5, 1, 15), 16, 10)").cast("long") % 256)
+      .withColumn("prev_luma", lag(col("luma"), 1).over(w))
+      .withColumn("is_cut",
+        (col("prev_luma").isNotNull &&
+          abs(col("luma") - col("prev_luma")) > threshold).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut")).as("n_cuts"),
+        sum(when(col("is_cut") === 1, col("frame_no")).otherwise(0))
+          .cast("long").as("cut_possum"))
+      .orderBy("doc_id")
+  }
 }

@@ -202,6 +202,45 @@ class Pack8Spec extends SparkTestBase {
       "k-core member below k inside the core")
   }
 
+  test("mm6: cut counts bounded by frames, checksum consistent") {
+    import graft.operators.Multimodal
+    val rows = Multimodal.sceneCuts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, nc, ps) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+        r.getAs[Long]("cut_possum"))
+      assert(nc < nf, "first frame can never be a cut")
+      // cut positions are frame_nos >= 1, so the checksum bounds hold
+      assert(if (nc == 0) ps == 0 else ps >= nc)
+      assert(ps <= nc * nf)
+    }
+  }
+
+  test("a32: KS statistic matches a driver-side recomputation") {
+    val out = Analytics.ksTest(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (na, nb, d) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Double]("d_stat"))
+    assert(d >= 0.0 && d <= 1.0)
+    // brute-force ECDF sup-gap over the pooled sample
+    val seg = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("c_mktsegment").as("seg"))
+      .collect().map(r2 => (r2.getLong(0), r2.getString(1)))
+    val a = seg.filter(_._2 == "BUILDING").map(_._1).sorted
+    val b = seg.filter(_._2 == "MACHINERY").map(_._1).sorted
+    assert(a.length.toLong == na && b.length.toLong == nb)
+    val values = (a ++ b).distinct.sorted
+    val dExp = values.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length
+        - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(d - dExp) < 1e-6, s"D $d != brute-force $dExp")
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")
