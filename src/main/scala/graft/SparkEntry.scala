@@ -255,6 +255,9 @@ object SparkEntry {
     "gr8_kcore"          -> ((s, d) => Graph.kCore(s, d)),
     "mm6_scene_cuts"     -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "a32_ks_test"        -> ((s, d) => Analytics.ksTest(s, d)),
+    "a34_gini"           -> ((s, d) => Analytics.giniSpend(s, d)),
+    "gr9_link_pred"      -> ((s, d) => Graph.linkPrediction(s, d)),
+    "tx22_zipf_fit"      -> ((s, d) => TextAnalysis.zipfFit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2184,6 +2187,25 @@ object SparkEntry {
         |       / CAST(na * nb AS DOUBLE)), 6) AS INTEGER) AS reject
         |FROM g""".stripMargin,
     "gr8_kcore" -> operators.Graph.kCoreOracleSql(),
+    "gr9_link_pred" -> operators.Graph.linkPredictionOracleSql(),
+    "tx22_zipf_fit" -> operators.TextAnalysis.zipfFitOracleSql(),
+    "a34_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT cents,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |    AS BIGINT) AS i
+        |  FROM spend)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  round(2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |        / CAST(count(*) * sum(cents) AS DOUBLE)
+        |        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS gini
+        |FROM rk""".stripMargin,
     "w16_rolling_z" ->
       """WITH daily AS (
         |  SELECT event_type,

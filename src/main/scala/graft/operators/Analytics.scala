@@ -781,4 +781,30 @@ object Analytics {
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         col("d_stat"), col("crit_05"), col("reject"))
   }
+
+  // --- A34: Gini coefficient of customer spend — the single-number
+  // inequality summary next to a31's decile view, computed by the
+  // exact rank formula G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over spend
+  // sorted ascending. Everything except the final division is exact
+  // integer arithmetic (cents × rank sums — Σ i·xᵢ stays under 2^63
+  // through ~1e6 customers at these magnitudes; past that the sums
+  // become decimal(38,0), a26's discipline). The rank window runs on
+  // the customer AGGREGATE (a31's scale note applies: dp10's
+  // range-partition two-pass is the 100 TB global sort). ---
+  def giniSpend(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
+    val asc = Window.orderBy(col("cents").asc, col("o_custkey").asc)
+    spend
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"),
+        sum(col("i") * col("cents")).as("iwsum"))
+      .select(col("n"), col("total_cents"),
+        round(lit(2.0) * col("iwsum").cast("double")
+          / (col("n") * col("total_cents")).cast("double")
+          - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+          .as("gini"))
+  }
 }

@@ -464,6 +464,70 @@ object Graph {
        |FROM e$iters GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  // --- GR9: link prediction by common-neighbor / Jaccard scoring —
+  // rank the node pairs most likely to become edges: for non-adjacent
+  // (a, c), cn = |Γ(a) ∩ Γ(c)| and jaccard = cn / (deg_a + deg_c −
+  // cn), the classic neighborhood-overlap predictors [Liben-Nowell &
+  // Kleinberg, 2003] — "products that SHOULD co-sell but don't yet",
+  // the recommendation primitive one step past gr3's observed support.
+  // One wedge join through the shared neighbor (the gr2 shape — the
+  // support threshold keeps wedge fan-out bounded), an anti-join to
+  // drop existing edges, exact integer counts, and a 6-decimal
+  // Jaccard with (cn DESC, pair) ordering — fully hash-oracled. ---
+  def linkPrediction(s: SparkSession, d: String, minSupport: Int = 2,
+                     topK: Int = 25): DataFrame = {
+    val e0 = supportedEdges(s, d, minSupport)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val wedges = edges.as("x").join(edges.as("y"),
+        col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+      .select(col("x.src").as("a"), col("y.dst").as("c"))
+    val cand = wedges.groupBy("a", "c").agg(count(lit(1)).as("cn"))
+      .join(e0.select(col("pa").as("a"), col("pb").as("c")),
+        Seq("a", "c"), "left_anti")
+    cand
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("src").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c"), col("cn"),
+        round(col("cn").cast("double")
+          / (col("deg_a") + col("deg_c") - col("cn")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("cn").desc, col("a").asc, col("c").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[linkPrediction]] — identical wedge/anti-join/
+    * degree chain.
+    */
+  def linkPredictionOracleSql(minSupport: Int = 2, topK: Int = 25): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pr AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+       |  ON a.ok = b.ok AND a.pk < b.pk),
+       |e0 AS MATERIALIZED (SELECT pa, pb FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $minSupport),
+       |edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+       |  UNION ALL SELECT pb, pa FROM e0),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |wg AS (
+       |  SELECT x.src AS a, y.dst AS c, CAST(count(*) AS BIGINT) AS cn
+       |  FROM edges x JOIN edges y ON x.dst = y.src AND x.src < y.dst
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT w.a, w.c, w.cn FROM wg w
+       |  WHERE NOT EXISTS (SELECT 1 FROM e0
+       |                    WHERE e0.pa = w.a AND e0.pb = w.c))
+       |SELECT cd.a, cd.c, cd.cn,
+       |  round(CAST(cd.cn AS DOUBLE)
+       |        / CAST(da.deg + dc.deg - cd.cn AS DOUBLE), 6) AS jaccard
+       |FROM cand cd
+       |JOIN deg da ON da.src = cd.a
+       |JOIN deg dc ON dc.src = cd.c
+       |ORDER BY cd.cn DESC, cd.a ASC, cd.c ASC LIMIT $topK""".stripMargin
+
   /** The SUPPORT-THRESHOLDED basket graph: part pairs co-purchased in
     * at least `minSupport` distinct orders. On uniform purchase data
     * the raw pair graph is noise-dense (sf0.1: 1.196M edges, nearly

@@ -619,6 +619,66 @@ object TextAnalysis {
        |ORDER BY pr DESC, word ASC LIMIT $topK""".stripMargin
   }
 
+  // --- TX22: Zipf-law fit — OLS of ln(freq) on ln(rank) over the
+  // token frequency table: the slope estimates −s in freq ∝ rank^−s,
+  // and r² says how Zipfian the corpus is — the profiling statistic
+  // behind vocabulary sizing and degenerate-corpus detection (a
+  // machine-generated corpus shows a tell-tale flat/low-r² profile).
+  // Composes tx2's frequency table with a26's regression algebra; the
+  // rank window runs over the VOCABULARY aggregate. Log/sum doubles
+  // differ across engines only in last-bit noise (≪ the 6-decimal
+  // output rounding); counts and ranks themselves are exact. ---
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.orderBy(col("cnt").desc, col("token").asc)
+    val xy = freq
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** Oracle twin of [[zipfFit]] — identical rank/log/moment chain. */
+  def zipfFitOracleSql(): String =
+    """WITH freq AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE length(token) > 0 GROUP BY token),
+      |xy AS (
+      |  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, token ASC)
+      |            AS DOUBLE)) AS x,
+      |    ln(CAST(cnt AS DOUBLE)) AS y
+      |  FROM freq),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+      |    sum(y * y) AS syy, sum(x * y) AS sxy
+      |  FROM xy)
+      |SELECT CAST(n AS BIGINT) AS n_tokens,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m""".stripMargin
+
   // --- TX19: BM25 ranked retrieval — the search-engine scoring layer
   // over the same tf/df/length statistics tx12 materializes. Okapi
   // BM25 (k1 = 1.2, b = 0.75): idf smoothed as ln(1 + (N − df + ½)/

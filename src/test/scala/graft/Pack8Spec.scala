@@ -241,6 +241,45 @@ class Pack8Spec extends SparkTestBase {
     assert(math.abs(d - dExp) < 1e-6, s"D $d != brute-force $dExp")
   }
 
+  test("a34: Gini is in [0,1) and matches a driver-side recomputation") {
+    val r = Analytics.giniSpend(spark, sf).head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    val cents = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(_.getLong(1)).sorted
+    val n = cents.length.toDouble
+    val iw = cents.zipWithIndex.map { case (x, i) => (i + 1).toDouble * x }.sum
+    val exp = 2.0 * iw / (n * cents.map(_.toDouble).sum) - (n + 1) / n
+    assert(math.abs(g - exp) < 1e-6, s"gini $g != brute-force $exp")
+  }
+
+  test("gr9: predicted links are non-edges with valid Jaccard bounds") {
+    val edges = Graph.supportedEdges(spark, sf, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val preds = Graph.linkPrediction(spark, sf).collect()
+    assert(preds.nonEmpty)
+    preds.foreach { r =>
+      val (a, c) = (r.getAs[Long]("a"), r.getAs[Long]("c"))
+      assert(a < c, "canonical pair order violated")
+      assert(!edges.contains((a, c)), s"predicted an existing edge ($a,$c)")
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("cn") >= 1L)
+    }
+  }
+
+  test("tx22: Zipf fit slope is negative with high explanatory power on ranked freqs") {
+    import graft.operators.TextAnalysis
+    val r = TextAnalysis.zipfFit(spark, sf).head
+    assert(r.getAs[Long]("n_tokens") > 10L)
+    assert(r.getAs[Double]("slope") < 0.0,
+      "frequency must decay with rank")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 > 0.0 && r2 <= 1.0)
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")
