@@ -258,6 +258,9 @@ object SparkEntry {
     "a34_gini"           -> ((s, d) => Analytics.giniSpend(s, d)),
     "gr9_link_pred"      -> ((s, d) => Graph.linkPrediction(s, d)),
     "tx22_zipf_fit"      -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    "sq4_funnel_latency" -> ((s, d) => DataPrep.funnelLatency(s, d)),
+    "a35_benford"        -> ((s, d) => Analytics.benfordAudit(s, d)),
+    "bk2_bucketed_agg"   -> ((s, d) => graft.sources.Marts.bucketedAgg(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2189,6 +2192,44 @@ object SparkEntry {
     "gr8_kcore" -> operators.Graph.kCoreOracleSql(),
     "gr9_link_pred" -> operators.Graph.linkPredictionOracleSql(),
     "tx22_zipf_fit" -> operators.TextAnalysis.zipfFitOracleSql(),
+    "sq4_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, v.tv, min(e.ts) AS tp
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.tv
+        |  GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(floor(epoch(tp)) AS BIGINT) - CAST(floor(epoch(tv)) AS BIGINT)
+        |    AS delta_s
+        |FROM p ORDER BY user_id""".stripMargin,
+    "a35_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |         AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |t AS (
+        |  SELECT digit, n,
+        |    CAST(sum(n) OVER () AS BIGINT) AS ntot,
+        |    log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_share
+        |  FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE), 6) AS share,
+        |  round(exp_share, 6) AS exp_share,
+        |  round(sum((CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * exp_share)
+        |            * (CAST(n AS DOUBLE) - CAST(ntot AS DOUBLE) * exp_share)
+        |            / (CAST(ntot AS DOUBLE) * exp_share)) OVER (), 6) AS chi2
+        |FROM t ORDER BY digit""".stripMargin,
+    "bk2_bucketed_agg" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 6
+        |ORDER BY l_orderkey""".stripMargin,
     "a34_gini" ->
       """WITH spend AS (
         |  SELECT o_custkey,

@@ -807,4 +807,33 @@ object Analytics {
           - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
           .as("gini"))
   }
+
+  // --- A35: Benford first-digit audit — the fraud/synthetic-data
+  // smell test: naturally-occurring monetary amounts follow
+  // P(d) = log₁₀(1 + 1/d); fabricated or truncated data doesn't. The
+  // leading digit comes off the EXACT integer cents (no float
+  // formatting in the hot path — substring of the decimal rendering
+  // of a long), one 9-row aggregate, shares and the χ² distance from
+  // the Benford profile as 6-decimal doubles. χ² is a window total
+  // over the 9-row aggregate so the relation stays one table. ---
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(substring(Benchmark2.priceCents(col("o_totalprice"))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    digits
+      .withColumn("ntot", sum(col("n")).over(total))
+      .withColumn("share", col("n").cast("double") / col("ntot").cast("double"))
+      .withColumn("exp_share",
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+      .withColumn("chi2",
+        round(sum(
+          (col("n").cast("double") - col("ntot").cast("double") * col("exp_share"))
+            * (col("n").cast("double") - col("ntot").cast("double") * col("exp_share"))
+            / (col("ntot").cast("double") * col("exp_share"))).over(total), 6))
+      .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+        round(col("exp_share"), 6).as("exp_share"), col("chi2"))
+      .orderBy("digit")
+  }
 }

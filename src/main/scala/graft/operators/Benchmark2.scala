@@ -34,7 +34,7 @@ object Benchmark2 {
     * definition so a dtype/rounding adjustment can never drift between
     * query packs.
     */
-  private[operators] def priceCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def priceCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast("long")
 
   /** Exact per-row line revenue in 1e-4 currency units as a long. */

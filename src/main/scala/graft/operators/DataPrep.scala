@@ -507,6 +507,29 @@ object DataPrep {
        |FROM paths WHERE t3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path ASC""".stripMargin
 
+  // --- SQ4: funnel conversion latency — per user, the time from the
+  // FIRST view to the FIRST purchase AFTER it: the time-to-convert
+  // relation behind funnel-latency dashboards, the temporal complement
+  // of w11's step-count funnel. Two per-user min aggregates and one
+  // join — both shuffles on user_id; deltas are exact integer seconds
+  // (the st2 epoch convention), so the whole relation hash-oracles.
+  // Per-user rows keep the oracle strong; the percentile rollup is
+  // a11's exact-rank machinery one groupBy away. ---
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("tv"))
+    ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id", "tv").agg(min(col("ts")).as("tp"))
+      .select(col("user_id"),
+        (unix_timestamp(col("tp")) - unix_timestamp(col("tv")))
+          .as("delta_s"))
+      .orderBy("user_id")
+  }
+
   // --- DP14: curriculum ordering — the corpus arranged for curriculum
   // training: quality BANDS descending (highest-quality band first),
   // deterministically shuffled WITHIN each band (the md5 rule — order

@@ -193,4 +193,21 @@ object Marts {
         (sum(graft.operators.Benchmark2.lineRevenueCents1e4) / 10000.0)
           .as("revenue"))
       .orderBy("o_orderpriority")
+
+  // --- BK2: bucketed SHUFFLE-FREE aggregation — the layout benefit
+  // bk1 shows for joins, shown for grouping: a groupBy on the bucket
+  // key reads the bucketed table's HashPartitioning straight off the
+  // scan, so the per-order rollup runs with NO exchange before the
+  // aggregate (MartsSpec asserts it) — at 100 TB that is the
+  // difference between a full-fact shuffle and none at all. The
+  // HAVING-style tail keeps the output the interesting wide orders. ---
+  def bucketedAgg(s: SparkSession, d: String): DataFrame =
+    bucketedLineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(graft.operators.Benchmark2.priceCents(col("l_extendedprice")))
+          .as("cents"))
+      .filter(col("n_lines") >= 6)
+      .orderBy("l_orderkey")
 }

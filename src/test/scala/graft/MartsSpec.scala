@@ -69,6 +69,23 @@ class MartsSpec extends SparkTestBase {
       s"unexpected exchanges in bucketed rollup:\n$full")
   }
 
+  test("BK2 bucketed aggregation runs with NO exchange before the agg") {
+    val aggOnly = Marts.bucketedLineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    val p = plan(aggOnly)
+    assert(p.contains("Bucketed: true"),
+      s"scan does not report bucketed read:\n$p")
+    // grouping on the bucket key satisfies the agg's distribution
+    // requirement straight off the scan — zero shuffles in the plan
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(p).isEmpty,
+      s"bucketed agg must not shuffle:\n$p")
+    // full bk2 (filter + presentation sort): the sort is the only exchange
+    val full = plan(Marts.bucketedAgg(spark, sf))
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(full).size <= 1,
+      s"unexpected exchanges in bk2:\n$full")
+  }
+
   test("morton interleave matches a naive per-bit reference (codegen + interpreted)") {
     def naive(x: Long, y: Long): Long = {
       var z = 0L

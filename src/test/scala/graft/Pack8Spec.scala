@@ -280,6 +280,29 @@ class Pack8Spec extends SparkTestBase {
     assert(r2 > 0.0 && r2 <= 1.0)
   }
 
+  test("sq4: deltas positive; every converted user truly has view-then-purchase") {
+    val rows = DataPrep.funnelLatency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("delta_s") > 0L))
+    // recompute one user's delta from raw events
+    val u = rows.head.getAs[Long]("user_id")
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id") === u)
+      .select(col("ts"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)))
+    val tv = evs.filter(_._2 == "view").map(_._1).min
+    val tp = evs.filter(t => t._2 == "purchase" && t._1 > tv).map(_._1).min
+    assert(rows.head.getAs[Long]("delta_s") == tp - tv)
+  }
+
+  test("a35: digit shares sum to 1, Benford expectations sum to 1, chi2 constant") {
+    val rows = Analytics.benfordAudit(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq.sorted == (1 to 9))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("exp_share")).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")
