@@ -261,6 +261,7 @@ object SparkEntry {
     "sq4_funnel_latency" -> ((s, d) => DataPrep.funnelLatency(s, d)),
     "a35_benford"        -> ((s, d) => Analytics.benfordAudit(s, d)),
     "bk2_bucketed_agg"   -> ((s, d) => graft.sources.Marts.bucketedAgg(s, d)),
+    "dp15_leakage_split" -> ((s, d) => DataPrep.leakageSafeSplit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2136,6 +2137,7 @@ object SparkEntry {
     "gr7_label_prop" -> operators.Graph.labelPropagationOracleSql(),
     "tx21_textrank" -> operators.TextAnalysis.textRankOracleSql(),
     "dp14_curriculum" -> operators.DataPrep.curriculumOrderOracleSql(),
+    "dp15_leakage_split" -> operators.DataPrep.leakageSafeSplitOracleSql(),
     "mm6_scene_cuts" ->
       """WITH f AS (
         |  SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,

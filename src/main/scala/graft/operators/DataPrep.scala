@@ -530,6 +530,66 @@ object DataPrep {
       .orderBy("user_id")
   }
 
+  // --- DP15: LEAKAGE-SAFE train/val/test split — dp2's hash rule
+  // applied to the NEAR-DUP CLUSTER instead of the document: every
+  // member of a dd8 component lands on the same side, so a held-out
+  // example can never have a near-duplicate in train — the
+  // contamination mode a plain per-doc split (dp2) cannot prevent and
+  // the reason production corpus builds split by cluster (or by
+  // domain) rather than by row. Composition: dd8's components (min-
+  // label over near-dup pairs — singleton docs are their own cluster,
+  // so dp2's behavior is recovered exactly where no duplicates exist)
+  // + the same md5-bucket thresholds. The split stays stable under
+  // corpus growth for unchanged clusters (hash of the min doc id). ---
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupComponents(s, d)
+      .withColumn("bucket", hashUint32(col("comp")).mod(100L))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "comp", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Oracle twin of [[leakageSafeSplit]] — dd8's recursive component
+    * chain with dp2's bucket tail keyed on the component label.
+    */
+  def leakageSafeSplitOracleSql(): String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+      |  FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM shared
+      |  JOIN cnt ca ON ca.doc_id = doc_a
+      |  JOIN cnt cb ON cb.doc_id = doc_b
+      |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(doc, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc),
+      |comps AS (
+      |  SELECT doc AS doc_id, min(r) AS comp FROM reach GROUP BY doc)
+      |SELECT doc_id, comp,
+      |  CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8)) AS BIGINT)
+      |    % 100 AS bucket,
+      |  CASE WHEN CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))
+      |            AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))
+      |            AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM comps ORDER BY doc_id""".stripMargin
+
   // --- DP14: curriculum ordering — the corpus arranged for curriculum
   // training: quality BANDS descending (highest-quality band first),
   // deterministically shuffled WITHIN each band (the md5 rule — order

@@ -303,6 +303,26 @@ class Pack8Spec extends SparkTestBase {
     assert(rows.map(_.getAs[Double]("chi2")).distinct.length == 1)
   }
 
+  test("dp15: no near-dup pair straddles a split boundary") {
+    import graft.operators.Dedup
+    val splits = DataPrep.leakageSafeSplit(spark, sf)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.ngramJaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val straddling = pairs
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0, s"$straddling near-dup pairs leak across splits")
+    // and the split is still a real 3-way partition of the corpus
+    val dist = splits.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dist.keySet == Set("train", "val", "test"), s"splits: $dist")
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")
