@@ -134,7 +134,7 @@ object Soak {
     "tx21_textrank", "a31_decile_lift", "dp14_curriculum",
     "w16_rolling_z", "gr8_kcore", "mm6_scene_cuts", "gr9_link_pred",
     "a34_gini", "tx22_zipf_fit", "sq4_funnel_latency", "a35_benford",
-    "dp15_leakage_split")
+    "dp15_leakage_split", "w17_drawdown")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

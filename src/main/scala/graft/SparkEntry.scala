@@ -262,6 +262,7 @@ object SparkEntry {
     "a35_benford"        -> ((s, d) => Analytics.benfordAudit(s, d)),
     "bk2_bucketed_agg"   -> ((s, d) => graft.sources.Marts.bucketedAgg(s, d)),
     "dp15_leakage_split" -> ((s, d) => DataPrep.leakageSafeSplit(s, d)),
+    "w17_drawdown"       -> ((s, d) => Windows.revenueDrawdown(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2138,6 +2139,20 @@ object SparkEntry {
     "tx21_textrank" -> operators.TextAnalysis.textRankOracleSql(),
     "dp14_curriculum" -> operators.DataPrep.curriculumOrderOracleSql(),
     "dp15_leakage_split" -> operators.DataPrep.leakageSafeSplitOracleSql(),
+    "w17_drawdown" ->
+      """WITH daily AS (
+        |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  CAST(max(cents) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS peak,
+        |  CAST(max(cents) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+        |    AS BIGINT) AS drawdown
+        |FROM daily ORDER BY day""".stripMargin,
     "mm6_scene_cuts" ->
       """WITH f AS (
         |  SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,

@@ -258,11 +258,20 @@ object Windows {
   // nondeterminism risk in the chain). One shuffle on event_type for
   // the tiny daily aggregate; the window never sees raw events. ---
   def rollingAnomaly(s: SparkSession, d: String,
-                     threshold: Double = 1.5): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("n"))
+                     threshold: Double = 1.5): DataFrame =
+    rollingAnomalyFrom(
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n")),
+      threshold)
+
+  /** The scoring tail over an arbitrary (event_type, day, n) daily
+    * relation — shared by w16 and its count-maintaining stream twin
+    * (Streams.dailyCountMaintainStream), whose read side enters here.
+    */
+  private[graft] def rollingAnomalyFrom(daily: DataFrame,
+                                        threshold: Double = 1.5): DataFrame = {
     val win = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, Window.currentRow)
     daily
@@ -281,5 +290,27 @@ object Windows {
       .select(col("event_type"), col("day"), col("n"), col("z"),
         (abs(col("z")) > threshold).cast("int").as("is_anomaly"))
       .orderBy("event_type", "day")
+  }
+
+  // --- W17: running-peak drawdown — each day's revenue against the
+  // best day seen so far: peak = running max, drawdown = peak −
+  // current; the max row is the series' worst decline-from-best
+  // (finance's max-drawdown statistic applied to a revenue series —
+  // the "how far below our best are we" dashboard number). Exact
+  // integer cents end-to-end; the running max runs over the
+  // DAY-level aggregate (a few thousand rows — dp10's two-pass is
+  // the form if the series were fact-sized). ---
+  def revenueDrawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")),
+        "yyyy-MM-dd").as("day"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
+    val upTo = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("cents")).over(upTo))
+      .withColumn("drawdown", col("peak") - col("cents"))
+      .select(col("day"), col("cents"), col("peak"), col("drawdown"))
+      .orderBy("day")
   }
 }

@@ -590,6 +590,64 @@ object Streams {
       .orderBy(col("n").desc, col("path").asc)
   }
 
+  /** Streaming maintenance of w16's daily-count table — the simplest
+    * member of the delta-index family because counts are ADDITIVE:
+    * each micro-batch publishes its own (event_type, day, n) count
+    * delta and the read side just sums deltas — no per-key recompute
+    * (sq3's stream) and no keyed state. Admission still dedups on
+    * event_id against the prior skinny id deltas (ids only — the
+    * events/ dirs carry nothing else), with the batch's own delta
+    * excluded (the checkpoint-replay rule). The read side feeds the
+    * summed daily table into the batch operator's own scoring tail
+    * (Windows.rollingAnomalyFrom), so stream-maintained anomalies
+    * equal batch w16 under any wave/redelivery/replay schedule. At
+    * 100 TB: per-batch cost is the batch's own rows; a day-partitioned
+    * id layout prunes the admission anti-join to the days present in
+    * the batch.
+    */
+  def dailyCountMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dailyCountMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def dailyCountMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                             workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "events")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchEvents = batchDf
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .dropDuplicates("event_id")
+    val fresh = prior match {
+      case Seq() => batchEvents
+      case dirs => batchEvents.join(
+        s.read.parquet(dirs: _*), Seq("event_id"), "left_anti")
+    }
+    fresh.select("event_id")
+      .write.mode("overwrite").parquet(s"$workDir/events/b$batchId")
+    fresh
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$workDir/counts/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the count deltas, then w16's own scoring tail. */
+  def readDailyAnomalies(s: org.apache.spark.sql.SparkSession,
+                         workDir: String,
+                         threshold: Double = 1.5): DataFrame =
+    graft.operators.Windows.rollingAnomalyFrom(
+      s.read.parquet(deltaDirs(workDir, "counts"): _*)
+        .groupBy("event_type", "day")
+        .agg(sum(col("n")).as("n")),
+      threshold)
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

@@ -323,6 +323,22 @@ class Pack8Spec extends SparkTestBase {
     assert(dist.keySet == Set("train", "val", "test"), s"splits: $dist")
   }
 
+  test("w17: peak is monotone, drawdown nonnegative and zero at each new peak") {
+    import graft.operators.Windows
+    val rows = Windows.revenueDrawdown(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val peaks = rows.map(_.getAs[Long]("peak"))
+    assert(peaks.zip(peaks.tail).forall { case (a, b) => b >= a })
+    rows.foreach { r =>
+      val (c, p, dd) = (r.getAs[Long]("cents"), r.getAs[Long]("peak"),
+        r.getAs[Long]("drawdown"))
+      assert(dd == p - c && dd >= 0)
+      if (c == p) assert(dd == 0)
+    }
+    // the peak is actually attained by some day at or before each row
+    assert(rows.head.getAs[Long]("drawdown") == 0L, "first day is its own peak")
+  }
+
   test("sim11: diversification changes the order vs plain top-k") {
     val mmr = Similarity.mmrDiversify(spark, sf, k = 8)
       .orderBy("pick_order")

@@ -532,6 +532,32 @@ class StreamingSpec extends SparkTestBase {
     assert(dupItems == 0, "no order line may be indexed twice after a replay")
   }
 
+  test("equivalence: streaming daily-count maintenance == batch w16 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), 0.0, "{}")).toSeq
+    val shuffled = new scala.util.Random(7).shuffle(evs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[Ev]
+    val root = java.nio.file.Files.createTempDirectory("w16stream").toString
+    val q = Streams.dailyCountMaintainStream(mem.toDF(), root, s"$root/ck")
+    try (waves :+ waves.last.take(23)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on top of the finished stream state
+    val replay = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    Streams.dailyCountMaintainBatch(replay, 0L, root)
+    val streamed = Streams.readDailyAnomalies(spark, root)
+    val batch = graft.operators.Windows.rollingAnomaly(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch),
+      "stream-maintained anomalies must equal the batch w16 answer")
+  }
+
   test("equivalence: streaming session-path maintenance == batch sq3 (event-shuffled waves + redelivery)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
