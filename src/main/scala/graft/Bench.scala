@@ -26,9 +26,18 @@ object Bench {
     // first queries alphabetically otherwise pay JIT compilation of
     // shared Spark internals for the whole suite (observed 4-8x
     // inflation on the first few queries in round-1 driver runs).
+    // Iterative operators localCheckpoint per-round frames; those
+    // cached blocks belong to ONE query execution, not the session.
+    // Without this release, a 200+-query bench accumulates hundreds of
+    // edge-scale cached RDDs, and the resulting storage-memory
+    // pressure taxed every sort-heavy query (observed: a11/a12 7x).
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failures surface in the timed pass
+      release()
     }
 
     // best-of-3 per query: a single local[32] pass is GC/OS-noisy
@@ -43,7 +52,9 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        release() // outside the timed span: queries stay independent
+        (dt, ok)
       }
       val succeeded = attempts.filter(_._2).map(_._1)
       // a crashed query must not masquerade as a fast success

@@ -191,7 +191,10 @@ object Soak {
     def run(name: String, dir: String, soakSide: Boolean): Double = {
       val fn = (if (soakSide) soakForm(name) else None)
         .getOrElse(SparkEntry.queries(name))
-      time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+      val dt = time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+      // release the query's localCheckpoint blocks (see Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
 
     val rows = SoakQueries.map { name =>
