@@ -263,6 +263,11 @@ object SparkEntry {
     "bk2_bucketed_agg"   -> ((s, d) => graft.sources.Marts.bucketedAgg(s, d)),
     "dp15_leakage_split" -> ((s, d) => DataPrep.leakageSafeSplit(s, d)),
     "w17_drawdown"       -> ((s, d) => Windows.revenueDrawdown(s, d)),
+    "a36_mannwhitney"    -> ((s, d) => Analytics.mannWhitney(s, d)),
+    "a37_spearman"       -> ((s, d) => Analytics.spearmanBalSpend(s, d)),
+    "w18_interval_union" -> ((s, d) => Windows.intervalUnion(s, d)),
+    "gr10_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
+    "st8_attribution"    -> ((s, d) => Analytics.attribution(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2264,6 +2269,124 @@ object SparkEntry {
         |        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS gini
         |FROM rk""".stripMargin,
+    "a36_mannwhitney" ->
+      """WITH seg AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT cents, CAST(sum(in_a) AS BIGINT) AS cnt_a,
+        |    CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
+        |  FROM seg GROUP BY 1),
+        |c AS (
+        |  SELECT cnt_a, cnt_b, cnt_a + cnt_b AS cnt,
+        |    CAST(sum(cnt_a + cnt_b) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumn
+        |  FROM pv),
+        |t AS (
+        |  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt_b) AS BIGINT) AS n_b,
+        |    CAST(sum(cnt_a * (cumn * 2 - cnt + 1)) AS BIGINT) AS r2_a,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t_ties
+        |  FROM c),
+        |m AS (
+        |  SELECT n_a, n_b, r2_a, t_ties,
+        |    r2_a - n_a * (n_a + 1) AS u2_a, n_a + n_b AS nn
+        |  FROM t),
+        |z AS (
+        |  SELECT n_a, n_b, r2_a, u2_a, t_ties,
+        |    round(CAST(u2_a - n_a * n_b AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |          * (CAST(nn + 1 AS DOUBLE)
+        |             - CAST(t_ties AS DOUBLE)
+        |               / CAST(nn * (nn - 1) AS DOUBLE)))), 6) AS z
+        |  FROM m)
+        |SELECT n_a, n_b, r2_a, u2_a, t_ties, z,
+        |  CAST(abs(z) > 1.96 AS INTEGER) AS reject
+        |FROM z""".stripMargin,
+    "a37_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yv
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS xv, yv
+        |  FROM customer JOIN spend ON c_custkey = o_custkey),
+        |rx AS (
+        |  SELECT xv, CAST(cumn * 2 - cnt + 1 AS BIGINT) AS xv_r2 FROM (
+        |    SELECT xv, cnt,
+        |      sum(cnt) OVER (ORDER BY xv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |    FROM (SELECT xv, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM r GROUP BY 1))),
+        |ry AS (
+        |  SELECT yv, CAST(cumn * 2 - cnt + 1 AS BIGINT) AS yv_r2 FROM (
+        |    SELECT yv, cnt,
+        |      sum(cnt) OVER (ORDER BY yv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |    FROM (SELECT yv, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM r GROUP BY 1))),
+        |j AS (
+        |  SELECT rx.xv_r2, ry.yv_r2
+        |  FROM r JOIN rx ON r.xv = rx.xv JOIN ry ON r.yv = ry.yv),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xv_r2) AS BIGINT) AS sx,
+        |    CAST(sum(yv_r2) AS BIGINT) AS sy,
+        |    CAST(sum(xv_r2 * xv_r2) AS BIGINT) AS sxx,
+        |    CAST(sum(xv_r2 * yv_r2) AS BIGINT) AS sxy,
+        |    CAST(sum(yv_r2 * yv_r2) AS BIGINT) AS syy
+        |  FROM j)
+        |SELECT n, sx, sy,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+        |FROM t""".stripMargin,
+    "w18_interval_union" ->
+      """WITH iv0 AS (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS iv_s,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT sk, iv_s, iv_s + 3 + q % 14 AS iv_e FROM iv0),
+        |fl AS (
+        |  SELECT sk, iv_s, iv_e,
+        |    CASE WHEN max(iv_e) OVER (PARTITION BY sk ORDER BY iv_s, iv_e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR iv_s > max(iv_e) OVER (PARTITION BY sk ORDER BY iv_s, iv_e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |isl AS (
+        |  SELECT sk, iv_s, iv_e,
+        |    CAST(sum(is_new) OVER (PARTITION BY sk ORDER BY iv_s, iv_e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM fl),
+        |g AS (
+        |  SELECT sk, island, CAST(count(*) AS BIGINT) AS n_iv,
+        |    min(iv_s) AS min_s, max(iv_e) AS max_e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT sk, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(max_e - min_s + 1) AS BIGINT) AS covered_days
+        |FROM g GROUP BY 1 ORDER BY sk""".stripMargin,
+    "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
+    "st8_attribution" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "w16_rolling_z" ->
       """WITH daily AS (
         |  SELECT event_type,

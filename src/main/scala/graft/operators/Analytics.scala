@@ -836,4 +836,124 @@ object Analytics {
         round(col("exp_share"), 6).as("exp_share"), col("chi2"))
       .orderBy("digit")
   }
+
+  // --- ST8 batch twin: purchase→click attribution — every purchase
+  // matched to the same user's clicks in the preceding hour, the exact
+  // batch semantics of Streams.purchaseAttribution's stream-stream
+  // interval join (watermarked both sides, time-bounded condition →
+  // GC-able state). Batch plan: two filtered scans of one table,
+  // equi-join on user with the interval test as a post-filter — the
+  // j9 shape, a hash join at any scale, never a BNLJ. ---
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("value"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  // --- A36: Mann–Whitney U (Wilcoxon rank-sum) — a32's KS sibling:
+  // does one segment's order-value distribution stochastically
+  // dominate the other's? Rank-based, so it needs tie-averaged ranks
+  // over the pooled sample — the DOUBLED-rank trick keeps that exact
+  // integer: for a value whose pooled cumulative count runs
+  // (prev, cum], the tie-averaged rank is (prev+1+cum)/2, so twice it
+  // is prev+cum+1, an integer. 2·R_A and 2·U_A are therefore exact
+  // longs (hash-checked); the normal-approximation z only goes double
+  // at the final expression, with the standard tie-corrected variance
+  // σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))). All windows run
+  // over the per-value AGGREGATE (distinct-value-sized — a32's scale
+  // note: dp10's range-partition two-pass is the 100 TB global sort);
+  // past ~1e9 pooled rows the rank sums move to decimal(38,0), a26's
+  // discipline. ---
+  def mannWhitney(s: SparkSession, d: String,
+                  segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val seg = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(Benchmark2.priceCents(col("o_totalprice")).as("cents"),
+        when(col("c_mktsegment") === segA, 1).otherwise(0).as("in_a"))
+    val perValue = seg.groupBy("cents")
+      .agg(sum(col("in_a")).cast("long").as("cnt_a"),
+        sum(lit(1) - col("in_a")).cast("long").as("cnt_b"))
+      .withColumn("cnt", col("cnt_a") + col("cnt_b"))
+    val cum = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cumn", sum(col("cnt")).over(cum))
+      // doubled tie-averaged rank: prev + cum + 1 = 2·cum − cnt + 1
+      .withColumn("rank2", col("cumn") * 2 - col("cnt") + 1)
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
+        sum(col("cnt_a") * col("rank2")).as("r2_a"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t_ties"))
+      .withColumn("u2_a", col("r2_a") - col("n_a") * (col("n_a") + 1))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("sigma2",
+        dbl(col("n_a")) * dbl(col("n_b")) / lit(12.0)
+          * (dbl(col("nn") + 1)
+            - dbl(col("t_ties")) / dbl(col("nn") * (col("nn") - 1))))
+      .withColumn("z",
+        round(dbl(col("u2_a") - col("n_a") * col("n_b"))
+          / (lit(2.0) * sqrt(col("sigma2"))), 6))
+      .select(col("n_a"), col("n_b"), col("r2_a"), col("u2_a"),
+        col("t_ties"), col("z"),
+        (abs(col("z")) > lit(1.96)).cast("int").as("reject"))
+  }
+
+  // --- A37: Spearman rank correlation — is a customer's account
+  // balance monotonically related to lifetime spend? Pearson over
+  // tie-averaged ranks; a36's doubled-rank trick makes the ranks
+  // exact integers, and Pearson is scale/shift-invariant so the
+  // doubling cancels. Ranks come from the per-distinct-value
+  // cumulative count (one window over each variable's value
+  // AGGREGATE) joined back to the rows — two keyed equi-joins, never
+  // a row-level sort; the power sums then follow a26's exact-integer
+  // formula with the same double association, so ρ is bit-identical
+  // across engines. Sums stay in long through ~1e6 customers (rank²
+  // ≤ 4n²; Σ ≤ 4n³); past that they move to decimal(38,0), a26's
+  // discipline. ---
+  def spearmanBalSpend(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("yv"))
+    // feeds three branches (row relation + two rank aggregations) —
+    // checkpoint so the customer⋈spend join runs once (see contingency)
+    val rows = Tables.customer(s, d)
+      .select(col("c_custkey"), Benchmark2.priceCents(col("c_acctbal")).as("xv"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(col("xv"), col("yv"))
+      .localCheckpoint()
+    def rank2(vcol: String): DataFrame = {
+      val cum = Window.orderBy(vcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy(vcol).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumn", sum(col("cnt")).over(cum))
+        .select(col(vcol), (col("cumn") * 2 - col("cnt") + 1).as(vcol + "_r2"))
+    }
+    rows.join(rank2("xv"), "xv").join(rank2("yv"), "yv")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xv_r2")).as("sx"), sum(col("yv_r2")).as("sy"),
+        sum(col("xv_r2") * col("xv_r2")).as("sxx"),
+        sum(col("xv_r2") * col("yv_r2")).as("sxy"),
+        sum(col("yv_r2") * col("yv_r2")).as("syy"))
+      .withColumn("num",
+        dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+      .withColumn("dxx",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("dyy",
+        dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .select(col("n"), col("sx"), col("sy"),
+        round(col("num") / sqrt(col("dxx") * col("dyy")), 6).as("rho"))
+  }
 }

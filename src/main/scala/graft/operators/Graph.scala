@@ -641,4 +641,71 @@ object Graph {
       .select("pa", "pb", "pair_n", "a_n", "b_n")
       .orderBy(col("pair_n").desc, col("pa").asc, col("pb").asc)
       .limit(topK)
+
+  // --- GR10: degree assortativity — does the basket graph wire hubs
+  // to hubs (r > 0) or hubs to leaves (r < 0)? The one-number mixing
+  // summary [Newman 2002]: Pearson correlation of the degrees at the
+  // two ends of every directed edge (each undirected edge counted in
+  // both orientations, the standard convention). Relationally it is
+  // degrees (one hash agg) joined back onto the edge relation (two
+  // keyed equi-joins — a broadcast once the thresholded graph
+  // saturates, see supportedEdges), then a26's exact-integer power
+  // sums with the same double association, so r is bit-identical
+  // across engines. Scale: edges and degrees of the support-
+  // thresholded graph grow sublinearly in the corpus (noise pairs are
+  // cut); the power sums are one partial+final agg. ---
+  def assortativity(s: SparkSession, d: String, minSupport: Int = 2): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val und = supportedEdges(s, d, minSupport)
+    // feeds the degree agg and the edge relation — checkpoint so the
+    // pair self-join underneath runs once
+    val e0 = und.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(und.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    val deg = e0.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    e0.join(deg.select(col("src"), col("deg").as("dj")), "src")
+      .join(deg.select(col("src").as("dst"), col("deg").as("dk")), "dst")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("dj")).as("sj"), sum(col("dk")).as("sk2"),
+        sum(col("dj") * col("dj")).as("sjj"),
+        sum(col("dj") * col("dk")).as("sjk"),
+        sum(col("dk") * col("dk")).as("skk"))
+      .withColumn("num",
+        dbl(col("m")) * dbl(col("sjk")) - dbl(col("sj")) * dbl(col("sk2")))
+      .withColumn("djj",
+        dbl(col("m")) * dbl(col("sjj")) - dbl(col("sj")) * dbl(col("sj")))
+      .withColumn("dkk",
+        dbl(col("m")) * dbl(col("skk")) - dbl(col("sk2")) * dbl(col("sk2")))
+      .select(col("m"), col("sj"), col("sjk"),
+        round(col("num") / sqrt(col("djj") * col("dkk")), 6).as("r"))
+  }
+
+  def assortativityOracleSql(minSupport: Int = 2): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pr AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
+       |  ON a.ok = b.ok AND a.pk < b.pk),
+       |s0 AS MATERIALIZED (SELECT pa, pb FROM pr GROUP BY pa, pb
+       |  HAVING count(*) >= $minSupport),
+       |e0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM s0
+       |  UNION ALL SELECT pb, pa FROM s0),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e0 GROUP BY 1),
+       |j AS (SELECT a.deg AS dj, b.deg AS dk
+       |  FROM e0 JOIN dg a ON e0.src = a.src JOIN dg b ON e0.dst = b.src),
+       |t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(dj) AS BIGINT) AS sj, CAST(sum(dk) AS BIGINT) AS sk2,
+       |    CAST(sum(dj * dj) AS BIGINT) AS sjj,
+       |    CAST(sum(dj * dk) AS BIGINT) AS sjk,
+       |    CAST(sum(dk * dk) AS BIGINT) AS skk
+       |  FROM j)
+       |SELECT m, sj, sjk,
+       |  round((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+       |      - CAST(sj AS DOUBLE) * CAST(sk2 AS DOUBLE))
+       |    / sqrt((CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+       |        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+       |      * (CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+       |        - CAST(sk2 AS DOUBLE) * CAST(sk2 AS DOUBLE))), 6) AS r
+       |FROM t""".stripMargin
 }

@@ -313,4 +313,50 @@ object Windows {
       .select(col("day"), col("cents"), col("peak"), col("drawdown"))
       .orderBy("day")
   }
+
+  // --- W18: interval union (gaps-and-islands) — per supplier, merge
+  // the overlapping [shipdate, receiptdate] in-flight windows of its
+  // shipments and report how many merged busy periods exist and how
+  // many distinct days are covered by at least one shipment. The
+  // classic islands construction: order intervals by (start, end)
+  // within the key, flag a new island when start jumps past the
+  // running max of all preceding ends (ROWS … 1 PRECEDING), island id
+  // = running count of flags, then one agg per island. Dates become
+  // integer day offsets from a fixed epoch BEFORE the window so every
+  // comparison and the final coverage sum is exact integer math. The
+  // flag is deterministic under (start, end) ties: equal-start rows
+  // can never open an island past the first (end ≥ start + 3 by
+  // construction), and the running max is order-free within a tie
+  // group. The interval end is synthesized the j9 way (ship + 3..16
+  // days keyed on quantity) because this dataset carries no receipt
+  // date. Scale: both windows partition by supplier — per-key ordered
+  // scans, no global sort; the island agg is one hash agg on
+  // (supplier, island). ---
+  def intervalUnion(s: SparkSession, d: String): DataFrame = {
+    val day0 = to_date(lit("1992-01-01"))
+    val iv = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"),
+        datediff(col("l_shipdate").cast("date"), day0).cast("long").as("iv_s"),
+        col("l_quantity").cast("long").as("q"))
+      .select(col("sk"), col("iv_s"),
+        (col("iv_s") + 3 + col("q") % 14).as("iv_e"))
+    val ord = Window.partitionBy("sk").orderBy(col("iv_s"), col("iv_e"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("prev_max_e", max(col("iv_e")).over(prev))
+      .withColumn("is_new",
+        when(col("prev_max_e").isNull || col("iv_s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("is_new")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("sk"), col("island"))
+      .agg(count(lit(1)).as("n_iv"), min(col("iv_s")).as("min_s"),
+        max(col("iv_e")).as("max_e"))
+      .groupBy(col("sk"))
+      .agg(sum(col("n_iv")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("max_e") - col("min_s") + 1).as("covered_days"))
+      .orderBy("sk")
+  }
 }

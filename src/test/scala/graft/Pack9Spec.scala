@@ -1,0 +1,155 @@
+package graft
+
+import graft.operators.{Analytics, Graph, Windows}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 rank-statistics / interval /
+  * mixing additions (a36, a37, w18, gr10, st8). Each is also
+  * hash-oracled end-to-end (SparkEntry.oracleSql); these tests pin the
+  * properties the hash can't express, via independent driver-side
+  * brute-force recomputations at sf0.001.
+  */
+class Pack9Spec extends SparkTestBase {
+
+  private def pooledSeg(): (Array[Long], Array[Long]) = {
+    val seg = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("c_mktsegment").as("seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    (seg.filter(_._2 == "BUILDING").map(_._1),
+      seg.filter(_._2 == "MACHINERY").map(_._1))
+  }
+
+  test("a36: doubled rank-sum and U match a brute-force tie-averaged ranking") {
+    val r = Analytics.mannWhitney(spark, sf).head
+    val (a, b) = pooledSeg()
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    // brute-force tie-averaged ranks over the pooled sample (doubled)
+    val pooled = (a.map((_, 'a')) ++ b.map((_, 'b'))).sortBy(_._1)
+    val rank2 = pooled.map(_._1).zipWithIndex.groupBy(_._1).map {
+      case (v, idxs) =>
+        // 1-based positions i..j of the tie run → doubled avg = i + j
+        (v, (idxs.map(_._2 + 1).min + idxs.map(_._2 + 1).max).toLong)
+    }
+    val r2aExp = a.map(rank2).sum
+    assert(r.getAs[Long]("r2_a") == r2aExp, s"2R_A != brute force $r2aExp")
+    val u2aExp = r2aExp - a.length.toLong * (a.length + 1)
+    assert(r.getAs[Long]("u2_a") == u2aExp)
+    // 2U_A + 2U_B = 2·n_a·n_b — the U identity survives ties
+    val r2bExp = b.map(rank2).sum
+    val u2bExp = r2bExp - b.length.toLong * (b.length + 1)
+    assert(u2aExp + u2bExp == 2L * a.length * b.length)
+  }
+
+  test("a37: rho matches a brute-force Spearman and lies in [-1, 1]") {
+    val r = Analytics.spearmanBalSpend(spark, sf).head
+    val rho = r.getAs[Double]("rho")
+    assert(rho >= -1.0 && rho <= 1.0)
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("x"))
+      .join(Tables.orders(spark, sf).groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("x"), col("y"))
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1)))
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    def rank2(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1).map { case (v, idxs) =>
+        (v, (idxs.map(_._2 + 1).min + idxs.map(_._2 + 1).max).toDouble / 2)
+      }
+    }
+    val rx = rank2(rows.map(_._1)); val ry = rank2(rows.map(_._2))
+    val xs = rows.map(t => rx(t._1)); val ys = rows.map(t => ry(t._2))
+    val n = rows.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = n * xs.zip(ys).map(t => t._1 * t._2).sum - sx * sy
+    val den = math.sqrt((n * xs.map(v => v * v).sum - sx * sx)
+      * (n * ys.map(v => v * v).sum - sy * sy))
+    assert(math.abs(rho - num / den) < 1e-6,
+      s"rho $rho != brute-force ${num / den}")
+  }
+
+  test("w18: islands partition the intervals; coverage matches a sweep") {
+    val out = Windows.intervalUnion(spark, sf).collect()
+    assert(out.nonEmpty)
+    val iv = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("s"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + 3 + r.getLong(2) % 14))
+    val bySupp = iv.groupBy(_._1)
+    out.foreach { r =>
+      val sk = r.getAs[Long]("sk")
+      val ivs = bySupp(sk).map(t => (t._2, t._3))
+      assert(r.getAs[Long]("n_intervals") == ivs.length.toLong)
+      // brute-force day sweep: union of covered integer days
+      val days = ivs.flatMap { case (s0, e0) => s0 to e0 }.distinct
+      assert(r.getAs[Long]("covered_days") == days.length.toLong,
+        s"supplier $sk coverage mismatch")
+      // merged islands by the sweep: sorted intervals, count the gaps
+      val sorted = ivs.sortBy(identity)
+      var islands = 0; var maxE = Long.MinValue
+      sorted.foreach { case (s0, e0) =>
+        if (s0 > maxE) islands += 1
+        maxE = math.max(maxE, e0)
+      }
+      assert(r.getAs[Long]("n_islands") == islands.toLong)
+    }
+  }
+
+  test("gr10: r matches a brute-force degree correlation over the edge list") {
+    val r = Graph.assortativity(spark, sf).head
+    val rv = r.getAs[Double]("r")
+    assert(rv >= -1.0 && rv <= 1.0)
+    val und = Graph.supportedEdges(spark, sf, 2)
+      .collect().map(e => (e.getLong(0), e.getLong(1)))
+    val directed = und ++ und.map(e => (e._2, e._1))
+    assert(r.getAs[Long]("m") == directed.length.toLong)
+    val deg = directed.groupBy(_._1).map { case (k, v) => (k, v.length.toDouble) }
+    val pairs = directed.map { case (s0, d0) => (deg(s0), deg(d0)) }
+    val m = pairs.length.toDouble
+    val (sj, sk2) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val num = m * pairs.map(t => t._1 * t._2).sum - sj * sk2
+    val den = math.sqrt((m * pairs.map(t => t._1 * t._1).sum - sj * sj)
+      * (m * pairs.map(t => t._2 * t._2).sum - sk2 * sk2))
+    assert(math.abs(rv - num / den) < 1e-6, s"r $rv != brute-force ${num / den}")
+  }
+
+  test("st8: batch attribution equals the streamed interval join on the same events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    def named(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "ts", "user_id", "value")
+    val q = graft.streaming.Streams.purchaseAttribution(
+        named(clicks.toDF()), named(purchases.toDF()))
+      .writeStream.format("memory").queryName("st8eq").outputMode("append").start()
+    try {
+      def tup(t: String) = ev.filter(_.getAs[String]("event_type") == t)
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+          r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      clicks.addData(tup("click").toSeq)
+      purchases.addData(tup("purchase").toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("st8eq")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = Analytics.attribution(spark, sf)
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(streamed == batch,
+        s"stream/batch divergence: ${streamed.size} vs ${batch.size} rows")
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
