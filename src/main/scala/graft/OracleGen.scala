@@ -797,4 +797,120 @@ object OracleGen {
        |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** pairDot over a SUB-slice: left side indexed lo+1..lo+len (the
+    * full embedding), right side 1..len (a subspace codebook entry) —
+    * the replay of FloatVecDot over `slice(embedding, lo+1, len)`.
+    */
+  private def pairDotOff(a: String, b: String, lo: Int, len: Int): String =
+    (1 to len).map(i =>
+      s"CAST($a[${lo + i}] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** One product-quantizer subspace Lloyd chain (the slice-bounded
+    * twin of [[lloydCtes]] — same seed rule, argmax-dot assignment
+    * with ties to the larger cid, 1e-6 grid snap, empty-cluster
+    * carry-over), CTEs prefixed `$p` so [[sim12Sql]] can unroll PqM
+    * independent chains in one WITH.
+    */
+  private def subLloydCtes(p: String, k: Int, iters: Int,
+                           lo: Int, len: Int): String = {
+    val head =
+      s"""${p}dims AS (SELECT unnest(generate_series(1, $len)) AS dim),
+         |${p}cent0 AS (SELECT vec_id AS cid,
+         |    embedding[${lo + 1}:${lo + len}] AS cemb
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""${p}lsc$t AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cid,
+         |    ${pairDotOff("e.embedding", "c.cemb", lo, len)} AS score
+         |  FROM embeddings e CROSS JOIN ${p}cent${t - 1} c),
+         |${p}lasg$t AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                         ORDER BY score DESC, cid DESC) AS rn
+         |    FROM ${p}lsc$t) t WHERE rn = 1),
+         |${p}lavg$t AS MATERIALIZED (
+         |  SELECT a.cid, g.dim,
+         |    CAST(floor(avg(CAST(e.embedding[g.dim + $lo] AS DOUBLE))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS REAL) AS val,
+         |    count(*) AS n
+         |  FROM ${p}lasg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  CROSS JOIN ${p}dims g
+         |  GROUP BY a.cid, g.dim),
+         |${p}cent$t AS MATERIALIZED (
+         |  SELECT c.cid,
+         |    list(coalesce(av.val, c.cemb[g.dim]) ORDER BY g.dim) AS cemb
+         |  FROM ${p}cent${t - 1} c CROSS JOIN ${p}dims g
+         |  LEFT JOIN ${p}lavg$t av ON av.cid = c.cid AND av.dim = g.dim
+         |  GROUP BY c.cid)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** SIM12 replay: PqM subspace Lloyd chains → corpus codes → query
+    * LUT → pivoted ADC sum (fixed s0+s1+s2+s3 association, matching
+    * Similarity.pqAdcTopK) → per-query top-k with the exact-dot flag.
+    */
+  def sim12Sql(numQueryVecs: Int = 5, k: Int = 3,
+               mSub: Int = graft.operators.Similarity.PqM,
+               kk: Int = graft.operators.Similarity.PqK,
+               iters: Int = graft.operators.Similarity.PqIters,
+               subDim: Int = graft.operators.Similarity.PqSubDim,
+               dim: Int = 64): String = {
+    val chains = (0 until mSub).map(m =>
+      subLloydCtes(s"p${m}_", kk, iters, m * subDim, subDim)).mkString(",\n")
+    val codeCtes = (0 until mSub).map { m =>
+      s"""p${m}_code AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${pairDotOff("e.embedding", "c.cemb", m * subDim, subDim)}
+         |          DESC, c.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN p${m}_cent$iters c
+         |    WHERE e.vec_id >= $numQueryVecs) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until mSub).map(m =>
+      s"SELECT vec_id, $m AS m, cid AS code FROM p${m}_code")
+      .mkString("\n  UNION ALL ")
+    val lutUnion = (0 until mSub).map(m =>
+      s"""SELECT q.vec_id AS q_id, $m AS m, c.cid,
+         |    ${pairDotOff("q.embedding", "c.cemb", m * subDim, subDim)} AS dotv
+         |  FROM embeddings q CROSS JOIN p${m}_cent$iters c
+         |  WHERE q.vec_id < $numQueryVecs""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    val sCols = (0 until mSub).map(m =>
+      s"sum(CASE WHEN l.m = $m THEN l.dotv END) AS s$m").mkString(",\n    ")
+    val sSum = (0 until mSub).map(m => s"s$m").mkString(" + ")
+    s"""WITH $chains,
+       |$codeCtes,
+       |codes AS MATERIALIZED (
+       |  $codesUnion),
+       |lut AS MATERIALIZED (
+       |  $lutUnion),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id,
+       |    $sCols
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT q_id, vec_id, $sSum AS adcv,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS rk
+       |  FROM adc),
+       |ex AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${pairDot("q.embedding", "e.embedding", dim)} DESC,
+       |      e.vec_id ASC) AS xrk
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE q.vec_id < $numQueryVecs AND e.vec_id >= $numQueryVecs)
+       |SELECT t.q_id, t.vec_id, CAST(t.rk AS INTEGER) AS rk,
+       |  round(t.adcv, 6) AS adc,
+       |  CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+       |FROM top t LEFT JOIN (SELECT q_id, vec_id FROM ex WHERE xrk <= $k) x
+       |  ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+       |WHERE t.rk <= $k
+       |ORDER BY t.q_id, t.rk""".stripMargin
+  }
 }

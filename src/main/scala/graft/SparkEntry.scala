@@ -268,6 +268,7 @@ object SparkEntry {
     "w18_interval_union" -> ((s, d) => Windows.intervalUnion(s, d)),
     "gr10_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     "st8_attribution"    -> ((s, d) => Analytics.attribution(s, d)),
+    "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2379,6 +2380,7 @@ object SparkEntry {
         |  CAST(sum(max_e - min_s + 1) AS BIGINT) AS covered_days
         |FROM g GROUP BY 1 ORDER BY sk""".stripMargin,
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
+    "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "st8_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id, p.value

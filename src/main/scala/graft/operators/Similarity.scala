@@ -110,6 +110,15 @@ object Similarity {
   val Km3K = 4
   val Km3Iters = 8
 
+  /** PQ shape (sim12): 4 subspaces × 16 dims, 16-centroid codebooks,
+    * 3 Lloyd M-steps each — referenced by BOTH the Spark operator and
+    * its OracleGen registration so the two sides cannot drift.
+    */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+  val PqIters = 3
+
   // --- SIM4: IVF-style ANN over the PERSISTED cell index. Centroids
   // are LLOYD-TRAINED at index-build time (VectorIndex.lloydCentroids:
   // IvfLloydIters grid-rounded M-steps from the deterministic seeds),
@@ -563,5 +572,69 @@ object Similarity {
        |         CAST(NULL AS INTEGER) AS pick_order WHERE FALSE),
        |$rounds
        |SELECT pick_order, vec_id, rel, score FROM s$k ORDER BY pick_order""".stripMargin
+  }
+
+  // --- SIM12: product-quantization ADC top-k — the FAISS-PQ memory
+  // path: every corpus vector is reduced to PqM codebook ids (16
+  // bytes → 4 ids here; mSub·log₂ k bits in general) at index-build
+  // time (sources.VectorIndex.pqIndex: per-subspace Lloyd codebooks +
+  // one codegen argmax-dot encode pass, persisted). A query then
+  // never touches raw corpus vectors: it computes its own
+  // |Q|·PqM·PqK distance LUT (tiny — broadcast), joins it to the code
+  // table on (subspace, code), and the asymmetric-distance score is
+  // the LUT-sum over subspaces — reconstructed in a FIXED left-assoc
+  // order (s0+s1+s2+s3, one pivoted agg row per (q, vec)) so the
+  // double is bit-identical across engines. The in_exact flag joins
+  // the brute-force dot top-k (queries × corpus broadcast scan) so
+  // the approximation quality itself is hash-oracled. At 100 TB: the
+  // scan is over 16-byte codes instead of 256-byte vectors, the LUT
+  // join is a broadcast hash join, and the per-query rank is a
+  // TakeOrdered-sized window — the standard IVF-PQ recipe minus the
+  // coarse stage (compose with sim4's cell probe to add it). ---
+  def pqAdcTopK(s: SparkSession, d: String,
+                numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val books = (0 until PqM).map(m =>
+      graft.sources.VectorIndex.pqCodebookArrays(s, d, m, PqK, PqIters, PqSubDim))
+    val codes = graft.sources.VectorIndex
+      .pqIndex(s, d, PqM, PqK, PqIters, PqSubDim)
+      .filter(col("vec_id") >= numQueryVecs)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < numQueryVecs)
+    val lutStructs = for { m <- 0 until PqM; cid <- 0 until PqK } yield
+      struct(lit(m).as("m"), lit(cid).as("cid"),
+        vecDot(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+          array(books(m)(cid).map(f => lit(f)): _*)).as("dotv"))
+    val lut = q.select(col("vec_id").as("q_id"),
+        explode(array(lutStructs: _*)).as("t"))
+      .select(col("q_id"), col("t.m").as("lm"), col("t.cid").as("cid"),
+        col("t.dotv").as("dotv"))
+    val scored = codes.join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(when(col("m") === 0, col("dotv"))).as("s0"),
+        sum(when(col("m") === 1, col("dotv"))).as("s1"),
+        sum(when(col("m") === 2, col("dotv"))).as("s2"),
+        sum(when(col("m") === 3, col("dotv"))).as("s3"))
+      .withColumn("adc", col("s0") + col("s1") + col("s2") + col("s3"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val top = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val qe = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val we = Window.partitionBy("q_id")
+      .orderBy(col("xdot").desc, col("vec_id").asc)
+    val exactTop = e.filter(col("vec_id") >= numQueryVecs)
+      .crossJoin(broadcast(qe))
+      .select(col("q_id"), col("vec_id"),
+        vecDot(col("q_emb"), col("embedding")).as("xdot"))
+      .withColumn("xrk", row_number().over(we))
+      .filter(col("xrk") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    top.join(exactTop, Seq("q_id", "vec_id"), "left_outer")
+      .select(col("q_id"), col("vec_id"), col("rk"),
+        round(col("adc"), 6).as("adc"),
+        coalesce(col("hit"), lit(0)).as("in_exact"))
+      .orderBy("q_id", "rk")
   }
 }

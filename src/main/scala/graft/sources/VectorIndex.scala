@@ -219,8 +219,23 @@ object VectorIndex {
   def lloydCentroids(s: SparkSession, d: String, k: Int,
                      iters: Int, dim: Int = 64,
                      maxTrainRows: Long = LloydTrainCap): DataFrame = {
-    require(iters >= 1, "lloydCentroids needs at least one M-step")
     val path = indexPath(d, s"lloyd_${k}x${iters}x${dim}t$maxTrainRows")
+    lloydTrainSlice(s, d, k, iters, 0, dim, maxTrainRows, path)
+    s.read.parquet(path.toString)
+  }
+
+  /** Shared Lloyd loop over `embedding[lo, lo+len)` sub-vectors —
+    * `lo = 0, len = dim` is the full-vector coarse quantizer
+    * ([[lloydCentroids]]); nonzero `lo` trains one product-quantizer
+    * subspace codebook ([[pqCodebook]]). Same seed rule (first-k
+    * corpus rows, sliced), same argmax-dot assignment and 1e-6 grid
+    * snap, so the DuckDB replay differs only in the slice bounds.
+    */
+  private def lloydTrainSlice(s: SparkSession, d: String, k: Int,
+                              iters: Int, lo: Int, len: Int,
+                              maxTrainRows: Long,
+                              path: java.nio.file.Path): Unit = {
+    require(iters >= 1, "lloydCentroids needs at least one M-step")
     ensure(path) { out =>
       import org.apache.spark.sql.types._
       val e = Tables.embeddings(s, d)
@@ -230,9 +245,10 @@ object VectorIndex {
                   else e
       import s.implicits._
       val trainVecs = train.select(col("embedding")).as[Array[Float]]
+        .map(v => v.slice(lo, lo + len))
       var cents: Array[Array[Float]] = e.filter(col("vec_id") < k)
         .orderBy("vec_id").select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(_.getSeq[Float](0).toArray.slice(lo, lo + len))
       var counts = Array.fill(k)(0L)
       var fixed = false
       var t = 0
@@ -270,7 +286,6 @@ object VectorIndex {
       s.createDataFrame(rows, schema)
         .repartition(1).write.mode("overwrite").parquet(out)
     }
-    s.read.parquet(path.toString)
   }
 
   /** Collected form of [[lloydCentroids]] — k·dim floats, the literal
@@ -280,6 +295,27 @@ object VectorIndex {
                           iters: Int, dim: Int = 64,
                           maxTrainRows: Long = LloydTrainCap): Array[Array[Float]] =
     lloydCentroids(s, d, k, iters, dim, maxTrainRows)
+      .orderBy("cid").select(col("cemb")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Product-quantizer codebook for subspace `m`: k centroids over
+    * `embedding[m·subDim, (m+1)·subDim)`, Lloyd-trained and persisted
+    * exactly like the coarse quantizer (same seed rule, grid snap,
+    * train cap — see [[lloydTrainSlice]]).
+    */
+  def pqCodebook(s: SparkSession, d: String, m: Int, k: Int,
+                 iters: Int, subDim: Int,
+                 maxTrainRows: Long = LloydTrainCap): DataFrame = {
+    val path = indexPath(d, s"pqlloyd_${m}_${k}x${iters}x${subDim}t$maxTrainRows")
+    lloydTrainSlice(s, d, k, iters, m * subDim, subDim, maxTrainRows, path)
+    s.read.parquet(path.toString)
+  }
+
+  /** Collected form of [[pqCodebook]] — k·subDim floats per subspace. */
+  def pqCodebookArrays(s: SparkSession, d: String, m: Int, k: Int,
+                       iters: Int, subDim: Int,
+                       maxTrainRows: Long = LloydTrainCap): Array[Array[Float]] =
+    pqCodebook(s, d, m, k, iters, subDim, maxTrainRows)
       .orderBy("cid").select(col("cemb")).collect()
       .map(_.getSeq[Float](0).toArray)
 
@@ -300,6 +336,40 @@ object VectorIndex {
           cellOf(col("embedding")).as("cell"))
         .repartitionByRange(col("cell"))
         .sortWithinPartitions("cell")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** Product-quantization code index: (vec_id, m, code) — every
+    * corpus vector reduced to `mSub` small codebook ids (the
+    * FAISS-PQ memory shape: mSub·log₂(k) bits per vector instead of
+    * dim·32). Codes are assigned by the SAME codegen argmax-dot
+    * projection the query side replays (ties to the larger cid), over
+    * the [[pqCodebook]] subspace centroids, and persisted once per
+    * (dataset, params) — ADC queries scan ONLY this table (a ~16×
+    * narrower scan than raw embeddings at these params) and never
+    * touch raw vectors. Layout: vec_id-sorted — ADC is a linear scan
+    * by design, so the sort only buys row-group locality for
+    * id-ranged probes.
+    */
+  def pqIndex(s: SparkSession, d: String, mSub: Int, k: Int,
+              iters: Int, subDim: Int): DataFrame = {
+    val books = (0 until mSub).map(m =>
+      pqCodebookArrays(s, d, m, k, iters, subDim))
+    val path = indexPath(d, s"pqcodes_${mSub}x${k}x${iters}x$subDim")
+    ensure(path) { out =>
+      val codeCols = (0 until mSub).map { m =>
+        struct(lit(m).as("m"),
+          graft.functions.Vectors.nearestCellByDot(books(m))(
+            slice(col("embedding"), m * subDim + 1, subDim)).as("code"))
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(array(codeCols: _*)).as("mc"))
+        .select(col("vec_id"), col("mc.m").as("m"),
+          col("mc.code").cast("int").as("code"))
+        .repartitionByRange(col("vec_id"), col("m"))
+        .sortWithinPartitions("vec_id", "m")
         .write.mode("overwrite").parquet(out)
     }
     s.read.parquet(path.toString)

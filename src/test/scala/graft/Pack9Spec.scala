@@ -120,6 +120,40 @@ class Pack9Spec extends SparkTestBase {
     assert(math.abs(rv - num / den) < 1e-6, s"r $rv != brute-force ${num / den}")
   }
 
+  test("sim12: codes are in range, ADC approximates the true dot, recall is real") {
+    import graft.operators.Similarity
+    val codes = graft.sources.VectorIndex.pqIndex(spark, sf,
+      Similarity.PqM, Similarity.PqK, Similarity.PqIters, Similarity.PqSubDim)
+      .collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(codes.length.toLong == nVec * Similarity.PqM,
+      "every vector carries exactly PqM codes")
+    assert(codes.forall { r =>
+      val c = r.getAs[Int]("code"); c >= 0 && c < Similarity.PqK
+    })
+    val out = Similarity.pqAdcTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per query: exactly k rows, ranks 1..k
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+    // the ADC score of a top hit must be close to its TRUE dot product
+    // (quantization error bound: here just assert the correlation is
+    // meaningful — every adc within 50% relative of the true dot)
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    out.foreach { r =>
+      val truth = emb(r.getAs[Long]("q_id")).zip(emb(r.getAs[Long]("vec_id")))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val adc = r.getAs[Double]("adc")
+      assert(math.abs(adc - truth) <= 0.5 * math.abs(truth) + 0.5,
+        s"ADC $adc too far from true dot $truth")
+    }
+    // the in_exact flag is a real recall signal: at least one PQ top-k
+    // hit per run is also in the exact top-k (sanity floor, not a tuning bar)
+    assert(out.map(_.getAs[Int]("in_exact")).sum >= 1)
+  }
+
   test("st8: batch attribution equals the streamed interval join on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
