@@ -848,6 +848,56 @@ object OracleGen {
     (head +: steps).mkString(",\n")
   }
 
+  /** The PqM independent subspace chains of [[subLloydCtes]]. */
+  private def pqChains(mSub: Int, kk: Int, iters: Int, subDim: Int): String =
+    (0 until mSub).map(m =>
+      subLloydCtes(s"p${m}_", kk, iters, m * subDim, subDim)).mkString(",\n")
+
+  /** Per-subspace encode CTEs (argmax-dot against the trained chain,
+    * ties to the larger cid — Vectors.nearestCellByDot) + the unioned
+    * (vec_id, m, code) relation, the replay of VectorIndex.pqIndex.
+    * `whereSql` bounds the encoded set ("" = whole corpus).
+    */
+  private def pqCodesCtes(mSub: Int, iters: Int, subDim: Int,
+                          whereSql: String): String = {
+    val perSub = (0 until mSub).map { m =>
+      s"""p${m}_code AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        ${pairDotOff("e.embedding", "c.cemb", m * subDim, subDim)}
+         |          DESC, c.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN p${m}_cent$iters c
+         |    $whereSql) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until mSub).map(m =>
+      s"SELECT vec_id, $m AS m, cid AS code FROM p${m}_code")
+      .mkString("\n  UNION ALL ")
+    s"""$perSub,
+       |codes AS MATERIALIZED (
+       |  $union)""".stripMargin
+  }
+
+  /** The query-side (q_id, m, cid, dotv) distance LUT. */
+  private def pqLutCte(mSub: Int, iters: Int, subDim: Int,
+                       numQueryVecs: Int): String = {
+    val union = (0 until mSub).map(m =>
+      s"""SELECT q.vec_id AS q_id, $m AS m, c.cid,
+         |    ${pairDotOff("q.embedding", "c.cemb", m * subDim, subDim)} AS dotv
+         |  FROM embeddings q CROSS JOIN p${m}_cent$iters c
+         |  WHERE q.vec_id < $numQueryVecs""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""lut AS MATERIALIZED (
+       |  $union)""".stripMargin
+  }
+
+  private def pqSumCols(mSub: Int): String =
+    (0 until mSub).map(m =>
+      s"sum(CASE WHEN l.m = $m THEN l.dotv END) AS s$m").mkString(",\n    ")
+
+  private def pqSumExpr(mSub: Int): String =
+    (0 until mSub).map(m => s"s$m").mkString(" + ")
+
   /** SIM12 replay: PqM subspace Lloyd chains → corpus codes → query
     * LUT → pivoted ADC sum (fixed s0+s1+s2+s3 association, matching
     * Similarity.pqAdcTopK) → per-query top-k with the exact-dot flag.
@@ -858,36 +908,15 @@ object OracleGen {
                iters: Int = graft.operators.Similarity.PqIters,
                subDim: Int = graft.operators.Similarity.PqSubDim,
                dim: Int = 64): String = {
-    val chains = (0 until mSub).map(m =>
-      subLloydCtes(s"p${m}_", kk, iters, m * subDim, subDim)).mkString(",\n")
-    val codeCtes = (0 until mSub).map { m =>
-      s"""p${m}_code AS MATERIALIZED (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        ${pairDotOff("e.embedding", "c.cemb", m * subDim, subDim)}
-         |          DESC, c.cid DESC) AS rn
-         |    FROM embeddings e CROSS JOIN p${m}_cent$iters c
-         |    WHERE e.vec_id >= $numQueryVecs) t WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    val codesUnion = (0 until mSub).map(m =>
-      s"SELECT vec_id, $m AS m, cid AS code FROM p${m}_code")
-      .mkString("\n  UNION ALL ")
-    val lutUnion = (0 until mSub).map(m =>
-      s"""SELECT q.vec_id AS q_id, $m AS m, c.cid,
-         |    ${pairDotOff("q.embedding", "c.cemb", m * subDim, subDim)} AS dotv
-         |  FROM embeddings q CROSS JOIN p${m}_cent$iters c
-         |  WHERE q.vec_id < $numQueryVecs""".stripMargin)
-      .mkString("\n  UNION ALL ")
-    val sCols = (0 until mSub).map(m =>
-      s"sum(CASE WHEN l.m = $m THEN l.dotv END) AS s$m").mkString(",\n    ")
-    val sSum = (0 until mSub).map(m => s"s$m").mkString(" + ")
+    val chains = pqChains(mSub, kk, iters, subDim)
+    val codeCtes = pqCodesCtes(mSub, iters, subDim,
+      s"WHERE e.vec_id >= $numQueryVecs")
+    val lutCte = pqLutCte(mSub, iters, subDim, numQueryVecs)
+    val sCols = pqSumCols(mSub)
+    val sSum = pqSumExpr(mSub)
     s"""WITH $chains,
        |$codeCtes,
-       |codes AS MATERIALIZED (
-       |  $codesUnion),
-       |lut AS MATERIALIZED (
-       |  $lutUnion),
+       |$lutCte,
        |adc AS (
        |  SELECT l.q_id, c.vec_id,
        |    $sCols
@@ -912,5 +941,47 @@ object OracleGen {
        |  ON t.q_id = x.q_id AND t.vec_id = x.vec_id
        |WHERE t.rk <= $k
        |ORDER BY t.q_id, t.rk""".stripMargin
+  }
+
+  /** SIM13 replay: the full IVF-PQ — sim4's coarse Lloyd chain +
+    * cell/probe assignment bounds the candidate set, sim12's subspace
+    * chains + code/LUT machinery scores it. Candidates follow sim4's
+    * convention (everything in a probed cell except the query itself),
+    * so codes cover the whole corpus.
+    */
+  def sim13Sql(numQueryVecs: Int = 5, k: Int = 3,
+               numCells: Int = 16, nProbe: Int = 2,
+               mSub: Int = graft.operators.Similarity.PqM,
+               kk: Int = graft.operators.Similarity.PqK,
+               pqIters: Int = graft.operators.Similarity.PqIters,
+               subDim: Int = graft.operators.Similarity.PqSubDim,
+               dim: Int = 64,
+               coarseIters: Int = graft.operators.Similarity.IvfLloydIters): String = {
+    val sCols = pqSumCols(mSub)
+    val sSum = pqSumExpr(mSub)
+    s"""WITH ${ivfCtes(numQueryVecs, numCells, nProbe, dim, coarseIters)},
+       |${pqChains(mSub, kk, pqIters, subDim)},
+       |${pqCodesCtes(mSub, pqIters, subDim, "")},
+       |${pqLutCte(mSub, pqIters, subDim, numQueryVecs)},
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, cl.vec_id
+       |  FROM probes p JOIN cells cl ON cl.cell = p.probe_cell
+       |  WHERE cl.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT ca.query_id, ca.vec_id,
+       |    $sCols
+       |  FROM cand ca
+       |  JOIN codes c ON c.vec_id = ca.vec_id
+       |  JOIN lut l ON l.m = c.m AND l.cid = c.code AND l.q_id = ca.query_id
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT query_id, vec_id, $sSum AS adcv,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS rk
+       |  FROM adc)
+       |SELECT query_id, vec_id, CAST(rk AS INTEGER) AS rk,
+       |  round(adcv, 6) AS adc
+       |FROM top WHERE rk <= $k
+       |ORDER BY query_id, rk""".stripMargin
   }
 }

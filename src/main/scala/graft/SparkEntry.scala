@@ -269,6 +269,7 @@ object SparkEntry {
     "gr10_assortativity" -> ((s, d) => Graph.assortativity(s, d)),
     "st8_attribution"    -> ((s, d) => Analytics.attribution(s, d)),
     "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2381,6 +2382,7 @@ object SparkEntry {
         |FROM g GROUP BY 1 ORDER BY sk""".stripMargin,
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
+    "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "st8_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id, p.value

@@ -637,4 +637,68 @@ object Similarity {
         coalesce(col("hit"), lit(0)).as("in_exact"))
       .orderBy("q_id", "rk")
   }
+
+  // --- SIM13: IVF-PQ — the complete FAISS recipe: sim4's coarse cell
+  // probe bounds WHICH vectors are scored (a pushed-down IN scan over
+  // the cell-sorted index — ~nProbe/numCells of the corpus), sim12's
+  // PQ codes bound WHAT is read per vector (mSub code ids, never the
+  // raw embedding). At 100 TB this is the memory-and-IO shape vector
+  // search actually ships with: coarse quantizer prunes the scan,
+  // product codes compress it, the query's LUT turns scoring into
+  // additions. (Classic IVF-PQ encodes residuals against the coarse
+  // centroid; this variant codes raw vectors — the LUT is then
+  // cell-independent, which is what lets ONE broadcast LUT serve all
+  // probed cells.) Candidates follow sim4's convention: every indexed
+  // vector in a probed cell except the query itself. ---
+  def ivfPqTopK(s: SparkSession, d: String,
+                numQueryVecs: Int = 5, k: Int = 3,
+                numCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.functions.Vectors.{nearestCellByDot, nearestCellsByDot}
+    import graft.plans.VectorExpressions.vecDot
+    val e = Tables.embeddings(s, d)
+    val centroids = graft.sources.VectorIndex.lloydCentroidArrays(
+      s, d, numCells, IvfLloydIters)
+    val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
+      s"ivf_lloyd_${numCells}x${IvfLloydIters}t${graft.sources.VectorIndex.LloydTrainCap}")(
+      nearestCellByDot(centroids))
+    val books = (0 until PqM).map(m =>
+      graft.sources.VectorIndex.pqCodebookArrays(s, d, m, PqK, PqIters, PqSubDim))
+    val codes = graft.sources.VectorIndex
+      .pqIndex(s, d, PqM, PqK, PqIters, PqSubDim)
+    val queries = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"),
+        explode(nearestCellsByDot(centroids, nProbe)(col("embedding")))
+          .as("probe_cell"))
+    val probeCells = queries.select("probe_cell").distinct()
+      .collect().map(_.getInt(0))
+    val cand = idx.filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").dropDuplicates()
+    val lutStructs = for { m <- 0 until PqM; cid <- 0 until PqK } yield
+      struct(lit(m).as("m"), lit(cid).as("cid"),
+        vecDot(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+          array(books(m)(cid).map(f => lit(f)): _*)).as("dotv"))
+    val lut = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("q_id"), explode(array(lutStructs: _*)).as("t"))
+      .select(col("q_id"), col("t.m").as("lm"), col("t.cid").as("cid"),
+        col("t.dotv").as("dotv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    cand.join(codes, "vec_id")
+      .join(broadcast(lut),
+        col("q_id") === col("query_id") && col("lm") === col("m") &&
+          col("cid") === col("code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(when(col("m") === 0, col("dotv"))).as("s0"),
+        sum(when(col("m") === 1, col("dotv"))).as("s1"),
+        sum(when(col("m") === 2, col("dotv"))).as("s2"),
+        sum(when(col("m") === 3, col("dotv"))).as("s3"))
+      .withColumn("adc", col("s0") + col("s1") + col("s2") + col("s3"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rk")
+  }
 }

@@ -154,6 +154,33 @@ class Pack9Spec extends SparkTestBase {
     assert(out.map(_.getAs[Int]("in_exact")).sum >= 1)
   }
 
+  test("sim13: IVF-PQ hits come from probed cells and score like sim12's ADC") {
+    import graft.operators.Similarity
+    val out = Similarity.ivfPqTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    // scores descend within each query and ranks are consecutive
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      val scores = byRk.map(_.getAs[Double]("adc"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // the ADC value of a (q, vec) pair is the same number sim12
+    // computes — the coarse stage only prunes candidates, never
+    // changes scoring
+    val full = Similarity.pqAdcTopK(spark, sf, k = 1000000).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")),
+        r.getAs[Double]("adc"))).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      // sim12 excludes query vectors from its corpus; sim13 may rank
+      // another query vector (sim4 convention) — skip those
+      if (key._2 >= 5)
+        assert(full(key) == r.getAs[Double]("adc"),
+          s"ADC drift at $key: ${full(key)} vs ${r.getAs[Double]("adc")}")
+    }
+  }
+
   test("st8: batch attribution equals the streamed interval join on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
