@@ -270,6 +270,8 @@ object SparkEntry {
     "st8_attribution"    -> ((s, d) => Analytics.attribution(s, d)),
     "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
+    "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2383,6 +2385,48 @@ object SparkEntry {
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
+    "a38_changepoint" ->
+      """WITH daily AS (
+        |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cs,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM daily),
+        |g AS (
+        |  SELECT day, t, n, cs, total,
+        |    abs(n * cs - t * total) AS g_stat
+        |  FROM c WHERE t < n)
+        |SELECT day AS split_day, t, n, g_stat,
+        |  round(CAST(cs AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_left,
+        |  round(CAST(total - cs AS DOUBLE) / CAST(n - t AS DOUBLE), 6)
+        |    AS mean_right
+        |FROM g ORDER BY g_stat DESC, split_day ASC LIMIT 1""".stripMargin,
+    "sp5_bootstrap" -> {
+      val u = "CAST(('0x' || substr(md5(CAST(o_orderkey * 8 + rep " +
+        "AS VARCHAR)), 1, 8)) AS BIGINT)"
+      s"""WITH r AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    unnest(generate_series(0, 7)) AS rep
+         |  FROM orders),
+         |w AS (
+         |  SELECT rep, cents,
+         |    CAST(${operators.Sampling.poissonWeightSql(u)} AS BIGINT) AS w
+         |  FROM r)
+         |SELECT CAST(rep AS BIGINT) AS rep,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(w) AS BIGINT) AS n_eff,
+         |  CAST(sum(w * cents) AS BIGINT) AS boot_cents
+         |FROM w GROUP BY 1 ORDER BY rep""".stripMargin
+    },
     "st8_attribution" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  p.user_id, p.value

@@ -956,4 +956,39 @@ object Analytics {
       .select(col("n"), col("sx"), col("sy"),
         round(col("num") / sqrt(col("dxx") * col("dyy")), 6).as("rho"))
   }
+
+  // --- A38: changepoint detection — where does the daily revenue
+  // series most decisively shift its mean? The CUSUM split statistic
+  // G_t = |n·S_t − t·S_n| (S = prefix sum of daily cents), maximized
+  // over all split points t: this is the n-scaled form of
+  // |S_t − (t/n)·S_n|, kept EXACT integer so the argmax can never be
+  // an FP artifact — the division into means happens only on the one
+  // winning row. Shape: one day-level hash agg, one ordered window
+  // over the (bounded) daily aggregate for the prefix sum, a 1-row
+  // TakeOrdered argmax (ties to the earliest day). Past ~10⁹ days ×
+  // cents the n·S product moves to decimal(38,0), a26's discipline.
+  // ---
+  def changepoint(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val daily = Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")),
+        "yyyy-MM-dd").as("day"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
+    val ord = Window.orderBy("day")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cs", sum(col("cents")).over(cum))
+      .withColumn("n", sum(lit(1L)).over(tot))
+      .withColumn("total", sum(col("cents")).over(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("g_stat", abs(col("n") * col("cs") - col("t") * col("total")))
+      .orderBy(col("g_stat").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("split_day"), col("t"), col("n"), col("g_stat"),
+        round(dbl(col("cs")) / dbl(col("t")), 6).as("mean_left"),
+        round(dbl(col("total") - col("cs")) / dbl(col("n") - col("t")), 6)
+          .as("mean_right"))
+  }
 }

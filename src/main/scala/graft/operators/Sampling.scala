@@ -84,4 +84,56 @@ object Sampling {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** Poisson(1) CDF as exact ⌊P(X ≤ i)·2³²⌋ thresholds for i = 0..5 —
+    * shared by the Spark weight expression and the generated oracle
+    * CASE so the two can never drift. Weights > 6 are truncated
+    * (P < 6·10⁻⁴ — the resample bias is < 0.1%, documented at sp5).
+    */
+  val PoissonCdf32: Array[Long] = Array(
+    1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L)
+
+  /** The inverse-CDF weight for a uniform 32-bit draw, as a CASE
+    * chain (codegen'd; 6 comparisons).
+    */
+  private def poissonWeight(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PoissonCdf32.zipWithIndex.foldRight(lit(PoissonCdf32.length.toLong)) {
+      case ((thr, i), rest) => when(u < thr, i.toLong).otherwise(rest)
+    }
+
+  /** Oracle twin of [[poissonWeight]] over a SQL expression. */
+  def poissonWeightSql(u: String): String =
+    PoissonCdf32.zipWithIndex.map { case (thr, i) =>
+      s"WHEN $u < $thr THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${PoissonCdf32.length} END")
+
+  // --- SP5: deterministic Poisson bootstrap — R resampled estimates
+  // of total order revenue from ONE scan, no data copies: every order
+  // draws a reproducible Poisson(1) weight per replicate (inverse-CDF
+  // over the md5 hash-uniform keyed on orderkey·R + rep), and one
+  // grouped agg emits each replicate's resampled total. This is the
+  // standard distributed bootstrap (Poisson approximation to
+  // multinomial resampling — the resample size concentrates at n ±
+  // √n): at 100 TB you get R confidence-interval replicates for the
+  // cost of one aggregation, with zero shuffled rows beyond R
+  // partial-agg outputs, and the hash keying makes every replicate
+  // reproducible across runs and engines (the md5-uniform is dp2's
+  // split primitive, same oracle twin). All sums exact integer cents.
+  // ---
+  def poissonBootstrap(s: SparkSession, d: String, reps: Int = 8): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val u = conv(substring(md5(
+      (col("o_orderkey") * reps + col("rep")).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), cents.as("cents"),
+        explode(array((0 until reps).map(r => lit(r.toLong)): _*)).as("rep"))
+      .withColumn("w", poissonWeight(u))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("boot_cents"))
+      .orderBy("rep")
+  }
 }

@@ -181,6 +181,52 @@ class Pack9Spec extends SparkTestBase {
     }
   }
 
+  test("a38: the CUSUM argmax matches a brute-force scan of all split points") {
+    val r = Analytics.changepoint(spark, sf).head
+    val daily = Tables.orders(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")),
+        "yyyy-MM-dd").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .orderBy("day")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val n = daily.length.toLong
+    val total = daily.map(_._2).sum
+    var cs = 0L
+    val scored = daily.dropRight(1).zipWithIndex.map { case ((day, c), i) =>
+      cs += c
+      (day, i + 1L, math.abs(n * cs - (i + 1L) * total))
+    }
+    // maxBy keeps the FIRST maximal element — scored is day-ordered,
+    // so ties resolve to the earliest day, matching the operator
+    val best = scored.maxBy(_._3)
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("g_stat") == best._3)
+    assert(r.getAs[String]("split_day") == best._1)
+    assert(r.getAs[Long]("t") == best._2)
+    // the two segment means really differ at the chosen split
+    assert(r.getAs[Double]("mean_left") != r.getAs[Double]("mean_right"))
+  }
+
+  test("sp5: replicate sizes concentrate near n and totals near the true total") {
+    import graft.operators.Sampling
+    val rows = Sampling.poissonBootstrap(spark, sf).collect()
+    assert(rows.length == 8)
+    val n = rows.head.getAs[Long]("n_orders")
+    val trueTotal = Tables.orders(spark, sf)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head.getLong(0)
+    rows.foreach { r =>
+      val nEff = r.getAs[Long]("n_eff")
+      // Poisson(1) resample size: n ± ~√n; allow 6σ
+      assert(math.abs(nEff - n) <= 6 * math.sqrt(n.toDouble) + 1,
+        s"replicate size $nEff too far from $n")
+      val boot = r.getAs[Long]("boot_cents")
+      assert(math.abs(boot - trueTotal).toDouble / trueTotal < 0.25,
+        s"replicate total $boot too far from $trueTotal")
+    }
+    // replicates differ from each other (the hash really varies by rep)
+    assert(rows.map(_.getAs[Long]("boot_cents")).distinct.length > 1)
+  }
+
   test("st8: batch attribution equals the streamed interval join on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
