@@ -272,6 +272,9 @@ object SparkEntry {
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
     "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
+    "tx23_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
+    "a39_rfm"            -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "gr11_assoc_rules"   -> ((s, d) => Graph.associationRules(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2383,6 +2386,64 @@ object SparkEntry {
         |  CAST(sum(max_e - min_s + 1) AS BIGINT) AS covered_days
         |FROM g GROUP BY 1 ORDER BY sk""".stripMargin,
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
+    "gr11_assoc_rules" -> operators.Graph.associationRulesOracleSql(),
+    "tx23_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |pt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS oa,
+        |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ob
+        |  FROM tok GROUP BY 1),
+        |w AS (
+        |  SELECT token, oa, ob,
+        |    CAST(sum(oa) OVER () AS BIGINT) AS na,
+        |    CAST(sum(ob) OVER () AS BIGINT) AS nb
+        |  FROM pt),
+        |f AS (
+        |  SELECT token, oa, ob, na, nb, na + nb AS nn,
+        |    oa * nb - ob * na AS dcross
+        |  FROM w WHERE oa + ob >= 5)
+        |SELECT token, oa, ob, dcross,
+        |  round(CAST(nn AS DOUBLE) * CAST(dcross AS DOUBLE)
+        |      * CAST(dcross AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      * CAST(oa + ob AS DOUBLE) * CAST(nn - oa - ob AS DOUBLE)), 6)
+        |    AS chi2
+        |FROM f
+        |ORDER BY CAST(nn AS DOUBLE) * CAST(dcross AS DOUBLE)
+        |      * CAST(dcross AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |      * CAST(oa + ob AS DOUBLE) * CAST(nn - oa - ob AS DOUBLE)) DESC,
+        |  token ASC
+        |LIMIT 20""".stripMargin,
+    "a39_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_o,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |rd AS (
+        |  SELECT o_custkey, freq, monetary,
+        |    CAST(date_diff('day', CAST(last_o AS DATE),
+        |      CAST(max(last_o) OVER () AS DATE)) AS BIGINT) AS recency_days
+        |  FROM per),
+        |sc AS (
+        |  SELECT freq, monetary,
+        |    ntile(5) OVER (ORDER BY recency_days DESC, o_custkey ASC)
+        |      AS r_score,
+        |    ntile(5) OVER (ORDER BY freq ASC, o_custkey ASC) AS f_score,
+        |    ntile(5) OVER (ORDER BY monetary ASC, o_custkey ASC) AS m_score
+        |  FROM rd)
+        |SELECT r_score, f_score, m_score,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(monetary) AS BIGINT) AS segment_cents
+        |FROM sc GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "a38_changepoint" ->

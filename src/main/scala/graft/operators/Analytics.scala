@@ -957,6 +957,43 @@ object Analytics {
         round(col("num") / sqrt(col("dxx") * col("dyy")), 6).as("rho"))
   }
 
+  // --- A39: RFM segmentation — the classic customer-value cube:
+  // recency (days since last order, anchored to the corpus max date so
+  // the result is run-date-independent), frequency (order count),
+  // monetary (exact lifetime cents), each scored 1–5 by equal-
+  // frequency ntile over a TOTAL order (metric, then custkey — ties
+  // can never make the bucketing nondeterministic), 5 = best. Output
+  // is the segment distribution (≤125 rows) with per-segment customer
+  // counts and exact revenue. The ntile windows run over the
+  // per-customer AGGREGATE (a31/a34's scale note: dp10's
+  // range-partition two-pass is the 100 TB form of these global
+  // sorts). ---
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_o"),
+        count(lit(1)).as("freq"),
+        sum(Benchmark2.priceCents(col("o_totalprice"))).as("monetary"))
+    val tot = Window.partitionBy()
+    // score 5 = most recent / most frequent / highest spend:
+    // recency_days DESC puts the stalest customers in ntile 1
+    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey").asc)
+    val fW = Window.orderBy(col("freq").asc, col("o_custkey").asc)
+    val mW = Window.orderBy(col("monetary").asc, col("o_custkey").asc)
+    per
+      .withColumn("maxd", max(col("last_o")).over(tot))
+      .withColumn("recency_days",
+        datediff(col("maxd").cast("date"), col("last_o").cast("date"))
+          .cast("long"))
+      .withColumn("r_score", ntile(5).over(rW))
+      .withColumn("f_score", ntile(5).over(fW))
+      .withColumn("m_score", ntile(5).over(mW))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).as("segment_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   // --- A38: changepoint detection — where does the daily revenue
   // series most decisively shift its mean? The CUSUM split statistic
   // G_t = |n·S_t − t·S_n| (S = prefix sum of daily cents), maximized

@@ -642,6 +642,77 @@ object Graph {
       .orderBy(col("pair_n").desc, col("pa").asc, col("pb").asc)
       .limit(topK)
 
+  // --- GR11: association rules — gr3's support counts upgraded to
+  // directed rules with the two standard strengths: confidence
+  // P(b|a) = pair_n/ante_n and lift P(a,b)/(P(a)·P(b)) =
+  // pair_n·n_baskets/(ante_n·cons_n). Every count is the exact
+  // integer the engines agree on; confidence/lift are per-row double
+  // ratios (one identical expression both engines — no cross-row FP).
+  // Both rule directions are emitted from each canonical pair, ranked
+  // by lift. Shape: the same distinct (basket, item) relation and one
+  // pair hash-agg gr3 uses; the basket total is a 1-row agg broadcast
+  // by the optimizer. At 100 TB the support threshold bounds the rule
+  // relation exactly as it bounds the gr2 graph. ---
+  def associationRules(s: SparkSession, d: String,
+                       minSupport: Int = 3, topK: Int = 25): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // feeds item counts, pair counts, basket total
+    val itemN = op.groupBy("pk").agg(count(lit(1)).as("item_n"))
+    val pairN = pairRowsOf(op).groupBy("pa", "pb")
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSupport)
+    val baskets = op.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val rules = pairN
+      .select(col("pa").as("ante"), col("pb").as("cons"), col("pair_n"))
+      .unionByName(pairN.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("pair_n")))
+    rules
+      .join(itemN.select(col("pk").as("ante"), col("item_n").as("ante_n")), "ante")
+      .join(itemN.select(col("pk").as("cons"), col("item_n").as("cons_n")), "cons")
+      .crossJoin(broadcast(baskets))
+      .withColumn("confidence",
+        round(dbl(col("pair_n")) / dbl(col("ante_n")), 6))
+      .withColumn("lift",
+        round(dbl(col("pair_n")) * dbl(col("n_baskets"))
+          / (dbl(col("ante_n")) * dbl(col("cons_n"))), 6))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("ante").asc, col("cons").asc)
+      .limit(topK)
+      .select("ante", "cons", "pair_n", "ante_n", "cons_n",
+        "confidence", "lift")
+  }
+
+  def associationRulesOracleSql(minSupport: Int = 3, topK: Int = 25): String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |itemn AS (SELECT pk, CAST(count(*) AS BIGINT) AS item_n
+       |  FROM op GROUP BY 1),
+       |pairn AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS pair_n
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSupport),
+       |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM op),
+       |rules AS (
+       |  SELECT pa AS ante, pb AS cons, pair_n FROM pairn
+       |  UNION ALL SELECT pb, pa, pair_n FROM pairn)
+       |SELECT r.ante, r.cons, r.pair_n,
+       |  a.item_n AS ante_n, c.item_n AS cons_n,
+       |  round(CAST(r.pair_n AS DOUBLE) / CAST(a.item_n AS DOUBLE), 6)
+       |    AS confidence,
+       |  round(CAST(r.pair_n AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+       |    / (CAST(a.item_n AS DOUBLE) * CAST(c.item_n AS DOUBLE)), 6)
+       |    AS lift
+       |FROM rules r
+       |JOIN itemn a ON r.ante = a.pk
+       |JOIN itemn c ON r.cons = c.pk
+       |CROSS JOIN nb
+       |ORDER BY lift DESC, confidence DESC, ante ASC, cons ASC
+       |LIMIT $topK""".stripMargin
+
   // --- GR10: degree assortativity — does the basket graph wire hubs
   // to hubs (r > 0) or hubs to leaves (r < 0)? The one-number mixing
   // summary [Newman 2002]: Pearson correlation of the degrees at the

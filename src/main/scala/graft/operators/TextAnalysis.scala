@@ -721,4 +721,44 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  // --- TX23: source-divergence keywords — which tokens most
+  // distinguish one source's language from another's? Per token a 2×2
+  // contingency (this token vs all others × source A vs B); its χ²
+  // contribution reduces to N·d²/(n_a·n_b·(o_a+o_b)·(N−o_a−o_b)) with
+  // d = o_a·n_b − o_b·n_a — the signed EXACT-integer cross statistic
+  // (sign says which source the token leans toward; hash-checked raw).
+  // Doubles appear only per-row (one identical expression both
+  // engines, no cross-row FP summation — the reason this ranks by
+  // per-token χ² instead of reporting a corpus-level χ² total). Shape:
+  // one exploded-token hash agg with map-side partials; the window
+  // totals run over the (vocabulary-sized) token aggregate. This is
+  // the distinctive-vocabulary gate a mixing pipeline runs before
+  // assuming two crawls are interchangeable. ---
+  def sourceDivergence(s: SparkSession, d: String,
+                       srcA: String = "src0", srcB: String = "src1",
+                       topN: Int = 20, minCount: Int = 5): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val perTok = Tables.documents(s, d)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("oa"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("ob"))
+    val tot = Window.partitionBy()
+    perTok
+      .withColumn("na", sum(col("oa")).over(tot))
+      .withColumn("nb", sum(col("ob")).over(tot))
+      .filter(col("oa") + col("ob") >= minCount)
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("dcross", col("oa") * col("nb") - col("ob") * col("na"))
+      .withColumn("chi2",
+        dbl(col("nn")) * dbl(col("dcross")) * dbl(col("dcross"))
+          / (dbl(col("na")) * dbl(col("nb")) * dbl(col("oa") + col("ob"))
+            * dbl(col("nn") - col("oa") - col("ob"))))
+      .orderBy(col("chi2").desc, col("token").asc)
+      .limit(topN)
+      .select(col("token"), col("oa"), col("ob"), col("dcross"),
+        round(col("chi2"), 6).as("chi2"))
+  }
 }

@@ -227,6 +227,71 @@ class Pack9Spec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("boot_cents")).distinct.length > 1)
   }
 
+  test("a39: RFM scores are 1..5, customers conserved, ntile buckets balanced") {
+    val rows = Analytics.rfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5)
+      }
+    }
+    val nCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    // each r_score bucket holds n/5 ± 1 customers (ntile balance)
+    val byR = rows.groupBy(_.getAs[Int]("r_score"))
+      .map { case (k, v) => (k, v.map(_.getAs[Long]("n_customers")).sum) }
+    assert(byR.keySet == Set(1, 2, 3, 4, 5))
+    byR.values.foreach(c => assert(math.abs(c - nCust / 5.0) <= 1.0))
+  }
+
+  test("gr11: rules are confident and lifted consistently with raw counts") {
+    val rows = Graph.associationRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nBaskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val (pn, an, cn) = (r.getAs[Long]("pair_n"), r.getAs[Long]("ante_n"),
+        r.getAs[Long]("cons_n"))
+      assert(pn >= 3 && pn <= an && pn <= cn)
+      val conf = r.getAs[Double]("confidence")
+      assert(math.abs(conf - pn.toDouble / an) < 1e-6)
+      val lift = r.getAs[Double]("lift")
+      assert(math.abs(lift - pn.toDouble * nBaskets / (an.toDouble * cn)) < 1e-4)
+      assert(lift > 1.0, "top-ranked rules must be positively associated")
+    }
+    // lifts descend
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("tx23: divergence sign matches the leaning source; chi2 recomputes") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.sourceDivergence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val Seq(na, nb) = {
+      val t = Tables.documents(spark, sf)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tk"))
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().sortBy(_.getString(0)).map(_.getLong(1)).toSeq
+      t
+    }
+    rows.foreach { r =>
+      val (oa, ob, d) = (r.getAs[Long]("oa"), r.getAs[Long]("ob"),
+        r.getAs[Long]("dcross"))
+      assert(d == oa * nb - ob * na, "cross statistic mismatch")
+      // sign convention: d > 0 ⇒ the token is relatively more frequent
+      // in source A (oa/na > ob/nb)
+      if (d > 0) assert(oa.toDouble / na > ob.toDouble / nb)
+      if (d < 0) assert(oa.toDouble / na < ob.toDouble / nb)
+      val nn = (na + nb).toDouble
+      val chi2 = nn * d.toDouble * d.toDouble /
+        (na.toDouble * nb.toDouble * (oa + ob) * (nn - oa - ob))
+      assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+    }
+  }
+
   test("st8: batch attribution equals the streamed interval join on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
