@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long multi-query runs: shuffle files and broadcasts are only
+      // reclaimed when the ContextCleaner sees their handles GC'd, and
+      // the default periodic-GC interval (30min) is longer than a full
+      // suite - hundreds of executions accumulate, and late queries pay
+      // the pressure (observed: 5-15x inflation on the soak tail with
+      // per-query plans unchanged). A 2min floor keeps cleanup flowing.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

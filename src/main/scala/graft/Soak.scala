@@ -108,6 +108,23 @@ object Soak {
     ()
   }
 
+  /** customer copies, custkey-shifted in lockstep with the orders
+    * copies so the a36/a37 rank-statistics joins soak end-to-end.
+    */
+  private def buildCustomerIfMissing(s: SparkSession, base: String,
+                                     out: String): Unit = {
+    val done = new java.io.File(out, "_SOAK_OK_CUST")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val c = Tables.customer(s, base)
+    (0 until Copies).map { i =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    java.nio.file.Files.createFile(done.toPath)
+    ()
+  }
+
   /** The soaked families: everything here reads only documents /
     * embeddings / events (the derived tables). lineitem-family OLAP
     * queries are already scale-covered by the driver's own bench tiers.
@@ -134,7 +151,11 @@ object Soak {
     "tx21_textrank", "a31_decile_lift", "dp14_curriculum",
     "w16_rolling_z", "gr8_kcore", "mm6_scene_cuts", "gr9_link_pred",
     "a34_gini", "tx22_zipf_fit", "sq4_funnel_latency", "a35_benford",
-    "dp15_leakage_split", "w17_drawdown")
+    "dp15_leakage_split", "w17_drawdown",
+    "sim12_pq_adc", "sim13_ivf_pq", "tx23_source_divergence",
+    "a36_mannwhitney", "a37_spearman", "a38_changepoint", "a39_rfm",
+    "sp5_bootstrap", "w18_interval_union", "gr10_assortativity",
+    "gr11_assoc_rules", "st8_attribution")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer
@@ -182,18 +203,33 @@ object Soak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Long multi-query runs: shuffle files and broadcasts are only
+      // reclaimed when the ContextCleaner sees their handles GC'd, and
+      // the default periodic-GC interval (30min) is longer than a full
+      // suite - hundreds of executions accumulate, and late queries pay
+      // the pressure (observed: 5-15x inflation on the soak tail with
+      // per-query plans unchanged). A 2min floor keeps cleanup flowing.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     buildIfMissing(spark, base, out)
     buildSalesIfMissing(spark, base, out)
+    buildCustomerIfMissing(spark, base, out)
 
     def run(name: String, dir: String, soakSide: Boolean): Double = {
       val fn = (if (soakSide) soakForm(name) else None)
         .getOrElse(SparkEntry.queries(name))
       val dt = time(fn(spark, dir).write.format("noop").mode("overwrite").save())
-      // release the query's localCheckpoint blocks (see Bench)
+      // release the query's localCheckpoint blocks (see Bench), then
+      // force a GC in the untimed gap: the ContextCleaner only reclaims
+      // shuffle files / broadcasts whose handles have been collected,
+      // and the 2min periodic GC still let the tail of a 40min run
+      // inflate ~2-3x (measured; the same queries are flat in
+      // isolation). A deterministic collection per run keeps every
+      // measurement on a clean slate.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       dt
     }
 

@@ -275,6 +275,8 @@ object SparkEntry {
     "tx23_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
     "a39_rfm"            -> ((s, d) => Analytics.rfmSegments(s, d)),
     "gr11_assoc_rules"   -> ((s, d) => Graph.associationRules(s, d)),
+    "gr12_hits"          -> ((s, d) => Graph.hits(s, d)),
+    "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2387,6 +2389,40 @@ object SparkEntry {
         |FROM g GROUP BY 1 ORDER BY sk""".stripMargin,
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
     "gr11_assoc_rules" -> operators.Graph.associationRulesOracleSql(),
+    "gr12_hits" -> operators.Graph.hitsOracleSql(),
+    "a41_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT CAST((year(o_orderdate) - 1992) * 12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |slopes AS (
+        |  SELECT a.x AS xa, b.x AS xb,
+        |    CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM monthly a JOIN monthly b ON a.x < b.x),
+        |rk AS (
+        |  SELECT slope,
+        |    CAST(row_number() OVER (ORDER BY slope ASC, xa ASC, xb ASC)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM slopes),
+        |med AS (
+        |  SELECT slope, np AS n_pairs FROM rk WHERE rn = (np + 1) // 2),
+        |res AS (
+        |  SELECT m.x, d.slope, d.n_pairs,
+        |    CAST(m.c AS DOUBLE) - d.slope * CAST(m.x AS DOUBLE) AS resid
+        |  FROM monthly m CROSS JOIN med d),
+        |rr AS (
+        |  SELECT n_pairs, slope, resid,
+        |    CAST(row_number() OVER (ORDER BY resid ASC, x ASC) AS BIGINT)
+        |      AS rn,
+        |    CAST(count(*) OVER () AS BIGINT) AS nm
+        |  FROM res)
+        |SELECT nm AS n_months, n_pairs,
+        |  round(slope, 6) AS slope_cents_per_month,
+        |  CAST(floor(resid + 0.5) AS BIGINT) AS intercept_cents
+        |FROM rr WHERE rn = (nm + 1) // 2""".stripMargin,
     "tx23_source_divergence" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token

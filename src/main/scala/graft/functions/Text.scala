@@ -111,19 +111,6 @@ object Text {
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
 
-  /** Stopword-profile language-ID heuristic: score = overlap of the
-    * doc's tokens with each language's profile; argmax with a
-    * deterministic tiebreak (max over (score, lang) structs).
-    */
-  def langIdPredict(ws: Column, profiles: Map[String, Seq[String]]): Column = {
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, stops) =>
-      val stopArr = array(stops.map(lit): _*)
-      struct(size(filter(ws, t => array_contains(stopArr, t))).as("score"),
-        lit(lang).as("lang"))
-    }
-    array_max(array(scored: _*)).getField("lang")
-  }
-
   /** Content fingerprint: md5 of the raw text (exact-dup key that
     * travels as 32 bytes instead of the full doc — what you shuffle
     * at 100 TB instead of `text` itself).

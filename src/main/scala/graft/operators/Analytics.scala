@@ -994,6 +994,57 @@ object Analytics {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  // --- A41: Theil–Sen robust trend — the median of all pairwise
+  // slopes of the monthly revenue series (a26's OLS sibling that one
+  // outlier month cannot move; breakdown point 29%). The pair
+  // relation is month-aggregate² — BOUNDED (84 months → ~3.5k pairs at any
+  // corpus size; the series length is calendar-bounded, not
+  // data-bounded), so the O(n²) is by construction scale-safe. x is
+  // months-since-epoch (exact integer), each slope one per-row double
+  // division, the median an exact rank pick (row_number over (slope,
+  // pair key) — lower median for even counts, deterministic under
+  // ties). Sen's intercept = median of per-month residuals against
+  // the chosen slope, same discipline. ---
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    // reused three times (pair self-join sides + residuals) but NOT
+    // checkpointed: the recompute is one cheap scan+agg each, and an
+    // opaque checkpoint scan would hide the aggregate provenance the
+    // plan-hygiene guard uses to allow the global median windows
+    val monthly = Tables.orders(s, d)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12
+        + month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("c"))
+    val a = monthly.select(col("x").as("xa"), col("c").as("ca"))
+    val b = monthly.select(col("x").as("xb"), col("c").as("cb"))
+    val slopes = a.join(broadcast(b), col("xa") < col("xb"))
+      .select(col("xa"), col("xb"),
+        (dbl(col("cb") - col("ca")) / dbl(col("xb") - col("xa")))
+          .as("slope"))
+    val wS = Window.orderBy(col("slope").asc, col("xa").asc, col("xb").asc)
+    val tot = Window.partitionBy()
+    val med = slopes
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("np", sum(lit(1L)).over(tot))
+      .filter(col("rn") === expr("(np + 1) div 2")) // lower median
+      .select(col("slope"), col("np").as("n_pairs"))
+    val wR = Window.orderBy(col("resid").asc, col("x").asc)
+    monthly.crossJoin(broadcast(med))
+      .select(col("x"), col("slope"), col("n_pairs"),
+        (dbl(col("c")) - col("slope") * dbl(col("x"))).as("resid"))
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("nm", sum(lit(1L)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(nm + 1) div 2"))
+      .select(col("nm").as("n_months"), col("n_pairs"),
+        round(col("slope"), 6).as("slope_cents_per_month"),
+        // whole cents via floor(x+0.5), NOT round(x, 6): the residual
+        // is ~1e10, where round-by-1e6-multiply exceeds 2^53 and the
+        // engines' round() implementations diverge in the last ULP;
+        // floor(x+0.5) is two IEEE ops, bit-identical, and sub-cent
+        // precision of a median residual carries no information
+        floor(col("resid") + 0.5).cast("long").as("intercept_cents"))
+  }
+
   // --- A38: changepoint detection — where does the daily revenue
   // series most decisively shift its mean? The CUSUM split statistic
   // G_t = |n·S_t − t·S_n| (S = prefix sum of daily cents), maximized

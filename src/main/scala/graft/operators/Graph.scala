@@ -642,6 +642,79 @@ object Graph {
       .orderBy(col("pair_n").desc, col("pa").asc, col("pb").asc)
       .limit(topK)
 
+  // --- GR12: HITS hubs & authorities — on the bipartite
+  // customer→supplier trade graph the two sides of the mutual
+  // endorsement: a good hub (customer) buys from good authorities
+  // (suppliers), a good authority is bought from by good hubs
+  // [Kleinberg 1999]. Each half-step is one edges⋈scores join + one
+  // hash-agg (gr1's message-passing shape); the L1 normalization that
+  // keeps power iteration from overflowing runs in INTEGER fixed
+  // point: score ← raw div (total div SCALE), all positive, so
+  // Spark's `div` and DuckDB's `//` agree bit-for-bit and the oracle
+  // replays the identical unrolled chain. Fixed iteration budget like
+  // gr1 (deterministic fixed-point iteration; at corpus scale an
+  // iteration budget is what a scheduler allocates anyway). ---
+  def hits(s: SparkSession, d: String,
+           iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
+    // tradeEdges' node encoding (cust·2 / supp·2+1): the raw key
+    // spaces overlap numerically, and hub/authority ids must not
+    val e = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"), expr("raw div (tot div " + scale + "L)").as("score"))
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(scale))
+    var a: DataFrame = e.select(col("dst").as("node")).distinct()
+      .withColumn("score", lit(scale))
+    for (_ <- 1 to iters) {
+      a = normalize(e.join(h, e("src") === h("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw")))
+        .localCheckpoint()
+      h = normalize(e.join(a, e("dst") === a("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
+        .localCheckpoint()
+    }
+    h.select(lit("hub").as("kind"), col("node"), col("score"))
+      .unionByName(
+        a.select(lit("auth").as("kind"), col("node"), col("score")))
+      .orderBy("kind", "node")
+  }
+
+  def hitsOracleSql(iters: Int = 4, scale: Long = 1000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}raw AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |a${i}tot AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a${i}raw),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, raw // (tot // $scale) AS score
+         |  FROM a${i}raw CROSS JOIN a${i}tot),
+         |h${i}raw AS MATERIALIZED (
+         |  SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |h${i}tot AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h${i}raw),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, raw // (tot // $scale) AS score
+         |  FROM h${i}raw CROSS JOIN h${i}tot)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($scale AS BIGINT) AS score
+       |  FROM edges),
+       |$rounds
+       |SELECT 'hub' AS kind, node, score FROM h$iters
+       |UNION ALL SELECT 'auth', node, score FROM a$iters
+       |ORDER BY kind, node""".stripMargin
+  }
+
   // --- GR11: association rules — gr3's support counts upgraded to
   // directed rules with the two standard strengths: confidence
   // P(b|a) = pair_n/ante_n and lift P(a,b)/(P(a)·P(b)) =

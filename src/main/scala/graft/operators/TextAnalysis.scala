@@ -338,12 +338,38 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
-  // --- TX5: language-ID prediction vs the labeled lang column. ---
-  def langId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        Text.langIdPredict(Text.tokens(col("text")), langProfiles).as("predicted"))
+  // --- TX5: language-ID prediction vs the labeled lang column.
+  // Shape: explode + broadcast profile join + hash agg + literal
+  // argmax — NOT the per-row `filter(ws, …)` HOF (interpreted lambda
+  // per token, the anti-pattern the Dedup header documents; the HOF
+  // form measured ~10× this plan's cost on the 10× soak corpus). A
+  // token matching k profiles contributes to all k scores via join
+  // multiplicity — identical semantics to scoring each profile
+  // independently. Docs with no profile token keep all-zero scores
+  // through the left join; ties resolve to the LARGER lang string
+  // (array_max over (score, lang) structs), matching the oracle's
+  // ORDER BY score DESC, lng DESC. ---
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val langs = langProfiles.keys.toSeq.sorted
+    val prof = langProfiles.toSeq.sortBy(_._1)
+      .flatMap { case (lng, stops) => stops.map(w => (w, lng)) }
+      .toDF("t", "plng")
+    val scoreCols = langs.map(l =>
+      sum(when(col("plng") === l, lit(1L)).otherwise(0L)).as("s_" + l))
+    val scores = Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .join(broadcast(prof), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val best = array_max(array(langs.map(l =>
+      struct(coalesce(col("s_" + l), lit(0L)).as("score"),
+        lit(l).as("lang"))): _*)).getField("lang")
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), best.as("predicted"))
       .orderBy("doc_id")
+  }
 
   // --- TX13: PMI collocations — pointwise-mutual-information ranking
   // of corpus bigrams, the standard signal for multi-word expressions

@@ -292,6 +292,47 @@ class Pack9Spec extends SparkTestBase {
     }
   }
 
+  test("gr12: HITS scores are L1-normalized to ~scale and sides are disjoint") {
+    val rows = Graph.hits(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hubs = rows.filter(_.getAs[String]("kind") == "hub")
+    val auths = rows.filter(_.getAs[String]("kind") == "auth")
+    assert(hubs.nonEmpty && auths.nonEmpty)
+    // bipartite: the same node id never appears on both sides
+    assert(hubs.map(_.getAs[Long]("node")).toSet
+      .intersect(auths.map(_.getAs[Long]("node")).toSet).isEmpty)
+    // integer-div L1 normalization: the truncated divisor (tot div
+    // scale) makes per-row quotients slightly LARGE, so the total can
+    // overshoot scale by ~scale²/tot — bound it at ±10%
+    val scale = 1000000000L
+    Seq(hubs, auths).foreach { side =>
+      val tot = side.map(_.getAs[Long]("score")).sum
+      assert(tot <= scale * 11 / 10, s"normalized total $tot far above scale")
+      assert(tot > scale / 2, s"normalized total $tot collapsed")
+    }
+    assert(rows.forall(_.getAs[Long]("score") >= 0L))
+  }
+
+  test("a41: Theil-Sen slope is the exact median of all pairwise slopes") {
+    val r = Analytics.theilSen(spark, sf).head
+    val monthly = Tables.orders(spark, sf)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12
+        + month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      (a, i) <- monthly.zipWithIndex; b <- monthly.drop(i + 1)
+    } yield (b._2 - a._2).toDouble / (b._1 - a._1)).sorted
+    assert(r.getAs[Long]("n_months") == monthly.length.toLong)
+    assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+    val med = slopes((slopes.length + 1) / 2 - 1) // lower median, 1-based
+    assert(math.abs(r.getAs[Double]("slope_cents_per_month") - med) < 1e-6)
+    // intercept is the median residual against that slope, whole cents
+    val resid = monthly.map { case (x, c) => c.toDouble - med * x }.sorted
+    val medR = resid((resid.length + 1) / 2 - 1)
+    assert(r.getAs[Long]("intercept_cents") == math.floor(medR + 0.5).toLong)
+  }
+
   test("st8: batch attribution equals the streamed interval join on the same events") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
