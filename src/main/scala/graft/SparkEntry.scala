@@ -277,6 +277,7 @@ object SparkEntry {
     "gr11_assoc_rules"   -> ((s, d) => Graph.associationRules(s, d)),
     "gr12_hits"          -> ((s, d) => Graph.hits(s, d)),
     "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
+    "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2390,6 +2391,36 @@ object SparkEntry {
     "gr10_assortativity" -> operators.Graph.assortativityOracleSql(),
     "gr11_assoc_rules" -> operators.Graph.associationRulesOracleSql(),
     "gr12_hits" -> operators.Graph.hitsOracleSql(),
+    "dp16_contrastive_negs" ->
+      """WITH anchors AS (
+        |  SELECT vec_id AS a_id, embedding AS a_emb
+        |  FROM embeddings WHERE vec_id < 6),
+        |cands AS (
+        |  SELECT vec_id AS c_id, embedding AS c_emb
+        |  FROM embeddings WHERE vec_id >= 6),
+        |pri AS (
+        |  SELECT a.a_id, c.c_id, a.a_emb, c.c_emb,
+        |    CAST(('0x' || substr(md5(
+        |      CAST(a.a_id * 1000000 + c.c_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS u
+        |  FROM cands c CROSS JOIN anchors a),
+        |short AS (
+        |  SELECT a_id, c_id, a_emb, c_emb,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY u ASC, c_id ASC)
+        |      AS hrk
+        |  FROM pri WHERE u < 214748364),
+        |sel AS (
+        |  SELECT a_id, c_id, hrk,
+        |    list_cosine_similarity(CAST(a_emb AS DOUBLE[]),
+        |                           CAST(c_emb AS DOUBLE[])) AS cs
+        |  FROM short WHERE hrk <= 8),
+        |fin AS (
+        |  SELECT a_id, c_id, cs,
+        |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY hrk ASC)
+        |      AS INTEGER) AS rk
+        |  FROM sel WHERE cs < 0.3)
+        |SELECT a_id, c_id AS neg_id, rk, round(cs, 4) AS cos_sim
+        |FROM fin WHERE rk <= 4 ORDER BY a_id, rk""".stripMargin,
     "a41_theil_sen" ->
       """WITH monthly AS (
         |  SELECT CAST((year(o_orderdate) - 1992) * 12

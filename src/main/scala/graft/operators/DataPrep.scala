@@ -707,4 +707,48 @@ object DataPrep {
        |FROM ranked r JOIN quotas q ON r.source = q.source
        |WHERE r.rk <= q.target_n
        |ORDER BY r.source, r.rk""".stripMargin
+
+  // --- DP16: contrastive negative sampling — for each anchor
+  // embedding, k reproducible random negatives that are NOT near-dups
+  // of the anchor (a near-dup "negative" is a false negative that
+  // poisons a contrastive objective — the dd6 threshold is the same
+  // gate). Selection is a deterministic per-(anchor, candidate) md5
+  // priority (dp2's hash-uniform, so the sample is stable across runs
+  // and engines), shortlisted to 2k by priority, then cosine-verified
+  // against the anchor. Scale shape: the hash prefilter (u below a
+  // static threshold) is a pushed-down scan predicate that keeps the
+  // per-anchor window input at ~dozens of rows regardless of corpus
+  // size — the corpus is scanned once, anchors broadcast, nothing
+  // global is sorted. ---
+  def contrastiveNegatives(s: SparkSession, d: String,
+                           numAnchors: Int = 6, k: Int = 4,
+                           shortlist: Int = 8,
+                           nearDupThreshold: Double = 0.3): DataFrame = {
+    import graft.plans.VectorExpressions.vecCosine
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < numAnchors)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val cands = e.filter(col("vec_id") >= numAnchors)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val u = conv(substring(md5(
+      (col("a_id") * 1000000L + col("c_id")).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // keep ~5% of pairs: the 2k-smallest priorities survive w.h.p. at
+    // any corpus size, and the predicate prunes at the scan
+    val uCap = (4294967296L * 5) / 100
+    val wH = Window.partitionBy("a_id").orderBy(col("u").asc, col("c_id").asc)
+    val wK = Window.partitionBy("a_id").orderBy(col("hrk").asc)
+    cands.crossJoin(broadcast(anchors))
+      .withColumn("u", u)
+      .filter(col("u") < uCap)
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+      .withColumn("cs", vecCosine(col("a_emb"), col("c_emb")))
+      .filter(col("cs") < nearDupThreshold)
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= k)
+      .select(col("a_id"), col("c_id").as("neg_id"), col("rk"),
+        round(col("cs"), 4).as("cos_sim"))
+      .orderBy("a_id", "rk")
+  }
 }
