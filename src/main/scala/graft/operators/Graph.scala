@@ -38,13 +38,20 @@ object Graph {
     * has in-edges, so no teleport-mass correction is needed.
     */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val one = Tables.orders(s, d)
+    val one = graft.sources.GraphIndex.tradeEdges(s, d)
+    one.unionByName(one.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The inline (index-free) trade-edge derivation — what
+    * [[graft.sources.GraphIndex.tradeEdges]] persists; kept for
+    * GraphIndexSpec's bit-transparency assertion.
+    */
+  private[graft] def tradeEdgesInline(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    one.unionByName(one.select(col("dst").as("src"), col("src").as("dst")))
-  }
 
   // --- GR1: PageRank, integer-exact. rank_{k+1}(v) =
   // (15·SCALE) div 100  +  (85 · Σ_{u→v} rank_k(u) div outdeg(u)) div 100,
@@ -248,11 +255,7 @@ object Graph {
   // Spark early exit and the fixed replay agree. Per round: one
   // edges⋈dist join + one min hash-agg — identical scale shape to gr4. ---
   def cheapestRoute(s: SparkSession, d: String, maxIter: Int = 12): DataFrame = {
-    val e0 = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val e0 = graft.sources.GraphIndex.tradeWeightedEdges(s, d)
     val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .localCheckpoint()
@@ -539,7 +542,16 @@ object Graph {
     * bounded per-basket self-join + hash-agg, linear in baskets.
     */
   private[graft] def supportedEdges(s: SparkSession, d: String,
-                                    minSupport: Int): DataFrame = {
+                                    minSupport: Int): DataFrame =
+    graft.sources.GraphIndex.basketPairCounts(s, d)
+      .filter(col("pair_n") >= minSupport)
+      .select("pa", "pb")
+
+  /** Inline (index-free) twin of [[supportedEdges]] — kept for
+    * GraphIndexSpec's bit-transparency assertion.
+    */
+  private[graft] def supportedEdgesInline(s: SparkSession, d: String,
+                                          minSupport: Int): DataFrame = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -600,12 +612,13 @@ object Graph {
   // as GR2's edge build) + one hash-agg; item counts join in by key.
   // Top 100 by support with full-key tie-break keeps the output
   // stable and small at any scale. ---
-  def copurchaseSupport(s: SparkSession, d: String, topK: Int = 100): DataFrame =
-    supportFromItems(
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct(),
+  def copurchaseSupport(s: SparkSession, d: String, topK: Int = 100): DataFrame = {
+    val op = graft.sources.GraphIndex.basketItems(s, d)
+    supportFromCounts(
+      graft.sources.GraphIndex.basketPairCounts(s, d),
+      op.groupBy("pk").agg(count(lit(1)).as("item_n")),
       topK)
+  }
 
   /** The support computation over any distinct (ok, pk) basket-item
     * relation. The per-basket pair derivation here and the ranked
@@ -658,12 +671,7 @@ object Graph {
            iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
     // tradeEdges' node encoding (cust·2 / supp·2+1): the raw key
     // spaces overlap numerically, and hub/authority ids must not
-    val e = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .localCheckpoint()
+    val e = graft.sources.GraphIndex.tradeEdges(s, d).localCheckpoint()
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot))
@@ -729,13 +737,9 @@ object Graph {
   def associationRules(s: SparkSession, d: String,
                        minSupport: Int = 3, topK: Int = 25): DataFrame = {
     def dbl(c: Column) = c.cast("double")
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .localCheckpoint() // feeds item counts, pair counts, basket total
+    val op = graft.sources.GraphIndex.basketItems(s, d)
     val itemN = op.groupBy("pk").agg(count(lit(1)).as("item_n"))
-    val pairN = pairRowsOf(op).groupBy("pa", "pb")
-      .agg(count(lit(1)).as("pair_n"))
+    val pairN = graft.sources.GraphIndex.basketPairCounts(s, d)
       .filter(col("pair_n") >= minSupport)
     val baskets = op.select(col("ok")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
