@@ -270,6 +270,7 @@ object SparkEntry {
     "st8_attribution"    -> ((s, d) => Analytics.attribution(s, d)),
     "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    "sim14_hybrid_rrf"   -> ((s, d) => Similarity.hybridRrf(s, d)),
     "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
     "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
     "tx23_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
@@ -277,6 +278,11 @@ object SparkEntry {
     "gr11_assoc_rules"   -> ((s, d) => Graph.associationRules(s, d)),
     "gr12_hits"          -> ((s, d) => Graph.hits(s, d)),
     "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
+    "a42_acf"            -> ((s, d) => Analytics.autocorrelation(s, d)),
+    "dq1_profile"        -> ((s, d) => DataQuality.profile(s, d)),
+    "dq2_constraints"    -> ((s, d) => DataQuality.constraints(s, d)),
+    "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
+    "pv1_k_anonymity"    -> ((s, d) => DataQuality.kAnonymity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -1113,6 +1119,11 @@ object SparkEntry {
     "dd16_doc_neardup_probe" -> OracleGen.dd16Sql(),
     "dd17_incremental_index" -> OracleGen.dd17Sql(),
     "zo1_zorder_keys" -> OracleGen.zo1Sql(),
+    "a42_acf" -> operators.Analytics.autocorrelationOracleSql(),
+    "dq1_profile" -> operators.DataQuality.profileOracleSql(),
+    "dq2_constraints" -> operators.DataQuality.constraintsOracleSql(),
+    "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),
+    "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),
@@ -2513,6 +2524,7 @@ object SparkEntry {
         |ORDER BY r_score, f_score, m_score""".stripMargin,
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
+    "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (
         |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

@@ -1079,4 +1079,74 @@ object Analytics {
         round(dbl(col("total") - col("cs")) / dbl(col("n") - col("t")), 6)
           .as("mean_right"))
   }
+
+  // --- A42: autocorrelation function — Pearson r between the daily
+  // revenue series and itself at lags 1..maxLag, the first diagnostic
+  // a forecasting pipeline computes (is there weekly seasonality? how
+  // fast does the signal decorrelate?). The series is the exact
+  // daily cents aggregate; lag pairs come from a calendar-date
+  // equi-join (day, day+lag) — gap days simply contribute no pair,
+  // the irregular-series convention w15 (TWAP) also uses. Per lag,
+  // a26's discipline: exact decimal(38,0) power sums (daily cents
+  // ~1e9, products ~1e18 — wide headroom), doubles only in the final
+  // per-row r with explicit association. The lag table is a tiny
+  // broadcast; the join shuffles the (small, one-row-per-day)
+  // aggregate, never the fact table. ---
+  def autocorrelation(s: SparkSession, d: String, maxLag: Int = 7): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice")).cast(dec)).as("x"))
+    val lags = s.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"),
+        col("b.day") === date_add(col("a.day"), col("lag")))
+      .select(col("lag"), col("a.x").as("xa"), col("b.x").as("xb"))
+      .groupBy("lag")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((dbl(col("n")) * dbl(col("sxy"))
+            - dbl(col("sx")) * dbl(col("sy")))
+          / sqrt((dbl(col("n")) * dbl(col("sxx"))
+              - dbl(col("sx")) * dbl(col("sx")))
+            * (dbl(col("n")) * dbl(col("syy"))
+              - dbl(col("sy")) * dbl(col("sy")))), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Oracle twin of [[autocorrelation]] — same daily-cents series,
+    * calendar-join lag pairs, exact sums, and double association.
+    */
+  def autocorrelationOracleSql(maxLag: Int = 7): String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+       |      AS x
+       |  FROM orders GROUP BY 1),
+       |lags AS (SELECT CAST(unnest(range(1, ${maxLag + 1})) AS INTEGER)
+       |  AS lag),
+       |p AS (
+       |  SELECT l.lag, a.x AS xa, b.x AS xb
+       |  FROM lags l
+       |  CROSS JOIN daily a
+       |  JOIN daily b ON b.day = a.day + l.lag),
+       |m AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+       |    sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+       |  FROM p GROUP BY 1)
+       |SELECT lag, n,
+       |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+       |FROM m ORDER BY lag""".stripMargin
 }

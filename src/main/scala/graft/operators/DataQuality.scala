@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality and privacy audits — the validation layer a training
+  * pipeline runs BEFORE a corpus is trusted (the Deequ/Great-
+  * Expectations surface, re-expressed as declarative Spark plans).
+  * The reference has no audit surface; these are extension operators
+  * in the same spirit as the dedup/text families: at 100 TB nobody
+  * eyeballs the data, so profiling, constraint checking, snapshot
+  * diffing, and re-identification risk scans must be first-class
+  * queries.
+  *
+  * Exactness discipline: every statistic is an integer count (or a
+  * per-row double ratio of exact integers, rounded once), so all four
+  * audits hash-oracle cross-engine.
+  */
+object DataQuality {
+
+  // --- DQ1: single-pass column profile — per column of `orders`:
+  // row count, null count, exact distinct count, completeness ratio.
+  // ONE scan: the multi-column distinct aggregate plans as Spark's
+  // Expand (k·rows intermediate, partial-agged map-side before the
+  // shuffle) — the same cost class as a profiler's one pass, with no
+  // per-column re-scan. Distinct counts are exact (a profiler gate
+  // should not be approximate about key-ness); the approximate tier
+  // for wide exploration is a8's HLL family. Output is one row per
+  // column via an explode over the single agg row — constant-size
+  // post-agg work at any corpus scale. ---
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = count(lit(1)).cast("long").as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    Tables.orders(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+        round(lit(1.0) - col("p.n_null").cast("double")
+          / col("n_rows").cast("double"), 6).as("completeness"))
+      .orderBy("col_name")
+  }
+
+  def profileOracleSql(): String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  round(1.0 - CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS completeness
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  // --- DQ2: declarative constraint suite — (rule, violations,
+  // checked) per assertion: key uniqueness, referential integrity,
+  // domain ranges, and a cross-table temporal rule. Each rule is one
+  // aggregate over its own (pruned, pushed-down) scan; the
+  // referential and temporal rules are keyed joins (broadcast-able
+  // dimension side). A CI gate diffs this relation against
+  // all-zeros — the audit IS a query, so it scales exactly like the
+  // queries it guards. ---
+  def constraints(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val l = Tables.lineitem(s, d)
+    def row(rule: String, viol: Column, checked: Column)(df: DataFrame) =
+      df.agg(viol.cast("long").as("n_violations"),
+          checked.cast("long").as("n_checked"))
+        .select(lit(rule).as("rule"), col("n_violations"), col("n_checked"))
+
+    val unique = row("o_orderkey_unique",
+      count(lit(1)) - countDistinct(col("o_orderkey")), count(lit(1)))(o)
+    val ref = row("orders_custkey_in_customer",
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)), count(lit(1)))(
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_outer"))
+    val qty = row("l_quantity_in_1_50",
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)), count(lit(1)))(l)
+    val price = row("o_totalprice_positive",
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+      count(lit(1)))(o)
+    val temporal = row("l_shipdate_not_before_orderdate",
+      sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)),
+      count(lit(1)))(
+      l.join(o, l("l_orderkey") === o("o_orderkey")))
+    unique.unionByName(ref).unionByName(qty).unionByName(price)
+      .unionByName(temporal)
+      .orderBy("rule")
+  }
+
+  def constraintsOracleSql(): String =
+    """SELECT 'o_orderkey_unique' AS rule,
+      |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |    AS n_violations,
+      |  CAST(count(*) AS BIGINT) AS n_checked
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_custkey_in_customer',
+      |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'l_quantity_in_1_50',
+      |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+      |           THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'o_totalprice_positive',
+      |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'l_shipdate_not_before_orderdate',
+      |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY rule""".stripMargin
+
+  // --- DQ3: Merkle-style snapshot diff — which BUCKETS of a corpus
+  // changed between two snapshots? Each side reduces to a per-bucket
+  // digest (row count + sum of bounded per-row content hashes), and
+  // the diff compares digests, never rows: the anti-entropy shape
+  // replication/ingest pipelines use, O(corpus) scan but O(buckets)
+  // comparison state. The second snapshot is simulated in-query (every
+  // mutMod-th doc's text perturbed) so the audit is self-contained and
+  // oracle-replayable; in production the two sides are two corpus
+  // paths. The content hash is the portable h60 reduced mod 1e6+3
+  // (keeps the per-bucket sum far from BIGINT overflow at any corpus
+  // size while staying deterministic cross-engine; a digest collision
+  // is astronomically unlikely AND deterministic, so the oracle always
+  // agrees). ---
+  def bucketDiff(s: SparkSession, d: String,
+                 nBuckets: Int = 64, mutMod: Int = 97): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def digest(df: DataFrame) = df
+      .select((col("doc_id") % nBuckets).as("bucket"),
+        (Text.h60(col("text")) % 1000003L).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("h")).as("hsum"))
+    val a = digest(docs)
+    val b = digest(docs.withColumn("text",
+      when(col("doc_id") % mutMod === 0, concat(col("text"), lit("X")))
+        .otherwise(col("text"))))
+    a.select(col("bucket"), col("n").as("n_a"), col("hsum").as("hsum_a"))
+      .join(b.select(col("bucket"), col("n").as("n_b"),
+        col("hsum").as("hsum_b")), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("n_a"), lit(-1L)) =!= coalesce(col("n_b"), lit(-1L)) ||
+        coalesce(col("hsum_a"), lit(-1L)) =!= coalesce(col("hsum_b"), lit(-1L)))
+      .orderBy("bucket")
+  }
+
+  def bucketDiffOracleSql(nBuckets: Int = 64, mutMod: Int = 97): String = {
+    val h = graft.OracleGen.h60("text")
+    val hMut = graft.OracleGen.h60(
+      s"CASE WHEN doc_id % $mutMod = 0 THEN text || 'X' ELSE text END")
+    s"""WITH a AS (
+       |  SELECT doc_id % $nBuckets AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($h % 1000003) AS BIGINT) AS hsum
+       |  FROM documents GROUP BY 1),
+       |b AS (
+       |  SELECT doc_id % $nBuckets AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum($hMut % 1000003) AS BIGINT) AS hsum
+       |  FROM documents GROUP BY 1)
+       |SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+       |  a.n AS n_a, a.hsum AS hsum_a, b.n AS n_b, b.hsum AS hsum_b
+       |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+       |WHERE COALESCE(a.n, -1) <> COALESCE(b.n, -1)
+       |   OR COALESCE(a.hsum, -1) <> COALESCE(b.hsum, -1)
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // --- PV1: k-anonymity audit — quasi-identifier groups smaller than
+  // k are re-identification risks [Sweeney 2002]: a released "anonymous"
+  // record in a size-1 group IS its person. Quasi-identifiers here:
+  // (nation, market segment, account-balance band). One hash-agg over
+  // the grouped keys + a HAVING; the risky-group relation is what a
+  // release gate inspects (empty = safe to publish at this
+  // generalization level; non-empty = generalize further, e.g. widen
+  // the band). Banding uses floor over an exact per-row division —
+  // identical IEEE op both engines. ---
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") < k)
+      .orderBy("nation", "segment", "bal_band")
+
+  def kAnonymityOracleSql(k: Int = 5): String =
+    s"""SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |HAVING count(*) < $k
+       |ORDER BY nation, segment, bal_band""".stripMargin
+}

@@ -701,4 +701,97 @@ object Similarity {
         round(col("adc"), 6).as("adc"))
       .orderBy("query_id", "rk")
   }
+
+  // --- SIM14: HYBRID retrieval — reciprocal rank fusion [Cormack et
+  // al., SIGIR'09] of a lexical BM25 leg (tx19's chain) and a semantic
+  // cosine leg (sim1's chain) over the aligned doc_id/vec_id space:
+  // rrf(d) = Σ_legs 1/(K + rank_leg(d)), the score-free fusion a
+  // RAG/search stack runs because BM25 and cosine scores are not
+  // commensurable but their RANKS are. Each leg is its operator's
+  // top-`legK` (rank over the ROUNDED score with id tie-break — a
+  // total order both engines agree on), so the fusion input is
+  // constant-bounded at any corpus scale; the per-leg rank is computed
+  // by a bounded rank-join over the ≤legK rows (count of strictly
+  // better rows + 1 — equivalent to row_number over a strict total
+  // order, and window-free so the 100 TB plan has no single-task
+  // funnel; the oracle uses row_number, same total order). Fusion
+  // terms are per-row doubles of exact integer ranks, summed in
+  // written order — cross-engine FP-safe. Docs missing from a leg
+  // contribute 0 (the standard convention), surfaced as NULL ranks. ---
+  def hybridRrf(s: SparkSession, d: String,
+                queryId: Long = 0L,
+                terms: Seq[String] = Seq("window", "merge", "scan"),
+                legK: Int = 100, rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    def rankOf(leg: DataFrame, score: String, id: String,
+               rank: String): DataFrame = {
+      val better = col(s"b.$score") > col(s"a.$score") ||
+        (col(s"b.$score") === col(s"a.$score") && col(s"b.$id") < col(s"a.$id"))
+      leg.as("a").join(broadcast(leg.as("b")), better, "left")
+        .groupBy(col(s"a.$id").as("doc_id"))
+        .agg((count(col(s"b.$id")) + 1).as(rank))
+    }
+    val lex = rankOf(TextAnalysis.bm25TopDocs(s, d, terms, legK),
+      "bm25", "doc_id", "r_lex")
+    val sem = rankOf(
+      cosineTopK(s, d, queryId, legK).withColumnRenamed("vec_id", "doc_id"),
+      "cos_sim", "doc_id", "r_sem")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_sem")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "r_lex", "r_sem", "rrf")
+  }
+
+  /** Oracle twin of [[hybridRrf]] — both leg chains replayed (tx19's
+    * BM25 CTEs, sim1's cosine), ranked by row_number over the same
+    * (rounded score DESC, id ASC) total order, fused with the
+    * identical written-order sum.
+    */
+  def hybridRrfOracleSql(queryId: Long = 0L,
+                         terms: Seq[String] = Seq("window", "merge", "scan"),
+                         legK: Int = 100, rrfK: Int = 60,
+                         topK: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |  WHERE token IN ($termList) GROUP BY 1, 2),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |c AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (st.n_docs - dfq.df + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE)
+       |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+       |      AS contrib
+       |  FROM tf JOIN dfq ON tf.token = dfq.token
+       |  JOIN dl ON tf.doc_id = dl.doc_id, st),
+       |lexleg AS (
+       |  SELECT doc_id, round(sum(contrib), 6) AS bm25
+       |  FROM c GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id ASC LIMIT $legK),
+       |lex AS (SELECT doc_id, row_number() OVER
+       |    (ORDER BY bm25 DESC, doc_id ASC) AS r_lex FROM lexleg),
+       |semleg AS (
+       |  SELECT b.vec_id AS doc_id,
+       |    round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+       |                                 CAST(a.embedding AS DOUBLE[])), 4)
+       |      AS cos_sim
+       |  FROM embeddings a, embeddings b
+       |  WHERE a.vec_id = $queryId AND b.vec_id <> $queryId
+       |  ORDER BY cos_sim DESC, doc_id ASC LIMIT $legK),
+       |sem AS (SELECT doc_id, row_number() OVER
+       |    (ORDER BY cos_sim DESC, doc_id ASC) AS r_sem FROM semleg)
+       |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |  lex.r_lex, sem.r_sem,
+       |  round(COALESCE(1.0 / ($rrfK + lex.r_lex), 0.0)
+       |        + COALESCE(1.0 / ($rrfK + sem.r_sem), 0.0), 6) AS rrf
+       |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $topK""".stripMargin
+  }
 }

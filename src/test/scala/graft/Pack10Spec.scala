@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Analytics, DataQuality, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-6 pack: hybrid retrieval fusion, the data-quality/privacy
+  * audit family, and autocorrelation.
+  */
+class Pack10Spec extends SparkTestBase {
+
+  test("sim14: rrf is exactly the fusion of the leg ranks; order is (rrf, id)") {
+    val rows = Similarity.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rs = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rl.isDefined || rs.isDefined, "a fused doc must appear in a leg")
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rs.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"rrf must equal the rank fusion for doc ${r.getLong(0)}")
+    }
+    val rrfs = rows.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(rrfs.sameElements(rrfs.sortBy { case (v, id) => (-v, id) }),
+      "output must be ordered by (rrf DESC, doc_id ASC)")
+  }
+
+  test("sim14: a doc ranked #1 in both legs dominates the fusion ceiling") {
+    val best = Similarity.hybridRrf(spark, sf).collect().head.getDouble(3)
+    assert(best <= 2.0 / 61 + 1e-9, "rrf is bounded by two rank-1 terms")
+  }
+
+  test("dq1: profile row per column, exact distincts bounded, completeness exact") {
+    val rows = DataQuality.profile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("o_orderkey", "o_custkey",
+      "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "one scan: all columns see the same row count")
+      assert(r.getLong(3) <= n - r.getLong(2),
+        "distinct count is bounded by non-null rows")
+      assert(r.getDouble(4) ==
+        BigDecimal(1.0 - r.getLong(2).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val key = rows.find(_.getString(0) == "o_orderkey").get
+    assert(key.getLong(3) == n - key.getLong(2),
+      "o_orderkey must profile as unique")
+  }
+
+  test("dq2: uniqueness/referential/domain rules hold; checked counts match tables") {
+    val m = DataQuality.constraints(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nOrders = Tables.orders(spark, sf).count()
+    val nLines = Tables.lineitem(spark, sf).count()
+    assert(m("o_orderkey_unique") == ((0L, nOrders)))
+    assert(m("orders_custkey_in_customer") == ((0L, nOrders)))
+    assert(m("l_quantity_in_1_50")._1 == 0L)
+    assert(m("l_quantity_in_1_50")._2 == nLines)
+    assert(m("o_totalprice_positive")._1 == 0L)
+    // the synthetic generator draws ship dates independently of order
+    // dates, so the temporal rule FIRES — the audit's job is to report
+    // it, not to hide it
+    assert(m("l_shipdate_not_before_orderdate")._2 == nLines)
+  }
+
+  test("dq3: flagged buckets are exactly the mutated docs' buckets, counts equal") {
+    val flagged = DataQuality.bucketDiff(spark, sf).collect()
+    val mutBuckets = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") % 64).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.map(_.getLong(0)).toSet == mutBuckets,
+      "digest diff must localize exactly the mutated buckets")
+    flagged.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        "membership unchanged: only content digests differ")
+      assert(r.getLong(2) != r.getLong(4))
+    }
+  }
+
+  test("pv1: every reported group is below k and matches a recount") {
+    val rows = DataQuality.kAnonymity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) < 5))
+    val r0 = rows.head
+    val recount = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") === r0.getInt(0) &&
+        col("c_mktsegment") === r0.getString(1) &&
+        floor(col("c_acctbal") / 1000.0).cast("long") === r0.getLong(2))
+      .count()
+    assert(recount == r0.getLong(3))
+  }
+
+  test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
+    val rows = Analytics.autocorrelation(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    // the series may have calendar gaps (sparse at tiny SF), so pair
+    // counts per lag are only bounded by the day count, not monotone
+    val days = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) < days))
+  }
+}
