@@ -216,6 +216,11 @@ object Graph {
       .select(col("node"),
         when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
       .localCheckpoint()
+    // min-plus relaxation is MONOTONE (per-node distances only ever
+    // decrease, node set is fixed), so "no node changed" is exactly
+    // "sum(dist) unchanged" — one cheap agg per round instead of a
+    // full next⋈prev comparison join (halves the per-round job count)
+    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -225,8 +230,9 @@ object Graph {
         .unionByName(relaxed)
         .groupBy("node").agg(min(col("v")).as("dist"))
         .localCheckpoint()
-      converged = next.join(dist.withColumnRenamed("dist", "prev"), "node")
-        .filter(col("dist") =!= col("prev")).isEmpty
+      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       dist = next
       iter += 1
     }
@@ -264,6 +270,10 @@ object Graph {
       .select(col("node"),
         when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
       .localCheckpoint()
+    // same monotone-sum convergence read as hopDistance: relaxation
+    // only lowers per-node distances, so sum(dist) is a complete
+    // change detector at one agg per round
+    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -273,8 +283,9 @@ object Graph {
         .unionByName(relaxed)
         .groupBy("node").agg(min(col("v")).as("dist"))
         .localCheckpoint()
-      converged = next.join(dist.withColumnRenamed("dist", "prev"), "node")
-        .filter(col("dist") =!= col("prev")).isEmpty
+      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       dist = next
       iter += 1
     }
