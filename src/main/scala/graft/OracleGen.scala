@@ -474,6 +474,86 @@ object OracleGen {
        |SELECT id_a, id_b, round(cs, 4) AS cos_sim FROM scored
        |WHERE cs >= $threshold ORDER BY id_a, id_b""".stripMargin
 
+  /** dd20_contamination_tiers: all three leakage legs replayed — the
+    * dd9 gram-overlap join, dd3's banded-candidate + exact-Jaccard
+    * verify, and dd15's Lloyd-trained cell-bounded cosine — fused into
+    * the per-eval-doc tier report with the same worst-hit CASE.
+    */
+  def dd20Sql(evalMod: Long = 97L, minShared: Int = 5,
+              nearThreshold: Double = 0.5, semThreshold: Double = 0.3,
+              numCells: Int = 16, dim: Int = 64,
+              numHashes: Int = 64, bands: Int = 16,
+              iters: Int = graft.operators.Similarity.IvfLloydIters): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |$lshVerifyCtes,
+       |j AS (SELECT doc_a, doc_b, CAST(s AS DOUBLE) / (ca.n + cb.n - s) AS jac
+       |      FROM shared JOIN cnt ca ON ca.doc_id = doc_a
+       |                  JOIN cnt cb ON cb.doc_id = doc_b),
+       |nnear AS (
+       |  SELECT CASE WHEN doc_a % $evalMod = 0 THEN doc_a ELSE doc_b END
+       |      AS eval_doc,
+       |    CAST(count(*) AS BIGINT) AS n_near
+       |  FROM j
+       |  WHERE jac >= $nearThreshold
+       |    AND (doc_a % $evalMod = 0) <> (doc_b % $evalMod = 0)
+       |  GROUP BY 1),
+       |evg AS (SELECT doc_id AS eval_doc, h FROM gh
+       |  WHERE doc_id % $evalMod = 0),
+       |trg AS (SELECT doc_id AS train_doc, h FROM gh
+       |  WHERE doc_id % $evalMod <> 0),
+       |exd AS (SELECT e.eval_doc, t.train_doc FROM trg t
+       |  JOIN evg e ON t.h = e.h
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       |nex AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exd GROUP BY 1),
+       |${normsCte(dim)},
+       |${lloydCtes(numCells, iters, dim)},
+       |scores AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+       |  FROM embeddings e CROSS JOIN cent$iters c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores) t WHERE rn = 1),
+       |vpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |vscored AS (
+       |  SELECT p.id_a, p.id_b,
+       |    (${pairDot("ea.embedding", "eb.embedding", dim)})
+       |      / (na.nrm * nb.nrm) AS cs
+       |  FROM vpairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.id_a
+       |  JOIN embeddings eb ON eb.vec_id = p.id_b
+       |  JOIN norms na ON na.vec_id = p.id_a
+       |  JOIN norms nb ON nb.vec_id = p.id_b),
+       |nsem AS (
+       |  SELECT CASE WHEN id_a % $evalMod = 0 THEN id_a ELSE id_b END
+       |      AS eval_doc,
+       |    CAST(count(*) AS BIGINT) AS n_sem
+       |  FROM vscored
+       |  WHERE cs >= $semThreshold
+       |    AND (id_a % $evalMod = 0) <> (id_b % $evalMod = 0)
+       |  GROUP BY 1)
+       |SELECT COALESCE(nex.eval_doc, nnear.eval_doc, nsem.eval_doc)
+       |    AS eval_doc,
+       |  COALESCE(n_exact, CAST(0 AS BIGINT)) AS n_exact,
+       |  COALESCE(n_near, CAST(0 AS BIGINT)) AS n_near,
+       |  COALESCE(n_sem, CAST(0 AS BIGINT)) AS n_sem,
+       |  CASE WHEN COALESCE(n_near, 0) > 0 THEN 3
+       |       WHEN COALESCE(n_exact, 0) > 0 THEN 2
+       |       WHEN COALESCE(n_sem, 0) > 0 THEN 1 ELSE 0 END AS tier
+       |FROM nex
+       |FULL OUTER JOIN nnear ON nex.eval_doc = nnear.eval_doc
+       |FULL OUTER JOIN nsem
+       |  ON COALESCE(nex.eval_doc, nnear.eval_doc) = nsem.eval_doc
+       |ORDER BY eval_doc""".stripMargin
+
   /** tx17_bpe_merges: the BPE training loop unrolled as CTE blocks —
     * per round, adjacent-pair counts over the delimited symbol strings
     * (|sym| framing, see TextAnalysis.bpeMerges), argmax with

@@ -155,7 +155,9 @@ object Soak {
     "sim12_pq_adc", "sim13_ivf_pq", "tx23_source_divergence",
     "a36_mannwhitney", "a37_spearman", "a38_changepoint", "a39_rfm",
     "sp5_bootstrap", "w18_interval_union", "gr10_assortativity",
-    "gr11_assoc_rules", "st8_attribution")
+    "gr11_assoc_rules", "st8_attribution",
+    "sim14_hybrid_rrf", "dq1_profile", "dq2_constraints",
+    "dq3_bucket_diff", "pv1_k_anonymity", "a42_acf")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

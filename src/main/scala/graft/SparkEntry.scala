@@ -283,6 +283,7 @@ object SparkEntry {
     "dq2_constraints"    -> ((s, d) => DataQuality.constraints(s, d)),
     "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
     "pv1_k_anonymity"    -> ((s, d) => DataQuality.kAnonymity(s, d)),
+    "dd20_contamination" -> ((s, d) => Dedup.contaminationTiers(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -1124,6 +1125,7 @@ object SparkEntry {
     "dq2_constraints" -> operators.DataQuality.constraintsOracleSql(),
     "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),
     "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
+    "dd20_contamination" -> OracleGen.dd20Sql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),

@@ -753,4 +753,68 @@ object Dedup {
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
       .orderBy("doc_id")
   }
+
+  // --- DD20: TIERED contamination report — the eval-leakage audit a
+  // lab runs before trusting a benchmark score, composing the three
+  // detection legs this engine already maintains indexes for, at
+  // three severities:
+  //   tier 3 (near-duplicate): a train doc with exact Jaccard ≥ 0.5
+  //     among the LSH band candidates (dd3's verified pair relation);
+  //   tier 2 (n-gram overlap): a train doc sharing ≥ minShared
+  //     distinct 3-grams (dd9's containment signal — catches quoted
+  //     spans that don't make a whole-doc near-dup);
+  //   tier 1 (semantic): a same-IVF-cell train vector with cosine ≥
+  //     0.3 (dd15's SemDeDup signal — paraphrase-level leakage no
+  //     lexical test sees).
+  // Every leg is index-probed (gram/band/IVF from TextIndex and
+  // VectorIndex, built once per corpus) and eval-restricted BEFORE
+  // its join, so the audit costs eval×candidates, never corpus².
+  // A doc's tier is its worst hit; clean docs are omitted. All counts
+  // are exact integers, so the whole report hash-oracles (OracleGen
+  // .dd20Sql replays all three legs). ---
+  def contaminationTiers(s: SparkSession, d: String,
+                         evalMod: Long = 97L, minShared: Int = 5,
+                         nearThreshold: Double = 0.5,
+                         semThreshold: Double = 0.3,
+                         numCells: Int = 16): DataFrame = {
+    val gh = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
+    // exact-overlap leg: train grams probe the (small, broadcast)
+    // eval gram set — dd9's decontamination shape
+    val evalG = gh.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    val trainG = gh.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc"), col("gh"))
+    val nExact = trainG.join(broadcast(evalG), "gh")
+      .groupBy("eval_doc", "train_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_exact"))
+    // near-dup leg: dd3's banded-candidate + exact-verify pair
+    // relation, kept to eval×train pairs
+    val isEvalA = col("doc_a") % evalMod === 0
+    val isEvalB = col("doc_b") % evalMod === 0
+    val nNear = minhashLshPairsRaw(s, d, nearThreshold)
+      .filter(isEvalA =!= isEvalB)
+      .select(when(isEvalA, col("doc_a")).otherwise(col("doc_b"))
+        .as("eval_doc"))
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_near"))
+    // semantic leg: dd15's cell-bounded cosine pairs (vec ids are doc
+    // ids), eval×train only
+    val isEvA = col("id_a") % evalMod === 0
+    val isEvB = col("id_b") % evalMod === 0
+    val nSem = Similarity.semanticDedupPairs(s, d, semThreshold, numCells)
+      .filter(isEvA =!= isEvB)
+      .select(when(isEvA, col("id_a")).otherwise(col("id_b")).as("eval_doc"))
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_sem"))
+    nExact.join(nNear, Seq("eval_doc"), "full_outer")
+      .join(nSem, Seq("eval_doc"), "full_outer")
+      .na.fill(0L, Seq("n_exact", "n_near", "n_sem"))
+      .withColumn("tier",
+        when(col("n_near") > 0, 3)
+          .when(col("n_exact") > 0, 2)
+          .when(col("n_sem") > 0, 1).otherwise(0))
+      .filter(col("tier") > 0)
+      .select(col("eval_doc"), col("n_exact"), col("n_near"),
+        col("n_sem"), col("tier"))
+      .orderBy("eval_doc")
+  }
 }

@@ -92,6 +92,30 @@ class Pack10Spec extends SparkTestBase {
     assert(recount == r0.getLong(3))
   }
 
+  test("dd20: tier is the worst hit, docs are eval-side, legs agree with dd9") {
+    import graft.operators.Dedup
+    // loosen the gram leg so tier 2 is exercised on the synthetic
+    // corpus (default minShared=5 yields semantic-only hits there)
+    val rows = Dedup.contaminationTiers(spark, sf, minShared = 1).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 == 0, "only eval docs may be reported")
+      val (ne, nn, ns, tier) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      val expect = if (nn > 0) 3 else if (ne > 0) 2 else if (ns > 0) 1 else 0
+      assert(tier == expect && tier > 0)
+    }
+    assert(rows.exists(_.getInt(4) == 2),
+      "minShared=1 must surface gram-overlap (tier 2) hits")
+    // the exact leg must agree with dd9's decontamination counts
+    val dd9 = Dedup.decontaminate(spark, sf).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    val reported = rows.filter(_.getLong(1) > 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reported == dd9.map { case (k, v) => k -> v.toLong },
+      "tier-2 counts must equal dd9's per-eval-doc partner counts")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
