@@ -285,6 +285,7 @@ object SparkEntry {
     "pv1_k_anonymity"    -> ((s, d) => DataQuality.kAnonymity(s, d)),
     "dd20_contamination" -> ((s, d) => Dedup.contaminationTiers(s, d)),
     "gr13_closeness"     -> ((s, d) => Graph.closeness(s, d)),
+    "st9_dq_monitor"     -> ((s, d) => Analytics.dqMonitor(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -1128,6 +1129,14 @@ object SparkEntry {
     "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
     "dd20_contamination" -> OracleGen.dd20Sql(),
     "gr13_closeness" -> operators.Graph.closenessOracleSql(),
+    "st9_dq_monitor" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_value_range,
+        |  CAST(sum(CASE WHEN CAST(props->>'$.k' AS INTEGER) >= 90
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_props
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     "sim8_ann_recall" -> OracleGen.sim8Sql(),
     "sim9_ivf_knn_join" -> OracleGen.sim9Sql(),
     "tx17_bpe_merges" -> OracleGen.tx17Sql(),

@@ -436,6 +436,21 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .orderBy("hour", "event_type")
 
+  // --- ST9 (batch view): hourly data-quality counters — the batch
+  // twin of Streams.dqMonitorStream (volume + out-of-range values +
+  // hot props-k band per hour). One scan, one hash-agg; the counters
+  // are exact integers so the monitor hash-oracles. ---
+  def dqMonitor(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0 || col("value") > 400, 1L).otherwise(0L))
+          .as("n_value_range"),
+        sum(when(get_json_object(col("props"), "$.k").cast("int") >= 90, 1L)
+          .otherwise(0L)).as("n_hot_props"))
+      .orderBy("hour")
+
   // --- ST4 (batch view): windowed top-k — the "trending items per
   // hour" report: per hour bucket, the top 2 event types by count
   // (ties to the lexicographically smaller type). Aggregate first

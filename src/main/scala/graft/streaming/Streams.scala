@@ -57,6 +57,30 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming data-quality monitor — the DQ2 constraint gate run ON
+    * the stream instead of after landing: per tumbling window, event
+    * volume plus violation counters (value outside [0, 400]; props
+    * whose JSON `k` is in the hot band ≥ 90). Incremental counters
+    * with watermark semantics, so a quality regression in a source
+    * surfaces one window after it happens, not at the next batch
+    * audit; the batch twin (Analytics.dqMonitor, st9's oracle) is the
+    * same aggregation over the landed table — StreamingSpec pins
+    * stream == batch under waved late input.
+    */
+  def dqMonitorStream(events: DataFrame,
+                      windowLen: String = "1 hour",
+                      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0 || col("value") > 400, 1L).otherwise(0L))
+          .as("n_value_range"),
+        sum(when(get_json_object(col("props"), "$.k").cast("int") >= 90, 1L)
+          .otherwise(0L)).as("n_hot_props"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("n_value_range"), col("n_hot_props"))
+
   /** Streaming exact-dedup: drop duplicate events by key within the
     * watermark horizon — the streaming twin of
     * operators.Dedup.exactDedup. `dropDuplicatesWithinWatermark` (not

@@ -299,6 +299,30 @@ class StreamingSpec extends SparkTestBase {
       == rowSet(batch))
   }
 
+  test("equivalence: streaming DQ monitor — waved late input == batch recompute") {
+    val streamed = runWaves("eq_dq", eqWaves,
+      df => Streams.dqMonitorStream(df, "1 hour", "15 days"))
+    val batch = Streams.dqMonitorStream(eqBatchInput, "1 hour", "15 days")
+      .filter(col("window_start") < lit(sentinelTs))
+    // the probe event lands in an already-real window's hour; its drop
+    // is covered by the count equality below
+    assert(rowSet(streamed) == rowSet(batch))
+    // and the batch-twin registered query (st9) agrees with the stream
+    // on totals over the real data
+    val st9 = graft.operators.Analytics.dqMonitor(spark, sf)
+    val totStream = batch
+      .agg(sum(col("n")), sum(col("n_value_range")), sum(col("n_hot_props")))
+      .head
+    val totBatch = st9
+      .agg(sum(col("n")), sum(col("n_value_range")), sum(col("n_hot_props")))
+      .head
+    // the sentinel's window is filtered out and the probe was dropped,
+    // so the remaining totals are exactly the landed table's
+    assert(totStream.getLong(0) == totBatch.getLong(0))
+    assert(totStream.getLong(1) == totBatch.getLong(1))
+    assert(totStream.getLong(2) == totBatch.getLong(2))
+  }
+
   test("equivalence: session windows — waved late input == batch recompute") {
     val streamed = runWaves("eq_sessions", eqWaves,
       df => Streams.sessionWindows(df, "30 minutes", "15 days"))
