@@ -348,6 +348,24 @@ object OracleGen {
        |  WHERE q.vec_id < $numQueryVecs),
        |${rerankTail(k, dim)}""".stripMargin
 
+  /** sim15_lsh_filtered: sim3's bucket probe with the label keep-set
+    * gating candidates before the exact re-rank.
+    */
+  def sim15Sql(labelValue: Int = 7, numQueryVecs: Int = 5, k: Int = 3,
+               numTables: Int = 8, planesPerTable: Int = 4,
+               dim: Int = 64): String =
+    s"""WITH ${normsCte(dim)},
+       |${lshBucketsCte(numTables, planesPerTable, dim)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM buckets q JOIN buckets c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND c.vec_id <> q.vec_id
+       |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+       |    AND ce.label = $labelValue
+       |  WHERE q.vec_id < $numQueryVecs),
+       |${rerankTail(k, dim)}""".stripMargin
+
   /** Lloyd-training CTE chain: cent0 = the first k corpus vectors,
     * then `iters` unrolled M-steps (cent1..cent$iters), each the
     * exact twin of sources.VectorIndex.lloydCentroids' driver loop —

@@ -271,6 +271,7 @@ object SparkEntry {
     "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim14_hybrid_rrf"   -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "sim15_lsh_filtered" -> ((s, d) => Similarity.lshAnnFiltered(s, d)),
     "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
     "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
     "tx23_source_divergence" -> ((s, d) => TextAnalysis.sourceDivergence(s, d)),
@@ -2538,6 +2539,7 @@ object SparkEntry {
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
+    "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
     "a38_changepoint" ->
       """WITH daily AS (
         |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

@@ -366,10 +366,14 @@ object Similarity {
       s, d, numTables, planesPerTable, dim), numQueryVecs, k)
 
   /** The sim3 probe over ANY lsh-index relation — shared with the
-    * incremental base ∪ delta form (sim10), so the two paths can never
-    * drift.
+    * incremental base ∪ delta form (sim10) and the metadata-filtered
+    * form (sim15), so the paths can never drift. `gate`, when present,
+    * is a (vec_id) keep-set semi-joined onto the candidates BEFORE
+    * scoring — the candidate stream is already bucket-pruned and
+    * small, so the gate costs one keyed semi-join, not a corpus scan.
     */
-  private def lshProbe(idx: DataFrame, numQueryVecs: Int, k: Int): DataFrame = {
+  private def lshProbe(idx: DataFrame, numQueryVecs: Int, k: Int,
+                       gate: Option[DataFrame] = None): DataFrame = {
     val queries = idx.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bkey").as("q_bkey"))
@@ -379,13 +383,15 @@ object Similarity {
       .collect().map(_.getLong(0))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    idx.filter(col("bkey").isin(probeKeys.map(java.lang.Long.valueOf): _*))
+    val cands = idx
+      .filter(col("bkey").isin(probeKeys.map(java.lang.Long.valueOf): _*))
       .join(broadcast(queries),
         col("bkey") === col("q_bkey") && col("vec_id") =!= col("query_id"))
       // a pair can collide in several tables — dedup BEFORE scoring so
       // the cosine runs once per candidate
       .select(col("query_id"), col("vec_id"), col("embedding"), col("q_emb"))
       .dropDuplicates("query_id", "vec_id")
+    gate.fold(cands)(g => cands.join(g, Seq("vec_id"), "left_semi"))
       .select(col("query_id"), col("vec_id"),
         round(vecCosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
@@ -393,6 +399,28 @@ object Similarity {
       .select("query_id", "vec_id", "cos_sim", "rnk")
       .orderBy("query_id", "rnk")
   }
+
+  // --- SIM15: metadata-FILTERED ANN — the "vector search with a WHERE
+  // clause" every production store must answer (filtered top-k is NOT
+  // top-k then filter: a post-filter can return < k or nothing). This
+  // is post-filtering at the CANDIDATE level: the LSH bucket probe
+  // runs as sim3, then the label keep-set gates candidates before the
+  // exact re-rank, so rank k is computed among label-eligible vectors
+  // only. At 100 TB the gate is a keyed semi-join against the (tiny,
+  // bucket-pruned) candidate stream; a heavily-selective production
+  // filter would instead partition the index BY label — same probe,
+  // layout-level gate. Fully oracled: DuckDB replays buckets + gate +
+  // explicit-dot re-rank. ---
+  def lshAnnFiltered(s: SparkSession, d: String,
+                     labelValue: Int = 7,
+                     numQueryVecs: Int = 5, k: Int = 3,
+                     numTables: Int = 8, planesPerTable: Int = 4,
+                     dim: Int = 64): DataFrame =
+    lshProbe(
+      graft.sources.VectorIndex.lshIndex(s, d, numTables, planesPerTable, dim),
+      numQueryVecs, k,
+      gate = Some(Tables.embeddings(s, d)
+        .filter(col("label") === labelValue).select("vec_id")))
 
   // --- SIM10: incremental ANN index maintenance — the embedding twin
   // of dd17. A batch of new vectors (ids >= max·4/5 + 1) is bucketed

@@ -92,6 +92,25 @@ class Pack10Spec extends SparkTestBase {
     assert(recount == r0.getLong(3))
   }
 
+  test("sim15: every hit carries the filter label; rank is computed post-gate") {
+    val rows = Similarity.lshAnnFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(labels(r.getLong(1)) == 7,
+      s"vec ${r.getLong(1)} leaked through the label gate"))
+    // ranks are dense per query starting at 1 (computed AMONG eligible
+    // candidates, not filtered out of a global ranking)
+    rows.groupBy(_.getLong(0)).values.foreach { qs =>
+      assert(qs.map(_.getInt(3)).sorted.toSeq == (1 to qs.length))
+    }
+    // and the gate binds: the unfiltered probe returns non-7 hits
+    val unfiltered = Similarity.lshAnn(spark, sf).collect()
+    assert(unfiltered.exists(r => labels(r.getLong(1)) != 7),
+      "test premise: sim3's candidates are not all label 7")
+  }
+
   test("dd20: tier is the worst hit, docs are eval-side, legs agree with dd9") {
     import graft.operators.Dedup
     // loosen the gram leg so tier 2 is exercised on the synthetic
