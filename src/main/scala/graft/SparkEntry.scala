@@ -280,6 +280,8 @@ object SparkEntry {
     "gr12_hits"          -> ((s, d) => Graph.hits(s, d)),
     "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
     "a42_acf"            -> ((s, d) => Analytics.autocorrelation(s, d)),
+    "a43_trimmed_stats"  -> ((s, d) => Analytics.trimmedStats(s, d)),
+    "a44_dow_seasonality" -> ((s, d) => Analytics.dowSeasonality(s, d)),
     "dq1_profile"        -> ((s, d) => DataQuality.profile(s, d)),
     "dq2_constraints"    -> ((s, d) => DataQuality.constraints(s, d)),
     "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
@@ -1124,6 +1126,8 @@ object SparkEntry {
     "dd17_incremental_index" -> OracleGen.dd17Sql(),
     "zo1_zorder_keys" -> OracleGen.zo1Sql(),
     "a42_acf" -> operators.Analytics.autocorrelationOracleSql(),
+    "a43_trimmed_stats" -> operators.Analytics.trimmedStatsOracleSql(),
+    "a44_dow_seasonality" -> operators.Analytics.dowSeasonalityOracleSql(),
     "dq1_profile" -> operators.DataQuality.profileOracleSql(),
     "dq2_constraints" -> operators.DataQuality.constraintsOracleSql(),
     "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),

@@ -1135,6 +1135,125 @@ object Analytics {
       .orderBy("lag")
   }
 
+  // --- A43: trimmed & winsorized means — the robust-location pair
+  // next to a18's median and a25's MAD: drop (trimmed) or clamp
+  // (winsorized) the tail 5% at each end before averaging, the
+  // standard way a metrics pipeline reports a mean that one fat-finger
+  // order can't move. Exactness: rows get a row_number under the
+  // (cents, o_orderkey) total order per priority group (partitioned
+  // window — scales by group), the trim bounds are integer ranks, and
+  // both means are ratios of exact cents sums, doubles per-row only.
+  // Winsorization clamps to the exact cents value AT the boundary
+  // ranks (joined in by rank), so every engine agrees bit-for-bit. ---
+  def trimmedStats(s: SparkSession, d: String, trimPct: Int = 5): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val w = Window.partitionBy(col("pr"))
+      .orderBy(col("cents").asc, col("o_orderkey").asc)
+    val ranked = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pr"), col("o_orderkey"),
+        Benchmark2.priceCents(col("o_totalprice")).as("cents"))
+      .withColumn("rn", row_number().over(w))
+    val counted = ranked
+      .join(ranked.groupBy("pr").agg(count(lit(1)).as("n")), "pr")
+      .withColumn("lo", expr(s"(n * $trimPct) div 100")) // integral div
+      .withColumn("hi", col("n") - col("lo"))
+    val bounds = counted.filter(col("rn") === col("lo") + 1)
+      .select(col("pr"), col("cents").as("lo_cents"))
+      .join(counted.filter(col("rn") === col("hi"))
+        .select(col("pr"), col("cents").as("hi_cents")), "pr")
+    counted.join(broadcast(bounds), "pr")
+      .groupBy("pr")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("hi"),
+          col("cents"))).as("trim_sum"),
+        sum(when(col("rn") > col("lo") && col("rn") <= col("hi"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("wins_sum"))
+      .select(col("pr"), col("n"), col("n_kept"),
+        round(dbl(col("trim_sum")) / dbl(col("n_kept")) / 100.0, 6)
+          .as("trimmed_mean"),
+        round(dbl(col("wins_sum")) / dbl(col("n")) / 100.0, 6)
+          .as("winsorized_mean"))
+      .orderBy("pr")
+  }
+
+  /** Oracle twin of [[trimmedStats]] — identical rank/bound/clamp
+    * chain.
+    */
+  def trimmedStatsOracleSql(trimPct: Int = 5): String =
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority AS pr, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) ASC,
+       |               o_orderkey ASC) AS rn
+       |  FROM orders),
+       |counted AS (
+       |  SELECT r.*, g.n, (g.n * $trimPct) // 100 AS lo,
+       |    g.n - (g.n * $trimPct) // 100 AS hi
+       |  FROM ranked r JOIN (SELECT pr, CAST(count(*) AS BIGINT) AS n
+       |                      FROM ranked GROUP BY 1) g USING (pr)),
+       |bounds AS (
+       |  SELECT a.pr, a.cents AS lo_cents, b.cents AS hi_cents
+       |  FROM counted a JOIN counted b
+       |    ON a.pr = b.pr AND a.rn = a.lo + 1 AND b.rn = b.hi)
+       |SELECT c.pr, c.n, CAST(sum(CASE WHEN rn > lo AND rn <= hi
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(CASE WHEN rn > lo AND rn <= hi THEN cents END)
+       |      AS DOUBLE)
+       |    / CAST(sum(CASE WHEN rn > lo AND rn <= hi THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / 100.0, 6) AS trimmed_mean,
+       |  round(CAST(sum(greatest(least(cents, b.hi_cents), b.lo_cents))
+       |      AS DOUBLE) / CAST(c.n AS DOUBLE) / 100.0, 6)
+       |    AS winsorized_mean
+       |FROM counted c JOIN bounds b USING (pr)
+       |GROUP BY c.pr, c.n ORDER BY c.pr""".stripMargin
+
+  // --- A44: day-of-week seasonality index — mean daily revenue per
+  // weekday relative to the overall daily mean, the decomposition step
+  // between a2's calendar rollup and a42's ACF (is the lag-7 signal a
+  // weekly cycle, and how strong per day?). Two stacked exact
+  // aggregates (day cents → dow sums) + one broadcast 1-row overall
+  // mean; the index is a per-row ratio of exact integers. dow is
+  // 0=Sunday..6 in both engines (Spark dayofweek()−1, DuckDB
+  // dayofweek()). ---
+  def dowSeasonality(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice")).cast(dec)).as("x"))
+    val overall = daily.agg(sum(col("x")).as("tot"),
+      count(lit(1)).cast("long").as("n_days"))
+    daily
+      .groupBy((dayofweek(col("day")) - 1).as("dow"))
+      .agg(count(lit(1)).cast("long").as("n_days_dow"),
+        sum(col("x")).as("dow_sum"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days_dow"),
+        round((dbl(col("dow_sum")) / dbl(col("n_days_dow")))
+          / (dbl(col("tot")) / dbl(col("n_days"))), 6).as("seasonal_idx"))
+      .orderBy("dow")
+  }
+
+  /** Oracle twin of [[dowSeasonality]]. */
+  def dowSeasonalityOracleSql(): String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |overall AS (SELECT CAST(sum(x) AS HUGEINT) AS tot,
+      |  CAST(count(*) AS BIGINT) AS n_days FROM daily)
+      |SELECT CAST(dayofweek(day) AS INTEGER) AS dow,
+      |  CAST(count(*) AS BIGINT) AS n_days_dow,
+      |  round((CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |    / (CAST(o.tot AS DOUBLE) / CAST(o.n_days AS DOUBLE)), 6)
+      |    AS seasonal_idx
+      |FROM daily CROSS JOIN overall o
+      |GROUP BY 1, o.tot, o.n_days ORDER BY dow""".stripMargin
+
   /** Oracle twin of [[autocorrelation]] — same daily-cents series,
     * calendar-join lag pairs, exact sums, and double association.
     */

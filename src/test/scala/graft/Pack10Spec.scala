@@ -135,6 +135,43 @@ class Pack10Spec extends SparkTestBase {
       "tier-2 counts must equal dd9's per-eval-doc partner counts")
   }
 
+  test("a43: trim keeps exactly n - 2*floor(n*5/100); means agree with a recount") {
+    val rows = Analytics.trimmedStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val (pr, n, kept) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val lo = n * 5 / 100
+      assert(kept == n - 2 * lo)
+      val xs = cents(pr)
+      assert(n == xs.length)
+      val trimmed = xs.slice(lo.toInt, (n - lo).toInt)
+      val expect = BigDecimal(trimmed.map(BigDecimal(_)).sum.toDouble
+        / trimmed.length / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+        s"trimmed mean mismatch for $pr")
+      // winsorized mean is pinned between the clamp bounds
+      assert(r.getDouble(4) >= trimmed.head / 100.0 &&
+        r.getDouble(4) <= trimmed.last / 100.0)
+    }
+  }
+
+  test("a44: seven dow rows cover every day; revenue-weighted index centers on 1") {
+    val rows = Analytics.dowSeasonality(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 to 6))
+    val days = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == days)
+    // mean of per-dow indices weighted by day counts is 1 by identity
+    val weighted = rows.map(r => r.getDouble(2) * r.getLong(1)).sum / days
+    assert(math.abs(weighted - 1.0) < 1e-3)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
