@@ -282,6 +282,7 @@ object SparkEntry {
     "a42_acf"            -> ((s, d) => Analytics.autocorrelation(s, d)),
     "a43_trimmed_stats"  -> ((s, d) => Analytics.trimmedStats(s, d)),
     "a44_dow_seasonality" -> ((s, d) => Analytics.dowSeasonality(s, d)),
+    "a45_ohlc"           -> ((s, d) => Analytics.ohlcBars(s, d)),
     "dq1_profile"        -> ((s, d) => DataQuality.profile(s, d)),
     "dq2_constraints"    -> ((s, d) => DataQuality.constraints(s, d)),
     "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
@@ -1128,6 +1129,7 @@ object SparkEntry {
     "a42_acf" -> operators.Analytics.autocorrelationOracleSql(),
     "a43_trimmed_stats" -> operators.Analytics.trimmedStatsOracleSql(),
     "a44_dow_seasonality" -> operators.Analytics.dowSeasonalityOracleSql(),
+    "a45_ohlc" -> operators.Analytics.ohlcBarsOracleSql(),
     "dq1_profile" -> operators.DataQuality.profileOracleSql(),
     "dq2_constraints" -> operators.DataQuality.constraintsOracleSql(),
     "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),

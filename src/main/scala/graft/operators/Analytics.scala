@@ -1237,6 +1237,48 @@ object Analytics {
       .orderBy("dow")
   }
 
+  // --- A45: OHLC bars — the classic time-series downsample (open/
+  // high/low/close + volume per day) that turns an event stream into
+  // chartable candles; here over order totals. Open/close are argmin/
+  // argmax over the a16 fixed-width (epoch-micros, key) string total
+  // order, so intra-day ties resolve identically in any engine; all
+  // four prices are exact cents. One hash-agg with map-side partials —
+  // the downsample a market-data pipeline runs per symbol-day at any
+  // scale. ---
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val cents = Benchmark2.priceCents(col("o_totalprice"))
+    // o_orderdate surfaces as TIMESTAMP_NTZ; the UTC session makes the
+    // cast a plain reinterpretation, and DuckDB's epoch_us reads the
+    // same micros off the same parquet values
+    val key = format_string("%018d#%012d",
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderkey"))
+    Tables.orders(s, d)
+      .groupBy(date_format(date_trunc("day", col("o_orderdate")),
+        "yyyy-MM-dd").as("day"))
+      .agg(min_by(cents, key).as("open_c"), max(cents).as("high_c"),
+        min(cents).as("low_c"), max_by(cents, key).as("close_c"),
+        count(lit(1)).as("n_orders"), sum(cents).as("volume_c"))
+      .orderBy("day")
+  }
+
+  /** Oracle twin of [[ohlcBars]]. */
+  def ohlcBarsOracleSql(): String =
+    """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+      |  min_by(CAST(round(o_totalprice * 100) AS BIGINT),
+      |    printf('%018d#%012d', epoch_us(o_orderdate), o_orderkey))
+      |    AS open_c,
+      |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS high_c,
+      |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS low_c,
+      |  max_by(CAST(round(o_totalprice * 100) AS BIGINT),
+      |    printf('%018d#%012d', epoch_us(o_orderdate), o_orderkey))
+      |    AS close_c,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS volume_c
+      |FROM orders GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Oracle twin of [[dowSeasonality]]. */
   def dowSeasonalityOracleSql(): String =
     """WITH daily AS (

@@ -172,6 +172,18 @@ class Pack10Spec extends SparkTestBase {
     assert(math.abs(weighted - 1.0) < 1e-3)
   }
 
+  test("a45: candles are internally consistent (low <= open/close <= high)") {
+    val rows = Analytics.ohlcBars(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c, n, v) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(l <= o && o <= h && l <= c && c <= h)
+      assert(n >= 1 && v >= n * l && v <= n * h)
+    }
+    assert(rows.map(_.getLong(5)).sum == Tables.orders(spark, sf).count())
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
