@@ -290,6 +290,7 @@ object SparkEntry {
     "dd20_contamination" -> ((s, d) => Dedup.contaminationTiers(s, d)),
     "gr13_closeness"     -> ((s, d) => Graph.closeness(s, d)),
     "st9_dq_monitor"     -> ((s, d) => Analytics.dqMonitor(s, d)),
+    "j10_point_in_time"  -> ((s, d) => Relational.pointInTimeJoin(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -1136,6 +1137,33 @@ object SparkEntry {
     "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
     "dd20_contamination" -> OracleGen.dd20Sql(),
     "gr13_closeness" -> operators.Graph.closenessOracleSql(),
+    "j10_point_in_time" ->
+      """WITH nonp AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE event_type <> 'purchase'),
+        |chg AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM nonp),
+        |chg2 AS (
+        |  SELECT user_id, event_id, ts, event_type FROM chg
+        |  WHERE prev_type IS NULL OR event_type <> prev_type),
+        |dims AS (
+        |  SELECT user_id, event_type AS state, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS vt
+        |  FROM chg2),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |  strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+        |  d.state AS state_at_purchase
+        |FROM facts f LEFT JOIN dims d
+        |  ON d.user_id = f.user_id AND f.ts >= d.vf
+        | AND (d.vt IS NULL OR f.ts < d.vt)
+        |ORDER BY f.event_id""".stripMargin,
     "st9_dq_monitor" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  CAST(count(*) AS BIGINT) AS n,

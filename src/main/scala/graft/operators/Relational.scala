@@ -380,4 +380,47 @@ object Relational {
           * lit(86400L)).as("overlap_secs"))
       .orderBy("l_partkey", "okey_a", "okey_b")
   }
+
+  // --- J10: POINT-IN-TIME join — the feature-store lookup that keeps
+  // training data leakage-free: each purchase event is joined to the
+  // dimension version that was valid AT the purchase's event time
+  // ("as of the event", never "as of now"). The dimension is the SCD2
+  // interval relation st7 builds, here derived from the user's
+  // NON-purchase activity (state = latest browsing/error/… type), so
+  // the lookup answers "what state was this user in when they
+  // bought". Mechanics: change rows → [ts, next-change-ts) half-open
+  // intervals (lead over the change rows, st7's chain); the join is
+  // an equi-join on user_id with the containment predicate as a
+  // post-join filter — at scale a sort-merge join per user whose
+  // per-key interval list is the user's change count, never a cross
+  // product. Intervals partition each user's timeline (zero-width
+  // flips match nothing by half-openness), so every fact matches at
+  // most one version; purchases before any activity keep a NULL
+  // state — exactly the leakage-safe answer. ---
+  def pointInTimeJoin(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.events(s, d)
+      .filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull ||
+        col("event_type") =!= col("prev_type"))
+    val dims = changes
+      .withColumn("vt", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("vf"), col("vt"))
+    val facts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    facts.join(dims,
+        facts("user_id") === dims("user_id") &&
+          facts("ts") >= dims("vf") &&
+          (dims("vt").isNull || facts("ts") < dims("vt")),
+        "left_outer")
+      .select(facts("event_id"), facts("user_id"),
+        date_format(facts("ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_time"),
+        col("state").as("state_at_purchase"))
+      .orderBy("event_id")
+  }
 }

@@ -172,6 +172,35 @@ class Pack10Spec extends SparkTestBase {
     assert(math.abs(weighted - 1.0) < 1e-3)
   }
 
+  test("j10: every purchase appears once; state is the last prior non-purchase type") {
+    import graft.operators.Relational
+    val rows = Relational.pointInTimeJoin(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val purchases = events.filter(_._4 == "purchase")
+    assert(rows.length == purchases.length,
+      "point-in-time join must keep exactly one row per fact")
+    val byUser = events.filter(_._4 != "purchase").groupBy(_._1)
+    val expected = purchases.map { case (u, id, t, _) =>
+      val prior = byUser.getOrElse(u, Array.empty)
+        .filter(e => e._3.compareTo(t) <= 0)
+      // the dimension's state at t = type of the latest change row
+      // whose interval contains t = type of the latest event <= t.
+      // Timestamp.compareTo keeps sub-millisecond precision (getTime
+      // would truncate micros and could misorder same-ms events)
+      id -> prior.sortWith { (a, b) =>
+        val c = a._3.compareTo(b._3); c < 0 || (c == 0 && a._2 < b._2)
+      }.lastOption.map(_._4)
+    }.toMap
+    rows.foreach { r =>
+      val got = if (r.isNullAt(3)) None else Some(r.getString(3))
+      assert(got == expected(r.getLong(0)),
+        s"state mismatch for purchase ${r.getLong(0)}")
+    }
+    assert(rows.exists(!_.isNullAt(3)), "some purchase must find a state")
+  }
+
   test("a45: candles are internally consistent (low <= open/close <= high)") {
     val rows = Analytics.ohlcBars(spark, sf).collect()
     assert(rows.nonEmpty)
