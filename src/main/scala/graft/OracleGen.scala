@@ -233,6 +233,49 @@ object OracleGen {
   /** dd12_lsh_audit: exact-Jaccard truth pairs vs the LSH candidate
     * set — n_true / n_candidates / n_hits / recall, one row.
     */
+  /** dp18_filter_funnel: the corpus-select stage chain replayed as
+    * cumulative-conjunction counts, exploded into the 4-row attrition
+    * report.
+    */
+  def dp18Sql(qualityFloor: Double = 0.55, threshold: Double = 0.5,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |${lshDropsCtes(threshold)},
+       |q AS (
+       |  SELECT doc_id, round(
+       |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+       |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+       |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+       |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+       |    AS quality
+       |  FROM w),
+       |f AS (
+       |  SELECT CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS s1,
+       |    CASE WHEN len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+       |         THEN 1 ELSE 0 END AS lenok,
+       |    CASE WHEN q.quality >= $qualityFloor THEN 1 ELSE 0 END AS qok,
+       |    CASE WHEN d.doc_id NOT IN (SELECT doc_b FROM drops)
+       |         THEN 1 ELSE 0 END AS notdup
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(s1) AS BIGINT) AS n1,
+       |    CAST(sum(s1 * lenok) AS BIGINT) AS n2,
+       |    CAST(sum(s1 * lenok * qok) AS BIGINT) AS n3,
+       |    CAST(sum(s1 * lenok * qok * notdup) AS BIGINT) AS n4
+       |  FROM f)
+       |SELECT '1_lang_en' AS stage, n0 AS docs_in, n1 AS docs_out,
+       |  round(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS pct_kept
+       |FROM m
+       |UNION ALL SELECT '2_length_20_2000', n1, n2,
+       |  round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) FROM m
+       |UNION ALL SELECT '3_quality_floor', n2, n3,
+       |  round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) FROM m
+       |UNION ALL SELECT '4_near_dup_drop', n3, n4,
+       |  round(CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) FROM m
+       |ORDER BY stage""".stripMargin
+
   def dd12Sql(threshold: Double = 0.7,
               numHashes: Int = 64, bands: Int = 16): String =
     s"""WITH $gramCtes,

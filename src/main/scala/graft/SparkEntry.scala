@@ -291,6 +291,7 @@ object SparkEntry {
     "gr13_closeness"     -> ((s, d) => Graph.closeness(s, d)),
     "st9_dq_monitor"     -> ((s, d) => Analytics.dqMonitor(s, d)),
     "j10_point_in_time"  -> ((s, d) => Relational.pointInTimeJoin(s, d)),
+    "dp18_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -2574,6 +2575,7 @@ object SparkEntry {
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
     "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
+    "dp18_filter_funnel" -> OracleGen.dp18Sql(),
     "a38_changepoint" ->
       """WITH daily AS (
         |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

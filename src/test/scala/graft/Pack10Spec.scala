@@ -201,6 +201,22 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.exists(!_.isNullAt(3)), "some purchase must find a state")
   }
 
+  test("dp18: funnel is monotone and its tail equals the corpus-select survivors") {
+    import graft.operators.{Dedup, Pipeline}
+    val rows = Pipeline.filterFunnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_lang_en",
+      "2_length_20_2000", "3_quality_floor", "4_near_dup_drop"))
+    // chained: stage k's docs_in == stage k-1's docs_out; never grows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) == a.getLong(2)); case _ => }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // the funnel's tail IS dp11's survivor count (same stages, same
+    // LSH pair source) — the report and the selection cannot drift
+    val survivors = Pipeline.corpusSelectFrom(spark, sf,
+      Dedup.minhashLshPairsRaw(spark, sf)).count()
+    assert(rows.last.getLong(2) == survivors)
+  }
+
   test("a45: candles are internally consistent (low <= open/close <= high)") {
     val rows = Analytics.ohlcBars(spark, sf).collect()
     assert(rows.nonEmpty)
