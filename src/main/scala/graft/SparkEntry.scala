@@ -292,6 +292,8 @@ object SparkEntry {
     "st9_dq_monitor"     -> ((s, d) => Analytics.dqMonitor(s, d)),
     "j10_point_in_time"  -> ((s, d) => Relational.pointInTimeJoin(s, d)),
     "dp18_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
+    "a46_ab_test"        -> ((s, d) => Analytics.abTest(s, d)),
+    "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
 
@@ -2576,6 +2578,8 @@ object SparkEntry {
     "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
     "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
     "dp18_filter_funnel" -> OracleGen.dp18Sql(),
+    "a46_ab_test" -> operators.Analytics.abTestOracleSql(),
+    "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (
         |  SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

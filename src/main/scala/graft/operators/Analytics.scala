@@ -1261,6 +1261,80 @@ object Analytics {
       .orderBy("day")
   }
 
+  // --- A46: two-proportion z-test — the A/B experiment readout next
+  // to the distributional tests (a32 KS, a36 Mann-Whitney): users are
+  // assigned to variants by id parity (the deterministic stand-in for
+  // an experiment bucket), conversion = >= 1 HIGH-VALUE purchase
+  // (value > 150 — plain purchase is universal in the synthetic feed,
+  // which would zero the pooled variance and the z denominator), and
+  // the pooled-variance z statistic decides significance at 5%. All four
+  // inputs are exact integer counts from one distinct-user aggregate;
+  // p_a/p_b/z are single-row doubles with explicit association, so the
+  // readout hash-oracles. The plan is one events scan + one (user,
+  // converted) agg + one 2-row group — at any corpus scale the
+  // experiment readout costs one pass. ---
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("converted"))
+    val byVariant = perUser
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("p_a", dbl(col("conv_a")) / dbl(col("n_a")))
+      .withColumn("p_b", dbl(col("conv_b")) / dbl(col("n_b")))
+      .withColumn("p_pool",
+        (dbl(col("conv_a")) + dbl(col("conv_b")))
+          / (dbl(col("n_a")) + dbl(col("n_b"))))
+      .withColumn("z",
+        (col("p_a") - col("p_b"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / dbl(col("n_a")) + lit(1.0) / dbl(col("n_b")))))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > 1.96).as("significant_5pct"))
+  }
+
+  /** Oracle twin of [[abTest]]. */
+  def abTestOracleSql(): String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150
+      |        THEN 1 ELSE 0 END)
+      |      AS converted
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS conv
+      |  FROM pu GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      |  FROM (SELECT n, conv FROM v WHERE variant = 0) a
+      |  CROSS JOIN (SELECT n, conv FROM v WHERE variant = 1) b),
+      |c AS (
+      |  SELECT *,
+      |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+      |  FROM ab)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+      |  round((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+      |    AS z,
+      |  abs((p_a - p_b) / sqrt(p_pool * (1.0 - p_pool)
+      |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+      |    > 1.96 AS significant_5pct
+      |FROM c""".stripMargin
+
   /** Oracle twin of [[ohlcBars]]. */
   def ohlcBarsOracleSql(): String =
     """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

@@ -386,7 +386,11 @@ object Graph {
     * majority-label rounds unrolled (row_number argmax with the
     * identical (count DESC, label ASC) total order).
     */
-  def labelPropagationOracleSql(minSupport: Int = 2, rounds: Int = 4): String = {
+  /** The label-propagation CTE chain (edges + unrolled rounds ending
+    * in `l\$rounds`) — shared by the gr7 oracle and gr14's modularity
+    * audit so the partition definition cannot drift between them.
+    */
+  private def labelPropCtes(minSupport: Int, rounds: Int): String = {
     val rs = (1 to rounds).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS node, l.lbl, count(*) AS cnt
@@ -398,7 +402,7 @@ object Graph {
          |      ORDER BY cnt DESC, lbl ASC) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+    s"""op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
        |  FROM lineitem),
        |pr AS (SELECT a.pk AS pa, b.pk AS pb FROM op a JOIN op b
        |  ON a.ok = b.ok AND a.pk < b.pk),
@@ -408,9 +412,78 @@ object Graph {
        |  UNION ALL SELECT pb, pa FROM e0),
        |l0 AS (SELECT node, node AS lbl FROM
        |  (SELECT DISTINCT src AS node FROM edges)),
-       |$rs
-       |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
+       |$rs""".stripMargin
   }
+
+  def labelPropagationOracleSql(minSupport: Int = 2, rounds: Int = 4): String =
+    s"""WITH ${labelPropCtes(minSupport, rounds)}
+       |SELECT node, lbl FROM l$rounds ORDER BY node""".stripMargin
+
+  // --- GR14: modularity of the gr7 partition — the one-number answer
+  // to "are these communities real?" [Newman & Girvan 2004]:
+  // Q = Σ_c [m_c/m − (d_c/2m)²], here in the directed-both-ways edge
+  // representation where E = 2m, so Q = (E·intra − Σ_c d_c²)/E² —
+  // ONE per-row double of three exact integer aggregates (intra-
+  // community directed edge count, per-community degree-sum squares,
+  // edge count), no cross-row FP anywhere. Plan: the saturating
+  // thresholded graph joined twice to the label relation + two tiny
+  // aggs; at any corpus scale this costs two keyed joins over the
+  // signal graph. The evaluation step a clustering pipeline runs
+  // AFTER gr7 before acting on its communities. ---
+  def modularity(s: SparkSession, d: String,
+                 minSupport: Int = 2, rounds: Int = 4): DataFrame = {
+    def dbl(c: Column) = c.cast("double")
+    val labels = labelPropagation(s, d, minSupport, rounds)
+      .select(col("node"), col("lbl")).localCheckpoint()
+    val e0 = supportedEdges(s, d, minSupport)
+    val edges = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("lbl").as("la")), "src")
+      .join(labels.select(col("node").as("dst"), col("lbl").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("intra_directed"))
+    val degsq = deg
+      .join(labels.select(col("node").as("src"), col("lbl")), "src")
+      .groupBy("lbl").agg(sum(col("deg")).as("dsum"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("dsum") * col("dsum")).as("degsq_sum"))
+    val ecnt = edges.agg(count(lit(1)).as("e_directed"))
+    degsq.crossJoin(broadcast(ecnt)).crossJoin(broadcast(intra))
+      .select(col("n_communities"), col("e_directed"),
+        col("intra_directed"), col("degsq_sum"),
+        round((dbl(col("e_directed")) * dbl(col("intra_directed"))
+            - dbl(col("degsq_sum")))
+          / (dbl(col("e_directed")) * dbl(col("e_directed"))), 6)
+          .as("modularity"))
+  }
+
+  /** Oracle twin of [[modularity]] — gr7's CTE chain + the exact
+    * integer modularity aggregates.
+    */
+  def modularityOracleSql(minSupport: Int = 2, rounds: Int = 4): String =
+    s"""WITH ${labelPropCtes(minSupport, rounds)},
+       |lp AS (SELECT node, lbl FROM l$rounds),
+       |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY 1),
+       |intra AS (SELECT CAST(count(*) AS BIGINT) AS intra_directed
+       |  FROM edges e JOIN lp a ON e.src = a.node
+       |  JOIN lp b ON e.dst = b.node WHERE a.lbl = b.lbl),
+       |dc AS (SELECT l.lbl, CAST(sum(d.deg) AS BIGINT) AS dsum
+       |  FROM dg d JOIN lp l ON d.src = l.node GROUP BY 1),
+       |agg2 AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       |  CAST(sum(dsum * dsum) AS BIGINT) AS degsq_sum FROM dc),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS e_directed FROM edges)
+       |SELECT agg2.n_communities, m.e_directed, intra.intra_directed,
+       |  agg2.degsq_sum,
+       |  round((CAST(m.e_directed AS DOUBLE)
+       |      * CAST(intra.intra_directed AS DOUBLE)
+       |      - CAST(agg2.degsq_sum AS DOUBLE))
+       |    / (CAST(m.e_directed AS DOUBLE)
+       |      * CAST(m.e_directed AS DOUBLE)), 6) AS modularity
+       |FROM agg2, m, intra""".stripMargin
 
   // --- GR8: k-core decomposition (the k-core subgraph) — iterative
   // peeling: repeatedly drop nodes with degree < k until the

@@ -217,6 +217,35 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.last.getLong(2) == survivors)
   }
 
+  test("a46: z recomputes from the exact counts; buckets partition the users") {
+    val r = Analytics.abTest(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (na, ca, nb, cb) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    assert(na + nb ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(ca <= na && cb <= nb && ca > 0 && cb > 0,
+      "conversion must be non-degenerate at every SF or z is undefined")
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(row.getDouble(6) - z) < 1e-5)
+    assert(row.getBoolean(7) == (math.abs(z) > 1.96))
+  }
+
+  test("gr14: modularity recomputes from its exact integer columns and is bounded") {
+    import graft.operators.Graph
+    val row = Graph.modularity(spark, sf).collect().head
+    val (nc, e, intra, degsq, q) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4))
+    assert(nc >= 1 && intra <= e && degsq >= e,
+      "every community holds at least its own internal degree mass")
+    val expect = (e.toDouble * intra - degsq) / (e.toDouble * e)
+    assert(math.abs(q - expect) < 1e-5)
+    assert(q >= -0.5 && q <= 1.0, "modularity is bounded")
+  }
+
   test("a45: candles are internally consistent (low <= open/close <= high)") {
     val rows = Analytics.ohlcBars(spark, sf).collect()
     assert(rows.nonEmpty)
