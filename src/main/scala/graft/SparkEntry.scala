@@ -293,6 +293,7 @@ object SparkEntry {
     "j10_point_in_time"  -> ((s, d) => Relational.pointInTimeJoin(s, d)),
     "dp18_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
     "a46_ab_test"        -> ((s, d) => Analytics.abTest(s, d)),
+    "dp19_token_budget"  -> ((s, d) => DataPrep.tokenBudget(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2579,6 +2580,7 @@ object SparkEntry {
     "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
     "dp18_filter_funnel" -> OracleGen.dp18Sql(),
     "a46_ab_test" -> operators.Analytics.abTestOracleSql(),
+    "dp19_token_budget" -> operators.DataPrep.tokenBudgetOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

@@ -751,4 +751,66 @@ object DataPrep {
         round(col("cs"), 4).as("cos_sim"))
       .orderBy("a_id", "rk")
   }
+
+  // --- DP19: token-budget planner — the per-source planning table a
+  // training run prints before it starts: given a token budget (here
+  // 2× the corpus — upsampling allowed, unlike dp13's doc-count cap)
+  // and temperature-α shares over per-source token masses, how many
+  // tokens does each source contribute, how many FULL epochs of the
+  // source is that, and what remainder tops it off. α = 0.5 is
+  // applied as sqrt (IEEE correctly-rounded in both engines, unlike
+  // libm pow whose last ulp is platform-discretionary); everything
+  // else is exact integers except the per-row share/epoch ratios.
+  // One token-count aggregate + a 5-row window — the plan costs one
+  // corpus scan regardless of scale. ---
+  def tokenBudget(s: SparkSession, d: String,
+                  budgetMult: Double = 2.0): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val wsum = Window.partitionBy()
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("share",
+        sqrt(dbl(col("n_tokens"))) / sum(sqrt(dbl(col("n_tokens")))).over(wsum))
+      .withColumn("budget",
+        floor(dbl(sum(col("n_tokens")).over(wsum)) * budgetMult))
+      .withColumn("target_tokens",
+        floor(dbl(col("budget")) * col("share")).cast("long"))
+      .withColumn("full_repeats", expr("target_tokens div n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(col("share"), 6).as("share"), col("target_tokens"),
+        col("full_repeats"),
+        (col("target_tokens") - col("full_repeats") * col("n_tokens"))
+          .as("remainder_tokens"),
+        round(dbl(col("target_tokens")) / dbl(col("n_tokens")), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[tokenBudget]] — identical sqrt/share/floor
+    * chain.
+    */
+  def tokenBudgetOracleSql(budgetMult: Double = 2.0): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |q AS (
+       |  SELECT source, n_tokens,
+       |    sqrt(CAST(n_tokens AS DOUBLE))
+       |      / sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS share,
+       |    floor(CAST(sum(n_tokens) OVER () AS DOUBLE) * $budgetMult)
+       |      AS budget
+       |  FROM t),
+       |p AS (
+       |  SELECT source, n_tokens, share,
+       |    CAST(floor(budget * share) AS BIGINT) AS target_tokens
+       |  FROM q)
+       |SELECT source, n_tokens, round(share, 6) AS share, target_tokens,
+       |  target_tokens // n_tokens AS full_repeats,
+       |  target_tokens - (target_tokens // n_tokens) * n_tokens
+       |    AS remainder_tokens,
+       |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+       |    AS epochs
+       |FROM p ORDER BY source""".stripMargin
 }

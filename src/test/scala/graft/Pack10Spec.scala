@@ -246,6 +246,29 @@ class Pack10Spec extends SparkTestBase {
     assert(q >= -0.5 && q <= 1.0, "modularity is bounded")
   }
 
+  test("dp19: plan rows decompose exactly; totals respect the budget") {
+    import graft.operators.DataPrep
+    val rows = DataPrep.tokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (n, target, reps, rem) = (r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(target == reps * n + rem && rem >= 0 && rem < n,
+        "target must decompose into full epochs + remainder")
+      assert(math.abs(r.getDouble(6) - target.toDouble / n) < 1e-3)
+    }
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-3,
+      "shares must sum to 1")
+    val planned = rows.map(_.getLong(3)).sum
+    assert(planned <= 2 * total && planned > 2 * total - 2L * rows.length,
+      "floor-rounding loses < 1 token per source off the 2x budget")
+    // temperature flattening: the smallest source gets the largest
+    // epoch multiplier
+    val byTokens = rows.sortBy(_.getLong(1))
+    assert(byTokens.head.getDouble(6) >= byTokens.last.getDouble(6))
+  }
+
   test("a45: candles are internally consistent (low <= open/close <= high)") {
     val rows = Analytics.ohlcBars(spark, sf).collect()
     assert(rows.nonEmpty)
