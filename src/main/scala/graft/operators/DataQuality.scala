@@ -8,7 +8,12 @@ import org.apache.spark.sql.functions._
 /** Data-quality and privacy audits — the validation layer a training
   * pipeline runs BEFORE a corpus is trusted (the Deequ/Great-
   * Expectations surface, re-expressed as declarative Spark plans).
-  * The reference has no audit surface; these are extension operators
+  * The reference has no audit surface — its only "validation" is the
+  * write path's blanket `except BaseException: print("Error")` around
+  * an unchecked insert (`Codes/MovieShoppingServer/DatabaseAccessor
+  * .py:119-133`, which also derives keys from `max(order_id)+1`, the
+  * uniqueness hazard dq2's first rule checks for). These are
+  * extension operators
   * in the same spirit as the dedup/text families: at 100 TB nobody
   * eyeballs the data, so profiling, constraint checking, snapshot
   * diffing, and re-identification risk scans must be first-class
