@@ -157,7 +157,11 @@ object Soak {
     "sp5_bootstrap", "w18_interval_union", "gr10_assortativity",
     "gr11_assoc_rules", "st8_attribution",
     "sim14_hybrid_rrf", "dq1_profile", "dq2_constraints",
-    "dq3_bucket_diff", "pv1_k_anonymity", "a42_acf")
+    "dq3_bucket_diff", "pv1_k_anonymity", "a42_acf",
+    "sim15_lsh_filtered", "dd20_contamination", "gr13_closeness",
+    "st9_dq_monitor", "j10_point_in_time", "a43_trimmed_stats",
+    "a44_dow_seasonality", "a45_ohlc", "a46_ab_test",
+    "dp18_filter_funnel", "dp19_token_budget", "gr14_modularity")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer
