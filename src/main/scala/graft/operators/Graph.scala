@@ -928,27 +928,37 @@ object Graph {
                 numSeeds: Int = 3, maxIter: Int = 8): DataFrame = {
     val edges = tradeEdges(s, d).localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
-    val seeds = edges.groupBy(col("src").as("node"))
+    // seed selection is relational (top-K by (deg DESC, node ASC));
+    // only the K chosen ids are collected — the sim3 "tiny key set"
+    // pattern — so the state can carry one LANDMARK-VECTOR column per
+    // seed: every round then joins the edge relation ONCE for all
+    // seeds (state and message volume N rows, not K·N — the point of
+    // running landmarks together on a cluster).
+    val seedIds = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("node").asc)
       .limit(numSeeds)
-      .select(col("node").as("seed"))
-    var dist = nodes.crossJoin(broadcast(seeds))
-      .select(col("seed"), col("node"),
-        when(col("node") === col("seed"), 0L).otherwise(HopInf).as("dist"))
-      .localCheckpoint()
-    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
+      .collect().map(_.getLong(0))
+    val dcols = seedIds.indices.map(i => s"d$i")
+    var dist = nodes.select(col("node") +: seedIds.zipWithIndex.map {
+      case (sid, i) =>
+        when(col("node") === sid, 0L).otherwise(HopInf).as(s"d$i")
+    }: _*).localCheckpoint()
+    def totalOf(df: DataFrame): Long =
+      df.agg(dcols.map(c => sum(col(c))).reduce(_ + _)).head.getLong(0)
+    var prevSum = totalOf(dist)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
-        .select(col("seed"), col("dst").as("node"),
-          (col("dist") + 1).as("v"))
-      val next = dist.select(col("seed"), col("node"), col("dist").as("v"))
-        .unionByName(relaxed)
-        .groupBy("seed", "node").agg(min(col("v")).as("dist"))
+        .select(col("dst").as("node") +:
+          dcols.map(c => (col(c) + 1).as(c)): _*)
+      val next = dist.unionByName(relaxed)
+        .groupBy("node")
+        .agg(min(col(dcols.head)).as(dcols.head),
+          dcols.tail.map(c => min(col(c)).as(c)): _*)
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
+      val nextSum = totalOf(next)
       converged = nextSum == prevSum
       prevSum = nextSum
       dist = next
@@ -956,13 +966,15 @@ object Graph {
     }
     require(converged,
       s"multi-source BFS did not converge within $maxIter rounds")
-    dist.filter(col("dist") < HopInf)
-      .groupBy("seed")
-      .agg((count(lit(1)) - 1).as("n_reached"),
-        sum(col("dist")).as("sum_dist"))
-      .select(col("seed"), col("n_reached"), col("sum_dist"),
-        round(col("n_reached").cast("double")
-          / col("sum_dist").cast("double"), 6).as("closeness"))
+    // unpivot the K landmark columns back into (seed, …) audit rows
+    seedIds.zipWithIndex.map { case (sid, i) =>
+      dist.filter(col(s"d$i") < HopInf)
+        .agg((count(lit(1)) - 1).as("n_reached"),
+          sum(col(s"d$i")).as("sum_dist"))
+        .select(lit(sid).as("seed"), col("n_reached"), col("sum_dist"),
+          round(col("n_reached").cast("double")
+            / col("sum_dist").cast("double"), 6).as("closeness"))
+    }.reduce(_ unionByName _)
       .orderBy("seed")
   }
 
