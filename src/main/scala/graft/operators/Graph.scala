@@ -209,37 +209,51 @@ object Graph {
   // the unrolled replay. ---
   private val HopInf = 999999L
 
-  def hopDistance(s: SparkSession, d: String, maxIter: Int = 8): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint()
+  /** Shared single-source min-plus loop with FRONTIER (delta)
+    * relaxation: each round only the nodes whose distance improved
+    * last round offer `dist+w` to their neighbors. Per-round state is
+    * PROVABLY identical to relaxing every node (a non-improved node's
+    * offer was already absorbed the round after it last improved, and
+    * distances only decrease — so the omitted offers are dominated),
+    * which is why the unrolled full-relaxation DuckDB oracles replay
+    * this loop bit-for-bit. The win is total work: Σ|frontier·deg|
+    * ≈ |E| across the whole run instead of |E| PER ROUND — on a
+    * cluster the late rounds touch only the BFS wavefront's
+    * partitions. Convergence = empty frontier (same round as the
+    * monotone-sum read; `require`d within `maxIter`).
+    */
+  private def minPlusDistances(edges: DataFrame, maxIter: Int,
+                               algo: String): DataFrame = {
     val seed = edges.agg(min(col("src"))).head.getLong(0)
     var dist = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
       .localCheckpoint()
-    // min-plus relaxation is MONOTONE (per-node distances only ever
-    // decrease, node set is fixed), so "no node changed" is exactly
-    // "sum(dist) unchanged" — one cheap agg per round instead of a
-    // full next⋈prev comparison join (halves the per-round job count)
-    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
-    var converged = false
+    var delta = dist.filter(col("dist") < HopInf).localCheckpoint()
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val relaxed = dist.join(edges, dist("node") === edges("src"))
-        .select(col("dst").as("node"), (col("dist") + 1).as("v"))
-      val next = dist.select(col("node"), col("dist").as("v"))
-        .unionByName(relaxed)
-        .groupBy("node").agg(min(col("v")).as("dist"))
+    while (!delta.isEmpty && iter < maxIter) {
+      val offers = delta.join(edges, delta("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("v"),
+          lit(HopInf).as("old"))
+      val next = dist
+        .select(col("node"), col("dist").as("v"), col("dist").as("old"))
+        .unionByName(offers)
+        .groupBy("node")
+        .agg(min(col("v")).as("dist"), min(col("old")).as("old"))
         .localCheckpoint()
-      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      dist = next
+      delta = next.filter(col("dist") < col("old")).select("node", "dist")
+      dist = next.select("node", "dist")
       iter += 1
     }
-    require(converged,
-      s"BFS did not converge within $maxIter rounds; rounds needed = graph eccentricity")
+    require(delta.isEmpty,
+      s"$algo did not converge within $maxIter rounds")
     dist.filter(col("dist") < HopInf).orderBy("node")
   }
+
+  def hopDistance(s: SparkSession, d: String, maxIter: Int = 8): DataFrame =
+    minPlusDistances(
+      tradeEdges(s, d).withColumn("w", lit(1L)).localCheckpoint(),
+      maxIter, "BFS")
 
   /** Oracle twin of [[hopDistance]]: the same min-plus chain unrolled
     * to `iters` rounds (≥ the graph eccentricity; extra rounds are
@@ -262,36 +276,11 @@ object Graph {
   // edges⋈dist join + one min hash-agg — identical scale shape to gr4. ---
   def cheapestRoute(s: SparkSession, d: String, maxIter: Int = 12): DataFrame = {
     val e0 = graft.sources.GraphIndex.tradeWeightedEdges(s, d)
-    val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint()
-    val seed = edges.agg(min(col("src"))).head.getLong(0)
-    var dist = edges.select(col("src").as("node")).distinct()
-      .select(col("node"),
-        when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
-      .localCheckpoint()
-    // same monotone-sum convergence read as hopDistance: relaxation
-    // only lowers per-node distances, so sum(dist) is a complete
-    // change detector at one agg per round
-    var prevSum = dist.agg(sum(col("dist"))).head.getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val relaxed = dist.join(edges, dist("node") === edges("src"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("v"))
-      val next = dist.select(col("node"), col("dist").as("v"))
-        .unionByName(relaxed)
-        .groupBy("node").agg(min(col("v")).as("dist"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("dist"))).head.getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      dist = next
-      iter += 1
-    }
-    require(converged,
-      s"Bellman-Ford did not converge within $maxIter rounds")
-    dist.filter(col("dist") < HopInf).orderBy("node")
+    minPlusDistances(
+      e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .localCheckpoint(),
+      maxIter, "Bellman-Ford")
   }
 
   /** Oracle twin of [[cheapestRoute]]: the weighted min-plus chain
