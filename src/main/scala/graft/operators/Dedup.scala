@@ -493,6 +493,15 @@ object Dedup {
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint()
+    // min-label propagation is MONOTONE (labels only decrease, node
+    // set fixed), so "no label changed" is exactly "sum(comp)
+    // unchanged" — one cheap agg per round instead of a full
+    // next⋈prev comparison join (the gr4/gr6 convergence read).
+    // decimal(38,0), not long: at extreme id scales Σ ids could
+    // overflow BIGINT and ANSI mode would fail the query.
+    def totalOf(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = totalOf(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -510,17 +519,9 @@ object Dedup {
       val next = withJump
         .groupBy("doc_id").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      // Round 0 converges only when the edge set is empty — in every
-      // other case the first propagation changes some label, so the
-      // convergence-count job (a full join per round) is skipped there
-      // unless the graph could actually be edge-free.
-      if (iter == 0 && !edges.isEmpty) {
-        converged = false
-      } else {
-        val changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-          .filter(col("comp") =!= col("prev")).count()
-        converged = changed == 0
-      }
+      val nextSum = totalOf(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
