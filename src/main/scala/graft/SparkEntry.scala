@@ -294,6 +294,7 @@ object SparkEntry {
     "dp18_filter_funnel" -> ((s, d) => Pipeline.filterFunnel(s, d)),
     "a46_ab_test"        -> ((s, d) => Analytics.abTest(s, d)),
     "dp19_token_budget"  -> ((s, d) => DataPrep.tokenBudget(s, d)),
+    "pv2_l_diversity"    -> ((s, d) => DataQuality.lDiversity(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2581,6 +2582,7 @@ object SparkEntry {
     "dp18_filter_funnel" -> OracleGen.dp18Sql(),
     "a46_ab_test" -> operators.Analytics.abTestOracleSql(),
     "dp19_token_budget" -> operators.DataPrep.tokenBudgetOracleSql(),
+    "pv2_l_diversity" -> operators.DataQuality.lDiversityOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

@@ -214,4 +214,32 @@ object DataQuality {
        |GROUP BY 1, 2, 3
        |HAVING count(*) < $k
        |ORDER BY nation, segment, bal_band""".stripMargin
+
+  // --- PV2: l-diversity audit — k-anonymity's necessary companion
+  // [Machanavajjhala et al., 2007]: a quasi-identifier group can be
+  // large (k-anonymous) yet still leak if everyone in it shares the
+  // SENSITIVE value — here, groups of (nation, balance band) where
+  // the market segment (the sensitive attribute) takes fewer than l
+  // distinct values. Homogeneous groups let an attacker infer the
+  // segment without re-identifying anyone. Same one-agg shape as pv1
+  // with a distinct count; a release gate requires BOTH relations
+  // empty at its chosen (k, l). ---
+  def lDiversity(s: SparkSession, d: String, l: Int = 3): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .filter(col("n_segments") < l)
+      .orderBy("nation", "bal_band")
+
+  def lDiversityOracleSql(l: Int = 3): String =
+    s"""SELECT c_nationkey AS nation,
+       |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+       |FROM customer
+       |GROUP BY 1, 2
+       |HAVING count(DISTINCT c_mktsegment) < $l
+       |ORDER BY nation, bal_band""".stripMargin
 }

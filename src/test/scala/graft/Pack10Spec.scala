@@ -79,6 +79,19 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("pv2: reported groups are segment-homogeneous below l; recount agrees") {
+    val rows = DataQuality.lDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) < 3 && r.getLong(3) >= 1 &&
+      r.getLong(3) <= r.getLong(2)))
+    val r0 = rows.head
+    val recount = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") === r0.getInt(0) &&
+        floor(col("c_acctbal") / 1000.0).cast("long") === r0.getLong(1))
+      .select("c_mktsegment").distinct().count()
+    assert(recount == r0.getLong(3))
+  }
+
   test("pv1: every reported group is below k and matches a recount") {
     val rows = DataQuality.kAnonymity(spark, sf).collect()
     assert(rows.nonEmpty)
