@@ -295,6 +295,7 @@ object SparkEntry {
     "a46_ab_test"        -> ((s, d) => Analytics.abTest(s, d)),
     "dp19_token_budget"  -> ((s, d) => DataPrep.tokenBudget(s, d)),
     "pv2_l_diversity"    -> ((s, d) => DataQuality.lDiversity(s, d)),
+    "a47_hhi"            -> ((s, d) => Analytics.hhi(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2583,6 +2584,7 @@ object SparkEntry {
     "a46_ab_test" -> operators.Analytics.abTestOracleSql(),
     "dp19_token_budget" -> operators.DataPrep.tokenBudgetOracleSql(),
     "pv2_l_diversity" -> operators.DataQuality.lDiversityOracleSql(),
+    "a47_hhi" -> operators.Analytics.hhiOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

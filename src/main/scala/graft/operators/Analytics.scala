@@ -1302,6 +1302,47 @@ object Analytics {
         (abs(col("z")) > 1.96).as("significant_5pct"))
   }
 
+  // --- A47: Herfindahl–Hirschman concentration index — how
+  // concentrated is each year's revenue across suppliers?
+  // HHI = 10000·Σ(sᵢ/S)² = 10000·Σsᵢ²/S², the antitrust-style
+  // concentration number next to a34's Gini (inequality of the same
+  // distribution, different question). Per-supplier year revenue is
+  // the exact 1e-4-cents line revenue summed as decimal(38,0); Σsᵢ²
+  // and S are exact decimals, and the index is one per-row double.
+  // Two stacked hash-aggs (line → supplier-year → year), all
+  // map-side-partial — a fact-table scan at any scale. ---
+  def hhi(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val bySupplier = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("y"), col("l_suppkey"))
+      .agg(sum(Benchmark2.lineRevenueCents1e4.cast(dec)).as("rev"))
+    bySupplier.groupBy("y")
+      .agg(count(lit(1)).cast("long").as("n_suppliers"),
+        sum(col("rev")).as("total"),
+        sum(col("rev") * col("rev")).as("sumsq"))
+      .select(col("y"), col("n_suppliers"),
+        round(lit(10000.0) * dbl(col("sumsq"))
+          / (dbl(col("total")) * dbl(col("total"))), 6).as("hhi"))
+      .orderBy("y")
+  }
+
+  /** Oracle twin of [[hhi]]. */
+  def hhiOracleSql(): String =
+    """WITH sup AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS y, l_suppkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+      |      AS rev
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT y, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  round(10000.0 * CAST(sum(rev * rev) AS DOUBLE)
+      |    / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+      |    AS hhi
+      |FROM sup GROUP BY y ORDER BY y""".stripMargin
+
   /** Oracle twin of [[abTest]]. */
   def abTestOracleSql(): String =
     """WITH pu AS (

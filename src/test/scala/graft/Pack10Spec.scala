@@ -294,6 +294,16 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.map(_.getLong(5)).sum == Tables.orders(spark, sf).count())
   }
 
+  test("a47: HHI bounded between uniform floor 10000/n and monopoly 10000") {
+    val rows = Analytics.hhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 10000.0 / n - 1e-6 && h <= 10000.0 + 1e-6,
+        s"HHI $h out of [10000/$n, 10000]")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
