@@ -296,6 +296,7 @@ object SparkEntry {
     "dp19_token_budget"  -> ((s, d) => DataPrep.tokenBudget(s, d)),
     "pv2_l_diversity"    -> ((s, d) => DataQuality.lDiversity(s, d)),
     "a47_hhi"            -> ((s, d) => Analytics.hhi(s, d)),
+    "sq5_markov_backtest" -> ((s, d) => DataPrep.markovBacktest(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2585,6 +2586,7 @@ object SparkEntry {
     "dp19_token_budget" -> operators.DataPrep.tokenBudgetOracleSql(),
     "pv2_l_diversity" -> operators.DataQuality.lDiversityOracleSql(),
     "a47_hhi" -> operators.Analytics.hhiOracleSql(),
+    "sq5_markov_backtest" -> operators.DataPrep.markovBacktestOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

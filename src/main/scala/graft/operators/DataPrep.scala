@@ -315,6 +315,83 @@ object DataPrep {
       .orderBy("from_type", "to_type")
   }
 
+  // --- SQ5: Markov next-event BACKTEST — sq2's transition matrix
+  // evaluated with time-split discipline: transitions whose source
+  // event falls in the first 80% of the event-time range train the
+  // model (per-state argmax of transition counts, ties to the smaller
+  // label); the last 20% is held out, and each held-out transition is
+  // scored against the trained prediction. The readout is per-state
+  // (n_eval, n_correct, accuracy) — the sim8-style "audit the model
+  // with the engine itself" pattern applied to sequences, and the
+  // split is on TIME, not rows, because a random split would leak
+  // future behavior into the past (the j10 leakage rule). The cut is
+  // integer epoch-micros arithmetic, counts are exact, the argmax is
+  // a windowed rank over the aggregated matrix — everything
+  // hash-oracles. ---
+  def markovBacktest(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"),
+        unix_micros(col("ts")).as("tsu"))
+      .localCheckpoint() // feeds bounds, train, and eval
+    val cut = tr.agg((min(col("tsu")) +
+        expr("((max(tsu) - min(tsu)) * 4) div 5")).as("cut"))
+    val withCut = tr.crossJoin(broadcast(cut))
+    val byState = Window.partitionBy("from_type")
+      .orderBy(col("n").desc, col("to_type").asc)
+    val pred = withCut.filter(col("tsu") < col("cut"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byState))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted"))
+    withCut.filter(col("tsu") >= col("cut"))
+      .join(pred, "from_type")
+      .groupBy("from_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("predicted") === col("to_type"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("from_type"), col("n_eval"), col("n_correct"),
+        round(dbl(col("n_correct")) / dbl(col("n_eval")), 6).as("accuracy"))
+      .orderBy("from_type")
+  }
+
+  /** Oracle twin of [[markovBacktest]] — identical time cut, trained
+    * argmax, and held-out scoring.
+    */
+  def markovBacktestOracleSql(): String =
+    """WITH tr AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS to_type,
+      |    epoch_us(ts) AS tsu
+      |  FROM events),
+      |tr2 AS (SELECT * FROM tr WHERE to_type IS NOT NULL),
+      |b AS (SELECT min(tsu) + ((max(tsu) - min(tsu)) * 4) // 5 AS cut
+      |  FROM tr2),
+      |trainc AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM tr2, b WHERE tsu < cut GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT from_type, to_type AS predicted FROM (
+      |    SELECT from_type, to_type,
+      |      row_number() OVER (PARTITION BY from_type
+      |        ORDER BY n DESC, to_type ASC) AS rn
+      |    FROM trainc) WHERE rn = 1),
+      |ev AS (SELECT t.from_type, t.to_type FROM tr2 t, b
+      |  WHERE t.tsu >= b.cut)
+      |SELECT e.from_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |  CAST(sum(CASE WHEN p.predicted = e.to_type THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_correct,
+      |  round(CAST(sum(CASE WHEN p.predicted = e.to_type
+      |        THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      |FROM ev e JOIN pred p ON e.from_type = p.from_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- DP8: deterministic source interleave — order the corpus so
   // consecutive training examples rotate across sources (row i of
   // every source before row i+1 of any source), the standard

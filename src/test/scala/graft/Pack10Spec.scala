@@ -294,6 +294,30 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.map(_.getLong(5)).sum == Tables.orders(spark, sf).count())
   }
 
+  test("sq5: held-out scoring is consistent and the split leaks nothing") {
+    import graft.operators.DataPrep
+    val rows = DataPrep.markovBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ne, nc, acc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nc <= ne && ne > 0)
+      assert(math.abs(acc - nc.toDouble / ne) < 1e-6)
+    }
+    // all transitions are either trained on or evaluated — the per-
+    // state eval counts must sum to the transitions in the last 20%
+    // of the time range
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(spark, sf)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(unix_micros(col("ts")).as("tsu"))
+    val Array(lo, hi) = tr.agg(min(col("tsu")), max(col("tsu"))).head
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = lo + (hi - lo) * 4 / 5
+    assert(rows.map(_.getLong(1)).sum == tr.filter(col("tsu") >= cut).count())
+  }
+
   test("a47: HHI bounded between uniform floor 10000/n and monopoly 10000") {
     val rows = Analytics.hhi(spark, sf).collect()
     assert(rows.nonEmpty)
