@@ -297,6 +297,7 @@ object SparkEntry {
     "pv2_l_diversity"    -> ((s, d) => DataQuality.lDiversity(s, d)),
     "a47_hhi"            -> ((s, d) => Analytics.hhi(s, d)),
     "sq5_markov_backtest" -> ((s, d) => DataPrep.markovBacktest(s, d)),
+    "w20_rolling_corr"   -> ((s, d) => Windows.rollingCorrelation(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2587,6 +2588,7 @@ object SparkEntry {
     "pv2_l_diversity" -> operators.DataQuality.lDiversityOracleSql(),
     "a47_hhi" -> operators.Analytics.hhiOracleSql(),
     "sq5_markov_backtest" -> operators.DataPrep.markovBacktestOracleSql(),
+    "w20_rolling_corr" -> operators.Windows.rollingCorrelationOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

@@ -359,4 +359,81 @@ object Windows {
         sum(col("max_e") - col("min_s") + 1).as("covered_days"))
       .orderBy("sk")
   }
+
+  // --- W20: rolling correlation — Pearson r between the click and
+  // purchase daily-revenue series over a trailing 30-day row frame,
+  // the co-movement diagnostic next to w6's univariate moving average
+  // and a42's whole-series ACF ("did these two signals decouple
+  // recently?"). Exactness: daily cents are exact longs, every frame
+  // statistic is a windowed sum of decimal(38,0) products (cast
+  // BEFORE multiplying — a long×long product could overflow first at
+  // extreme daily volumes), and r is one per-row double over the
+  // frame's exact moments. Only full frames are emitted, and the
+  // degenerate zero-variance frame maps to NULL by the same CASE in
+  // both engines. The window runs over the (tiny) joined daily
+  // aggregate, never raw events. ---
+  def rollingCorrelation(s: SparkSession, d: String,
+                         winDays: Int = 30): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("day"), col("c").cast(dec).as("x"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("c").cast(dec).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(winDays - 1), 0)
+    val m = x.join(y, "day")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === winDays)
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val dxx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val dyy = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    m.select(col("day"),
+        when(col("sxx") * col("n") > col("sx") * col("sx") &&
+             col("syy") * col("n") > col("sy") * col("sy"),
+          round(num / sqrt(dxx * dyy), 6)).as("corr30"))
+      .orderBy("day")
+  }
+
+  /** Oracle twin of [[rollingCorrelation]] — identical frame moments
+    * and double association.
+    */
+  def rollingCorrelationOracleSql(winDays: Int = 30): String =
+    s"""WITH daily AS (
+       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    event_type,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |j AS (
+       |  SELECT x.day, x.c AS x, y.c AS y
+       |  FROM (SELECT day, c FROM daily WHERE event_type = 'click') x
+       |  JOIN (SELECT day, c FROM daily WHERE event_type = 'purchase') y
+       |    ON x.day = y.day),
+       |m AS (
+       |  SELECT day,
+       |    count(*) OVER w AS n,
+       |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |    sum(x * y) OVER w AS sxy,
+       |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+       |  FROM j
+       |  WINDOW w AS (ORDER BY day
+       |    ROWS BETWEEN ${winDays - 1} PRECEDING AND CURRENT ROW))
+       |SELECT day,
+       |  CASE WHEN sxx * n > sx * sx AND syy * n > sy * sy
+       |    THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |  END AS corr30
+       |FROM m WHERE n = $winDays ORDER BY day""".stripMargin
 }

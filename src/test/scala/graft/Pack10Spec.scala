@@ -318,6 +318,28 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == tr.filter(col("tsu") >= cut).count())
   }
 
+  test("w20: rolling correlation bounded in [-1,1] over full frames only") {
+    import graft.operators.Windows
+    val rows = Windows.rollingCorrelation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(1)) {
+        val c = r.getDouble(1)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+    // full frames only: the emitted day count is (joined days − 29)
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val joined = daily.filter(col("event_type") === "click").select("day")
+      .join(daily.filter(col("event_type") === "purchase").select("day"),
+        "day").count()
+    assert(rows.length == math.max(0L, joined - 29).toInt)
+  }
+
   test("a47: HHI bounded between uniform floor 10000/n and monopoly 10000") {
     val rows = Analytics.hhi(spark, sf).collect()
     assert(rows.nonEmpty)
