@@ -298,6 +298,7 @@ object SparkEntry {
     "a47_hhi"            -> ((s, d) => Analytics.hhi(s, d)),
     "sq5_markov_backtest" -> ((s, d) => DataPrep.markovBacktest(s, d)),
     "w20_rolling_corr"   -> ((s, d) => Windows.rollingCorrelation(s, d)),
+    "tx24_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -1057,21 +1058,7 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "tx5_lang_id" ->
-      """WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-        |            FROM documents),
-        |scores AS (
-        |  SELECT doc_id, lang, p.lng,
-        |    len(list_filter(w, t -> list_contains(p.stops, t))) AS score
-        |  FROM ws, (VALUES ('en', ['the', 'a', 'fast', 'join']),
-        |                   ('de', ['der', 'die', 'das', 'und']),
-        |                   ('fr', ['le', 'la', 'et', 'de']),
-        |                   ('es', ['el', 'la', 'y', 'de']),
-        |                   ('zh', ['de', 'le', 'he', 'shi'])) AS p(lng, stops)),
-        |ranked AS (
-        |  SELECT doc_id, lang, lng,
-        |    row_number() OVER (PARTITION BY doc_id
-        |                       ORDER BY score DESC, lng DESC) AS rn
-        |  FROM scores)
+      s"""WITH ${operators.TextAnalysis.langIdOracleCtes}
         |SELECT doc_id, lang, lng AS predicted FROM ranked
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "tx6_token_counts" ->
@@ -2589,6 +2576,8 @@ object SparkEntry {
     "a47_hhi" -> operators.Analytics.hhiOracleSql(),
     "sq5_markov_backtest" -> operators.DataPrep.markovBacktestOracleSql(),
     "w20_rolling_corr" -> operators.Windows.rollingCorrelationOracleSql(),
+    "tx24_langid_confusion" ->
+      operators.TextAnalysis.langIdConfusionOracleSql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

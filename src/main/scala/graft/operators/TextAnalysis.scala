@@ -371,6 +371,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The tx5 oracle's CTE chain (ws → scores → ranked, rn = 1 is the
+    * prediction) — shared by the tx5 registration and tx24's
+    * confusion matrix so the classifier definition cannot drift
+    * between the operator and its evaluation.
+    */
+  def langIdOracleCtes: String = {
+    val profiles = langProfiles.toSeq.sortBy(_._1).map { case (lng, st) =>
+      s"('$lng', [${st.map(w => s"'$w'").mkString(", ")}])"
+    }.mkString(", ")
+    s"""ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |            FROM documents),
+       |scores AS (
+       |  SELECT doc_id, lang, p.lng,
+       |    len(list_filter(w, t -> list_contains(p.stops, t))) AS score
+       |  FROM ws, (VALUES $profiles) AS p(lng, stops)),
+       |ranked AS (
+       |  SELECT doc_id, lang, lng,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, lng DESC) AS rn
+       |  FROM scores)""".stripMargin
+  }
+
+  // --- TX24: language-ID confusion matrix — tx5's classifier scored
+  // against the corpus's ground-truth `lang` column: (actual,
+  // predicted, n, recall) per cell, the audit that tells a filtering
+  // pipeline WHICH languages its heuristic confuses before it trusts
+  // the gate (the sq5/sim8 "evaluate the model with the engine"
+  // pattern applied to classification). The matrix groups tx5's own
+  // output relation, and the oracle shares tx5's CTE chain verbatim —
+  // classifier and evaluation cannot drift. Recall is a per-row ratio
+  // over the actual-language window (runs over the ≤|langs|² cell
+  // aggregate). ---
+  def langIdConfusion(s: SparkSession, d: String): DataFrame = {
+    val byActual = Window.partitionBy("actual")
+    langId(s, d)
+      .groupBy(col("lang").as("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall",
+        round(col("n").cast("double")
+          / sum(col("n")).over(byActual).cast("double"), 6))
+      .orderBy("actual", "predicted")
+  }
+
+  /** Oracle twin of [[langIdConfusion]] — tx5's chain + the cell
+    * aggregation.
+    */
+  def langIdConfusionOracleSql(): String =
+    s"""WITH $langIdOracleCtes,
+       |cells AS (
+       |  SELECT lang AS actual, lng AS predicted,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM ranked WHERE rn = 1 GROUP BY 1, 2)
+       |SELECT actual, predicted, n,
+       |  round(CAST(n AS DOUBLE)
+       |    / CAST(sum(n) OVER (PARTITION BY actual) AS DOUBLE), 6)
+       |    AS recall
+       |FROM cells ORDER BY actual, predicted""".stripMargin
+
   // --- TX13: PMI collocations — pointwise-mutual-information ranking
   // of corpus bigrams, the standard signal for multi-word expressions
   // when building tokenizer/vocab pipelines. Three hash aggs (bigram

@@ -340,6 +340,25 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.length == math.max(0L, joined - 29).toInt)
   }
 
+  test("tx24: confusion cells partition the corpus; recalls sum to 1 per actual") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.langIdConfusion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).count(),
+      "every document lands in exactly one confusion cell")
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      assert(math.abs(cells.map(_.getDouble(3)).sum - 1.0) < 1e-3,
+        "per-actual recalls partition to 1")
+    }
+    // cross-check one cell against the per-doc prediction relation
+    val perDoc = TextAnalysis.langId(spark, sf).collect()
+    val cell0 = rows.head
+    assert(cell0.getLong(2) == perDoc.count(r =>
+      r.getString(1) == cell0.getString(0) &&
+        r.getString(2) == cell0.getString(1)))
+  }
+
   test("a47: HHI bounded between uniform floor 10000/n and monopoly 10000") {
     val rows = Analytics.hhi(spark, sf).collect()
     assert(rows.nonEmpty)
