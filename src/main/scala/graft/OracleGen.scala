@@ -276,6 +276,45 @@ object OracleGen {
        |  round(CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) FROM m
        |ORDER BY stage""".stripMargin
 
+  /** dp20_dataset_card: the one-row release summary over dp11's
+    * survivor chain — counts, tokens, scaled-int mean quality, source
+    * spread, near-dup drop rate.
+    */
+  def dp20Sql(qualityFloor: Double = 0.55, threshold: Double = 0.5,
+              numHashes: Int = 64, bands: Int = 16): String =
+    s"""WITH $gramCtes,
+       |${lshCandCtes(numHashes, bands)},
+       |${lshDropsCtes(threshold)},
+       |q AS (
+       |  SELECT doc_id, round(
+       |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+       |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+       |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+       |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+       |    AS quality
+       |  FROM w),
+       |sel AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    q.quality
+       |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+       |  WHERE d.lang = 'en'
+       |    AND len(string_split(d.text, ' ')) BETWEEN 20 AND 2000
+       |    AND q.quality >= $qualityFloor
+       |    AND d.doc_id NOT IN (SELECT doc_b FROM drops)),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS docs_total FROM documents),
+       |dr AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM drops)
+       |SELECT t.docs_total,
+       |  CAST(count(*) AS BIGINT) AS docs_selected,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) / 10000.0, 6) AS mean_quality,
+       |  round(CAST(dr.n_dropped AS DOUBLE) / CAST(t.docs_total AS DOUBLE), 6)
+       |    AS near_dup_rate
+       |FROM sel, t, dr
+       |GROUP BY t.docs_total, dr.n_dropped""".stripMargin
+
   def dd12Sql(threshold: Double = 0.7,
               numHashes: Int = 64, bands: Int = 16): String =
     s"""WITH $gramCtes,

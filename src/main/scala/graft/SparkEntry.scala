@@ -299,6 +299,7 @@ object SparkEntry {
     "sq5_markov_backtest" -> ((s, d) => DataPrep.markovBacktest(s, d)),
     "w20_rolling_corr"   -> ((s, d) => Windows.rollingCorrelation(s, d)),
     "tx24_langid_confusion" -> ((s, d) => TextAnalysis.langIdConfusion(s, d)),
+    "dp20_dataset_card"  -> ((s, d) => Pipeline.datasetCard(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
   )
@@ -2578,6 +2579,7 @@ object SparkEntry {
     "w20_rolling_corr" -> operators.Windows.rollingCorrelationOracleSql(),
     "tx24_langid_confusion" ->
       operators.TextAnalysis.langIdConfusionOracleSql(),
+    "dp20_dataset_card" -> OracleGen.dp20Sql(),
     "gr14_modularity" -> operators.Graph.modularityOracleSql(),
     "a38_changepoint" ->
       """WITH daily AS (

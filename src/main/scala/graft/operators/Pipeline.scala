@@ -90,4 +90,41 @@ object Pipeline {
           / col("r.docs_in").cast("double"), 6).as("pct_kept"))
       .orderBy("stage")
   }
+
+  // --- DP20: dataset card — the one-row summary a corpus release
+  // publishes next to the funnel: corpus size, selected docs/tokens,
+  // mean quality of the selection, source spread, and the near-dup
+  // drop rate. Composes the SAME survivor relation as dp11 (LSH pair
+  // source), so card and selection cannot disagree. Mean quality is
+  // exact despite being an average of doubles: the per-doc quality is
+  // already rounded to 4dp, so quality·10000 is an exact integer —
+  // summed as a long and divided once per-row, no cross-row FP
+  // accumulation (the a26 discipline applied to a score column). ---
+  def datasetCard(s: SparkSession, d: String,
+                  qualityFloor: Double = 0.55,
+                  jaccardThreshold: Double = 0.5): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val drops = Dedup.minhashLshPairsRaw(s, d, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = corpusSelectFrom(s, d,
+      Dedup.minhashLshPairsRaw(s, d, jaccardThreshold), qualityFloor)
+    val totals = Tables.documents(s, d)
+      .agg(count(lit(1)).as("docs_total"))
+    val nDrops = drops.agg(count(lit(1)).as("n_dropped"))
+    survivors
+      .agg(count(lit(1)).as("docs_selected"),
+        sum(col("n_tokens").cast("long")).as("tokens_selected"),
+        // round() before the cast: 0.8432·10000 can land a hair under
+        // 8432.0 in binary, and a bare cast would truncate
+        sum(round(col("quality") * 10000).cast("long")).as("q10k"),
+        countDistinct(col("source")).as("n_sources"))
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nDrops))
+      .select(col("docs_total"), col("docs_selected"),
+        col("tokens_selected"), col("n_sources"),
+        round(dbl(col("q10k")) / dbl(col("docs_selected")) / 10000.0, 6)
+          .as("mean_quality"),
+        round(dbl(col("n_dropped")) / dbl(col("docs_total")), 6)
+          .as("near_dup_rate"))
+  }
 }

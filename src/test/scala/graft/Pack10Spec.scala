@@ -359,6 +359,23 @@ class Pack10Spec extends SparkTestBase {
         r.getString(2) == cell0.getString(1)))
   }
 
+  test("dp20: the card's selected count equals the funnel tail and the survivors") {
+    import graft.operators.{Dedup, Pipeline}
+    val card = Pipeline.datasetCard(spark, sf).collect().head
+    assert(card.getLong(0) == Tables.documents(spark, sf).count())
+    val funnelTail = Pipeline.filterFunnel(spark, sf).collect()
+      .last.getLong(2)
+    assert(card.getLong(1) == funnelTail,
+      "card and funnel must report the same selection")
+    val survivors = Pipeline.corpusSelectFrom(spark, sf,
+      Dedup.minhashLshPairsRaw(spark, sf)).collect()
+    assert(card.getLong(2) == survivors.map(_.getInt(2).toLong).sum,
+      "token total must recount from the survivor rows")
+    assert(card.getDouble(4) >= 0.55 && card.getDouble(4) <= 1.0,
+      "mean selected quality cannot be below the floor")
+    assert(card.getDouble(5) >= 0.0 && card.getDouble(5) < 1.0)
+  }
+
   test("a47: HHI bounded between uniform floor 10000/n and monopoly 10000") {
     val rows = Analytics.hhi(spark, sf).collect()
     assert(rows.nonEmpty)
