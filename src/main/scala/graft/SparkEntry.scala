@@ -1313,19 +1313,27 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm2: the decode is a stub, but a REPRODUCIBLE one — fingerprint
-    // is the top 60 bits of md5(payload), so the whole mapPartitions
-    // plumbing hash-checks against DuckDB recomputing the same fake.
+    // mm2: the decode is REAL (ImageIO over fixture-encoded PNGs);
+    // the oracle replays the closed form the fixture painted —
+    // dimensions from doc_id, luma sum as Σ (id·31 + 7x + 13y) mod 256
+    // over the pixel grid (8-bit grayscale PNG round-trips losslessly,
+    // so decoded samples == painted samples, exactly).
     "mm2_media_features" ->
-      """WITH f AS (
-        |  SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
-        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
-        |  FROM documents)
-        |SELECT doc_id, n_bytes,
-        |  CAST(fingerprint % 1920 + 1 AS INTEGER) AS width,
-        |  CAST(fingerprint % 1080 + 1 AS INTEGER) AS height,
-        |  fingerprint
-        |FROM f ORDER BY doc_id""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 14 + 3 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 3 AS INTEGER) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, width, height,
+        |    unnest(generate_series(0, CAST(width AS BIGINT) - 1)) AS x
+        |  FROM dims),
+        |px AS (SELECT doc_id, width, height, x,
+        |    unnest(generate_series(0, CAST(height AS BIGINT) - 1)) AS y
+        |  FROM xs)
+        |SELECT doc_id, width, height,
+        |  CAST(sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT)
+        |    AS luma_sum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "mm3_frame_sample" ->
       """SELECT doc_id, CAST((frame_start - 1) // 256 AS INTEGER) AS frame_no,
         |  CAST(frame_start AS INTEGER) AS frame_start,
@@ -2329,7 +2337,7 @@ object SparkEntry {
         |  FROM spend)
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  round(2.0 * CAST(sum(i * cents) AS DOUBLE)
+        |  round(2.0 * CAST(sum(CAST(i AS HUGEINT) * cents) AS DOUBLE)
         |        / CAST(count(*) * sum(cents) AS DOUBLE)
         |        - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS gini

@@ -557,11 +557,26 @@ object Analytics {
   // event fan-in), then a self equi-join on (day+1, user) — both
   // sides share the dedup's partitioning, and at 100 TB the pair
   // relation is ~|users|×|days|, orders of magnitude under the raw
-  // event stream. ---
-  def dayRetention(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.events(s, d)
+  // event stream. The tail is factored out over the DISTINCT pair
+  // relation so Streams.readRetention can feed it the
+  // stream-maintained (day, user) activity index — stream and batch
+  // share the exact scoring plan by construction. ---
+  def dayRetention(s: SparkSession, d: String): DataFrame =
+    retentionFromPairs(activityPairs(s, d))
+
+  /** The distinct (day, user_id) activity relation — the shared input
+    * of st5/st6 and the relation the streaming activity index
+    * (Streams.activityIndexMaintainStream) maintains incrementally.
+    */
+  private[graft] def activityPairs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
       .distinct()
+
+  /** st5's scoring tail over an already-distinct (day, user_id) pair
+    * relation.
+    */
+  private[graft] def retentionFromPairs(pairs: DataFrame): DataFrame = {
     val next = pairs.select(
       (col("day") - expr("INTERVAL 1 DAY")).as("day"),
       col("user_id").as("u2"))
@@ -699,11 +714,17 @@ object Analytics {
   // the explode-to-window-end form shuffles 7×|pairs| — bounded and
   // predictable, vs. a range-join whose planning degenerates to BNLJ.
   // At larger windows an HLL-sketch-per-day union (approx) is the
-  // scale path; exact is right while 7×|pairs| fits a shuffle. ---
-  def rollingWau(s: SparkSession, d: String, windowDays: Int = 7): DataFrame = {
-    val pairs = Tables.events(s, d)
-      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
-      .distinct()
+  // scale path; exact is right while 7×|pairs| fits a shuffle. The
+  // tail is factored over the distinct pair relation (see
+  // dayRetention) so Streams.readRollingWau shares it. ---
+  def rollingWau(s: SparkSession, d: String, windowDays: Int = 7): DataFrame =
+    rollingWauFromPairs(activityPairs(s, d), windowDays)
+
+  /** st6's scoring tail over an already-distinct (day, user_id) pair
+    * relation.
+    */
+  private[graft] def rollingWauFromPairs(pairs: DataFrame,
+                                         windowDays: Int): DataFrame = {
     val days = pairs.select(col("day")).distinct()
     val ends = pairs.select(col("day"), col("user_id"),
       explode(sequence(lit(0), lit(windowDays - 1))).as("k"))
@@ -723,25 +744,25 @@ object Analytics {
   // revenue share and cumulative share: the concentration statistic
   // ("top 10% of customers carry X% of revenue") behind campaign
   // targeting, next to w12's 80/20 Pareto per-part view. Spend is
-  // summed in exact integer cents; ntile runs over the CUSTOMER
-  // AGGREGATE (dimension-sized, not fact-sized — the fact scan never
-  // sees a global window), with a fully deterministic (spend DESC,
-  // custkey ASC) total order so both engines cut identical bins
-  // (ANSI ntile: the first n mod 10 bins take the extra row). At
-  // 100 TB the customer aggregate's global sort is the dp10
-  // range-partition + offset two-pass; the 10-row share math is
-  // trivial either way. ---
+  // summed in exact integer cents; the decile cut runs over the
+  // CUSTOMER AGGREGATE (dimension-sized, not fact-sized — the fact
+  // scan never sees a global window) via GlobalOrder.withNtile — the
+  // dp10 range-partition + offset two-pass, so even the customer
+  // dimension (which grows with the corpus) never funnels through one
+  // task. The (spend DESC, custkey ASC) total order makes both
+  // engines cut identical bins (ANSI ntile: the first n mod 10 bins
+  // take the extra row); the 10-row share math below is bounded-key
+  // (decile) window work. ---
   def decileLift(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
-    val bySpend = Window.orderBy(col("cents").desc, col("o_custkey").asc)
-    val agg = spend
-      .withColumn("decile", ntile(10).over(bySpend))
+    val agg = GlobalOrder.withNtile(spend, 10, "decile",
+        col("cents").desc, col("o_custkey").asc)
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
-    val total = Window.partitionBy()
-    val cum = Window.orderBy("decile")
+    val total = Window.partitionBy(lit(0))
+    val cum = Window.partitionBy(lit(0)).orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     agg
       .withColumn("share",
@@ -759,12 +780,14 @@ object Analytics {
   // critical value c(α)·√((n₁+n₂)/(n₁·n₂)), c(0.05) = 1.358 — the
   // drift-detection statistic a pipeline runs before assuming one
   // segment generalizes to another. Exact integer machinery: prices
-  // in cents, per-value counts, CUMULATIVE counts via one ordered
-  // window over the per-value AGGREGATE (distinct-value-sized; the
-  // dp10 range-partition two-pass is the 100 TB form of this sort);
-  // ECDFs become doubles only at the final division, same association
-  // both engines. The sup over step points evaluated post-jump is the
-  // exact D for right-continuous ECDFs. ---
+  // in cents, per-value counts, CUMULATIVE counts + grand totals via
+  // GlobalOrder.withCumSums over the per-value AGGREGATE — the dp10
+  // range-partition + offset two-pass, so the distinct-value relation
+  // (which saturates at the price-domain cardinality but is not
+  // provably bounded) never sorts on one task; ECDFs become doubles
+  // only at the final division, same association both engines. The
+  // sup over step points evaluated post-jump is the exact D for
+  // right-continuous ECDFs. ---
   def ksTest(s: SparkSession, d: String,
              segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
     val seg = Tables.orders(s, d)
@@ -776,14 +799,9 @@ object Analytics {
     val perValue = seg.groupBy("cents")
       .agg(sum(col("in_a")).as("cnt_a"),
         sum(lit(1) - col("in_a")).as("cnt_b"))
-    val cum = Window.orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = Window.partitionBy()
-    perValue
-      .withColumn("ca", sum(col("cnt_a")).over(cum))
-      .withColumn("cb", sum(col("cnt_b")).over(cum))
-      .withColumn("na", sum(col("cnt_a")).over(total))
-      .withColumn("nb", sum(col("cnt_b")).over(total))
+    GlobalOrder.withCumSums(perValue, Seq(col("cents").asc),
+        Seq(GlobalOrder.CumSpec("cnt_a", "ca", "na"),
+          GlobalOrder.CumSpec("cnt_b", "cb", "nb")))
       .withColumn("gap",
         abs(col("ca").cast("double") / col("na").cast("double")
           - col("cb").cast("double") / col("nb").cast("double")))
@@ -800,25 +818,27 @@ object Analytics {
   // --- A34: Gini coefficient of customer spend — the single-number
   // inequality summary next to a31's decile view, computed by the
   // exact rank formula G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over spend
-  // sorted ascending. Everything except the final division is exact
-  // integer arithmetic (cents × rank sums — Σ i·xᵢ stays under 2^63
-  // through ~1e6 customers at these magnitudes; past that the sums
-  // become decimal(38,0), a26's discipline). The rank window runs on
-  // the customer AGGREGATE (a31's scale note applies: dp10's
-  // range-partition two-pass is the 100 TB global sort). ---
+  // sorted ascending. The rank comes from GlobalOrder.withRowNumber
+  // (dp10's range-partition + offset two-pass), so the customer
+  // aggregate never sorts on a single task. Σ i·xᵢ and n·Σ xᵢ run in
+  // decimal(38,0) — at TPC-H magnitudes the long products overflow
+  // around n≈3e5 customers (≈ sf 2), where the non-decimal form would
+  // silently diverge from DuckDB's HUGEINT sums (a26/a42/a47's
+  // discipline); decimal→double at the final division rounds to the
+  // same nearest double as long→double wherever both fit. ---
   def giniSpend(s: SparkSession, d: String): DataFrame = {
     val spend = Tables.orders(s, d)
       .groupBy("o_custkey")
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
-    val asc = Window.orderBy(col("cents").asc, col("o_custkey").asc)
-    spend
-      .withColumn("i", row_number().over(asc).cast("long"))
+    GlobalOrder.withRowNumber(spend, "i",
+        col("cents").asc, col("o_custkey").asc)
       .agg(count(lit(1)).as("n"),
         sum(col("cents")).as("total_cents"),
-        sum(col("i") * col("cents")).as("iwsum"))
+        sum(col("i").cast("decimal(38,0)") * col("cents")).as("iwsum"))
       .select(col("n"), col("total_cents"),
         round(lit(2.0) * col("iwsum").cast("double")
-          / (col("n") * col("total_cents")).cast("double")
+          / (col("n").cast("decimal(38,0)") * col("total_cents"))
+            .cast("double")
           - (col("n") + 1).cast("double") / col("n").cast("double"), 6)
           .as("gini"))
   }
@@ -836,7 +856,7 @@ object Analytics {
       .select(substring(Benchmark2.priceCents(col("o_totalprice"))
         .cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val total = Window.partitionBy()
+    val total = Window.partitionBy(lit(0))
     digits
       .withColumn("ntot", sum(col("n")).over(total))
       .withColumn("share", col("n").cast("double") / col("ntot").cast("double"))
@@ -885,10 +905,11 @@ object Analytics {
   // is prev+cum+1, an integer. 2·R_A and 2·U_A are therefore exact
   // longs (hash-checked); the normal-approximation z only goes double
   // at the final expression, with the standard tie-corrected variance
-  // σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))). All windows run
-  // over the per-value AGGREGATE (distinct-value-sized — a32's scale
-  // note: dp10's range-partition two-pass is the 100 TB global sort);
-  // past ~1e9 pooled rows the rank sums move to decimal(38,0), a26's
+  // σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))). The pooled
+  // cumulative count runs through GlobalOrder.withCumSums (dp10's
+  // range-partition + offset two-pass) over the per-value AGGREGATE,
+  // so the distinct-value relation never sorts on one task; past
+  // ~1e9 pooled rows the rank sums move to decimal(38,0), a26's
   // discipline. ---
   def mannWhitney(s: SparkSession, d: String,
                   segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
@@ -902,10 +923,9 @@ object Analytics {
       .agg(sum(col("in_a")).cast("long").as("cnt_a"),
         sum(lit(1) - col("in_a")).cast("long").as("cnt_b"))
       .withColumn("cnt", col("cnt_a") + col("cnt_b"))
-    val cum = Window.orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perValue
-      .withColumn("cumn", sum(col("cnt")).over(cum))
+    GlobalOrder.withCumSums(perValue, Seq(col("cents").asc),
+        Seq(GlobalOrder.CumSpec("cnt", "cumn", "__pooled_n")))
+      .drop("__pooled_n")
       // doubled tie-averaged rank: prev + cum + 1 = 2·cum − cnt + 1
       .withColumn("rank2", col("cumn") * 2 - col("cnt") + 1)
       .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"),
@@ -930,9 +950,10 @@ object Analytics {
   // tie-averaged ranks; a36's doubled-rank trick makes the ranks
   // exact integers, and Pearson is scale/shift-invariant so the
   // doubling cancels. Ranks come from the per-distinct-value
-  // cumulative count (one window over each variable's value
-  // AGGREGATE) joined back to the rows — two keyed equi-joins, never
-  // a row-level sort; the power sums then follow a26's exact-integer
+  // cumulative count (GlobalOrder.withCumSums — dp10's two-pass —
+  // over each variable's value AGGREGATE) joined back to the rows —
+  // two keyed equi-joins, never a single-task global sort; the power
+  // sums then follow a26's exact-integer
   // formula with the same double association, so ρ is bit-identical
   // across engines. Sums stay in long through ~1e6 customers (rank²
   // ≤ 4n²; Σ ≤ 4n³); past that they move to decimal(38,0), a26's
@@ -949,13 +970,12 @@ object Analytics {
       .join(spend, col("c_custkey") === col("o_custkey"))
       .select(col("xv"), col("yv"))
       .localCheckpoint()
-    def rank2(vcol: String): DataFrame = {
-      val cum = Window.orderBy(vcol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rows.groupBy(vcol).agg(count(lit(1)).as("cnt"))
-        .withColumn("cumn", sum(col("cnt")).over(cum))
+    def rank2(vcol: String): DataFrame =
+      GlobalOrder.withCumSums(
+          rows.groupBy(vcol).agg(count(lit(1)).as("cnt")),
+          Seq(col(vcol).asc),
+          Seq(GlobalOrder.CumSpec("cnt", "cumn", "__n_" + vcol)))
         .select(col(vcol), (col("cumn") * 2 - col("cnt") + 1).as(vcol + "_r2"))
-    }
     rows.join(rank2("xv"), "xv").join(rank2("yv"), "yv")
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("xv_r2")).as("sx"), sum(col("yv_r2")).as("sy"),
@@ -979,30 +999,35 @@ object Analytics {
   // frequency ntile over a TOTAL order (metric, then custkey — ties
   // can never make the bucketing nondeterministic), 5 = best. Output
   // is the segment distribution (≤125 rows) with per-segment customer
-  // counts and exact revenue. The ntile windows run over the
-  // per-customer AGGREGATE (a31/a34's scale note: dp10's
-  // range-partition two-pass is the 100 TB form of these global
-  // sorts). ---
+  // counts and exact revenue. Each ntile runs over the per-customer
+  // AGGREGATE via GlobalOrder.withNtile (dp10's range-partition +
+  // offset two-pass — three range shuffles of the customer dimension,
+  // never a single-task sort); the recency anchor is a 1-row max
+  // aggregate attached by broadcast (plans as BNLJ, the j8-sanctioned
+  // tiny-cross shape), and the anchored relation is checkpointed once
+  // so the three ntile passes don't re-aggregate orders. ---
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val per = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("last_o"),
         count(lit(1)).as("freq"),
         sum(Benchmark2.priceCents(col("o_totalprice"))).as("monetary"))
-    val tot = Window.partitionBy()
     // score 5 = most recent / most frequent / highest spend:
     // recency_days DESC puts the stalest customers in ntile 1
-    val rW = Window.orderBy(col("recency_days").desc, col("o_custkey").asc)
-    val fW = Window.orderBy(col("freq").asc, col("o_custkey").asc)
-    val mW = Window.orderBy(col("monetary").asc, col("o_custkey").asc)
-    per
-      .withColumn("maxd", max(col("last_o")).over(tot))
+    val anchored = per
+      .crossJoin(broadcast(per.agg(max(col("last_o")).as("maxd"))))
       .withColumn("recency_days",
         datediff(col("maxd").cast("date"), col("last_o").cast("date"))
           .cast("long"))
-      .withColumn("r_score", ntile(5).over(rW))
-      .withColumn("f_score", ntile(5).over(fW))
-      .withColumn("m_score", ntile(5).over(mW))
+      .localCheckpoint()
+    val scored = Seq(
+      ("r_score", col("recency_days").desc),
+      ("f_score", col("freq").asc),
+      ("m_score", col("monetary").asc))
+      .foldLeft(anchored) { case (acc, (out, metric)) =>
+        GlobalOrder.withNtile(acc, 5, out, metric, col("o_custkey").asc)
+      }
+    scored
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary")).as("segment_cents"))
@@ -1036,19 +1061,19 @@ object Analytics {
       .select(col("xa"), col("xb"),
         (dbl(col("cb") - col("ca")) / dbl(col("xb") - col("xa")))
           .as("slope"))
-    val wS = Window.orderBy(col("slope").asc, col("xa").asc, col("xb").asc)
-    val tot = Window.partitionBy()
+    val wS = Window.partitionBy(lit(0)).orderBy(col("slope").asc, col("xa").asc, col("xb").asc)
+    val tot = Window.partitionBy(lit(0))
     val med = slopes
       .withColumn("rn", row_number().over(wS).cast("long"))
       .withColumn("np", sum(lit(1L)).over(tot))
       .filter(col("rn") === expr("(np + 1) div 2")) // lower median
       .select(col("slope"), col("np").as("n_pairs"))
-    val wR = Window.orderBy(col("resid").asc, col("x").asc)
+    val wR = Window.partitionBy(lit(0)).orderBy(col("resid").asc, col("x").asc)
     monthly.crossJoin(broadcast(med))
       .select(col("x"), col("slope"), col("n_pairs"),
         (dbl(col("c")) - col("slope") * dbl(col("x"))).as("resid"))
       .withColumn("rn", row_number().over(wR).cast("long"))
-      .withColumn("nm", sum(lit(1L)).over(Window.partitionBy()))
+      .withColumn("nm", sum(lit(1L)).over(Window.partitionBy(lit(0))))
       .filter(col("rn") === expr("(nm + 1) div 2"))
       .select(col("nm").as("n_months"), col("n_pairs"),
         round(col("slope"), 6).as("slope_cents_per_month"),
@@ -1077,9 +1102,9 @@ object Analytics {
       .groupBy(date_format(date_trunc("day", col("o_orderdate")),
         "yyyy-MM-dd").as("day"))
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
-    val ord = Window.orderBy("day")
+    val ord = Window.partitionBy(lit(0)).orderBy("day")
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
+    val tot = Window.partitionBy(lit(0))
     daily
       .withColumn("t", row_number().over(ord).cast("long"))
       .withColumn("cs", sum(col("cents")).over(cum))

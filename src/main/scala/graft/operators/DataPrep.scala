@@ -435,7 +435,7 @@ object DataPrep {
     val offsets = base.groupBy("pid").agg(sum(col("cents")).as("tot"))
       .withColumn("offset",
         coalesce(sum(col("tot")).over(
-          Window.orderBy("pid")
+          Window.partitionBy(lit(0)).orderBy("pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("pid", "offset")
     inPart.join(broadcast(offsets), "pid")
@@ -469,7 +469,7 @@ object DataPrep {
     val offsets = base.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("offset",
         coalesce(sum(col("cnt")).over(
-          Window.orderBy("pid")
+          Window.partitionBy(lit(0)).orderBy("pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .filter(col("offset") < topK)
       .select("pid", "offset")
@@ -735,7 +735,7 @@ object DataPrep {
                      budgetFrac: Double = 0.4): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
-    val wsum = Window.partitionBy()
+    val wsum = Window.partitionBy(lit(0))
     val quotas = counts
       .withColumn("wt", pow(col("n_src").cast("double"), alpha))
       .withColumn("share", col("wt") / sum(col("wt")).over(wsum))
@@ -843,7 +843,7 @@ object DataPrep {
   def tokenBudget(s: SparkSession, d: String,
                   budgetMult: Double = 2.0): DataFrame = {
     def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
-    val wsum = Window.partitionBy()
+    val wsum = Window.partitionBy(lit(0))
     Tables.documents(s, d)
       .groupBy("source")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))

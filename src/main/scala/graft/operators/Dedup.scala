@@ -684,24 +684,18 @@ object Dedup {
   // where C(f,2) is smallest — the hot-gram problem the dd2 path
   // handles with a DF cap simply cannot arise. The length filter
   // (t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes survivors before the exact
-  // verify. Per-doc prefix selection is one window PARTITIONED BY
-  // doc_id over the gram index — no global rank is ever materialized
-  // (the (df, gh) pair IS the global order, computed per row).
+  // verify. The prefix relation is a PURE CORPUS FUNCTION (grams,
+  // document frequencies, and the threshold — nothing query-local),
+  // so it is persisted in TextIndex.prefixIndex next to bandIndex
+  // and each probe starts from a 3-column parquet scan instead of
+  // re-ranking the whole gram index (two groupBys + a window saved
+  // per query — this was the suite's #2 most expensive query).
   // Oracled by dd2's independent all-pairs formulation: the filter is
   // lossless, so the result relation is bit-identical. ---
   def prefixFilterJaccardPairs(s: SparkSession, d: String,
                                threshold: Double = 0.5): DataFrame = {
     val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
-    val dfreq = gr.groupBy("gh").agg(count(lit(1)).as("df"))
-    val sizes = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df").asc, col("gh").asc)
-    val prefix = gr.join(dfreq, "gh")
-      .withColumn("pos", row_number().over(w))
-      .join(sizes, "doc_id")
-      .filter(col("pos") <=
-        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
-      .select("doc_id", "gh", "n")
+    val prefix = graft.sources.TextIndex.prefixIndex(s, d, 3, threshold)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
@@ -710,6 +704,29 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
+  }
+
+  /** The (doc_id, gh, n) SSJoin prefix relation over a gram index —
+    * dd19's candidate-generation input, extracted so
+    * [[graft.sources.TextIndex.prefixIndex]] can persist it. Grams get
+    * a global (document frequency ASC, hash ASC) total order — rarest
+    * first; a doc with n grams exposes only its first
+    * n − ⌈t·n⌉ + 1 grams. Per-doc selection is one window PARTITIONED
+    * BY doc_id — no global rank is ever materialized (the (df, gh)
+    * pair IS the global order, computed per row).
+    */
+  private[graft] def prefixRelation(gr: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val dfreq = gr.groupBy("gh").agg(count(lit(1)).as("df"))
+    val sizes = gr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("gh").asc)
+    gr.join(dfreq, "gh")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n")).cast("long") + 1)
+      .select("doc_id", "gh", "n")
   }
 
   // --- DD13: boilerplate-span catalog — word 8-grams repeated across

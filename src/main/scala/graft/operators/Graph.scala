@@ -255,13 +255,6 @@ object Graph {
       tradeEdges(s, d).withColumn("w", lit(1L)).localCheckpoint(),
       maxIter, "BFS")
 
-  /** Oracle twin of [[hopDistance]]: the same min-plus chain unrolled
-    * to `iters` rounds (≥ the graph eccentricity; extra rounds are
-    * idempotent, so Spark's early exit and the fixed chain agree).
-    * Each round references the previous one TWICE (keep-old ∪ relax),
-    * so the CTEs are forced MATERIALIZED — inlining would duplicate
-    * the whole prefix per reference, exponential in `iters`.
-    */
   // --- GR6: single-source CHEAPEST route — gr4's min-plus relaxation
   // with integer edge weights (Bellman–Ford as relational algebra).
   // The trade edge (cust, supp) is weighted by the SMALLEST l_quantity
@@ -311,6 +304,13 @@ object Graph {
        |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
   }
 
+  /** Oracle twin of [[hopDistance]]: the same min-plus chain unrolled
+    * to `iters` rounds (≥ the graph eccentricity; extra rounds are
+    * idempotent, so Spark's early exit and the fixed chain agree).
+    * Each round references the previous one TWICE (keep-old ∪ relax),
+    * so the CTEs are forced MATERIALIZED — inlining would duplicate
+    * the whole prefix per reference, exponential in `iters`.
+    */
   def hopDistanceOracleSql(iters: Int = 8): String = {
     val rounds = (1 to iters).map { i =>
       s"""d$i AS MATERIALIZED (SELECT node, CAST(min(v) AS BIGINT) AS dist FROM (

@@ -8,27 +8,39 @@ import org.apache.spark.sql.functions._
   * payloads travel as opaque `binary` columns plus typed metadata;
   * decode/feature-extraction runs partition-parallel over the binary
   * batches via a typed `mapPartitions` (the Scala analogue of a batch
-  * UDF) so a real decoder drops in without touching the plumbing.
+  * UDF) so any native decoder drops in without touching the plumbing.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake; schema, partitioning, and batch
-  * shape are real and tested.
+  * The decode path is REAL: [[decodeImage]] runs `javax.imageio`
+  * (JDK-native — PNG/GIF/BMP need no container codecs) over the
+  * payload bytes and emits pixel-derived features; undecodable
+  * payloads fall back to a deterministic md5 fingerprint so a mixed
+  * corpus (e.g. JPEG rows on a host without libjpeg) degrades
+  * per-row, not per-job. The mm2 fixture generates tiny REAL PNGs
+  * whose dimensions and pixels are closed-form functions of doc_id,
+  * so the decoded features hash-oracle against DuckDB replaying the
+  * closed form — the oracle checks actual decoded pixels, not the
+  * encoder's opinion of them.
   */
 object Multimodal {
 
   /** A media row: payload bytes + metadata, as it would land from an
-    * object store manifest (payload here synthesized from doc text).
+    * object store manifest.
     */
   case class MediaRecord(doc_id: Long, payload: Array[Byte],
                          mime: String, source: String)
 
-  /** Extracted features (what a decoder would emit per media item). */
+  /** Decoder output per media item: byte count, pixel dimensions, the
+    * exact sum of 8-bit luma samples (the feature the mm2 oracle
+    * replays), and an md5-derived fingerprint for payloads no
+    * registered reader decodes (width/height/luma_sum are −1 there).
+    */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
-                           height: Int, fingerprint: Long)
+                           height: Int, luma_sum: Long, fingerprint: Long)
 
-  /** documents -> media records: binary payload column + metadata.
-    * At scale the payload column is the parquet binary column your
-    * images/audio already live in. */
+  /** documents -> media records with the doc TEXT as an opaque binary
+    * payload — the manifest shape mm1/mm3/mm5 read (metadata and
+    * frame features straight off bytes, no decode).
+    */
   def mediaRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
     Tables.documents(s, d)
@@ -37,29 +49,80 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: a real implementation would decode image bytes
-    * (JPEG/PNG) and emit pixel-derived features; codecs are absent in
-    * this container, so features are a deterministic function of the
-    * bytes: length, plus a content fingerprint = the top 60 bits of
-    * md5(payload) (15 hex chars parsed as an integer), with fake
-    * width/height derived from it. md5-based on purpose — any engine
-    * can recompute it, so even the STUBBED pipeline stays
-    * hash-oracle-checkable end to end (the plumbing is what's under
-    * test). Partition-parallel, batch-at-a-time: the iterator shape is
-    * exactly what a JNI/native decoder needs.
+  /** The mm2 fixture: one tiny REAL grayscale PNG per document,
+    * encoded partition-parallel with the JDK's ImageIO. Dimensions
+    * and pixels are closed-form in doc_id —
+    * width = doc_id mod 14 + 3, height = doc_id mod 11 + 3,
+    * pixel(x,y) = (doc_id·31 + 7x + 13y) mod 256 — so the DECODED
+    * features are independently recomputable by the oracle (8-bit
+    * grayscale PNG is lossless; the round-trip is bit-exact). At
+    * scale this stage is your ingest's encoder; the engine only
+    * assumes "binary column of image bytes".
     */
-  def decodeStub(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def pngRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val w = (id % 14 + 3).toInt
+          val h = (id % 11 + 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              ras.setSample(x, y, 0, ((id * 31 + 7L * x + 13L * y) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaRecord(id, baos.toByteArray, "image/png", src)
+        }
+      }
+  }
+
+  /** REAL image decode, partition-parallel and batch-at-a-time (the
+    * iterator shape a JNI/native decoder needs): `javax.imageio` reads
+    * the payload, features come off the decoded raster — dimensions
+    * plus the exact sum of band-0 (luma) samples. A payload no
+    * registered ImageIO reader handles (or that throws mid-decode)
+    * falls back to the md5-fingerprint row instead of failing the
+    * task: corrupt bytes are data, not errors, in a 100 TB corpus.
+    */
+  def decodeImage(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        // ??? real decode goes here; deterministic fake below
-        val n = r.payload.length
-        md.reset()
-        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-        val fp = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        MediaFeatures(r.doc_id, n, width = (fp % 1920).toInt + 1,
-          height = (fp % 1080).toInt + 1, fingerprint = fp)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val ras = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += ras.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          MediaFeatures(r.doc_id, r.payload.length,
+            img.getWidth, img.getHeight, sum, fingerprint = 0L)
+        } else {
+          md.reset()
+          val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+          MediaFeatures(r.doc_id, r.payload.length, -1, -1, -1L,
+            java.lang.Long.parseLong(hex.substring(0, 15), 16))
+        }
       }
     }
   }
@@ -73,10 +136,17 @@ object Multimodal {
         md5(col("text").cast("binary")).as("content_md5"))
       .orderBy("doc_id")
 
-  // --- MM2 (rows-only): the full decode pipeline through the typed
-  // mapPartitions plumbing. ---
+  // --- MM2 (oracled): encode → decode → features, end to end through
+  // the typed mapPartitions plumbing, with REAL PNG bytes in the
+  // middle. The oracled projection carries only decoder-derived
+  // fields (dimensions + exact luma sum — DuckDB replays the closed
+  // form the fixture painted); n_bytes/fingerprint stay in the typed
+  // Dataset for callers but out of the hash (PNG byte length is an
+  // encoder detail, not a decode fact). ---
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
-    decodeStub(mediaRecords(s, d)).toDF().orderBy("doc_id")
+    decodeImage(pngRecords(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("luma_sum"))
+      .orderBy("doc_id")
 
   // --- MM3 (oracled): frame sampling — every `stride`-th fixed-width
   // window of the payload, fingerprinted. The video analogue: seekable

@@ -65,8 +65,11 @@ object TextAnalysis {
   // relational pass instead of a distinct-count per prefix: a type's
   // contribution to the curve is fully determined by its FIRST
   // appearance, so `min(doc_id) per token → bucket → cumsum` yields
-  // the exact running vocabulary size. Two hash-aggs + a cumsum window
-  // over #buckets rows (aggregate input — scale-exempt). ---
+  // the exact running vocabulary size. Two hash-aggs + cumsums over
+  // the bucket aggregate — buckets grow with the corpus (one per
+  // `bucketDocs` docs), so the running sums go through
+  // GlobalOrder.withCumSums (dp10's range-partition + offset
+  // two-pass), never a single-task global window. ---
   def vocabGrowth(s: SparkSession, d: String, bucketDocs: Int = 50): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
@@ -76,13 +79,13 @@ object TextAnalysis {
     val newTypes = tok.groupBy("token").agg(min(col("doc_id")).as("first_doc"))
       .groupBy((col("first_doc") / bucketDocs).cast("long").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(newTypes, Seq("bucket"), "left_outer")
+    val joined = perBucket.join(newTypes, Seq("bucket"), "left_outer")
       .select(col("bucket"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("cum_types", sum(col("new_types")).over(w))
+    GlobalOrder.withCumSums(joined, Seq(col("bucket").asc),
+        Seq(GlobalOrder.CumSpec("n_tokens", "cum_tokens", "__tot_tokens"),
+          GlobalOrder.CumSpec("new_types", "cum_types", "__tot_types")))
+      .drop("__tot_tokens", "__tot_types")
       .orderBy("bucket")
   }
 
@@ -709,17 +712,19 @@ object TextAnalysis {
   // behind vocabulary sizing and degenerate-corpus detection (a
   // machine-generated corpus shows a tell-tale flat/low-r² profile).
   // Composes tx2's frequency table with a26's regression algebra; the
-  // rank window runs over the VOCABULARY aggregate. Log/sum doubles
-  // differ across engines only in last-bit noise (≪ the 6-decimal
-  // output rounding); counts and ranks themselves are exact. ---
+  // global frequency rank comes from GlobalOrder.withRowNumber
+  // (dp10's range-partition + offset two-pass), so the vocabulary —
+  // which grows with the corpus under Heaps' law — never sorts on one
+  // task. Log/sum doubles differ across engines only in last-bit
+  // noise (≪ the 6-decimal output rounding); counts and ranks
+  // themselves are exact. ---
   def zipfFit(s: SparkSession, d: String): DataFrame = {
     val freq = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val byFreq = Window.orderBy(col("cnt").desc, col("token").asc)
-    val xy = freq
-      .withColumn("rk", row_number().over(byFreq).cast("long"))
+    val xy = GlobalOrder.withRowNumber(freq, "rk",
+        col("cnt").desc, col("token").asc)
       .select(log(col("rk").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
     xy.agg(count(lit(1)).cast("double").as("n"),
@@ -815,8 +820,10 @@ object TextAnalysis {
   // Doubles appear only per-row (one identical expression both
   // engines, no cross-row FP summation — the reason this ranks by
   // per-token χ² instead of reporting a corpus-level χ² total). Shape:
-  // one exploded-token hash agg with map-side partials; the window
-  // totals run over the (vocabulary-sized) token aggregate. This is
+  // one exploded-token hash agg with map-side partials; the marginal
+  // totals na/nb are a 1-row aggregate attached by broadcast (plans
+  // as BNLJ, the sanctioned tiny-cross shape — never a global window
+  // over the vocabulary, which grows with the corpus). This is
   // the distinctive-vocabulary gate a mixing pipeline runs before
   // assuming two crawls are interchangeable. ---
   def sourceDivergence(s: SparkSession, d: String,
@@ -829,10 +836,12 @@ object TextAnalysis {
       .groupBy("token")
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("oa"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("ob"))
-    val tot = Window.partitionBy()
+      // feeds both the row relation and the 1-row marginal aggregate —
+      // checkpoint so the token explode + agg runs once
+      .localCheckpoint()
     perTok
-      .withColumn("na", sum(col("oa")).over(tot))
-      .withColumn("nb", sum(col("ob")).over(tot))
+      .crossJoin(broadcast(perTok.agg(sum(col("oa")).as("na"),
+        sum(col("ob")).as("nb"))))
       .filter(col("oa") + col("ob") >= minCount)
       .withColumn("nn", col("na") + col("nb"))
       .withColumn("dcross", col("oa") * col("nb") - col("ob") * col("na"))

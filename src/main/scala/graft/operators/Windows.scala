@@ -63,7 +63,7 @@ object Windows {
       .groupBy("o_orderpriority")
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
     val tot = agg.agg(sum(col("cents")).as("tot"))
-    val wCum = Window.orderBy(col("cents").desc, col("o_orderpriority"))
+    val wCum = Window.partitionBy(lit(0)).orderBy(col("cents").desc, col("o_orderpriority"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     agg.crossJoin(broadcast(tot))
       .withColumn("cum_cents", sum(col("cents")).over(wCum))
@@ -118,7 +118,7 @@ object Windows {
     val daily = Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(round(sum(col("o_totalprice")), 2).as("day_sales"))
-    val w = Window.orderBy("day")
+    val w = Window.partitionBy(lit(0)).orderBy("day")
     val terms = (0 until span).map { j =>
       val coef = alpha * math.pow(1 - alpha, j)
       (if (j == 0) col("day_sales")
@@ -196,7 +196,7 @@ object Windows {
     val daily = Tables.orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
       .agg(round(sum(col("o_totalprice")), 2).as("day_sales"))
-    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-6, 0)
     daily
       .select(col("day"), col("day_sales"),
         // 4dp, not 2dp: cent-grid values averaged over n <= 7 rows can
@@ -305,7 +305,7 @@ object Windows {
       .groupBy(date_format(date_trunc("day", col("o_orderdate")),
         "yyyy-MM-dd").as("day"))
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("cents"))
-    val upTo = Window.orderBy("day")
+    val upTo = Window.partitionBy(lit(0)).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
       .withColumn("peak", max(col("cents")).over(upTo))
@@ -384,7 +384,7 @@ object Windows {
       .select(col("day"), col("c").cast(dec).as("x"))
     val y = daily.filter(col("event_type") === "purchase")
       .select(col("day"), col("c").cast(dec).as("y"))
-    val w = Window.orderBy("day").rowsBetween(-(winDays - 1), 0)
+    val w = Window.partitionBy(lit(0)).orderBy("day").rowsBetween(-(winDays - 1), 0)
     val m = x.join(y, "day")
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum(col("x")).over(w))

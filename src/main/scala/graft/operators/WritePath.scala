@@ -28,7 +28,8 @@ object WritePath {
     newRows.crossJoin(maxId)
       .withColumn("o_orderkey",
         col("mx") + row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(monotonically_increasing_id())))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0)).orderBy(monotonically_increasing_id())))
       .drop("mx")
       .withColumn("o_totalprice", round(col("o_totalprice"), 1))
       .withColumn("o_orderdate", current_timestamp())

@@ -71,6 +71,33 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Persisted (doc_id, gh, n) SSJoin PREFIX relation — dd19's
+    * candidate-generation input (each doc's rarest n − ⌈t·n⌉ + 1
+    * grams under the global (df, gh) order, plus its gram count), a
+    * pure function of (corpus, n-gram size, threshold), all of which
+    * are part of the index identity. Persisting it removes the two
+    * groupBys + per-doc window dd19 previously re-ran per query —
+    * the probe becomes a 3-column parquet self-join.
+    *
+    * Unlike [[bandIndex]], this relation is NOT delta-composable:
+    * document frequencies are a GLOBAL corpus statistic, so a new
+    * batch can move grams across prefix boundaries of EXISTING docs —
+    * ingest invalidates and rebuilds (one index job amortized across
+    * every probe; an incremental form would maintain the df table and
+    * re-rank only docs holding grams whose df-rank crossed their
+    * prefix cut, which is exact but not implemented here).
+    */
+  def prefixIndex(s: SparkSession, d: String, n: Int = 3,
+                  threshold: Double = 0.5): DataFrame = {
+    val pct = math.round(threshold * 100)
+    val path = VectorIndex.indexPathFor(docsFile(d), d, s"prefix_${n}_t$pct")
+    VectorIndex.ensure(path) { out =>
+      Dedup.prefixRelation(gramIndex(s, d, n), threshold)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Persisted (doc_id, sig) 60-bit SimHash signatures — dd4's
     * corpus-wide signature pass, paid once per corpus instead of per
     * query (the same lesson as [[bandIndex]]; bit-identical to the

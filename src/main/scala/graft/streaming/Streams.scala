@@ -672,6 +672,70 @@ object Streams {
         .agg(sum(col("n")).as("n")),
       threshold)
 
+  /** Streaming maintenance of the (day, user) ACTIVITY index — the
+    * shared state behind st5 (day-over-day retention) and st6 (rolling
+    * WAU). Both are functions of the DISTINCT (day, user_id) relation,
+    * which is SET-UNIONABLE: a micro-batch can only ever ADD pairs,
+    * so each batch publishes the pairs it is first to observe and the
+    * logical index is the disjoint union of the deltas — no per-key
+    * recompute, no keyed stream state, and a LATE event for an old day
+    * is just one more pair delta (exactly the state a late event
+    * rewrites in a snapshot-published retention table — here it
+    * composes instead). Admission dedups on the pair itself (an exact
+    * redelivery and a same-user-same-day second event are the same
+    * no-op), against prior deltas EXCLUDING this batch's own (the
+    * checkpoint-replay rule: a replayed batch recomputes an identical
+    * delta and its overwrite is a no-op). At 100 TB the per-batch cost
+    * is the batch's own pairs; a day-partitioned delta layout prunes
+    * the admission anti-join to the days present in the batch.
+    */
+  def activityIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        activityMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def activityMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                           workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "pairs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchPairs = batchDf
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val fresh = prior match {
+      case Seq() => batchPairs
+      case dirs => batchPairs.join(
+        s.read.parquet(dirs: _*), Seq("day", "user_id"), "left_anti")
+    }
+    fresh.write.mode("overwrite").parquet(s"$workDir/pairs/b$batchId")
+    ()
+  }
+
+  /** Read side of the activity index: the deltas are disjoint by
+    * construction, so their union IS the distinct pair relation;
+    * st5's own scoring tail does the rest — stream-maintained
+    * retention equals batch `st5_retention` under any wave/redelivery
+    * schedule (StreamingSpec equivalence).
+    */
+  def readRetention(s: org.apache.spark.sql.SparkSession,
+                    workDir: String): DataFrame =
+    graft.operators.Analytics.retentionFromPairs(
+      s.read.parquet(deltaDirs(workDir, "pairs"): _*))
+
+  /** st6 over the same maintained pair index (one index, both
+    * consumers — the point of keying the state on the shared
+    * distinct-pair relation).
+    */
+  def readRollingWau(s: org.apache.spark.sql.SparkSession,
+                     workDir: String, windowDays: Int = 7): DataFrame =
+    graft.operators.Analytics.rollingWauFromPairs(
+      s.read.parquet(deltaDirs(workDir, "pairs"): _*), windowDays)
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

@@ -259,13 +259,34 @@ class DataOpsSpec extends SparkTestBase {
     assert(sims.forall(v => v >= -1.0001 && v <= 1.0001))
   }
 
-  test("MM2 stub decode is deterministic and preserves byte counts") {
+  test("MM2 real decode: PNG round-trip is exact, deterministic, and headers agree") {
+    import spark.implicits._
+    val recs = Multimodal.pngRecords(spark, sf)
+    // every fixture payload is a real PNG (magic bytes)
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(recs.collect().forall(_.payload.take(4).sameElements(pngMagic)))
     val feats = Multimodal.mediaFeatures(spark, sf)
-    val joined = feats.join(Tables.documents(spark, sf), "doc_id")
-      .filter(col("n_bytes") =!= octet_length(col("text")))
-    assert(joined.count() == 0, "payload byte count must equal utf8 text bytes")
+    // decoded dimensions must equal the closed form the fixture painted
+    val badDims = feats
+      .filter(col("width") =!= (col("doc_id") % 14 + 3).cast("int") ||
+        col("height") =!= (col("doc_id") % 11 + 3).cast("int"))
+    assert(badDims.count() == 0, "decoded dims must match the painted dims")
+    assert(feats.filter(col("luma_sum") < 0).count() == 0,
+      "every fixture PNG must take the real-decode path, not the fallback")
     val a = feats.collect(); val b = Multimodal.mediaFeatures(spark, sf).collect()
     assert(a.sameElements(b))
+  }
+
+  test("MM2 undecodable payloads degrade per-row to the fingerprint fallback") {
+    import spark.implicits._
+    val garbage = Seq(
+      Multimodal.MediaRecord(1L, "not an image".getBytes("UTF-8"), "x", "s"),
+      Multimodal.MediaRecord(2L, Array.empty[Byte], "x", "s")).toDS()
+    val out = Multimodal.decodeImage(garbage).collect()
+    assert(out.length == 2)
+    assert(out.forall(f => f.width == -1 && f.height == -1 &&
+      f.luma_sum == -1L && f.fingerprint > 0L),
+      "undecodable rows must carry the md5 fallback, not fail the task")
   }
 
   test("TX5 lang-id is deterministic and emits a known language") {

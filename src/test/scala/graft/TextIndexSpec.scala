@@ -112,4 +112,17 @@ class TextIndexSpec extends SparkTestBase {
     assert(inc == full,
       "the incremental path must find exactly the full path's batch pairs")
   }
+
+  test("prefix index builds once and equals the inline prefix relation") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    TextIndex.prefixIndex(spark, sf, 3, 0.5).count()
+    val files1 = indexFiles("prefix_3_t50")
+    assert(files1.nonEmpty)
+    assert(asSet(TextIndex.prefixIndex(spark, sf, 3, 0.5)) ==
+      asSet(Dedup.prefixRelation(TextIndex.gramIndex(spark, sf, 3), 0.5)),
+      "persisted prefix relation must equal the inline computation")
+    assert(indexFiles("prefix_3_t50") == files1,
+      "second access must not rewrite the index")
+  }
 }
