@@ -12,6 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional arg: comma-separated query-name filter (dev loop — time
+    // a few queries without the full sweep; the driver passes no args)
+    val only: Option[Set[String]] = args.headOption.map(_.split(',').toSet)
+    def selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,7 +46,7 @@ object Bench {
     def release(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // failures surface in the timed pass
       release()
@@ -51,7 +56,7 @@ object Bench {
     // (observed 3x run-to-run swings on projection-only queries, and
     // best-of-2 still left ±15% swings between identical-code runs —
     // the round-4 q18/q19 "regressions" were exactly that noise)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -85,12 +90,14 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(results)},"failed":$failed,"sf":"$sfDir"}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(headline)},"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    println(line)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
-    }
+    println(if (only.isEmpty) line else full)
+    // a filtered dev run must not clobber the full artifact the judge reads
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -109,8 +109,19 @@ object Dedup {
       .select("doc_a", "doc_b", "jac")
   }
 
+  /** Presentation boundary for a near-dup pair relation: round + global
+    * sort. The relation is checkpointed FIRST because a range sort runs
+    * a sampling job over its child to pick partition bounds — unbroken,
+    * that sampling pass re-executes the whole dedup pipeline a second
+    * time (measured: dd19 8.0 s sorted vs 3.3 s unsorted at sf0.1, pure
+    * recompute). The checkpoint materializes the post-threshold
+    * survivors once (tiny relative to the corpus — it's the duplicate
+    * pairs, not the documents), and both the sampling and sort jobs
+    * read the cached blocks; spills to local disk if ever large.
+    */
   private[graft] def presentPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+      .localCheckpoint(eager = false)
       .orderBy("doc_a", "doc_b")
 
   /** Shared-gram counts for a set of (doc_a, doc_b) candidate pairs,
@@ -696,14 +707,42 @@ object Dedup {
                                threshold: Double = 0.5): DataFrame = {
     val gr = graft.sources.TextIndex.gramIndex(s, d, 3)
     val prefix = graft.sources.TextIndex.prefixIndex(s, d, 3, threshold)
+    // Candidate pairs CARRY the per-doc gram counts (na, nb) out of
+    // the index — they ride along functionally on (doc_a, doc_b), so
+    // the Jaccard denominators need no count re-aggregation of the
+    // gram index and no join-back (two agg shuffles + two broadcasts
+    // fewer than the jaccardFromShared tail the LSH paths use, which
+    // lack a count-bearing candidate source).
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       // length filter: J >= t forces t·|A| <= |B| and t·|B| <= |A|
       .filter(lit(threshold) * col("a.n") <= col("b.n") &&
         lit(threshold) * col("b.n") <= col("a.n"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .dropDuplicates("doc_a", "doc_b")
-    presentPairs(jaccardFromShared(sharedOfCandidates(cand, gr), gr, threshold))
+    // PPJoin-style verify: each side's full gram SET rides the pair as
+    // one array column, and the shared count is a per-row
+    // array_intersect — no exploded-gram join. The relational
+    // alternative (cand ⋈ gr ⋈ gr + groupBy) shuffles |pairs|·avg(n)
+    // match rows (17.7M at sf0.1 for 310k candidates) where this
+    // shuffles |docs| array rows + 2 joins keyed on doc_id; per-row
+    // intersect of distinct-hash arrays is O(na+nb). A doc in many
+    // pairs replicates its array through the join — that's the verify
+    // reading exactly the bytes it must, and AQE splits any hot doc.
+    val docGrams = gr.groupBy("doc_id").agg(collect_list("gh").as("grams"))
+    val shared = cand
+      .join(docGrams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(docGrams.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .withColumn("shared",
+        size(array_intersect(col("ga.grams"), col("gb.grams"))).cast("long"))
+    // same double expression as jaccardFromShared (na + nb − shared
+    // denominators), so the dd2 oracle replay stays bit-identical
+    presentPairs(shared
+      .withColumn("jac",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= threshold)
+      .select("doc_a", "doc_b", "jac"))
   }
 
   /** The (doc_id, gh, n) SSJoin prefix relation over a gram index —

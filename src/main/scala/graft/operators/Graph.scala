@@ -53,6 +53,43 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
 
+  /** Materialize an iterative operator's per-round PROBE relation (the
+    * edge set every round scans) with a data-proportional partition
+    * count: ~[[IterRowsPerPartition]] rows per partition, capped at 32.
+    * The count is one cheap pass over the (index-backed) derivation;
+    * the relation is then hash-distributed on its join key and
+    * lineage-cut, so each round starts from cached blocks. Returns the
+    * row count alongside — callers feed it to [[guardedBroadcast]].
+    * Rationale: a checkpointed frame is a `LogicalRDD` with UNKNOWN
+    * stats, so Catalyst sizes every per-round shuffle for the default
+    * 200-partition worst case and never broadcasts either side; at
+    * graph scales (saturating edge relations, per-node state) that
+    * meant re-shuffling the full edge relation once per round
+    * (measured: 60% of gr6's wall time at sf0.1).
+    */
+  private val IterRowsPerPartition = 300000L
+  private def iterRelation(df: DataFrame, key: String): (DataFrame, Long) = {
+    val n = df.count()
+    val parts = math.max(1L,
+      math.min((n + IterRowsPerPartition - 1) / IterRowsPerPartition, 32L)).toInt
+    (df.repartition(parts, col(key)).localCheckpoint(), n)
+  }
+
+  /** Runtime-size-guarded broadcast of an iteration's STATE relation
+    * (rank vector, BFS frontier): per-node state is orders of
+    * magnitude smaller than the edge relation it joins, so hinting it
+    * broadcast turns each round into a cached-edge-scan + hash probe +
+    * partial agg — no edge shuffle. The guard keeps the 100 TB
+    * posture: state row counts GROW with the corpus, and past the cap
+    * (~32 MB at two longs/row) the round falls back to the plain
+    * co-partitioned shuffle join, which is the correct plan at that
+    * size. The count is free — every caller already measures its state
+    * per round for convergence/empty checks.
+    */
+  private val StateBcastRowCap = 2000000L
+  private def guardedBroadcast(state: DataFrame, rows: Long): DataFrame =
+    if (rows <= StateBcastRowCap) broadcast(state) else state
+
   // --- GR1: PageRank, integer-exact. rank_{k+1}(v) =
   // (15·SCALE) div 100  +  (85 · Σ_{u→v} rank_k(u) div outdeg(u)) div 100,
   // all in scaled longs (SCALE = 1e9 → 9 fractional digits — headroom:
@@ -68,15 +105,17 @@ object Graph {
   // by [[pageRankOracleSql]] from the same parameters). ---
   def pageRank(s: SparkSession, d: String,
                iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint()
+    val (edges, _) = iterRelation(tradeEdges(s, d), "src")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("node"), col("outdeg"))
       .localCheckpoint()
+    val nNodes = deg.count() // rank-vector size: one row per node
     val teleport = 15L * scale / 100L
     var ranks = deg.select(col("node"), col("outdeg"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(edges, ranks("node") === edges("src"))
+      val rside = guardedBroadcast(ranks, nNodes)
+      val contrib = rside
+        .join(edges, rside("node") === edges("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
       ranks = deg.join(
           contrib.groupBy("node")
@@ -134,7 +173,7 @@ object Graph {
   def personalizedPageRank(s: SparkSession, d: String,
                            segment: String = "BUILDING",
                            iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint()
+    val (edges, _) = iterRelation(tradeEdges(s, d), "src")
     val seedIds = Tables.customer(s, d)
       .filter(col("c_mktsegment") === segment)
       .select((col("c_custkey") * 2).as("node"))
@@ -143,12 +182,14 @@ object Graph {
       .join(seedIds.withColumn("is_seed", lit(1L)), Seq("node"), "left_outer")
       .na.fill(0L, Seq("is_seed"))
       .localCheckpoint()
+    val nNodes = deg.count()
     val teleport = 15L * scale / 100L
     var ranks = deg.select(col("node"), col("outdeg"), col("is_seed"),
       (col("is_seed") * scale).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = ranks
-        .join(edges, ranks("node") === edges("src"))
+      val rside = guardedBroadcast(ranks, nNodes)
+      val contrib = rside
+        .join(edges, rside("node") === edges("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
       ranks = deg.join(
           contrib.groupBy("node")
@@ -222,17 +263,24 @@ object Graph {
     * partitions. Convergence = empty frontier (same round as the
     * monotone-sum read; `require`d within `maxIter`).
     */
-  private def minPlusDistances(edges: DataFrame, maxIter: Int,
+  private def minPlusDistances(edgesRaw: DataFrame, maxIter: Int,
                                algo: String): DataFrame = {
+    val (edges, _) = iterRelation(edgesRaw, "src")
     val seed = edges.agg(min(col("src"))).head.getLong(0)
     var dist = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
       .localCheckpoint()
-    var delta = dist.filter(col("dist") < HopInf).localCheckpoint()
+    // the frontier stays a LAZY filter over the checkpointed `dist` —
+    // its count (needed for convergence AND the broadcast guard) is a
+    // scan of cached blocks, and re-deriving it inside the broadcast
+    // build costs the same scan again instead of a third job
+    var delta = dist.filter(col("dist") < HopInf)
+    var nDelta = delta.count()
     var iter = 0
-    while (!delta.isEmpty && iter < maxIter) {
-      val offers = delta.join(edges, delta("node") === edges("src"))
+    while (nDelta > 0 && iter < maxIter) {
+      val dside = guardedBroadcast(delta, nDelta)
+      val offers = dside.join(edges, dside("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("v"),
           lit(HopInf).as("old"))
       val next = dist
@@ -242,17 +290,18 @@ object Graph {
         .agg(min(col("v")).as("dist"), min(col("old")).as("old"))
         .localCheckpoint()
       delta = next.filter(col("dist") < col("old")).select("node", "dist")
+      nDelta = delta.count()
       dist = next.select("node", "dist")
       iter += 1
     }
-    require(delta.isEmpty,
+    require(nDelta == 0,
       s"$algo did not converge within $maxIter rounds")
     dist.filter(col("dist") < HopInf).orderBy("node")
   }
 
   def hopDistance(s: SparkSession, d: String, maxIter: Int = 8): DataFrame =
     minPlusDistances(
-      tradeEdges(s, d).withColumn("w", lit(1L)).localCheckpoint(),
+      tradeEdges(s, d).withColumn("w", lit(1L)),
       maxIter, "BFS")
 
   // --- GR6: single-source CHEAPEST route — gr4's min-plus relaxation
@@ -271,8 +320,7 @@ object Graph {
     val e0 = graft.sources.GraphIndex.tradeWeightedEdges(s, d)
     minPlusDistances(
       e0.unionByName(
-          e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .localCheckpoint(),
+          e0.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
       maxIter, "Bellman-Ford")
   }
 
@@ -744,7 +792,7 @@ object Graph {
            iters: Int = 4, scale: Long = 1000000000L): DataFrame = {
     // tradeEdges' node encoding (cust·2 / supp·2+1): the raw key
     // spaces overlap numerically, and hub/authority ids must not
-    val e = graft.sources.GraphIndex.tradeEdges(s, d).localCheckpoint()
+    val (e, _) = iterRelation(graft.sources.GraphIndex.tradeEdges(s, d), "src")
     def normalize(raw: DataFrame): DataFrame = {
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot))
@@ -754,11 +802,12 @@ object Graph {
       .withColumn("score", lit(scale))
     var a: DataFrame = e.select(col("dst").as("node")).distinct()
       .withColumn("score", lit(scale))
+    val nH = h.count(); val nA = a.count() // score-vector sizes, fixed
     for (_ <- 1 to iters) {
-      a = normalize(e.join(h, e("src") === h("node"))
+      a = normalize(e.join(guardedBroadcast(h, nH), e("src") === h("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("score")).as("raw")))
         .localCheckpoint()
-      h = normalize(e.join(a, e("dst") === a("node"))
+      h = normalize(e.join(guardedBroadcast(a, nA), e("dst") === a("node"))
         .groupBy(col("src").as("node")).agg(sum(col("score")).as("raw")))
         .localCheckpoint()
     }
@@ -915,7 +964,7 @@ object Graph {
   // idempotent past convergence — gr4's early-exit contract. ---
   def closeness(s: SparkSession, d: String,
                 numSeeds: Int = 3, maxIter: Int = 8): DataFrame = {
-    val edges = tradeEdges(s, d).localCheckpoint()
+    val (edges, _) = iterRelation(tradeEdges(s, d), "src")
     val nodes = edges.select(col("src").as("node")).distinct()
     // seed selection is relational (top-K by (deg DESC, node ASC));
     // only the K chosen ids are collected — the sim3 "tiny key set"
@@ -933,13 +982,15 @@ object Graph {
       case (sid, i) =>
         when(col("node") === sid, 0L).otherwise(HopInf).as(s"d$i")
     }: _*).localCheckpoint()
+    val nNodes = dist.count() // landmark-vector state: one row per node
     def totalOf(df: DataFrame): Long =
       df.agg(dcols.map(c => sum(col(c))).reduce(_ + _)).head.getLong(0)
     var prevSum = totalOf(dist)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val relaxed = dist.join(edges, dist("node") === edges("src"))
+      val dside = guardedBroadcast(dist, nNodes)
+      val relaxed = dside.join(edges, dside("node") === edges("src"))
         .select(col("dst").as("node") +:
           dcols.map(c => (col(c) + 1).as(c)): _*)
       val next = dist.unionByName(relaxed)

@@ -92,7 +92,10 @@ object TextIndex {
     val pct = math.round(threshold * 100)
     val path = VectorIndex.indexPathFor(docsFile(d), d, s"prefix_${n}_t$pct")
     VectorIndex.ensure(path) { out =>
+      // few fat files: probes scan the whole relation, so file-open
+      // count (not row-group pruning) is what the layout optimizes
       Dedup.prefixRelation(gramIndex(s, d, n), threshold)
+        .coalesce(4)
         .write.mode("overwrite").parquet(out)
     }
     s.read.parquet(path.toString)
