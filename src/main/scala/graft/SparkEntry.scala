@@ -302,6 +302,7 @@ object SparkEntry {
     "dp20_dataset_card"  -> ((s, d) => Pipeline.datasetCard(s, d)),
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
+    "mm7_ahash_buckets"  -> ((s, d) => Multimodal.ahashBuckets(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2253,6 +2254,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN is_cut = 1 THEN frame_no ELSE 0 END) AS BIGINT)
         |    AS cut_possum
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mm7: the decode is REAL (ImageIO over the mm2 fixture PNGs); the
+    // oracle repaints the closed form and replays the 4×4 block-mean
+    // average-hash with the same integer arithmetic — floor-division
+    // block membership, cross-multiplied mean comparison, bit packing.
+    "mm7_ahash_buckets" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 14 + 3 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 3 AS INTEGER) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, width, height,
+        |    unnest(generate_series(0, CAST(width AS BIGINT) - 1)) AS x
+        |  FROM dims),
+        |px AS (SELECT doc_id, width, height, x,
+        |    unnest(generate_series(0, CAST(height AS BIGINT) - 1)) AS y
+        |  FROM xs),
+        |blocks AS (
+        |  SELECT doc_id, ((y * 4) // height) * 4 + (x * 4) // width AS b,
+        |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS bsum,
+        |    count(*) AS bcnt
+        |  FROM px GROUP BY 1, 2),
+        |doctot AS (
+        |  SELECT doc_id, sum(bsum) AS total, sum(bcnt) AS npix
+        |  FROM blocks GROUP BY 1),
+        |h AS (
+        |  SELECT b.doc_id,
+        |    CAST(sum(CASE WHEN b.bsum * t.npix > t.total * b.bcnt
+        |             THEN (1 << b.b) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM blocks b JOIN doctot t USING (doc_id) GROUP BY 1)
+        |SELECT ahash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM h GROUP BY ahash HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, ahash ASC LIMIT 25""".stripMargin,
     "a32_ks_test" ->
       """WITH seg AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -110,18 +110,21 @@ object Dedup {
   }
 
   /** Presentation boundary for a near-dup pair relation: round + global
-    * sort. The relation is checkpointed FIRST because a range sort runs
-    * a sampling job over its child to pick partition bounds — unbroken,
-    * that sampling pass re-executes the whole dedup pipeline a second
-    * time (measured: dd19 8.0 s sorted vs 3.3 s unsorted at sf0.1, pure
-    * recompute). The checkpoint materializes the post-threshold
-    * survivors once (tiny relative to the corpus — it's the duplicate
-    * pairs, not the documents), and both the sampling and sort jobs
-    * read the cached blocks; spills to local disk if ever large.
+    * sort. The hash `repartition` directly under the sort is load-
+    * bearing: a range sort runs a SAMPLING job over its child to pick
+    * partition bounds, and when the child is an unbroken broadcast-join
+    * chain that sampling pass re-executes the whole dedup pipeline a
+    * second time (measured: dd19 8.0 s sorted vs 3.3 s unsorted at
+    * sf0.1, pure recompute). A shuffle boundary there means the
+    * pipeline computes ONCE into the map stage's shuffle files, which
+    * Spark reuses across the sampling and sort jobs — and unlike a
+    * checkpoint wall, the full plan stays visible to explain() and the
+    * PlanHygieneSpec bans. The shuffled relation is only the
+    * post-threshold survivors (the duplicate pairs, not the corpus).
     */
   private[graft] def presentPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-      .localCheckpoint(eager = false)
+      .repartition(col("doc_a"))
       .orderBy("doc_a", "doc_b")
 
   /** Shared-gram counts for a set of (doc_a, doc_b) candidate pairs,
@@ -498,9 +501,16 @@ object Dedup {
   private[graft] def componentsFromPairs(nodes: DataFrame, pairs: DataFrame,
                                          maxIter: Int = 20,
                                          jumpFrom: Int = 4): DataFrame = {
-    val edges = pairs
+    val edgesCk = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    // near-dup pair relations are tiny next to the corpus (they're the
+    // DUPLICATES); below Graph's cap, broadcasting the edge side makes
+    // each propagation round a labels-scan + hash probe instead of a
+    // co-shuffle of labels + edges (same checkpointed-stats rationale
+    // as Graph.guardedBroadcast — a LogicalRDD never broadcasts on its
+    // own). Past the cap the plain shuffle join is the right plan.
+    val edges = Graph.guardedBroadcast(edgesCk, edgesCk.count())
     var labels = nodes
       .select(col("doc_id"), col("doc_id").as("comp"))
       .localCheckpoint()

@@ -68,7 +68,7 @@ object Graph {
     * (measured: 60% of gr6's wall time at sf0.1).
     */
   private val IterRowsPerPartition = 300000L
-  private def iterRelation(df: DataFrame, key: String): (DataFrame, Long) = {
+  private[graft] def iterRelation(df: DataFrame, key: String): (DataFrame, Long) = {
     val n = df.count()
     val parts = math.max(1L,
       math.min((n + IterRowsPerPartition - 1) / IterRowsPerPartition, 32L)).toInt
@@ -86,8 +86,8 @@ object Graph {
     * size. The count is free — every caller already measures its state
     * per round for convergence/empty checks.
     */
-  private val StateBcastRowCap = 2000000L
-  private def guardedBroadcast(state: DataFrame, rows: Long): DataFrame =
+  private[graft] val StateBcastRowCap = 2000000L
+  private[graft] def guardedBroadcast(state: DataFrame, rows: Long): DataFrame =
     if (rows <= StateBcastRowCap) broadcast(state) else state
 
   // --- GR1: PageRank, integer-exact. rank_{k+1}(v) =

@@ -31,11 +31,14 @@ object Multimodal {
 
   /** Decoder output per media item: byte count, pixel dimensions, the
     * exact sum of 8-bit luma samples (the feature the mm2 oracle
-    * replays), and an md5-derived fingerprint for payloads no
-    * registered reader decodes (width/height/luma_sum are −1 there).
+    * replays), the 16-bit perceptual average-hash over the decoded
+    * raster (mm7 — 0 when undecoded), and an md5-derived fingerprint
+    * for payloads no registered reader decodes (width/height/luma_sum
+    * are −1 there).
     */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
-                           height: Int, luma_sum: Long, fingerprint: Long)
+                           height: Int, luma_sum: Long, ahash: Long,
+                           fingerprint: Long)
 
   /** documents -> media records with the doc TEXT as an opaque binary
     * payload — the manifest shape mm1/mm3/mm5 read (metadata and
@@ -104,23 +107,42 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.payload))
           catch { case _: Exception => null }
         if (img != null) {
+          val w = img.getWidth; val h = img.getHeight
           val ras = img.getRaster
+          // one raster pass accumulates both the exact luma sum and
+          // the 4×4 block sums/counts behind the perceptual hash —
+          // block membership is floor division (x·4 div w, y·4 div h),
+          // the downsample an oracle can replay in integer SQL
+          val bsum = new Array[Long](16)
+          val bcnt = new Array[Long](16)
           var sum = 0L
           var y = 0
-          while (y < img.getHeight) {
+          while (y < h) {
+            val by = y * 4 / h
             var x = 0
-            while (x < img.getWidth) {
-              sum += ras.getSample(x, y, 0)
+            while (x < w) {
+              val b = by * 4 + x * 4 / w
+              val v = ras.getSample(x, y, 0)
+              sum += v; bsum(b) += v; bcnt(b) += 1
               x += 1
             }
             y += 1
           }
+          // aHash bit b: block mean > global mean, decided by exact
+          // integer cross-multiplication (no FP division anywhere)
+          val npix = w.toLong * h
+          var ahash = 0L
+          var b = 0
+          while (b < 16) {
+            if (bsum(b) * npix > sum * bcnt(b)) ahash |= 1L << b
+            b += 1
+          }
           MediaFeatures(r.doc_id, r.payload.length,
-            img.getWidth, img.getHeight, sum, fingerprint = 0L)
+            w, h, sum, ahash, fingerprint = 0L)
         } else {
           md.reset()
           val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-          MediaFeatures(r.doc_id, r.payload.length, -1, -1, -1L,
+          MediaFeatures(r.doc_id, r.payload.length, -1, -1, -1L, 0L,
             java.lang.Long.parseLong(hex.substring(0, 15), 16))
         }
       }
@@ -234,4 +256,25 @@ object Multimodal {
           .cast("long").as("cut_possum"))
       .orderBy("doc_id")
   }
+
+  // --- MM7 (oracled): perceptual-hash IMAGE near-dup buckets — the
+  // vision twin of dd4's SimHash banding, over REAL decoded pixels:
+  // each image's 16-bit average-hash (4×4 block means vs the global
+  // mean, all integer arithmetic off the decoded raster) buckets
+  // perceptually-alike images; buckets holding ≥2 documents are the
+  // near-dup candidate sets an image dedup pass verifies. The hash is
+  // resolution-independent (block membership by floor division), so
+  // re-encoded or resized copies of a frame land in the same bucket —
+  // what byte-level md5 (mm1) can never see. One decode pass (shared
+  // with mm2's features), one 2-column hash-agg; payloads never
+  // shuffle. The DuckDB oracle repaints the fixture's closed form,
+  // replays the same block/cross-multiply arithmetic, and hash-checks
+  // every bucket — the decoder's pixels are inside the oracle. ---
+  def ahashBuckets(s: SparkSession, d: String, topK: Int = 25): DataFrame =
+    decodeImage(pngRecords(s, d)).toDF()
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("ahash").asc)
+      .limit(topK)
 }

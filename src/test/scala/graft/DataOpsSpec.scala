@@ -289,6 +289,35 @@ class DataOpsSpec extends SparkTestBase {
       "undecodable rows must carry the md5 fallback, not fail the task")
   }
 
+  test("MM7 decoded aHash equals the closed-form hash, independently recomputed") {
+    // recompute the 4×4 block-mean hash from the PAINTED closed form
+    // (never touching the decoder) — if the PNG round-trip or the
+    // raster pass drifted by one sample, some bit would flip
+    def closedFormAhash(id: Long): Long = {
+      val w = (id % 14 + 3).toInt; val h = (id % 11 + 3).toInt
+      val bsum = new Array[Long](16); val bcnt = new Array[Long](16)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = y * 4 / h * 4 + x * 4 / w
+        val v = (id * 31 + 7L * x + 13L * y) % 256
+        sum += v; bsum(b) += v; bcnt(b) += 1
+      }
+      (0 until 16).map { b =>
+        if (bsum(b) * w * h > sum * bcnt(b)) 1L << b else 0L
+      }.sum
+    }
+    val decoded = Multimodal.decodeImage(Multimodal.pngRecords(spark, sf))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { f =>
+      assert(f.ahash == closedFormAhash(f.doc_id),
+        s"doc ${f.doc_id}: decoded ahash ${f.ahash} != closed form")
+    }
+    // and the bucket relation only reports genuine collisions
+    val buckets = Multimodal.ahashBuckets(spark, sf).collect()
+    assert(buckets.forall(_.getLong(1) >= 2))
+  }
+
   test("TX5 lang-id is deterministic and emits a known language") {
     val langs = TextAnalysis.langId(spark, sf).select("predicted")
       .distinct().collect().map(_.getString(0)).toSet
