@@ -161,7 +161,8 @@ object Soak {
     "sim15_lsh_filtered", "dd20_contamination", "gr13_closeness",
     "st9_dq_monitor", "j10_point_in_time", "a43_trimmed_stats",
     "a44_dow_seasonality", "a45_ohlc", "a46_ab_test",
-    "dp18_filter_funnel", "dp19_token_budget", "gr14_modularity")
+    "dp18_filter_funnel", "dp19_token_budget", "gr14_modularity",
+    "mm7_ahash_buckets")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

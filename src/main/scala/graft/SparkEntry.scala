@@ -303,6 +303,7 @@ object SparkEntry {
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
     "mm7_ahash_buckets"  -> ((s, d) => Multimodal.ahashBuckets(s, d)),
+    "gr15_incremental_edges" -> ((s, d) => Graph.incrementalEdgeAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2287,6 +2288,7 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS min_doc
         |FROM h GROUP BY ahash HAVING count(*) >= 2
         |ORDER BY n_docs DESC, ahash ASC LIMIT 25""".stripMargin,
+    "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
     "a32_ks_test" ->
       """WITH seg AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

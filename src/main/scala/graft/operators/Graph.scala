@@ -352,6 +352,53 @@ object Graph {
        |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
   }
 
+  // --- GR15: incremental EDGE-INDEX maintenance — the graph leg of
+  // the ingest story dd17 (band index) and sim10 (ANN index) already
+  // tell. A new order batch lands (o_orderkey is the ingest axis);
+  // its edges derive from the BATCH's join only, published as a delta
+  // directory beside the untouched base, and base ∪ delta re-minned
+  // is answer-identical to the monolithic weighted edge relation
+  // because `min` is a merge-able aggregate. Per-batch cost is
+  // proportional to the batch, never the corpus. Boundary =
+  // max_orderkey·4/5 + 1, exact integer arithmetic (dd17's rule:
+  // parameters scale with the corpus). The audit row carries exact
+  // counts + weight extremes + the full weight sum, so any dropped,
+  // duplicated, or mis-merged edge flips the hash; the DuckDB oracle
+  // computes the same row from the MONOLITHIC derivation — the match
+  // IS the incremental == monolithic proof. w_sum stays BIGINT:
+  // weights are l_quantity values (≤ 50), so overflow needs ~2·10^17
+  // edges. ---
+  def incrementalEdgeAudit(s: SparkSession, d: String): DataFrame = {
+    val maxKey = Tables.orders(s, d)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    val boundary = maxKey * 4 / 5 + 1
+    graft.sources.GraphIndex.tradeWeightedMerged(s, d, boundary)
+      .agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"),
+        countDistinct(col("dst")).as("n_dst"),
+        sum(col("w")).as("w_sum"),
+        min(col("w")).as("w_min"),
+        max(col("w")).as("w_max"))
+  }
+
+  /** Oracle twin of [[incrementalEdgeAudit]]: the MONOLITHIC weighted
+    * edge derivation (no slices) aggregated to the same audit row —
+    * matching hashes prove base ∪ delta min-merge loses nothing.
+    */
+  def incrementalEdgeAuditOracleSql: String =
+    """WITH e AS (
+      |  SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst,
+      |    CAST(min(l_quantity) AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+      |  CAST(count(DISTINCT dst) AS BIGINT) AS n_dst,
+      |  CAST(sum(w) AS BIGINT) AS w_sum,
+      |  CAST(min(w) AS BIGINT) AS w_min,
+      |  CAST(max(w) AS BIGINT) AS w_max
+      |FROM e""".stripMargin
+
   /** Oracle twin of [[hopDistance]]: the same min-plus chain unrolled
     * to `iters` rounds (≥ the graph eccentricity; extra rounds are
     * idempotent, so Spark's early exit and the fixed chain agree).

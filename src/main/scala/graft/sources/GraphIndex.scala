@@ -90,6 +90,54 @@ object GraphIndex {
     s.read.parquet(path.toString)
   }
 
+  /** One order-key slice of the weighted trade derivation — the
+    * building block of the INCREMENTAL edge index (the graph leg of
+    * the delta story TextIndex/VectorIndex already tell). `o_orderkey`
+    * is the ingest axis: a new order batch arrives with keys past the
+    * boundary, its edges derive from the BATCH's join only, and the
+    * base directory is never read-modified-rewritten. `min` is a
+    * merge-able aggregate, so base ∪ delta re-minned IS the monolithic
+    * relation — bit-exactly (asserted by GraphIndexSpec and the
+    * gr15 oracle, which replays the monolithic derivation).
+    */
+  private def tradeWeightedSlice(s: SparkSession, d: String, tag: String)(
+      ordersFilter: DataFrame => DataFrame): DataFrame = {
+    val path = tradePath(d, s"trade_w_$tag")
+    VectorIndex.ensure(path) { out =>
+      ordersFilter(Tables.orders(s, d))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** The weighted edge index as it stood BEFORE the batch:
+    * orders < `boundary`.
+    */
+  def tradeWeightedBase(s: SparkSession, d: String, boundary: Long): DataFrame =
+    tradeWeightedSlice(s, d, s"lt$boundary")(
+      _.filter(col("o_orderkey") < boundary))
+
+  /** The batch delta: orders >= `boundary` — the only edge-derivation
+    * work an ingest pays.
+    */
+  def tradeWeightedDelta(s: SparkSession, d: String, boundary: Long): DataFrame =
+    tradeWeightedSlice(s, d, s"ge$boundary")(
+      _.filter(col("o_orderkey") >= boundary))
+
+  /** base ∪ delta with per-edge min-merge — answer-identical to
+    * [[tradeWeightedEdges]] (an edge present in both slices keeps the
+    * smaller weight; min is associative, so slicing is invisible).
+    */
+  def tradeWeightedMerged(s: SparkSession, d: String, boundary: Long): DataFrame =
+    tradeWeightedBase(s, d, boundary)
+      .unionByName(tradeWeightedDelta(s, d, boundary))
+      .groupBy("src", "dst")
+      .agg(min(col("w")).as("w"))
+
   /** The distinct (ok, pk) basket-item relation — the shared input of
     * item counts, basket totals, and the pair relation below.
     */

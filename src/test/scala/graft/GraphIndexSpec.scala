@@ -52,6 +52,25 @@ class GraphIndexSpec extends SparkTestBase {
     assert(wset(GraphIndex.tradeWeightedEdges(spark, sf)) == wset(inline))
   }
 
+  test("incremental edge index: base ∪ delta min-merge equals the monolithic relation, base untouched") {
+    import org.apache.spark.sql.functions._
+    def wset(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val maxKey = Tables.orders(spark, sf)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    val boundary = maxKey * 4 / 5 + 1
+    // build base first, snapshot its files, then build the delta —
+    // ingest must never read-modify-rewrite the base directory
+    GraphIndex.tradeWeightedBase(spark, sf, boundary).count()
+    val baseFiles = indexFiles(s"trade_w_lt$boundary")
+    assert(baseFiles.nonEmpty)
+    val merged = GraphIndex.tradeWeightedMerged(spark, sf, boundary)
+    assert(wset(merged) == wset(GraphIndex.tradeWeightedEdges(spark, sf)),
+      "slicing on the ingest axis must be invisible after the min-merge")
+    assert(indexFiles(s"trade_w_lt$boundary") == baseFiles,
+      "delta build must leave the base index files byte-untouched")
+  }
+
   test("basket pair index is unthresholded; filtered view equals inline supportedEdges") {
     // one index serves every minSupport — the threshold is a scan filter
     for (ms <- Seq(1, 2, 3))
