@@ -9,6 +9,9 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+case class OLine(o_orderkey: Long, o_custkey: Long, l_suppkey: Long,
+                 l_quantity: Double)
+
 class StreamingSpec extends SparkTestBase {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
@@ -617,6 +620,36 @@ class StreamingSpec extends SparkTestBase {
         .filter(_.isDirectory).map(_.getAbsolutePath): _*)
     assert(pairs.count() == pairs.dropDuplicates("day", "user_id").count(),
       "activity pair deltas must be disjoint")
+  }
+
+  test("equivalence: streaming edge-index maintenance == monolithic weighted edges (shuffled waves + duplicated redelivery)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("l_suppkey"),
+        col("l_quantity").cast("double"))
+      .collect()
+      .map(r => OLine(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    // lines are not atomic units: waves split an order's lines and an
+    // edge's lines arbitrarily — min-merge across deltas must not care
+    val shuffled = new scala.util.Random(41).shuffle(lines)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[OLine]
+    val root = java.nio.file.Files.createTempDirectory("edgestream").toString
+    val q = Streams.edgeIndexMaintainStream(mem.toDF(), root, s"$root/ck")
+    // duplicated redelivery of part of wave 1: min is idempotent, so
+    // no admission leg exists to protect this family — prove it
+    try (waves :+ waves.head.take(23)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.readEdgeIndex(spark, root)
+    val batch = graft.sources.GraphIndex.tradeWeightedEdges(spark, sf)
+    def wset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wset(streamed) == wset(batch),
+      "stream-maintained edge index must equal the monolithic relation")
   }
 
   test("equivalence: streaming session-path maintenance == batch sq3 (event-shuffled waves + redelivery)") {
