@@ -304,6 +304,10 @@ object SparkEntry {
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
     "mm7_ahash_buckets"  -> ((s, d) => Multimodal.ahashBuckets(s, d)),
     "gr15_incremental_edges" -> ((s, d) => Graph.incrementalEdgeAudit(s, d)),
+    // round-7 pack: boilerplate scrub (the rewrite side of dd13),
+    // gaps-and-islands streaks
+    "dd21_span_scrub"    -> ((s, d) => Dedup.spanScrub(s, d)),
+    "w21_streaks"        -> ((s, d) => Windows.activityStreaks(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2289,6 +2293,50 @@ object SparkEntry {
         |FROM h GROUP BY ahash HAVING count(*) >= 2
         |ORDER BY n_docs DESC, ahash ASC LIMIT 25""".stripMargin,
     "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
+    "dd21_span_scrub" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |ch AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+        |           AS ci
+        |       FROM ws),
+        |c2 AS (SELECT doc_id, ci,
+        |         array_to_string(list_slice(ws, ci * 8 + 1, ci * 8 + 8),
+        |                         ' ') AS chunk
+        |       FROM ch),
+        |banned AS (SELECT chunk FROM c2 GROUP BY 1
+        |           HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT doc_id, ci, chunk FROM c2
+        |         ANTI JOIN banned USING (chunk)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          md5(string_agg(chunk, ' ' ORDER BY ci)) AS scrubbed_md5
+        |        FROM kept GROUP BY 1),
+        |base AS (SELECT doc_id,
+        |           CAST(ceil(len(ws) / 8.0) AS BIGINT) AS n_chunks
+        |         FROM ws)
+        |SELECT b.doc_id, b.n_chunks,
+        |  b.n_chunks - coalesce(a.n_kept, 0) AS n_removed,
+        |  coalesce(a.scrubbed_md5, md5('')) AS scrubbed_md5
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "w21_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |                                  ORDER BY day) AS INTEGER)
+        |      AS anchor
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY user_id, anchor),
+        |longest AS (
+        |  SELECT user_id, max(len) AS best FROM streaks GROUP BY 1)
+        |SELECT best AS streak_len, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(user_id) AS BIGINT) AS example_user
+        |FROM longest GROUP BY 1 ORDER BY streak_len DESC""".stripMargin,
     "a32_ks_test" ->
       """WITH seg AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

@@ -884,4 +884,62 @@ object Dedup {
         col("n_sem"), col("tier"))
       .orderBy("eval_doc")
   }
+
+  // --- DD21: boilerplate SCRUB — the rewrite side of dd13's span
+  // catalog, i.e. C4's line-level dedup re-expressed for a corpus with
+  // no newlines: segment every document into NON-overlapping k-word
+  // chunks (the "lines"), ban any chunk whose exact text appears in
+  // >= minDocs distinct documents, and reassemble each document from
+  // its surviving chunks in order. Emits the per-doc audit row
+  // (chunk totals + md5 of the rewritten text) rather than the
+  // rewritten corpus itself, so the whole transform hash-oracles.
+  //
+  // Scale shape: chunking is a pure map-side projection (sequence +
+  // slice + concat_ws, all codegen — no HOF lambdas); the ban list is
+  // counted on 8-byte chunk hashes (map-side combined, strings never
+  // shuffle) and is TINY after the min-docs filter, so the scrub
+  // itself is a broadcast anti-join — at 100 TB the corpus streams
+  // past a broadcast hash set, one shuffle total (the per-doc
+  // reassembly, keyed on doc_id, which hash-partitions evenly). The
+  // per-doc chunk arrays are bounded by document length, so the one
+  // HOF (field extraction after array_sort) runs on aggregated
+  // ~dozens-element arrays, never the corpus-wide chunk stream. ---
+  def spanScrub(s: SparkSession, d: String, k: Int = 8,
+                minDocs: Long = 3L): DataFrame = {
+    val ws = col("ws")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // non-overlapping chunk ci covers words [ci*k+1, ci*k+k]; the last
+    // chunk is the (possibly short) remainder — slice clamps.
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), ((size(ws) + lit(k - 1)) / k - 1)
+          .cast("long"))).as("ci"), ws)
+      .select(col("doc_id"), col("ci"),
+        concat_ws(" ", slice(ws, (col("ci") * k + 1).cast("int"), lit(k)))
+          .as("chunk"))
+      .select(col("doc_id"), col("ci"), col("chunk"),
+        xxhash64(col("chunk")).as("gh"))
+    val banned = chunks.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gh")
+    val keptAgg = chunks.join(broadcast(banned), Seq("gh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("ci"), col("chunk"))))
+          .as("ordered"))
+      .select(col("doc_id"), col("n_kept"),
+        md5(array_join(transform(col("ordered"), _.getField("chunk")),
+          " ")).as("scrubbed_md5"))
+    docs
+      .select(col("doc_id"),
+        ((size(ws) + lit(k - 1)) / k).cast("long").as("n_chunks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
 }

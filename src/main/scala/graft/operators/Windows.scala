@@ -436,4 +436,31 @@ object Windows {
        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
        |  END AS corr30
        |FROM m WHERE n = $winDays ORDER BY day""".stripMargin
+
+  // --- W21: gaps-and-islands — longest consecutive-day activity
+  // streak per user, reported as a streak-length histogram. The
+  // classic trick: within a user, `day - row_number_over(day)` is
+  // constant exactly on a run of consecutive days, so islands fall
+  // out of one per-user window plus one groupBy — no self-join, no
+  // recursive scan. Every window and aggregate partitions on
+  // user_id (hash-distributes evenly), and the histogram tail
+  // reduces to at most max-streak rows, so the plan is two narrow
+  // shuffles at any corpus size. The example_user column makes the
+  // report actionable without emitting a per-user relation. ---
+  def activityStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("anchor",
+        date_sub(col("day"), row_number().over(byUser)))
+    val streaks = islands.groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"))
+    streaks.groupBy("user_id").agg(max(col("len")).as("best"))
+      .groupBy(col("best").as("streak_len"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).as("example_user"))
+      .orderBy(col("streak_len").desc)
+  }
 }

@@ -344,4 +344,60 @@ class DataOpsSpec extends SparkTestBase {
       m("id_block").getAs[Double]("waste_ratio"),
       s"bucketing must reduce padding: ${r.toSeq}")
   }
+
+  test("DD21 scrub round-trips untouched docs and only removes shared chunks") {
+    val rows = Dedup.spanScrub(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length == docs.count())
+    // chunk accounting: ceil(words/8) per doc, removals within bounds
+    val wordCounts = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_chunks") == (wordCounts(id) + 7) / 8)
+      val rem = r.getAs[Long]("n_removed")
+      assert(rem >= 0 && rem <= r.getAs[Long]("n_chunks"))
+    }
+    // segmentation/reassembly identity: a doc that lost nothing must
+    // hash back to its original text verbatim
+    val untouched = rows.filter(_.getAs[Long]("n_removed") == 0L)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(untouched.nonEmpty)
+    val origMd5 = docs.select(col("doc_id"), md5(col("text").cast("binary")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.filter(r => untouched(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[String]("scrubbed_md5") ==
+        origMd5(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} round-trip failed")
+    }
+    // the synthetic corpus plants shared boilerplate — the scrub must
+    // actually fire somewhere
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0L))
+  }
+
+  test("W21 streak histogram matches a brute-force per-user recompute") {
+    val got = Windows.activityStreaks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("streak_len"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("example_user")))
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate.toEpochDay)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted.toSeq }
+    def longest(days: collection.Seq[Long]): Long = {
+      var best = 1L; var cur = 1L
+      days.zip(days.tail).foreach { case (a, b) =>
+        cur = if (b == a + 1) cur + 1 else 1L
+        best = math.max(best, cur)
+      }
+      best
+    }
+    val expected = byUser.map { case (u, ds) => (u, longest(ds)) }.toSeq
+      .groupBy(_._2).map { case (len, us) =>
+        (len, us.size.toLong, us.map(_._1).min)
+      }.toSeq.sortBy(-_._1)
+    assert(got.toSeq == expected,
+      s"histogram mismatch:\n got=${got.toSeq}\n exp=$expected")
+  }
 }
