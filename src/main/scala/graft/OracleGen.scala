@@ -717,11 +717,24 @@ object OracleGen {
        |ORDER BY step""".stripMargin
   }
 
+  /** The boundary hash of plans.CdcBoundaries as an explicit w-term
+    * sum of products — Σ ascii(text[pos+i]) · B^{w-1-i}, every term
+    * under 2^43 so plain BIGINT arithmetic replays the rolling loop's
+    * value exactly (the outer mod M is applied once at the call site,
+    * matching the loop's running reduction).
+    */
+  private def rollingPoly(window: Int): String =
+    (0 until window).map { i =>
+      s"CAST(ascii(substr(text, g.pos + $i, 1)) AS BIGINT)" +
+        s" * ${graft.plans.CdcBoundaries.pow(window - 1 - i)}"
+    }.mkString("\n       + ")
+
   /** tx18_cdc_shared: content-defined chunking replay — boundary
-    * positions where h60 of the w-char window ≡ 0 (mod divisor),
-    * chunks from the per-doc lead() window, h60 chunk fingerprints,
-    * shared-chunk rollup. Position series bound 1024 covers this
-    * corpus family's ≤ 600-char documents; a longer corpus raises it.
+    * positions where the CdcBoundaries rolling polynomial of the
+    * w-char window ≡ 0 (mod divisor), chunks from the per-doc lead()
+    * window, h60 chunk fingerprints, shared-chunk rollup. Position
+    * series bound 1024 covers this corpus family's ≤ 600-char
+    * documents; a longer corpus raises it.
     */
   def tx18Sql(window: Int = 16, divisor: Int = 64, topK: Int = 25): String =
     s"""WITH bounds AS (
@@ -729,7 +742,8 @@ object OracleGen {
        |    (SELECT unnest(generate_series(2, 1024)) AS pos) g
        |  WHERE length(text) >= ${window + 1}
        |    AND g.pos <= length(text) - ${window - 1}
-       |    AND ${h60(s"substr(text, g.pos, $window)")} % $divisor = 0),
+       |    AND (${rollingPoly(window)})
+       |        % ${graft.plans.CdcBoundaries.M} % $divisor = 0),
        |starts AS (
        |  SELECT doc_id, 1 AS pos FROM documents
        |  UNION ALL SELECT doc_id, pos FROM bounds),

@@ -146,6 +146,107 @@ object Analytics {
 
   private def percentilesImpl(s: SparkSession, d: String,
                               rangePartitioned: Boolean): DataFrame = {
+    val ps = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    val raw =
+      if (rangePartitioned) exactPercentilesImpl(s, d, ps, rangePartitioned)
+      else exactPercentilesHist(s, d, ps)
+    raw.select(col("l_returnflag") +:
+      ps.map { case (name, _) => round(col(name), 4).as(name) }: _*)
+      .orderBy("l_returnflag")
+  }
+
+  /** Histogram-refine exact percentiles — the two-scan shape that
+    * replaces the (group, value)-grained aggregate with a BOUNDED
+    * bucket relation. Scan 1 histograms values into fixed-width
+    * buckets (≤ domain/width rows per group — data-size independent,
+    * so the cumulative window is over a small bounded relation); the
+    * target ranks' buckets are then identified with a broadcast
+    * range probe, and scan 2 ranks ONLY the rows inside those ≤
+    * 2·|fractions| buckets (a ~0.1% slice here) to read the exact
+    * order statistics. Values are bit-identical to the
+    * all-distinct-values form (PercentileEquivalenceSpec collects
+    * both): the k-th order statistic is the k-th order statistic no
+    * matter how you find it, and the interpolation expression is
+    * shared verbatim. This is the 100 TB plan: the old form's
+    * value-grained hash-agg grows 1:1 with the corpus (600k groups at
+    * sf0.1 — measured 1.8 s for three output rows), while here no
+    * shuffle ever exceeds buckets + selected-bucket contents.
+    */
+  private[graft] def exactPercentilesHist(s: SparkSession, d: String,
+                                          ps: Seq[(String, Double)],
+                                          bucketWidth: Double = 16.0)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        floor(col("l_extendedprice") / bucketWidth).cast("long").as("b"))
+    val bc = li.groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val wB = Window.partitionBy("g").orderBy("b")
+    val bcum = bc
+      .withColumn("bhi", sum(col("c")).over(wB))
+      .withColumn("blo", col("bhi") - col("c"))
+    val tot = bc.groupBy("g").agg(sum(col("c")).as("n"))
+    // 0-based bracketing ranks per fraction: k ∈ {⌊t⌋, ⌈t⌉}, t=(n−1)p
+    val targets = tot
+      .select(col("g"), col("n"), explode(array(ps.map { case (name, p) =>
+        struct(lit(name).as("pname"), lit(p).as("p"))
+      }: _*)).as("t"))
+      .select(col("g"), col("t.pname").as("pname"), col("t.p").as("p"),
+        explode(array(
+          struct(lit("lo").as("side"),
+            floor((col("n") - 1).cast("double") * col("t.p"))
+              .cast("long").as("k")),
+          struct(lit("hi").as("side"),
+            ceil((col("n") - 1).cast("double") * col("t.p"))
+              .cast("long").as("k")))).as("sd"))
+      .select(col("g"), col("pname"), col("p"),
+        col("sd.side").as("side"), col("sd.k").as("k"))
+    // the bucket holding rank k: blo <= k < bhi (equi on g + tiny
+    // broadcast, range predicate as the join filter)
+    val needed = bcum.join(broadcast(targets).withColumnRenamed("g", "tg"),
+        col("g") === col("tg")
+          && col("blo") <= col("k") && col("k") < col("bhi"))
+      .select(col("g"), col("b"), col("blo"),
+        col("pname"), col("p"), col("side"), col("k"))
+    val selBuckets = needed.select("g", "b", "blo").distinct()
+    // scan 2: exact rank inside the selected buckets only — ties in v
+    // are interchangeable for order statistics, so row_number's
+    // arbitrary tie order cannot change the picked VALUE
+    val wV = Window.partitionBy("g", "b").orderBy("v")
+    val ranked = li.join(broadcast(selBuckets), Seq("g", "b"))
+      .withColumn("idx", col("blo") + row_number().over(wV) - 1)
+    val picked = ranked.alias("r")
+      .join(broadcast(needed.select(col("g").as("ng"), col("b").as("nb"),
+        col("pname"), col("p"), col("side"), col("k"))),
+        col("g") === col("ng") && col("b") === col("nb")
+          && col("idx") === col("k"))
+      .select(col("g"), col("pname"), col("p"), col("side"), col("v"))
+    val vals = picked.groupBy("g", "pname")
+      .agg(max(col("p")).as("p"),
+        max(when(col("side") === "lo", col("v"))).as("vlo"),
+        max(when(col("side") === "hi", col("v"))).as("vhi"))
+      .join(broadcast(tot), "g")
+      .withColumn("t", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("val",
+        col("vlo") + (col("t") - floor(col("t")))
+          * (col("vhi") - col("vlo")))
+    vals.groupBy(col("g").as("l_returnflag"))
+      .agg(ps.head match { case (name, _) =>
+        max(when(col("pname") === name, col("val"))).as(name)
+      }, ps.tail.map { case (name, _) =>
+        max(when(col("pname") === name, col("val"))).as(name)
+      }: _*)
+  }
+
+  /** Exact interpolated percentiles of l_extendedprice per returnflag
+    * at arbitrary fraction lists — the shared engine under a11 (its
+    * three canonical fractions) and a12 (the nine-point band the
+    * sketch audit brackets against).
+    */
+  private[graft] def exactPercentilesImpl(s: SparkSession, d: String,
+                                          ps: Seq[(String, Double)],
+                                          rangePartitioned: Boolean)
+      : DataFrame = {
     // Exact percentile_cont, but distributed: Spark's percentile() agg
     // builds a value->count OpenHashMap per partial and merges the 32
     // partial maps single-threaded per group (measured 5.5s at sf0.1).
@@ -155,7 +256,6 @@ object Analytics {
     // frac * (v[ceil(t)] - v[floor(t)]) at t = (n-1)*p). Heavy lifting
     // is partial+final hash-agg at full parallelism; the window sorts
     // only the distinct values per group.
-    val ps = Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
     val cnts = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
       .agg(count(lit(1)).as("c"))
@@ -208,10 +308,10 @@ object Analytics {
     val outCols = col("l_returnflag") +: ps.map { case (name, p) =>
       val t = (col("n") - 1).cast("double") * lit(p)
       val frac = t - floor(t)
-      round(col(s"${name}_lo")
-        + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
+      (col(s"${name}_lo")
+        + frac * (col(s"${name}_hi") - col(s"${name}_lo"))).as(name)
     }
-    agged.select(outCols: _*).orderBy("l_returnflag")
+    agged.select(outCols: _*)
   }
 
   // --- A18: median + deterministic mode per group. median() is fine
@@ -245,23 +345,34 @@ object Analytics {
   // quantiles at the widened rank band). Output = the exact quantiles
   // (hash-matched by DuckDB quantile_cont) + the three bound bits, so
   // the sketch's behavior is inside the oracle check.
-  def approxPercentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    // The nine-point exact band comes from the a11 distributed
+    // percentile engine, NOT the built-in percentile() aggregate —
+    // the built-in buffers a value→count map per partial and merges
+    // the 32 partials single-threaded per group, which made this the
+    // 5th most expensive query (1.97 s at sf0.1) for three rows of
+    // output. Same interpolation, same values, full-parallel hash-agg.
+    val band = Seq(
+      ("e0", 0.499), ("e1", 0.5), ("e2", 0.501),
+      ("e3", 0.899), ("e4", 0.9), ("e5", 0.901),
+      ("e6", 0.989), ("e7", 0.99), ("e8", 0.991))
+    val ex = exactPercentilesHist(s, d, band)
+    val ap = Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-        .as("ps"),
-        expr("percentile(l_extendedprice, array(0.499, 0.5, 0.501, " +
-          "0.899, 0.9, 0.901, 0.989, 0.99, 0.991))").as("ex"))
-      // Scalar columns, not array<double>: the driver's compare sorts
-      // the frame, and array cells break that sort.
+        .as("ps"))
+    // Scalar columns, not array<double>: the driver's compare sorts
+    // the frame, and array cells break that sort.
+    ex.join(ap, "l_returnflag")
       .select(col("l_returnflag"),
-        round(col("ex")(1), 4).as("p50"),
-        round(col("ex")(4), 4).as("p90"),
-        round(col("ex")(7), 4).as("p99"),
-        col("ps")(0).between(col("ex")(0), col("ex")(2)).as("p50_ok"),
-        col("ps")(1).between(col("ex")(3), col("ex")(5)).as("p90_ok"),
-        col("ps")(2).between(col("ex")(6), col("ex")(8)).as("p99_ok"))
+        round(col("e1"), 4).as("p50"),
+        round(col("e4"), 4).as("p90"),
+        round(col("e7"), 4).as("p99"),
+        col("ps")(0).between(col("e0"), col("e2")).as("p50_ok"),
+        col("ps")(1).between(col("e3"), col("e5")).as("p90_ok"),
+        col("ps")(2).between(col("e6"), col("e8")).as("p99_ok"))
       .orderBy("l_returnflag")
+  }
 
   // --- A28: EQUI-DEPTH histogram — buckets of ~equal row count with
   // data-dependent boundaries (the fixed-width twin is a23). The

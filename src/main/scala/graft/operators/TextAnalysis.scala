@@ -497,16 +497,20 @@ object TextAnalysis {
   // --- TX18: content-defined chunking + chunk-level dedup. Fixed-size
   // chunking breaks under a single inserted character (every later
   // chunk shifts); CDC puts boundaries where a rolling content hash
-  // hits a modulus (h60 of the w-char window ≡ 0 mod D → average chunk
-  // ~D chars), so identical passages chunk identically REGARDLESS of
-  // their offset in the document — the property that lets chunk-level
-  // dedup catch copied paragraphs doc-level near-dup misses. Stateless
-  // variant (no min/max chunk guards): every position tests
-  // independently, which is what makes it one scan + a per-doc window
-  // — production guards add a sequential pass per doc, shape
-  // otherwise unchanged. Output: chunks shared by ≥2 documents
-  // (portable h60 fingerprints, exact integer counts — the DuckDB
-  // oracle replays the whole chain). ---
+  // hits a modulus (Rabin-Karp polynomial of the w-byte window ≡ 0
+  // mod D → average chunk ~D chars), so identical passages chunk
+  // identically REGARDLESS of their offset in the document — the
+  // property that lets chunk-level dedup catch copied paragraphs
+  // doc-level near-dup misses. Boundary detection is the native
+  // rolling-hash expression (plans.CdcBoundaries): O(1) per position
+  // inside whole-stage codegen, vs the declarative per-position-md5
+  // chain it replaced (one md5 per character of the corpus — measured
+  // 2.4 s → sub-second at sf0.1). Stateless variant (no min/max chunk
+  // guards): every position tests independently — production guards
+  // add a sequential pass per doc, shape otherwise unchanged. Output:
+  // chunks shared by ≥2 documents (portable h60 chunk fingerprints,
+  // exact integer counts — the DuckDB oracle replays the whole chain,
+  // the boundary hash as a 16-term polynomial sum). ---
   def cdcSharedChunks(s: SparkSession, d: String,
                       window: Int = 16, divisor: Int = 64,
                       topK: Int = 25): DataFrame =
@@ -522,11 +526,10 @@ object TextAnalysis {
                                        topK: Int): DataFrame = {
     val docs = docsIn.select(col("doc_id"), col("text"))
     // boundary positions: 2..len-w+1 (a chunk always starts at 1)
-    val bounds = docs.filter(length(col("text")) >= window + 1)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(2), length(col("text")) - (window - 1))).as("pos"))
-      .filter(Text.h60(expr(s"substring(text, pos, $window)")) % divisor === 0)
-      .select(col("doc_id"), col("pos"))
+    val bounds = docs
+      .select(col("doc_id"),
+        explode(graft.plans.CdcBoundaries.cdcBounds(
+          col("text"), window, divisor)).as("pos"))
     val starts = docs.select(col("doc_id"), lit(1).as("pos"))
       .unionByName(bounds)
     val wdoc = org.apache.spark.sql.expressions.Window

@@ -47,7 +47,11 @@ object GraftExtensions {
       cosExpr _),
     (FunctionIdentifier("morton_interleave"),
       new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
-      (exprs: Seq[Expression]) => MortonInterleave(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => MortonInterleave(exprs.head, exprs(1))),
+    (FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_bounds"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
 
   /** Register on an already-built session (the extensions class only
     * applies at builder time). Also installs the HOF-dot-product

@@ -63,4 +63,49 @@ class VectorExprSpec extends SparkTestBase {
       "array(cast(3.0 as float), cast(4.0 as float))) AS d").collect()
     assert(r(0).getDouble(0) == 11.0)
   }
+
+  test("CdcBoundaries rolling hash equals the per-position polynomial") {
+    import graft.plans.CdcBoundaries
+    // brute force: evaluate the w-term polynomial independently at
+    // every position — the rolling recurrence must reproduce it, and
+    // the reported positions are exactly the mod-divisor hits
+    def brute(s: String, w: Int, div: Int): Seq[Int] = {
+      val bytes = s.getBytes("UTF-8")
+      (2 to bytes.length - w + 1).filter { p =>
+        val h = (0 until w).foldLeft(0L) { (acc, i) =>
+          (acc * CdcBoundaries.B + (bytes(p - 1 + i) & 0xff)) % CdcBoundaries.M
+        }
+        h % div == 0
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = Seq(
+      "", "x", "a" * 16, "a" * 17,
+      ("the quick brown fox jumps over the lazy dog ") * 8) ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(40 + rnd.nextInt(400)).mkString)
+    samples.foreach { s =>
+      val got = CdcBoundaries
+        .bounds(org.apache.spark.unsafe.types.UTF8String.fromString(s), 16, 8)
+        .toIntArray().toSeq
+      assert(got == brute(s, 16, 8), s"mismatch on ${s.take(40)}…")
+    }
+  }
+
+  test("cdc_bounds runs codegen'd through SQL and matches the direct eval") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.createOrReplaceTempView("cdc_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, cdc_bounds(text, 16, 64) AS bs FROM cdc_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val direct = docs.collect().map { r =>
+      r.getLong(0) -> graft.plans.CdcBoundaries
+        .bounds(org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(1)), 16, 64).toIntArray().toSeq
+    }.toMap
+    assert(viaSql.keySet == direct.keySet)
+    direct.foreach { case (id, bs) => assert(viaSql(id) == bs, s"doc $id") }
+    assert(direct.values.exists(_.nonEmpty), "corpus should produce boundaries")
+  }
 }
