@@ -906,12 +906,24 @@ object Dedup {
   // ~dozens-element arrays, never the corpus-wide chunk stream. ---
   def spanScrub(s: SparkSession, d: String, k: Int = 8,
                 minDocs: Long = 3L): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val banned = chunkRowsOf(docs, k).groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gh")
+    spanScrubFrom(docs, banned, k)
+  }
+
+  /** Non-overlapping k-word chunk rows (doc_id, ci, chunk, gh) — the
+    * segmentation both the batch scrub and the streaming chunk-index
+    * maintenance share (one definition, or the stream-maintained ban
+    * list would drift from the batch one). Chunk ci covers words
+    * [ci·k+1, ci·k+k]; the last chunk is the (possibly short)
+    * remainder — slice clamps. Pure map-side projection.
+    */
+  private[graft] def chunkRowsOf(docs: DataFrame, k: Int): DataFrame = {
     val ws = col("ws")
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    // non-overlapping chunk ci covers words [ci*k+1, ci*k+k]; the last
-    // chunk is the (possibly short) remainder — slice clamps.
-    val chunks = docs
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         explode(sequence(lit(0L), ((size(ws) + lit(k - 1)) / k - 1)
           .cast("long"))).as("ci"), ws)
@@ -920,11 +932,16 @@ object Dedup {
           .as("chunk"))
       .select(col("doc_id"), col("ci"), col("chunk"),
         xxhash64(col("chunk")).as("gh"))
-    val banned = chunks.groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
-      .select("gh")
-    val keptAgg = chunks.join(broadcast(banned), Seq("gh"), "left_anti")
+  }
+
+  /** The scrub tail against an externally supplied ban list (gh
+    * column) — fed by [[spanScrub]]'s inline count or by the
+    * stream-maintained chunk index (Streams.readSpanScrub).
+    */
+  private[graft] def spanScrubFrom(docs: DataFrame, banned: DataFrame,
+                                   k: Int): DataFrame = {
+    val chunks = chunkRowsOf(docs, k)
+    val keptAgg = chunks.join(broadcast(banned.select("gh")), Seq("gh"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("ci"), col("chunk"))))
@@ -934,7 +951,8 @@ object Dedup {
           " ")).as("scrubbed_md5"))
     docs
       .select(col("doc_id"),
-        ((size(ws) + lit(k - 1)) / k).cast("long").as("n_chunks"))
+        ((size(split(col("text"), " ")) + lit(k - 1)) / k).cast("long")
+          .as("n_chunks"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         (col("n_chunks") - coalesce(col("n_kept"), lit(0L)))

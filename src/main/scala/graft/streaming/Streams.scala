@@ -787,6 +787,69 @@ object Streams {
       .groupBy("src", "dst")
       .agg(min(col("w")).cast("long").as("w"))
 
+  /** Streaming maintenance of dd21's banned-chunk state — the scrub's
+    * twin of the activity index: what the scrub needs from history is
+    * the DISTINCT (doc_id, chunk-hash) incidence relation, which is
+    * SET-UNIONABLE — a micro-batch can only ever ADD pairs, so each
+    * batch publishes the pairs it is first to observe and the logical
+    * index is the disjoint union of the deltas. A redelivered document
+    * and a second identical chunk inside one document are the same
+    * no-op (the pair already exists); admission anti-joins prior
+    * deltas EXCLUDING this batch's own (checkpoint-replay rule: a
+    * replayed batch recomputes an identical delta, overwrite is a
+    * no-op). Segmentation is [[graft.operators.Dedup.chunkRowsOf]] —
+    * the SAME definition the batch scrub uses, so the maintained ban
+    * list cannot drift from the batch one. At 100 TB the per-batch
+    * cost is the batch's own chunk pairs; the ban list read is a
+    * count over hash-keyed deltas, never a corpus re-chunk.
+    */
+  def chunkIndexMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String, k: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        chunkMaintainBatch(batch.toDF(), batchId, workDir, k)
+      }
+      .start()
+
+  private[graft] def chunkMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                        workDir: String, k: Int = 8): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "chunks")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val pairs = graft.operators.Dedup
+      .chunkRowsOf(batchDf.select(col("doc_id"), col("text")), k)
+      .select("doc_id", "gh").distinct()
+    val fresh = prior match {
+      case Seq() => pairs
+      case dirs => pairs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id", "gh"), "left_anti")
+    }
+    fresh.write.mode("overwrite").parquet(s"$workDir/chunks/b$batchId")
+    ()
+  }
+
+  /** Read side: docs-per-chunk counts across the disjoint pair deltas
+    * (count(*) == countDistinct because the deltas are disjoint and
+    * each batch dedups within itself), thresholded into the ban list,
+    * then the shared scrub tail — stream-maintained scrub equals
+    * batch `dd21_span_scrub` under any wave/redelivery schedule
+    * (StreamingSpec equivalence).
+    */
+  def readSpanScrub(s: org.apache.spark.sql.SparkSession,
+                    workDir: String, corpusDir: String,
+                    k: Int = 8, minDocs: Long = 3L): DataFrame = {
+    val banned = s.read.parquet(deltaDirs(workDir, "chunks"): _*)
+      .groupBy("gh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gh")
+    graft.operators.Dedup.spanScrubFrom(
+      graft.Tables.documents(s, corpusDir).select("doc_id", "text"),
+      banned, k)
+  }
+
   case class ScdState(currentType: String, sinceMs: Long, maxSeenMs: Long,
                       maxSeenEventId: Long)
   case class ScdInterval(user_id: Long, event_type: String,

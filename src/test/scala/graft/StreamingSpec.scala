@@ -713,4 +713,39 @@ class StreamingSpec extends SparkTestBase {
       .groupBy("event_id").count().filter(col("count") > 1).count()
     assert(dupEvents == 0, "no event may be indexed twice after a replay")
   }
+
+  test("equivalence: streaming chunk-index maintenance == batch dd21 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shuffled arrival: the ban decision is a global count, so a
+    // chunk's >= minDocs flip may happen in any wave — only the final
+    // index state matters
+    val shuffled = new scala.util.Random(23).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("dd21stream").toString
+    val q = Streams.chunkIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: the (doc_id, gh) pairs
+    // already exist, so admission must drop every one of them
+    try (waves :+ waves.head.take(9)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.chunkMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    val streamed = Streams.readSpanScrub(spark, root, sf)
+    val batch = graft.operators.Dedup.spanScrub(spark, sf)
+    assert(rowSet(streamed) == rowSet(batch),
+      "stream-maintained scrub must equal the batch dd21 answer")
+    // the pair deltas must be disjoint (each incidence indexed once)
+    val pairs = spark.read.parquet(
+      new java.io.File(s"$root/chunks").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(pairs.count() == pairs.dropDuplicates("doc_id", "gh").count(),
+      "chunk pair deltas must be disjoint")
+  }
 }
