@@ -308,6 +308,7 @@ object SparkEntry {
     // gaps-and-islands streaks
     "dd21_span_scrub"    -> ((s, d) => Dedup.spanScrub(s, d)),
     "w21_streaks"        -> ((s, d) => Windows.activityStreaks(s, d)),
+    "gr16_double_sweep"  -> ((s, d) => Graph.doubleSweep(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2293,6 +2294,7 @@ object SparkEntry {
         |FROM h GROUP BY ahash HAVING count(*) >= 2
         |ORDER BY n_docs DESC, ahash ASC LIMIT 25""".stripMargin,
     "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
+    "gr16_double_sweep" -> Graph.doubleSweepOracleSql(),
     "dd21_span_scrub" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
         |            FROM documents),

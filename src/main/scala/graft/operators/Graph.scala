@@ -264,9 +264,10 @@ object Graph {
     * monotone-sum read; `require`d within `maxIter`).
     */
   private def minPlusDistances(edgesRaw: DataFrame, maxIter: Int,
-                               algo: String): DataFrame = {
+                               algo: String,
+                               seedOpt: Option[Long] = None): DataFrame = {
     val (edges, _) = iterRelation(edgesRaw, "src")
-    val seed = edges.agg(min(col("src"))).head.getLong(0)
+    val seed = seedOpt.getOrElse(edges.agg(min(col("src"))).head.getLong(0))
     var dist = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         when(col("node") === seed, 0L).otherwise(HopInf).as("dist"))
@@ -350,6 +351,76 @@ object Graph {
        |  FROM (SELECT DISTINCT src FROM edges)),
        |$rounds
        |SELECT node, dist FROM d$iters WHERE dist < $HopInf ORDER BY node""".stripMargin
+  }
+
+  // --- GR16: DOUBLE-SWEEP diameter audit [Magnien, Latapy & Habib,
+  // JEA 2009] — the standard cheap diameter bound: BFS from an
+  // arbitrary seed (the smallest node id, gr4's seed), hop to the
+  // FARTHEST node found (tie-break (dist DESC, node ASC) — exact), BFS
+  // again from there; the second sweep's eccentricity is a diameter
+  // LOWER bound that is empirically tight on real graphs, at the cost
+  // of exactly TWO BFS runs instead of |V| (what an exact diameter
+  // would need — never run that at 100 TB). Both sweeps are gr4's
+  // frontier-relaxed min-plus loop; the only driver traffic is the
+  // two single-row argmax reads (the sim3 tiny-key pattern). The
+  // audit row is all exact integers, so the whole two-sweep chain —
+  // including the argmax handoff between sweeps — hash-oracles
+  // against a DuckDB replay that computes the peak node INSIDE SQL. ---
+  def doubleSweep(s: SparkSession, d: String, maxIter: Int = 12): DataFrame = {
+    val edges = tradeEdges(s, d).withColumn("w", lit(1L))
+    val sweep1 = minPlusDistances(edges, maxIter, "BFS (sweep 1)")
+    val peak1 = sweep1.orderBy(col("dist").desc, col("node").asc).head
+    val (peakNode, eccA) = (peak1.getLong(0), peak1.getLong(1))
+    val sweep2 = minPlusDistances(edges, maxIter, "BFS (sweep 2)",
+      Some(peakNode))
+    val peak2 = sweep2.orderBy(col("dist").desc, col("node").asc).head
+    sweep2.agg(count(lit(1)).as("n_reached"))
+      .select(
+        lit(eccA).as("ecc_seed"),
+        lit(peakNode).as("peak_node"),
+        lit(peak2.getLong(1)).as("diameter_lb"),
+        lit(peak2.getLong(0)).as("peak2_node"),
+        (col("n_reached") - 1).as("n_reached"))
+  }
+
+  /** Oracle twin of [[doubleSweep]]: two unrolled min-plus chains with
+    * the second seeded on the first's (dist DESC, node ASC) argmax —
+    * the handoff computed in SQL, so a wrong peak pick flips the hash.
+    */
+  def doubleSweepOracleSql(iters: Int = 12): String = {
+    def chain(p: String, seedSql: String) = {
+      val rounds = (1 to iters).map { i =>
+        s"""$p$i AS MATERIALIZED (SELECT node, CAST(min(v) AS BIGINT) AS dist FROM (
+           |    SELECT node, dist AS v FROM $p${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst, r.dist + 1 FROM $p${i - 1} r
+           |    JOIN edges e ON e.src = r.node)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""${p}0 AS (SELECT src AS node,
+         |    CAST(CASE WHEN src = ($seedSql)
+         |         THEN 0 ELSE $HopInf END AS BIGINT) AS dist
+         |  FROM (SELECT DISTINCT src FROM edges)),
+         |$rounds""".stripMargin
+    }
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst, src FROM e0),
+       |${chain("a", "SELECT min(src) FROM edges")},
+       |peak1 AS (SELECT node, dist FROM a$iters WHERE dist < $HopInf
+       |  ORDER BY dist DESC, node ASC LIMIT 1),
+       |${chain("b", "SELECT node FROM peak1")},
+       |peak2 AS (SELECT node, dist FROM b$iters WHERE dist < $HopInf
+       |  ORDER BY dist DESC, node ASC LIMIT 1)
+       |SELECT
+       |  CAST((SELECT dist FROM peak1) AS BIGINT) AS ecc_seed,
+       |  CAST((SELECT node FROM peak1) AS BIGINT) AS peak_node,
+       |  CAST((SELECT dist FROM peak2) AS BIGINT) AS diameter_lb,
+       |  CAST((SELECT node FROM peak2) AS BIGINT) AS peak2_node,
+       |  CAST((SELECT count(*) - 1 FROM b$iters WHERE dist < $HopInf)
+       |    AS BIGINT) AS n_reached""".stripMargin
   }
 
   // --- GR15: incremental EDGE-INDEX maintenance — the graph leg of

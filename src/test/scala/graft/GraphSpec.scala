@@ -128,6 +128,27 @@ class GraphSpec extends SparkTestBase {
       "seeds live in the trade-graph node space"))
   }
 
+  test("gr16: double sweep tightens gr4's eccentricity within the 2x bound") {
+    val r = Graph.doubleSweep(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val eccSeed = row.getAs[Long]("ecc_seed")
+    val diamLb = row.getAs[Long]("diameter_lb")
+    // sweep-1 consistency: ecc_seed IS the max gr4 distance (same seed)
+    val gr4Max = Graph.hopDistance(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("dist"))).head.getLong(0)
+    assert(eccSeed == gr4Max)
+    // double-sweep guarantees: ecc(peak) >= ecc(seed) (distance back to
+    // the seed's peak is itself >= ecc_seed) and <= diameter <= 2*ecc_seed
+    assert(diamLb >= eccSeed && diamLb <= 2 * eccSeed,
+      s"bounds violated: ecc_seed=$eccSeed diameter_lb=$diamLb")
+    // the peak nodes are reachable graph nodes
+    val nodes = Graph.hopDistance(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(nodes.contains(row.getAs[Long]("peak_node")))
+    assert(nodes.contains(row.getAs[Long]("peak2_node")))
+    assert(row.getAs[Long]("n_reached") == nodes.size - 1)
+  }
+
   test("gr1: fixed-point iteration is deterministic across partitionings") {
     val a = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
