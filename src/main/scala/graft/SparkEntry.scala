@@ -309,6 +309,8 @@ object SparkEntry {
     "dd21_span_scrub"    -> ((s, d) => Dedup.spanScrub(s, d)),
     "w21_streaks"        -> ((s, d) => Windows.activityStreaks(s, d)),
     "gr16_double_sweep"  -> ((s, d) => Graph.doubleSweep(s, d)),
+    "pv3_dp_noise"       -> ((s, d) => DataQuality.dpNoisyCounts(s, d)),
+    "mm8_dhash_buckets"  -> ((s, d) => Multimodal.dhashBuckets(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2295,6 +2297,44 @@ object SparkEntry {
         |ORDER BY n_docs DESC, ahash ASC LIMIT 25""".stripMargin,
     "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
     "gr16_double_sweep" -> Graph.doubleSweepOracleSql(),
+    "pv3_dp_noise" -> operators.DataQuality.dpNoisyCountsOracleSql(),
+    "mm8_dhash_buckets" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 14 + 3 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 3 AS INTEGER) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, width, height,
+        |    unnest(generate_series(0, CAST(width AS BIGINT) - 1)) AS x
+        |  FROM dims),
+        |px AS (SELECT doc_id, width, height, x,
+        |    unnest(generate_series(0, CAST(height AS BIGINT) - 1)) AS y
+        |  FROM xs),
+        |cells AS (
+        |  SELECT doc_id, (y * 4) // height AS cy, (x * 5) // width AS cx,
+        |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS csum,
+        |    count(*) AS ccnt
+        |  FROM px GROUP BY 1, 2, 3),
+        |grid AS (
+        |  SELECT gy.by, gx.bx
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS by) gy,
+        |       (SELECT unnest(generate_series(0, 3)) AS bx) gx),
+        |h AS (
+        |  SELECT d.doc_id,
+        |    CAST(sum(CASE WHEN coalesce(l.csum, 0) * coalesce(r.ccnt, 0)
+        |                     > coalesce(r.csum, 0) * coalesce(l.ccnt, 0)
+        |             THEN (1 << (g.by * 4 + g.bx)) ELSE 0 END)
+        |      AS BIGINT) AS dhash
+        |  FROM dims d CROSS JOIN grid g
+        |  LEFT JOIN cells l ON l.doc_id = d.doc_id
+        |    AND l.cy = g.by AND l.cx = g.bx
+        |  LEFT JOIN cells r ON r.doc_id = d.doc_id
+        |    AND r.cy = g.by AND r.cx = g.bx + 1
+        |  GROUP BY 1)
+        |SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM h GROUP BY dhash HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, dhash ASC LIMIT 25""".stripMargin,
     "dd21_span_scrub" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
         |            FROM documents),

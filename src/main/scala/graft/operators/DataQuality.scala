@@ -242,4 +242,50 @@ object DataQuality {
        |GROUP BY 1, 2
        |HAVING count(DISTINCT c_mktsegment) < $l
        |ORDER BY nation, bal_band""".stripMargin
+
+  // --- PV3: the LAPLACE MECHANISM [Dwork et al., TCC 2006] over the
+  // per-type event histogram — the release-side leg pv1/pv2 audit for:
+  // counts go out with Laplace(Δf/ε) noise, Δf = 1 (one user event
+  // moves one count by one). The draw is the inverse-CDF transform of
+  // a DETERMINISTIC md5-uniform keyed on the released cell — the same
+  // keyed-uniform primitive as dp2's split and sp5's bootstrap — so
+  // the releases are reproducible across runs AND engines (a seeded
+  // release is how a DP pipeline makes its audit replayable; fresh
+  // randomness per query would compose ε per re-run). u is centered
+  // to (0,1) with the +0.5/2^32 offset, so |u−1/2| < 1/2 strictly and
+  // ln never sees zero. One hash-agg (tiny group domain) + per-row
+  // arithmetic: the mechanism costs nothing at any scale. The noisy
+  // values round to 4dp — far coarser than the one-ulp cross-engine
+  // ln() wiggle, so the whole release hash-oracles. ---
+  def dpNoisyCounts(s: SparkSession, d: String,
+                    epsilon: Double = 0.5): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("pv3:"), col("event_type"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = -signum(centered) * lit(1.0 / epsilon) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"))
+      .select(col("event_type"), col("n_true"),
+        lit(epsilon).as("epsilon"),
+        round(col("n_true") + noise, 4).as("n_noisy"))
+      .orderBy("event_type")
+  }
+
+  def dpNoisyCountsOracleSql(epsilon: Double = 0.5): String =
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM events GROUP BY 1),
+       |u AS (
+       |  SELECT event_type, n_true,
+       |    (CAST(CAST('0x' || substr(md5('pv3:' || event_type), 1, 8)
+       |       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+       |  FROM c)
+       |SELECT event_type, n_true,
+       |  CAST($epsilon AS DOUBLE) AS epsilon,
+       |  round(n_true + (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+       |    * (1.0 / $epsilon) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4)
+       |    AS n_noisy
+       |FROM u ORDER BY event_type""".stripMargin
 }

@@ -38,7 +38,7 @@ object Multimodal {
     */
   case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
                            height: Int, luma_sum: Long, ahash: Long,
-                           fingerprint: Long)
+                           dhash: Long, fingerprint: Long)
 
   /** documents -> media records with the doc TEXT as an opaque binary
     * payload — the manifest shape mm1/mm3/mm5 read (metadata and
@@ -132,6 +132,12 @@ object Multimodal {
           // the downsample an oracle can replay in integer SQL
           val bsum = new Array[Long](16)
           val bcnt = new Array[Long](16)
+          // the 4×5 grid behind the GRADIENT hash (mm8): a narrow
+          // image can leave grid cells empty — an empty cell compares
+          // as (sum 0, count 0) and the cross-multiply below makes
+          // that deterministically false on both engines
+          val dsum = new Array[Long](20)
+          val dcnt = new Array[Long](20)
           var sum = 0L
           var y = 0
           while (y < h) {
@@ -139,8 +145,10 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val b = by * 4 + x * 4 / w
+              val g = by * 5 + x * 5 / w
               val v = ras.getSample(x, y, 0)
               sum += v; bsum(b) += v; bcnt(b) += 1
+              dsum(g) += v; dcnt(g) += 1
               x += 1
             }
             y += 1
@@ -154,12 +162,26 @@ object Multimodal {
             if (bsum(b) * npix > sum * bcnt(b)) ahash |= 1L << b
             b += 1
           }
+          // dHash bit (by·4+bx): cell mean > right-neighbor cell mean
+          // over the 4×5 grid — same exact cross-multiply discipline
+          var dhash = 0L
+          var by2 = 0
+          while (by2 < 4) {
+            var bx = 0
+            while (bx < 4) {
+              val l = by2 * 5 + bx
+              if (dsum(l) * dcnt(l + 1) > dsum(l + 1) * dcnt(l))
+                dhash |= 1L << (by2 * 4 + bx)
+              bx += 1
+            }
+            by2 += 1
+          }
           MediaFeatures(r.doc_id, r.payload.length,
-            w, h, sum, ahash, fingerprint = 0L)
+            w, h, sum, ahash, dhash, fingerprint = 0L)
         } else {
           md.reset()
           val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-          MediaFeatures(r.doc_id, r.payload.length, -1, -1, -1L, 0L,
+          MediaFeatures(r.doc_id, r.payload.length, -1, -1, -1L, 0L, 0L,
             java.lang.Long.parseLong(hex.substring(0, 15), 16))
         }
       }
@@ -293,5 +315,25 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("ahash").asc)
+      .limit(topK)
+
+  // --- MM8 (oracled): GRADIENT perceptual hash (dHash) buckets — the
+  // brightness-invariant partner to mm7's aHash: each bit compares a
+  // grid cell's mean to its RIGHT NEIGHBOR over a 4×5 downsample, so
+  // the signature encodes the luminance GRADIENT field, not levels —
+  // a gamma-shifted or brightness-scaled re-encode keeps its gradients
+  // (and its bucket) while every aHash bit can flip. Running both is
+  // standard image-dedup practice: candidates = union of bucket hits,
+  // each hash catching edits the other misses. Same decode pass, same
+  // exact cross-multiply integer arithmetic (empty cells on narrow
+  // images compare deterministically false), same bucket rollup; the
+  // DuckDB oracle repaints the closed form onto the 4×5 grid and
+  // replays every neighbor comparison. ---
+  def dhashBuckets(s: SparkSession, d: String, topK: Int = 25): DataFrame =
+    decodeImage(pngRecords(s, d)).toDF()
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("dhash").asc)
       .limit(topK)
 }

@@ -318,6 +318,37 @@ class DataOpsSpec extends SparkTestBase {
     assert(buckets.forall(_.getLong(1) >= 2))
   }
 
+  test("MM8 decoded dHash equals the closed-form gradient hash") {
+    // 4×5 grid means from the painted closed form; bit = left cell
+    // mean > right cell mean, empty cells (narrow images) compare
+    // deterministically false
+    def closedFormDhash(id: Long): Long = {
+      val w = (id % 14 + 3).toInt; val h = (id % 11 + 3).toInt
+      val dsum = new Array[Long](20); val dcnt = new Array[Long](20)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = y * 4 / h * 5 + x * 5 / w
+        dsum(g) += (id * 31 + 7L * x + 13L * y) % 256
+        dcnt(g) += 1
+      }
+      (for (by <- 0 until 4; bx <- 0 until 4) yield {
+        val l = by * 5 + bx
+        if (dsum(l) * dcnt(l + 1) > dsum(l + 1) * dcnt(l))
+          1L << (by * 4 + bx)
+        else 0L
+      }).sum
+    }
+    val decoded = Multimodal.decodeImage(Multimodal.pngRecords(spark, sf))
+      .collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { f =>
+      assert(f.dhash == closedFormDhash(f.doc_id),
+        s"doc ${f.doc_id}: decoded dhash ${f.dhash} != closed form")
+    }
+    // gradients and levels are different signals: the two hashes must
+    // not be the same function on this corpus
+    assert(decoded.exists(f => f.dhash != f.ahash))
+  }
+
   test("TX5 lang-id is deterministic and emits a known language") {
     val langs = TextAnalysis.langId(spark, sf).select("predicted")
       .distinct().collect().map(_.getString(0)).toSet

@@ -13,7 +13,7 @@ class ExtensionsSpec extends SparkTestBase {
   test("extension applies its injection list to a fresh SparkSessionExtensions") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("morton_interleave", "vec_cos", "vec_dot"))
+      Seq("cdc_bounds", "morton_interleave", "vec_cos", "vec_dot"))
   }
 
   test("vec_dot SQL function matches the HOF fold on real embeddings") {

@@ -105,6 +105,24 @@ class Pack10Spec extends SparkTestBase {
     assert(recount == r0.getLong(3))
   }
 
+  test("pv3: Laplace release is deterministic, bounded, and actually noisy") {
+    val a = DataQuality.dpNoisyCounts(spark, sf).collect()
+    val b = DataQuality.dpNoisyCounts(spark, sf).collect()
+    assert(a.nonEmpty && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "keyed-uniform draws must make the release reproducible")
+    a.foreach { r =>
+      val noise = r.getAs[Double]("n_noisy") - r.getAs[Long]("n_true")
+      // the 32-bit keyed uniform floors the tail at 1/2^32, so
+      // |noise| <= b·ln(2^32) = 2·ln(2^32) ≈ 44.4; anything bigger
+      // means the transform broke
+      assert(math.abs(noise) <= 44.4, s"noise $noise out of range")
+      assert(r.getAs[Double]("epsilon") == 0.5)
+    }
+    // noise must not be degenerate: some release differs from truth
+    assert(a.exists(r =>
+      r.getAs[Double]("n_noisy") != r.getAs[Long]("n_true").toDouble))
+  }
+
   test("sim15: every hit carries the filter label; rank is computed post-gate") {
     val rows = Similarity.lshAnnFiltered(spark, sf).collect()
     assert(rows.nonEmpty)
