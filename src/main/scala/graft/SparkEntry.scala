@@ -311,6 +311,7 @@ object SparkEntry {
     "gr16_double_sweep"  -> ((s, d) => Graph.doubleSweep(s, d)),
     "pv3_dp_noise"       -> ((s, d) => DataQuality.dpNoisyCounts(s, d)),
     "mm8_dhash_buckets"  -> ((s, d) => Multimodal.dhashBuckets(s, d)),
+    "dp21_scrub_funnel"  -> ((s, d) => Pipeline.scrubTokenFunnel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2298,6 +2299,54 @@ object SparkEntry {
     "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
     "gr16_double_sweep" -> Graph.doubleSweepOracleSql(),
     "pv3_dp_noise" -> operators.DataQuality.dpNoisyCountsOracleSql(),
+    "dp21_scrub_funnel" ->
+      """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |ch AS (SELECT doc_id, ws,
+        |         unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)))
+        |           AS ci
+        |       FROM ws),
+        |c3 AS (SELECT doc_id,
+        |         array_to_string(list_slice(ws, ci * 8 + 1, ci * 8 + 8),
+        |                         ' ') AS chunk,
+        |         len(list_slice(ws, ci * 8 + 1, ci * 8 + 8)) AS ctoks
+        |       FROM ch),
+        |banned AS (SELECT chunk FROM c3 GROUP BY 1
+        |           HAVING count(DISTINCT doc_id) >= 3),
+        |pd AS (SELECT doc_id, CAST(sum(ctoks) AS BIGINT) AS toks,
+        |         CAST(sum(CASE WHEN b.chunk IS NULL THEN ctoks
+        |                  ELSE 0 END) AS BIGINT) AS kept_toks
+        |       FROM c3 LEFT JOIN banned b USING (chunk)
+        |       GROUP BY doc_id),
+        |kp AS (SELECT doc_id,
+        |         CASE WHEN doc_id = min(doc_id)
+        |              OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END
+        |           AS keep
+        |       FROM documents),
+        |q AS (SELECT doc_id, round(
+        |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END)
+        |      * 0.4
+        |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+        |    + (1.0 - least(CAST(len(list_filter(ws,
+        |            t -> t IN ('the', 'a'))) AS DOUBLE) / len(ws) * 2.0,
+        |        1.0)) * 0.2, 4) AS quality
+        |  FROM ws),
+        |m AS (
+        |  SELECT CAST(sum(toks) AS BIGINT) AS t0,
+        |    CAST(sum(kept_toks) AS BIGINT) AS t1,
+        |    CAST(sum(kept_toks * keep) AS BIGINT) AS t2,
+        |    CAST(sum(kept_toks * keep
+        |      * CASE WHEN quality >= 0.55 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t3
+        |  FROM pd JOIN kp USING (doc_id) JOIN q USING (doc_id))
+        |SELECT '1_span_scrub' AS stage, t0 AS tokens_in, t1 AS tokens_out,
+        |  round(CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE), 6) AS pct_kept
+        |FROM m
+        |UNION ALL SELECT '2_exact_dedup', t1, t2,
+        |  round(CAST(t2 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) FROM m
+        |UNION ALL SELECT '3_quality_floor', t2, t3,
+        |  round(CAST(t3 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) FROM m
+        |ORDER BY stage""".stripMargin,
     "mm8_dhash_buckets" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -127,4 +127,61 @@ object Pipeline {
         round(dbl(col("n_dropped")) / dbl(col("docs_total")), 6)
           .as("near_dup_rate"))
   }
+
+  // --- DP21: TOKEN-weighted scrub funnel — dp18 counts DOCS through
+  // the gate chain; training budgets are set in TOKENS, and the span
+  // scrub (dd21) is sub-document, so its attrition is invisible to a
+  // doc-count funnel. Three stages on the token axis: boilerplate
+  // chunks scrubbed out (dd21's ban list, token-weighted), exact-dup
+  // documents dropped (dd1's keep-smallest-id rule over the md5
+  // fingerprint), then the quality floor (tx4's score). One scan
+  // builds per-doc (total, kept) token sums off the shared chunk
+  // segmentation; dedup keep-bits and quality join in and a single
+  // agg emits the cumulative-conjunction sums — the dp18 shape, per
+  // token. Every count is an exact integer, so the report
+  // hash-oracles (the DuckDB twin replays chunk ban, fingerprint
+  // keep, and the quality formula). ---
+  def scrubTokenFunnel(s: SparkSession, d: String, k: Int = 8,
+                       minDocs: Long = 3L,
+                       qualityFloor: Double = 0.55): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val chunks = Dedup.chunkRowsOf(docs, k)
+      .withColumn("ctoks", size(split(col("chunk"), " ")).cast("long"))
+    val banned = chunks.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("gh"), lit(1).as("is_banned"))
+    val perDoc = chunks.join(broadcast(banned), Seq("gh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(sum(col("ctoks")).as("toks"),
+        sum(when(col("is_banned").isNull, col("ctoks")).otherwise(0L))
+          .as("kept_toks"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val keepers = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .withColumn("keep",
+        (col("doc_id") === min(col("doc_id")).over(wFp)).cast("long"))
+      .select("doc_id", "keep")
+    val quality = TextAnalysis.qualityScoreRaw(s, d)
+    val m = perDoc.join(keepers, "doc_id").join(quality, "doc_id")
+      .select(col("toks"), col("kept_toks"), col("keep"),
+        (col("quality") >= qualityFloor).cast("long").as("qok"))
+      .agg(sum(col("toks")).as("t0"),
+        sum(col("kept_toks")).as("t1"),
+        sum(col("kept_toks") * col("keep")).as("t2"),
+        sum(col("kept_toks") * col("keep") * col("qok")).as("t3"))
+    val stages = Seq(("1_span_scrub", "t0", "t1"),
+      ("2_exact_dedup", "t1", "t2"),
+      ("3_quality_floor", "t2", "t3"))
+    m.select(explode(array(stages.map { case (name, in, out) =>
+        struct(lit(name).as("stage"), col(in).as("tokens_in"),
+          col(out).as("tokens_out"))
+      }: _*)).as("r"))
+      .select(col("r.stage").as("stage"),
+        col("r.tokens_in").as("tokens_in"),
+        col("r.tokens_out").as("tokens_out"),
+        round(col("r.tokens_out").cast("double")
+          / col("r.tokens_in").cast("double"), 6).as("pct_kept"))
+      .orderBy("stage")
+  }
 }

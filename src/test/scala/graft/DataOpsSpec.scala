@@ -407,6 +407,42 @@ class DataOpsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("n_removed") > 0L))
   }
 
+  test("DP21 token funnel matches a from-scratch Scala recompute of all stages") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent segmentation: 8-word non-overlapping chunks as
+    // plain Scala strings (no hashes anywhere)
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+    val chunkDocs = docs.toSeq
+      .flatMap { case (id, t) => chunksOf(t).map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val bannedSet = chunkDocs.filter(_._2 >= 3).keySet
+    val perDoc = docs.map { case (id, t) =>
+      val cs = chunksOf(t)
+      val toks = cs.map(_.split(" ", -1).length.toLong).sum
+      val kept = cs.filterNot(bannedSet)
+        .map(_.split(" ", -1).length.toLong).sum
+      id -> (toks, kept)
+    }
+    val keepIds = docs.toSeq.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val qok = TextAnalysis.qualityScore(spark, sf)
+      .select("doc_id", "quality").collect()
+      .filter(_.getDouble(1) >= 0.55).map(_.getLong(0)).toSet
+    val t0 = perDoc.values.map(_._1).sum
+    val t1 = perDoc.values.map(_._2).sum
+    val t2 = perDoc.filter(p => keepIds(p._1)).values.map(_._2).sum
+    val t3 = perDoc.filter(p => keepIds(p._1) && qok(p._1)).values.map(_._2).sum
+    val rows = Pipeline.scrubTokenFunnel(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens_in"), r.getAs[Long]("tokens_out"))).toMap
+    assert(rows("1_span_scrub") == (t0, t1), s"scrub: ${rows("1_span_scrub")} != ($t0,$t1)")
+    assert(rows("2_exact_dedup") == (t1, t2))
+    assert(rows("3_quality_floor") == (t2, t3))
+    assert(t0 > t1 && t1 >= t2 && t2 >= t3 && t3 > 0)
+  }
+
   test("W21 streak histogram matches a brute-force per-user recompute") {
     val got = Windows.activityStreaks(spark, sf).collect()
       .map(r => (r.getAs[Long]("streak_len"), r.getAs[Long]("n_users"),
