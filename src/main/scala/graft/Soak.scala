@@ -162,7 +162,11 @@ object Soak {
     "st9_dq_monitor", "j10_point_in_time", "a43_trimmed_stats",
     "a44_dow_seasonality", "a45_ohlc", "a46_ab_test",
     "dp18_filter_funnel", "dp19_token_budget", "gr14_modularity",
-    "mm7_ahash_buckets")
+    "mm7_ahash_buckets",
+    // round-7 additions: chunk scrub + its token funnel, streaks,
+    // double-sweep diameter, gradient hash, DP release
+    "dd21_span_scrub", "dp21_scrub_funnel", "w21_streaks",
+    "gr16_double_sweep", "mm8_dhash_buckets", "pv3_dp_noise")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

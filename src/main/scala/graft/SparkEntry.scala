@@ -312,6 +312,7 @@ object SparkEntry {
     "pv3_dp_noise"       -> ((s, d) => DataQuality.dpNoisyCounts(s, d)),
     "mm8_dhash_buckets"  -> ((s, d) => Multimodal.dhashBuckets(s, d)),
     "dp21_scrub_funnel"  -> ((s, d) => Pipeline.scrubTokenFunnel(s, d)),
+    "st10_attribution_outer" -> ((s, d) => Analytics.attributionOuter(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2814,6 +2815,14 @@ object SparkEntry {
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "st10_attribution_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id, p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
     "w16_rolling_z" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -1007,6 +1007,34 @@ object Analytics {
       .orderBy("purchase_id", "click_id")
   }
 
+  // --- ST10 batch twin: LEFT OUTER attribution — st8 plus the rows
+  // the inner join silently drops: purchases with NO qualifying click
+  // in the preceding hour, carried with a NULL click_id. On the
+  // stream side this is the one join flavor whose rows can only be
+  // emitted by WATERMARK EXPIRY (a match might still arrive until the
+  // watermark passes the purchase's eligibility window), so its
+  // stream-batch equivalence pins Spark's outer-join state GC, not
+  // just the interval condition. NULLS FIRST on the click column is
+  // pinned explicitly — Spark and DuckDB default opposite null
+  // orders for ASC. ---
+  def attributionOuter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("value"))
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
   // --- A36: Mann–Whitney U (Wilcoxon rank-sum) — a32's KS sibling:
   // does one segment's order-value distribution stochastically
   // dominate the other's? Rank-based, so it needs tie-averaged ranks

@@ -125,6 +125,33 @@ object Streams {
         col("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]]
+    * plus the unmatched-purchase rows. An outer row cannot be emitted
+    * when the purchase arrives (a qualifying click may still come);
+    * Spark holds it in join state and emits the NULL-click row only
+    * when BOTH watermarks pass the purchase's eligibility window —
+    * the state-expiry path the inner join never exercises, and the
+    * reason the batch-equivalence test must advance the watermark
+    * past the data before comparing (StreamingSpec does it with a
+    * far-future sentinel event on each side).
+    */
+  def purchaseAttributionOuter(clicks: DataFrame,
+                               purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("value"))
+  }
+
   /** Incremental-aggregate sink: maintains an hourly rollup table via
     * foreachBatch merge — the incremental replacement for the
     * reference's fetch-everything-and-recompute Chart loop

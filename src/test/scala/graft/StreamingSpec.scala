@@ -158,6 +158,66 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join emits unmatched purchases on watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.purchaseAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev(10, "2024-01-01 09:30:00", user = 1), // in window for purchase 100
+        ev(11, "2024-01-01 08:00:00", user = 2)) // too old for purchase 101
+      purchases.addData(
+        ev(100, "2024-01-01 10:00:00", user = 1, typ = "purchase", v = 50.0),
+        ev(101, "2024-01-01 10:00:00", user = 2, typ = "purchase", v = 70.0))
+      q.processAllAvailable()
+      // the matched row may emit now; the UNMATCHED purchase must NOT —
+      // a qualifying click could still arrive until the watermark
+      // passes its window
+      val before = spark.table("attrib_outer").collect()
+      assert(!before.exists(r => r.getLong(0) == 101 && r.isNullAt(1)),
+        "outer row must not emit before watermark expiry")
+      // advance both watermarks far past purchase 101's eligibility
+      clicks.addData(ev(998, "2024-01-01 20:00:00", user = 99))
+      purchases.addData(
+        ev(999, "2024-01-01 20:00:00", user = 99, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer").collect()
+        .filter(_.getLong(0) < 900) // drop the sentinel's own outer row
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows == Set((100L, 10L), (101L, -1L)),
+        s"expected match + null-click expiry row, got $rows")
+      // and the stream answer matches the batch twin's semantics on
+      // the same four business events (sentinels excluded)
+      val batchEvents = Seq(
+        ev(10, "2024-01-01 09:30:00", user = 1),
+        ev(11, "2024-01-01 08:00:00", user = 2),
+        ev(100, "2024-01-01 10:00:00", user = 1, typ = "purchase", v = 50.0),
+        ev(101, "2024-01-01 10:00:00", user = 2, typ = "purchase", v = 70.0))
+        .toDF()
+      val c = batchEvents.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val p = batchEvents.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val batch = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts")
+            - org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+        "left_outer")
+        .select(col("purchase_id"), col("click_id")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(batch == rows, "stream outer join must equal the batch twin")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
