@@ -313,6 +313,7 @@ object SparkEntry {
     "mm8_dhash_buckets"  -> ((s, d) => Multimodal.dhashBuckets(s, d)),
     "dp21_scrub_funnel"  -> ((s, d) => Pipeline.scrubTokenFunnel(s, d)),
     "st10_attribution_outer" -> ((s, d) => Analytics.attributionOuter(s, d)),
+    "j11_asof_native"    -> ((s, d) => Relational.asofJoinNative(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -396,6 +397,25 @@ object SparkEntry {
         |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "j6_asof_join" ->
+      """WITH combined AS (
+        |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,
+        |         CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id FROM events),
+        |marked AS (
+        |  SELECT uid, event_id,
+        |    last_value(okey IGNORE NULLS) OVER (
+        |      PARTITION BY uid
+        |      ORDER BY t ASC, okey ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_okey
+        |  FROM combined)
+        |SELECT event_id, uid AS user_id, asof_okey AS last_order_key
+        |FROM marked WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    // j11's oracle IS j6's: two independent formulations (union+window
+    // composition vs the native merge exec) hashed against the same
+    // third-engine replay.
+    "j11_asof_native" ->
       """WITH combined AS (
         |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,
         |         CAST(NULL AS BIGINT) AS event_id

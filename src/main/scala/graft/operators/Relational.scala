@@ -222,6 +222,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // --- J11: NATIVE as-of join — j6's exact semantics through the
+  // rung-(c) custom operator (plans.AsOfJoinPlan → AsOfJoinStrategy →
+  // AsOfJoinExec, a one-pass co-partitioned merge; see that file's
+  // scaladoc for the plan contract). Same relation, same inclusive
+  // at-or-before rule, same max-(time, okey) tie policy, so j6's
+  // DuckDB oracle is j11's oracle verbatim — the hash match across
+  // two INDEPENDENT formulations (union+window vs merge exec) is the
+  // operator's correctness proof, and the spec additionally pins the
+  // plan shape (AsOfJoinExec present, no window, SMJ-style exchanges). ---
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        orders, "o_custkey", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_order_key"))
+      .orderBy("event_id")
+  }
+
   // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
   def distinctValues(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")

@@ -1,0 +1,187 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Native AS-OF JOIN — the full rung-(c) ladder of SURVEY.md §4.2:
+  * a custom `LogicalPlan` node, a `SparkStrategy` planning it, and a
+  * `SparkPlan` executing it, registered through
+  * `SparkSessionExtensions`. Semantics (backward as-of, LEFT OUTER):
+  * each left row pairs with the single right row sharing its key
+  * whose time is the LATEST at-or-before the left row's time —
+  * deterministic under time ties via an explicit right-side
+  * tie-break column (max tie wins, matching j6's composed form) —
+  * or all-null right columns when no right row qualifies.
+  *
+  * Why a physical operator when j6's union + ignore-nulls-window
+  * composition already scales: the composition materializes the
+  * union and pays one wide window over |L|+|R| rows; the native exec
+  * is a streaming ONE-PASS MERGE per co-partition — each side read
+  * once in its sort order, O(|L|+|R|) compares, state = one held
+  * right row. Same two exchanges and two sorts as a sort-merge join
+  * (EnsureRequirements inserts them from the declared distribution /
+  * ordering requirements), so the 100 TB posture is exactly SMJ's:
+  * hash-partition both sides on the key, never a candidate
+  * explosion. Typing contract (checked at API entry): keys and the
+  * tie-break are integral; times are timestamp/date/integral —
+  * everything compares as a long, which keeps the merge loop free of
+  * per-row ordering dispatch.
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition on the key (the SMJ contract); EnsureRequirements
+  // adds compatible hash exchanges
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  // each partition arrives in merge order; the right side's tie-break
+  // is part of ITS sort so "last qualifying row" == max (time, tie)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def asLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalStateException(
+      s"as-of join key/time must evaluate to an integral: $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lkB = BindReferences.bindReference(leftKey, lOut)
+    val ltB = BindReferences.bindReference(leftTime, lOut)
+    val rkB = BindReferences.bindReference(rightKey, rOut)
+    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val outAtts = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+      val toUnsafe = UnsafeProjection.create(outAtts, outAtts)
+      // one-row lookahead over the right side; rows with a null key
+      // or time can never match and are skipped at admission
+      var rRow: InternalRow = null
+      var rKey = 0L
+      var rTime = 0L
+      var haveR = false
+      def advanceRight(): Unit = {
+        haveR = false
+        while (!haveR && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rkB.eval(r)
+          val t = rtB.eval(r)
+          if (k != null && t != null) {
+            rRow = r; rKey = asLong(k); rTime = asLong(t); haveR = true
+          }
+        }
+      }
+      advanceRight()
+      // the held candidate: the latest right row consumed so far whose
+      // key matches the current left key (copied — iterator rows are
+      // reused buffers)
+      var best: InternalRow = null
+      var bestKey = 0L
+      lIter.map { l =>
+        val lk = lkB.eval(l)
+        val lt = ltB.eval(l)
+        if (lk == null || lt == null) {
+          toUnsafe(joined(l, nullRight))
+        } else {
+          val k = asLong(lk)
+          val t = asLong(lt)
+          if (best != null && bestKey != k) best = null
+          while (haveR && (rKey < k || (rKey == k && rTime <= t))) {
+            if (rKey == k) { best = rRow.copy(); bestKey = k }
+            advanceRight()
+          }
+          toUnsafe(joined(l, if (best != null) best else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  private val Integral = Set("long", "int", "smallint", "tinyint",
+    "bigint", "integer")
+  private def timeOk(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType => true
+      case other => Integral.contains(other.simpleString)
+    }
+
+  /** DataFrame API: backward as-of join of `left` to `right` on
+    * integral key columns, times compared at-or-before, ties on the
+    * right broken by `rightTie` (max wins). Columns are resolved
+    * against each side's ANALYZED plan, so the node enters the
+    * optimizer fully resolved (no dependence on analyzer behavior for
+    * foreign nodes).
+    */
+  def asof(leftDf: DataFrame, leftKey: String, leftTime: String,
+           rightDf: DataFrame, rightKey: String, rightTime: String,
+           rightTie: String): DataFrame = {
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of $side column '$n' not in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, lt) = (attr(lp, leftKey, "left"), attr(lp, leftTime, "left"))
+    val (rk, rt, tie) = (attr(rp, rightKey, "right"),
+      attr(rp, rightTime, "right"), attr(rp, rightTie, "right"))
+    require(Integral.contains(lk.dataType.simpleString) &&
+      Integral.contains(rk.dataType.simpleString) &&
+      Integral.contains(tie.dataType.simpleString),
+      s"as-of keys/tie must be integral, got ${lk.dataType.simpleString}/" +
+        s"${rk.dataType.simpleString}/${tie.dataType.simpleString}")
+    require(timeOk(lt.dataType) && timeOk(rt.dataType),
+      s"as-of times must be timestamp/date/integral, got " +
+        s"${lt.dataType.simpleString}/${rt.dataType.simpleString}")
+    Bridge.dataFrame(leftDf.sparkSession,
+      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, tie))
+  }
+}

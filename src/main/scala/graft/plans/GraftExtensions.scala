@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => RewriteHofDotProduct)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -64,6 +65,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
   }
 }

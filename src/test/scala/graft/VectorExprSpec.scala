@@ -81,7 +81,11 @@ class VectorExprSpec extends SparkTestBase {
     val rnd = new scala.util.Random(7)
     val samples = Seq(
       "", "x", "a" * 16, "a" * 17,
-      ("the quick brown fox jumps over the lazy dog ") * 8) ++
+      ("the quick brown fox jumps over the lazy dog ") * 8,
+      // multi-byte UTF-8: CDC is a BYTE-stream notion — positions and
+      // windows count bytes of the encoding, which the brute force
+      // (also over getBytes) must agree on
+      "héllo wörld ünïcode " * 6, "日本語のテキストです " * 4) ++
       (1 to 20).map(_ => rnd.alphanumeric.take(40 + rnd.nextInt(400)).mkString)
     samples.foreach { s =>
       val got = CdcBoundaries
