@@ -314,6 +314,7 @@ object SparkEntry {
     "dp21_scrub_funnel"  -> ((s, d) => Pipeline.scrubTokenFunnel(s, d)),
     "st10_attribution_outer" -> ((s, d) => Analytics.attributionOuter(s, d)),
     "j11_asof_native"    -> ((s, d) => Relational.asofJoinNative(s, d)),
+    "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2320,6 +2321,7 @@ object SparkEntry {
     "gr15_incremental_edges" -> Graph.incrementalEdgeAuditOracleSql,
     "gr16_double_sweep" -> Graph.doubleSweepOracleSql(),
     "pv3_dp_noise" -> operators.DataQuality.dpNoisyCountsOracleSql(),
+    "dq4_psi_drift" -> operators.DataQuality.psiDriftOracleSql,
     "dp21_scrub_funnel" ->
       """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS ws
         |            FROM documents),

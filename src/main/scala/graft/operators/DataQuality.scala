@@ -243,6 +243,83 @@ object DataQuality {
        |HAVING count(DISTINCT c_mktsegment) < $l
        |ORDER BY nation, bal_band""".stripMargin
 
+  // --- DQ4: POPULATION STABILITY INDEX drift — the industry-standard
+  // "did the serving distribution move off the training one" audit,
+  // here between the year's two halves of orders: per feature, bucket
+  // both cohorts, PSI = Σ (p_A − p_B)·ln(p_A/p_B) over buckets present
+  // in BOTH, with one-sided bucket counts reported separately (the
+  // standard epsilon-fudge hides exactly the buckets you most want to
+  // see). Two features show both bucketing modes: fixed-width numeric
+  // (a23's 25k-wide totalprice bins) and categorical (priority).
+  // Cross-engine exactness discipline: each bucket's contribution is
+  // rounded to 9dp and SUMMED AS A LONG (a26's scaled-int rule — a
+  // cross-row double sum would be partition-order-dependent in both
+  // engines); the one-per-bucket rounding is the same accepted risk
+  // class as every rounded double output. One scan, one
+  // (feature, bucket) hash-agg, per-feature rollup — trivially flat
+  // at any corpus size. ---
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("in_a", (month(col("o_orderdate")) <= 6).cast("long"))
+    val f1 = o.select(lit("totalprice_bucket").as("feature"),
+      floor(col("o_totalprice") / 25000.0).cast("long").cast("string")
+        .as("bucket"), col("in_a"))
+    val f2 = o.select(lit("orderpriority").as("feature"),
+      col("o_orderpriority").as("bucket"), col("in_a"))
+    val counts = f1.unionByName(f2)
+      .groupBy("feature", "bucket")
+      .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+    val tots = counts.groupBy("feature")
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    val pa = col("na").cast("double") / col("ta").cast("double")
+    val pb = col("nb").cast("double") / col("tb").cast("double")
+    counts.join(broadcast(tots), "feature")
+      .withColumn("contrib9",
+        when(col("na") > 0 && col("nb") > 0,
+          round((pa - pb) * log(pa / pb) * 1e9).cast("long"))
+          .otherwise(0L))
+      .groupBy("feature")
+      .agg(round(sum(col("contrib9")).cast("double") / 1e9, 6).as("psi"),
+        count(lit(1)).as("n_buckets"),
+        sum((col("nb") === 0).cast("long")).as("only_a"),
+        sum((col("na") === 0).cast("long")).as("only_b"))
+      .orderBy("feature")
+  }
+
+  def psiDriftOracleSql: String =
+    """WITH o AS (
+      |  SELECT *, CASE WHEN month(o_orderdate) <= 6 THEN 1 ELSE 0 END
+      |    AS in_a FROM orders),
+      |f AS (
+      |  SELECT 'totalprice_bucket' AS feature,
+      |    CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR)
+      |      AS bucket, in_a
+      |  FROM o
+      |  UNION ALL
+      |  SELECT 'orderpriority', o_orderpriority, in_a FROM o),
+      |c AS (
+      |  SELECT feature, bucket, CAST(sum(in_a) AS BIGINT) AS na,
+      |    CAST(sum(1 - in_a) AS BIGINT) AS nb
+      |  FROM f GROUP BY 1, 2),
+      |t AS (
+      |  SELECT feature, sum(na) AS ta, sum(nb) AS tb
+      |  FROM c GROUP BY 1),
+      |k AS (
+      |  SELECT c.feature, na, nb,
+      |    CASE WHEN na > 0 AND nb > 0 THEN CAST(round(
+      |      (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+      |      * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb))
+      |      * 1e9) AS BIGINT) ELSE 0 END AS contrib9
+      |  FROM c JOIN t ON c.feature = t.feature)
+      |SELECT feature,
+      |  round(CAST(sum(contrib9) AS DOUBLE) / 1e9, 6) AS psi,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS only_a,
+      |  CAST(sum(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS only_b
+      |FROM k GROUP BY feature ORDER BY feature""".stripMargin
+
   // --- PV3: the LAPLACE MECHANISM [Dwork et al., TCC 2006] over the
   // per-type event histogram — the release-side leg pv1/pv2 audit for:
   // counts go out with Laplace(Δf/ε) noise, Δf = 1 (one user event

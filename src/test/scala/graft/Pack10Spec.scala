@@ -105,6 +105,44 @@ class Pack10Spec extends SparkTestBase {
     assert(recount == r0.getLong(3))
   }
 
+  test("dq4: PSI matches a from-scratch recompute and is non-negative") {
+    val got = DataQuality.psiDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set("totalprice_bucket", "orderpriority"))
+    val os = Tables.orders(spark, sf)
+      .select(month(col("o_orderdate")).as("m"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .collect()
+    def brute(pairs: Seq[(String, Boolean)]): (Double, Long, Long, Long) = {
+      val by = pairs.groupBy(_._1).map { case (b, xs) =>
+        b -> (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+      }
+      val ta = by.values.map(_._1).sum.toDouble
+      val tb = by.values.map(_._2).sum.toDouble
+      val c9 = by.values.map { case (na, nb) =>
+        if (na > 0 && nb > 0) {
+          val pa = na / ta; val pb = nb / tb
+          math.round((pa - pb) * math.log(pa / pb) * 1e9)
+        } else 0L
+      }.sum
+      val psi = BigDecimal(c9.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (psi, by.size.toLong, by.values.count(_._2 == 0L).toLong,
+        by.values.count(_._1 == 0L).toLong)
+    }
+    val price = brute(os.toSeq.map(r =>
+      (math.floor(r.getDouble(1) / 25000.0).toLong.toString,
+        r.getInt(0) <= 6)))
+    val prio = brute(os.toSeq.map(r => (r.getString(2), r.getInt(0) <= 6)))
+    assert(got("totalprice_bucket") == price,
+      s"${got("totalprice_bucket")} != $price")
+    assert(got("orderpriority") == prio)
+    // (p_a − p_b) and ln(p_a/p_b) always share a sign — PSI can't go
+    // negative; a negative value means the formula broke
+    got.values.foreach { case (psi, _, _, _) => assert(psi >= 0.0) }
+  }
+
   test("pv3: Laplace release is deterministic, bounded, and actually noisy") {
     val a = DataQuality.dpNoisyCounts(spark, sf).collect()
     val b = DataQuality.dpNoisyCounts(spark, sf).collect()
