@@ -123,10 +123,13 @@ object Analytics {
   // --- Percentiles: exact (interpolated, oracle-matched) per group;
   // the approx_percentile partner below is the 100 TB path (fixed-size
   // sketch, rows-only check). ---
-  // One percentile(col, array(...)) call, not three scalar calls: the
-  // exact-percentile aggregate buffers every value per group, and three
-  // separate aggs build (and sort) that buffer three times — measured
-  // ~3x slower at sf0.1.
+  // a11 ships the HISTOGRAM-REFINE engine (exactPercentilesHist
+  // below): two scans, a bounded bucket relation, and exact ranking
+  // of only the target buckets — no plan piece grows with the corpus.
+  // The window and range-partitioned forms are kept as independent
+  // formulations (PercentileEquivalenceSpec proves all three emit
+  // bit-identical values; Pack5Spec cross-checks the shipped form
+  // against the range twin).
   def percentiles(s: SparkSession, d: String): DataFrame =
     percentilesImpl(s, d, rangePartitioned = false)
 
@@ -135,11 +138,10 @@ object Analytics {
     * each group's full distinct-value set through a single task — the
     * distinct values are range-partitioned on (group, value), each
     * partition prefix-sums locally, and a #partitions-row offset table
-    * (the w9 two-pass pattern) lifts local sums to global ranks. This
-    * is the 100 TB shape: no task ever sees more than its range slice.
-    * At sf0.1 the extra exchange + checkpoint costs more than the
-    * 3-task window saves, so a11 ships the window form; flip the flag
-    * when groups stop fitting a task (PROFILE shows the crossover).
+    * (the w9 two-pass pattern) lifts local sums to global ranks. No
+    * task ever sees more than its range slice, but it still pays the
+    * full (group, value)-grained aggregate the histogram-refine engine
+    * avoids — kept as the equivalence foil, not the shipping path.
     */
   private[graft] def percentilesRange(s: SparkSession, d: String): DataFrame =
     percentilesImpl(s, d, rangePartitioned = true)
