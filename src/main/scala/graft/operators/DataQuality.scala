@@ -258,17 +258,33 @@ object DataQuality {
   // class as every rounded double output. One scan, one
   // (feature, bucket) hash-agg, per-feature rollup — trivially flat
   // at any corpus size. ---
-  def psiDrift(s: SparkSession, d: String): DataFrame = {
-    val o = Tables.orders(s, d)
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    psiFromCounts(
+      psiFeatureRows(Tables.orders(s, d))
+        .groupBy("feature", "bucket")
+        .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb")))
+
+  /** The (feature, bucket, in_a) incidence rows — ONE definition of
+    * the cohort split and both bucketings, shared by the batch audit
+    * and the streaming maintained-count index (Streams
+    * .psiIndexMaintainStream), so the two can never bucket
+    * differently.
+    */
+  private[graft] def psiFeatureRows(orders: DataFrame): DataFrame = {
+    val o = orders
       .withColumn("in_a", (month(col("o_orderdate")) <= 6).cast("long"))
-    val f1 = o.select(lit("totalprice_bucket").as("feature"),
-      floor(col("o_totalprice") / 25000.0).cast("long").cast("string")
-        .as("bucket"), col("in_a"))
-    val f2 = o.select(lit("orderpriority").as("feature"),
-      col("o_orderpriority").as("bucket"), col("in_a"))
-    val counts = f1.unionByName(f2)
-      .groupBy("feature", "bucket")
-      .agg(sum(col("in_a")).as("na"), sum(lit(1L) - col("in_a")).as("nb"))
+    o.select(lit("totalprice_bucket").as("feature"),
+        floor(col("o_totalprice") / 25000.0).cast("long").cast("string")
+          .as("bucket"), col("in_a"))
+      .unionByName(o.select(lit("orderpriority").as("feature"),
+        col("o_orderpriority").as("bucket"), col("in_a")))
+  }
+
+  /** The PSI report tail over a (feature, bucket, na, nb) count
+    * relation — counts are ADDITIVE, so the stream side can sum its
+    * disjoint per-batch deltas into exactly this input.
+    */
+  private[graft] def psiFromCounts(counts: DataFrame): DataFrame = {
     val tots = counts.groupBy("feature")
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     val pa = col("na").cast("double") / col("ta").cast("double")

@@ -858,6 +858,67 @@ object Streams {
     ()
   }
 
+  /** Streaming maintenance of dq4's PSI drift state — the
+    * serving-side drift monitor: what the audit needs from history is
+    * the (feature, bucket, cohort) COUNT relation, which is ADDITIVE,
+    * so each batch publishes only its own admitted orders' counts and
+    * the read side sums the disjoint deltas. Admission dedups on
+    * o_orderkey (an order is atomic — it contributes to both features
+    * exactly once), against prior deltas excluding this batch's own
+    * (checkpoint-replay rule). Bucketing is
+    * [[graft.operators.DataQuality.psiFeatureRows]] — the batch
+    * audit's own definition — so stream and batch can never bucket
+    * differently; the report tail is shared too.
+    */
+  def psiIndexMaintainStream(incoming: DataFrame, workDir: String,
+                             checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        psiMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def psiMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                      workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "orders")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchOrders = batchDf
+      .select("o_orderkey", "o_orderdate", "o_totalprice",
+        "o_orderpriority")
+      .dropDuplicates("o_orderkey")
+    val fresh = prior match {
+      case Seq() => batchOrders
+      case dirs => batchOrders.join(
+        s.read.parquet(dirs: _*).select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+    }
+    // both directories per batch: the admission key set AND the
+    // count delta derived from exactly the admitted rows
+    fresh.select("o_orderkey")
+      .write.mode("overwrite").parquet(s"$workDir/orders/b$batchId")
+    graft.operators.DataQuality.psiFeatureRows(fresh)
+      .groupBy("feature", "bucket")
+      .agg(sum(col("in_a")).as("na"),
+        sum(lit(1L) - col("in_a")).as("nb"))
+      .write.mode("overwrite").parquet(s"$workDir/counts/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the additive count deltas, then the shared PSI
+    * report tail — stream-maintained drift equals the batch
+    * `dq4_psi_drift` answer under any wave/redelivery schedule.
+    */
+  def readPsiDrift(s: org.apache.spark.sql.SparkSession,
+                   workDir: String): DataFrame =
+    graft.operators.DataQuality.psiFromCounts(
+      s.read.parquet(deltaDirs(workDir, "counts"): _*)
+        .groupBy("feature", "bucket")
+        .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb")))
+
   /** Read side: docs-per-chunk counts across the disjoint pair deltas
     * (count(*) == countDistinct because the deltas are disjoint and
     * each batch dedups within itself), thresholded into the ban list,

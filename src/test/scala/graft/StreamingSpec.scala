@@ -774,6 +774,47 @@ class StreamingSpec extends SparkTestBase {
     assert(dupEvents == 0, "no event may be indexed twice after a replay")
   }
 
+  test("equivalence: streaming PSI maintenance == batch dq4 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        // NTZ -> TIMESTAMP under the UTC session: same wall clock, so
+        // month() buckets identically on both sides
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    val shuffled = new scala.util.Random(31).shuffle(orders)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 3 + 1)).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double, String)]
+    val root = java.nio.file.Files.createTempDirectory("psistream").toString
+    val q = Streams.psiIndexMaintainStream(
+      mem.toDF().select(col("_1").as("o_orderkey"),
+        col("_2").as("o_orderdate"), col("_3").as("o_totalprice"),
+        col("_4").as("o_orderpriority")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: counts are additive, so a
+    // double-counted order would shift PSI — admission must drop them
+    try (waves :+ waves.head.take(11)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + same-batch-id replay on the finished state: identical delta
+    Streams.psiMaintainBatch(
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_orderdate", "o_totalprice",
+          "o_orderpriority"), 0L, root)
+    assert(rowSet(Streams.readPsiDrift(spark, root)) ==
+      rowSet(graft.operators.DataQuality.psiDrift(spark, sf)),
+      "stream-maintained PSI must equal the batch dq4 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/orders").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("o_orderkey").count(),
+      "admission deltas must be disjoint on the order key")
+  }
+
   test("equivalence: streaming chunk-index maintenance == batch dd21 (shuffled waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
