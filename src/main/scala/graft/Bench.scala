@@ -32,6 +32,7 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietNoise()
 
     // Full untimed warm-up pass: one execution of EVERY query before
     // any timing. Best-of-2 alone doesn't absorb cold-JVM effects — the

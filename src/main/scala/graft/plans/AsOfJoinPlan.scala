@@ -145,15 +145,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 object AsOfJoin {
+  import org.apache.spark.sql.types._
   private val Integral = Set("long", "int", "smallint", "tinyint",
     "bigint", "integer")
-  private def timeOk(t: org.apache.spark.sql.types.DataType): Boolean =
-    t match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType |
-           org.apache.spark.sql.types.DateType => true
-      case other => Integral.contains(other.simpleString)
-    }
+  private def isTemporal(t: DataType): Boolean = t match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+  private def timeOk(t: DataType): Boolean =
+    isTemporal(t) || Integral.contains(t.simpleString)
 
   /** DataFrame API: backward as-of join of `left` to `right` on
     * integral key columns, times compared at-or-before, ties on the
@@ -181,7 +181,29 @@ object AsOfJoin {
     require(timeOk(lt.dataType) && timeOk(rt.dataType),
       s"as-of times must be timestamp/date/integral, got " +
         s"${lt.dataType.simpleString}/${rt.dataType.simpleString}")
+    // The exec compares times as raw internal longs, so both sides
+    // MUST evaluate in one unit. Temporal internals differ per type —
+    // TimestampType/NTZ hold MICROSECONDS, DateType holds DAYS — so a
+    // mixed date/timestamp pairing compared raw would make every
+    // `rTime <= t` true (~1e4 days vs ~1.7e18 micros) and silently
+    // degrade "latest at-or-before" to "latest". Normalize by casting
+    // the DateType side up to the other side's timestamp flavor (a
+    // monotone cast, so the declared sort orders are unaffected).
+    // Temporal-vs-integral has no principled unit and is rejected.
+    require(isTemporal(lt.dataType) == isTemporal(rt.dataType),
+      s"as-of time columns must share a family (both temporal or both " +
+        s"integral), got ${lt.dataType.simpleString}/${rt.dataType.simpleString}")
+    val zone = Some(leftDf.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    def lift(e: Expression, other: DataType): Expression =
+      (e.dataType, other) match {
+        case (DateType, TimestampNTZType) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(e, TimestampNTZType, zone)
+        case (DateType, TimestampType) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(e, TimestampType, zone)
+        case _ => e
+      }
+    val (ltU, rtU) = (lift(lt, rt.dataType), lift(rt, lt.dataType))
     Bridge.dataFrame(leftDf.sparkSession,
-      AsOfJoinPlan(lp, rp, lk, rk, lt, rt, tie))
+      AsOfJoinPlan(lp, rp, lk, rk, ltU, rtU, tie))
   }
 }

@@ -101,6 +101,26 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Persisted (gram, n_docs, n_occurrences) catalog of word n-grams
+    * repeated across >= `floor` distinct documents — dd13's
+    * count-on-hash pass plus winner-string recovery, paid once per
+    * corpus ([[graft.operators.Dedup.repeatedGramCatalog]] documents
+    * the two-scan build shape this amortizes). The floor is part of
+    * the index identity; probes filter to their own (higher) minDocs.
+    * The catalog holds only repeated grams, so it is corpus-tiny and
+    * written as few fat files like [[prefixIndex]].
+    */
+  def repeatedGramIndex(s: SparkSession, d: String, n: Int = 8,
+                        floor: Long = 2L): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d, s"repgrams_${n}_f$floor")
+    VectorIndex.ensure(path) { out =>
+      Dedup.repeatedGramCatalog(s, d, n, floor)
+        .coalesce(4)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Persisted (doc_id, sig) 60-bit SimHash signatures — dd4's
     * corpus-wide signature pass, paid once per corpus instead of per
     * query (the same lesson as [[bandIndex]]; bit-identical to the

@@ -25,6 +25,7 @@ object QProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietNoise()
     val fn = graft.SparkEntry.queries(name)
     if (explain) fn(spark, dir).explain("formatted")
     (1 to runs).foreach { i =>

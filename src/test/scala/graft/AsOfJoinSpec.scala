@@ -69,6 +69,33 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> -1L, 2L -> 42L, 3L -> -1L))
   }
 
+  test("mixed timestamp/date times compare in one unit (date lifted to micros)") {
+    import spark.implicits._
+    // Internal representations differ by ~14 orders of magnitude
+    // (micros vs days); compared raw, every right date would qualify
+    // and the future row below would wrongly win. A right DATE that
+    // POSTDATES the left timestamp must not match.
+    val l = Seq((1L, "2024-06-15 12:00:00", 100L), (1L, "2024-01-02 00:00:00", 101L))
+      .toDF("k", "ts", "lid")
+      .select(col("k"), col("ts").cast("timestamp").as("t"), col("lid"))
+    val r = Seq((1L, "2024-06-10", 7L), (1L, "2024-12-25", 9L))
+      .toDF("rk", "d", "tie")
+      .select(col("rk"), col("d").cast("date").as("rt"), col("tie"))
+    val out = AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie")
+      .select(col("lid"), col("tie")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // lid 100 (Jun 15): Jun 10 is at-or-before, Dec 25 is the future
+    assert(out(100L) == 7L, s"mixed-unit compare broke: $out")
+    // lid 101 (Jan 2): both right dates are in its future -> null
+    assert(out(101L) == -1L, s"future date matched: $out")
+    // and date-vs-integral has no principled unit: rejected up front
+    val rInt = Seq((1L, 5L, 1L)).toDF("rk", "rt", "tie")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, "k", "t", rInt, "rk", "rt", "tie")
+    }
+  }
+
   test("type contract is enforced at the API boundary") {
     import spark.implicits._
     val l = Seq(("a", 1L, 1L)).toDF("k", "t", "lid")

@@ -29,6 +29,7 @@ object SparkTestBase {
       .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.Logs.quietNoise()
     s
   }
 }

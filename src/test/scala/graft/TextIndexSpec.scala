@@ -40,6 +40,23 @@ class TextIndexSpec extends SparkTestBase {
       asSet(Dedup.gramRows(spark, sf, 3)))
   }
 
+  test("repeated-gram catalog: index equals inline build and builds once") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val idx = asSet(TextIndex.repeatedGramIndex(spark, sf, 8))
+    assert(idx.nonEmpty, "sf corpus should contain repeated 8-grams")
+    assert(idx == asSet(Dedup.repeatedGramCatalog(spark, sf, 8, 2L)),
+      "persisted catalog must equal the inline count-and-recover chain")
+    val files1 = indexFiles("repgrams_8_f2")
+    assert(files1.nonEmpty)
+    // dd13 must probe this index, not rebuild it
+    Dedup.boilerplateSpans(spark, sf).collect()
+    assert(indexFiles("repgrams_8_f2") == files1,
+      "boilerplateSpans must reuse the catalog, not rewrite it")
+    // and every cataloged gram is genuinely repeated at the floor
+    assert(idx.forall(_._2 >= 2L))
+  }
+
   test("band index content equals inline banding of the signatures") {
     val idx = TextIndex.bandIndex(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
