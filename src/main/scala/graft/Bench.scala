@@ -52,6 +52,15 @@ object Bench {
       catch { case _: Throwable => () } // failures surface in the timed pass
       release()
     }
+    // The warm-up also force-builds every persisted index artifact, so
+    // the timed passes below are probe-only by construction. Surface
+    // that one-time cost explicitly (VectorIndex.ensure ledgers every
+    // build in this JVM) so a first-touch amortization can never be
+    // mistaken for a query regression.
+    val builds = graft.sources.VectorIndex.buildLog
+    def bmap: String = builds.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val buildTotal = builds.values.sum
 
     // best-of-3 per query: a single local[32] pass is GC/OS-noisy
     // (observed 3x run-to-run swings on projection-only queries, and
@@ -88,9 +97,9 @@ object Bench {
     // the judge reads directly.
     val headline = results.filter(_._1.matches("q\\d+.*"))
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(results)},"failed":$failed,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(results)},"failed":$failed,"build_s":$buildTotal%.3f,"builds":$bmap,"sf":"$sfDir"}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(headline)},"failed":$failed,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(headline)},"failed":$failed,"build_s":$buildTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(if (only.isEmpty) line else full)
     // a filtered dev run must not clobber the full artifact the judge reads
     if (only.isEmpty)

@@ -1140,10 +1140,11 @@ object Analytics {
   // frequency ntile over a TOTAL order (metric, then custkey — ties
   // can never make the bucketing nondeterministic), 5 = best. Output
   // is the segment distribution (≤125 rows) with per-segment customer
-  // counts and exact revenue. Each ntile runs over the per-customer
-  // AGGREGATE via GlobalOrder.withNtile (dp10's range-partition +
-  // offset two-pass — three range shuffles of the customer dimension,
-  // never a single-task sort); the recency anchor is a 1-row max
+  // counts and exact revenue. The three scores run as one
+  // GlobalOrder.withNtiles batch over the per-customer AGGREGATE
+  // (dp10's range-partition + offset two-pass per metric, each over a
+  // skinny (custkey, metric) projection — never a single-task sort,
+  // never a full-width re-shuffle); the recency anchor is a 1-row max
   // aggregate attached by broadcast (plans as BNLJ, the j8-sanctioned
   // tiny-cross shape), and the anchored relation is checkpointed once
   // so the three ntile passes don't re-aggregate orders. ---
@@ -1161,13 +1162,10 @@ object Analytics {
         datediff(col("maxd").cast("date"), col("last_o").cast("date"))
           .cast("long"))
       .localCheckpoint()
-    val scored = Seq(
-      ("r_score", col("recency_days").desc),
-      ("f_score", col("freq").asc),
-      ("m_score", col("monetary").asc))
-      .foldLeft(anchored) { case (acc, (out, metric)) =>
-        GlobalOrder.withNtile(acc, 5, out, metric, col("o_custkey").asc)
-      }
+    val scored = GlobalOrder.withNtiles(anchored, "o_custkey", 5, Seq(
+      ("r_score", col("recency_days"), false),
+      ("f_score", col("freq"), true),
+      ("m_score", col("monetary"), true)))
     scored
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_customers"),

@@ -128,6 +128,102 @@ object GlobalOrder {
       .drop(Pid, LocalRn, Offset, Total)
   }
 
+  /** Several independent global ntile scores over ONE relation — each
+    * by its own metric, `key` (unique) as the tie-break — joined back
+    * by key. Semantically identical to folding [[withNtile]] once per
+    * metric, but each two-pass runs over a SKINNY (key, metric)
+    * projection instead of the progressively widening full relation:
+    * the per-pass checkpoint materializes 2 columns, the range shuffle
+    * and rank window move 2 columns, and the full rows are touched
+    * exactly once in the final key-equijoins (which co-partition on
+    * `key` and chain without re-exchange; AQE broadcasts them when the
+    * relation is small). a39's three RFM scores ran the widening fold
+    * before and spent 3× the necessary shuffle bytes.
+    *
+    * Specs are (outCol, metric, ascending); the sort per spec is
+    * (metric dir, key asc) — a total order because `key` is unique.
+    */
+  def withNtiles(df: DataFrame, key: String, buckets: Int,
+                 specs: Seq[(String, Column, Boolean)]): DataFrame = {
+    // Equal-frequency bucketing does not need a per-row global rank —
+    // only the buckets-1 exact CUT PAIRS (metric, key) at the ANSI
+    // boundary ranks. Those are found per metric with the same
+    // range-partition machinery (skinny shuffle, per-partition counts,
+    // one rank window over the single partition holding each cut), and
+    // every driver-side collect is bounded: ≤ #partitions count rows
+    // plus buckets-1 boundary pairs — never data-scale. Buckets are
+    // then assigned by a MAP-SIDE comparison of each row's (metric,
+    // key) pair against the broadcast-literal boundaries, so the final
+    // plan has no join, no window, and no extra shuffle: one scan of
+    // `df`. Metric preps run on concurrent driver threads
+    // (multi-threaded job submission — the supported pattern for
+    // independent subjobs) so their small job barriers overlap.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val scoreCols = specs.map { case (out, metric, asc) =>
+      Future(out -> ntileByBoundaries(df, key, buckets, metric, asc))
+    }
+    Await.result(Future.sequence(scoreCols),
+        scala.concurrent.duration.Duration.Inf)
+      .foldLeft(df) { case (acc, (out, c)) => acc.withColumn(out, c) }
+  }
+
+  /** The bucket-assignment Column for one metric: global ANSI
+    * ntile(buckets) over (metric dir, key asc), computed from exact
+    * boundary pairs. A row's bucket = 1 + #{boundaries strictly below
+    * its (metric, key) pair in the sort order} — exact because the
+    * order is total (`key` is unique).
+    */
+  private def ntileByBoundaries(df: DataFrame, key: String, buckets: Int,
+                                metric: Column, asc: Boolean): Column = {
+    val order =
+      if (asc) Seq(col("__go_m").asc, col(key).asc)
+      else Seq(col("__go_m").desc, col(key).asc)
+    val base = df.select(col(key), metric.as("__go_m"))
+      .repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .localCheckpoint() // pin pids: counts and boundary reads must agree
+    val counts = base.groupBy(Pid).agg(count(lit(1)).as(Cnt))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    // ANSI cuts: first (total mod buckets) tiles hold ceil(total/b)
+    val q = total / buckets
+    val r = total % buckets
+    val cutRanks = (1 until buckets).map { b =>
+      if (b <= r) b * (q + 1) else r * (q + 1) + (b - r) * q
+    }.filter(c => c > 0 && c < total) // degenerate tiles collapse
+    if (cutRanks.isEmpty) lit(1)
+    else {
+      // map each global cut rank to (pid, local rank)
+      val cumBefore = counts.scanLeft(0L)(_ + _._2).init
+      val targets = cutRanks.map { c =>
+        val i = cumBefore.lastIndexWhere(_ < c)
+        (counts(i)._1, c - cumBefore(i))
+      }
+      val pids = targets.map(_._1).distinct
+      val w = Window.partitionBy(Pid).orderBy(order: _*)
+      val wanted = targets.map { case (p, lr) =>
+        col(Pid) === p && col(LocalRn) === lr
+      }.reduce(_ || _)
+      // ONE job collects every boundary row (≤ buckets-1 of them)
+      val byTarget = base.filter(col(Pid).isin(pids: _*))
+        .withColumn(LocalRn, row_number().over(w).cast("long"))
+        .filter(wanted)
+        .select(Pid, LocalRn, "__go_m", key)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> (r.get(2), r.get(3)))
+        .toMap
+      val pairs = targets.map(byTarget)
+      // bucket = 1 + count of boundary pairs strictly below this row
+      pairs.foldLeft(lit(1)) { case (acc, (m, k)) =>
+        val below =
+          if (asc) (lit(m) < metric) || (lit(m) === metric && lit(k) < col(key))
+          else (lit(m) > metric) || (lit(m) === metric && lit(k) < col(key))
+        acc + when(below, 1).otherwise(0)
+      }.cast("int")
+    }
+  }
+
   /** `df` plus, for each [[CumSpec]], the exact global running sum of
     * `src` along the total order (`cum`) and its grand total (`total`)
     * — the distributed form of `sum(x) OVER (ORDER BY ... ROWS

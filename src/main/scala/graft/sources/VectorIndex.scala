@@ -84,6 +84,20 @@ object VectorIndex {
     */
   private val Sentinel = "_GRAFT_INDEX_OK"
 
+  /** Build-time ledger: artifact kind -> seconds, for every index this
+    * JVM actually built (cache hits record nothing). Every artifact
+    * family funnels through [[ensure]] — text/vector/graph indexes and
+    * the bucketed marts alike — so the bench reads this to report
+    * one-time build cost separately from steady-state probe timings,
+    * with no duplicated parameter lists to drift out of sync.
+    */
+  private val buildLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def buildLog: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildLedger.asScala.toMap
+  }
+
   /** Build into a temp dir, publish with an atomic rename. The object
     * lock serializes threads in THIS JVM; the rename protocol covers
     * other JVMs: whoever renames first wins, the loser keeps the
@@ -104,7 +118,9 @@ object VectorIndex {
       if (!Files.exists(path.resolve(Sentinel))) {
         val tmp = path.resolveSibling(path.getFileName.toString +
           ".tmp." + ProcessHandle.current().pid())
+        val t0 = System.nanoTime()
         build(tmp.toString)
+        buildLedger.put(path.getFileName.toString, (System.nanoTime() - t0) / 1e9)
         Files.createFile(tmp.resolve(Sentinel))
         try {
           Files.createDirectories(path.getParent)
