@@ -1345,11 +1345,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm2: the decode is REAL (ImageIO over fixture-encoded PNGs);
-    // the oracle replays the closed form the fixture painted —
-    // dimensions from doc_id, luma sum as Σ (id·31 + 7x + 13y) mod 256
-    // over the pixel grid (8-bit grayscale PNG round-trips losslessly,
-    // so decoded samples == painted samples, exactly).
+    // mm2: the decode is REAL (ImageIO over the mixed PNG+JPEG
+    // fixture); the oracle replays the closed form each format painted
+    // — dimensions from doc_id, luma as the per-pixel PNG form or the
+    // blockwise-constant JPEG form (8-bit grayscale PNG is lossless;
+    // the quality-1.0 JPEG of 8x8-constant blocks round-trips
+    // bit-exact too — DataOpsSpec pins both), so decoded samples ==
+    // painted samples, exactly.
     "mm2_media_features" ->
       """WITH dims AS (
         |  SELECT doc_id,
@@ -1363,7 +1365,9 @@ object SparkEntry {
         |    unnest(generate_series(0, CAST(height AS BIGINT) - 1)) AS y
         |  FROM xs)
         |SELECT doc_id, width, height,
-        |  CAST(sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT)
+        |  CAST(sum((CASE WHEN doc_id % 3 = 0
+        |      THEN (doc_id * 37 + 11 * (x // 8) + 17 * (y // 8)) % 256
+        |      ELSE (doc_id * 31 + 7 * x + 13 * y) % 256 END)) AS BIGINT)
         |    AS luma_sum
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     "mm3_frame_sample" ->
@@ -2285,7 +2289,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN is_cut = 1 THEN frame_no ELSE 0 END) AS BIGINT)
         |    AS cut_possum
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // mm7: the decode is REAL (ImageIO over the mm2 fixture PNGs); the
+    // mm7: the decode is REAL (ImageIO over the mixed mm2 fixture); the
     // oracle repaints the closed form and replays the 4×4 block-mean
     // average-hash with the same integer arithmetic — floor-division
     // block membership, cross-multiplied mean comparison, bit packing.
@@ -2303,7 +2307,9 @@ object SparkEntry {
         |  FROM xs),
         |blocks AS (
         |  SELECT doc_id, ((y * 4) // height) * 4 + (x * 4) // width AS b,
-        |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS bsum,
+        |    sum((CASE WHEN doc_id % 3 = 0
+        |      THEN (doc_id * 37 + 11 * (x // 8) + 17 * (y // 8)) % 256
+        |      ELSE (doc_id * 31 + 7 * x + 13 * y) % 256 END)) AS bsum,
         |    count(*) AS bcnt
         |  FROM px GROUP BY 1, 2),
         |doctot AS (
@@ -2384,7 +2390,9 @@ object SparkEntry {
         |  FROM xs),
         |cells AS (
         |  SELECT doc_id, (y * 4) // height AS cy, (x * 5) // width AS cx,
-        |    sum((doc_id * 31 + 7 * x + 13 * y) % 256) AS csum,
+        |    sum((CASE WHEN doc_id % 3 = 0
+        |      THEN (doc_id * 37 + 11 * (x // 8) + 17 * (y // 8)) % 256
+        |      ELSE (doc_id * 31 + 7 * x + 13 * y) % 256 END)) AS csum,
         |    count(*) AS ccnt
         |  FROM px GROUP BY 1, 2, 3),
         |grid AS (

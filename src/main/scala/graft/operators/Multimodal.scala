@@ -100,6 +100,68 @@ object Multimodal {
       }
   }
 
+  /** The MIXED-format fixture mm2/mm7/mm8 decode: every third document
+    * (doc_id mod 3 = 0) a REAL JPEG, the rest REAL PNGs — so the
+    * decode path exercises the dominant web format's codec branch, not
+    * just PNG's friendlier byte distribution. JPEG is lossy in
+    * general, so the JPEG paint is CONSTANT WITHIN EACH 8×8 JPEG
+    * BLOCK: pixel(x,y) = (doc_id·37 + 11·⌊x/8⌋ + 17·⌊y/8⌋) mod 256.
+    * At compression quality 1.0 the quantization tables are all ones,
+    * and a constant block's DCT holds only its exactly-representable
+    * DC coefficient — the round-trip is bit-exact, which restores the
+    * property 8-bit grayscale PNG gives for free: the DuckDB oracle
+    * replays DECODED pixels in closed form for both formats, and
+    * DataOpsSpec asserts per-row exactness against the closed form
+    * (any JDK codec drift fails loudly rather than skewing features).
+    */
+  def imageRecords(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val png = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val jpg = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val jparam = jpg.getDefaultWriteParam
+        jparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        jparam.setCompressionQuality(1.0f)
+        it.map { case (id, src) =>
+          val w = (id % 14 + 3).toInt
+          val h = (id % 11 + 3).toInt
+          val isJpeg = id % 3 == 0
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val ras = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (isJpeg) (id * 37 + 11L * (x / 8) + 17L * (y / 8)) % 256
+                else (id * 31 + 7L * x + 13L * y) % 256
+              ras.setSample(x, y, 0, v.toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          if (isJpeg) {
+            jpg.setOutput(ios)
+            jpg.write(null, new javax.imageio.IIOImage(img, null, null), jparam)
+          } else {
+            png.setOutput(ios)
+            png.write(img)
+          }
+          ios.close()
+          MediaRecord(id, baos.toByteArray,
+            if (isJpeg) "image/jpeg" else "image/png", src)
+        }
+      }
+  }
+
   /** REAL image decode, partition-parallel and batch-at-a-time (the
     * iterator shape a JNI/native decoder needs): `javax.imageio` reads
     * the payload, features come off the decoded raster — dimensions
@@ -205,7 +267,7 @@ object Multimodal {
   // Dataset for callers but out of the hash (PNG byte length is an
   // encoder detail, not a decode fact). ---
   def mediaFeatures(s: SparkSession, d: String): DataFrame =
-    decodeImage(pngRecords(s, d)).toDF()
+    decodeImage(imageRecords(s, d)).toDF()
       .select(col("doc_id"), col("width"), col("height"), col("luma_sum"))
       .orderBy("doc_id")
 
@@ -310,7 +372,7 @@ object Multimodal {
   // replays the same block/cross-multiply arithmetic, and hash-checks
   // every bucket — the decoder's pixels are inside the oracle. ---
   def ahashBuckets(s: SparkSession, d: String, topK: Int = 25): DataFrame =
-    decodeImage(pngRecords(s, d)).toDF()
+    decodeImage(imageRecords(s, d)).toDF()
       .groupBy("ahash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
@@ -330,7 +392,7 @@ object Multimodal {
   // DuckDB oracle repaints the closed form onto the 4×5 grid and
   // replays every neighbor comparison. ---
   def dhashBuckets(s: SparkSession, d: String, topK: Int = 25): DataFrame =
-    decodeImage(pngRecords(s, d)).toDF()
+    decodeImage(imageRecords(s, d)).toDF()
       .groupBy("dhash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)

@@ -277,6 +277,35 @@ class DataOpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("MM2 mixed fixture: JPEG rows are real JPEGs and decode bit-exact") {
+    // The blockwise-constant paint + quality-1.0 encode is what makes
+    // the JPEG leg losslessly replayable (see imageRecords scaladoc);
+    // if any JDK codec drift broke that, luma_sum would differ and the
+    // mm2/mm7/mm8 oracles would silently be wrong — pin it here.
+    val recs = Multimodal.imageRecords(spark, sf).collect()
+    val jpegs = recs.filter(_.doc_id % 3 == 0)
+    val pngs = recs.filter(_.doc_id % 3 != 0)
+    assert(jpegs.nonEmpty && pngs.nonEmpty, "need both formats in the corpus")
+    // JPEG/JFIF magic: FF D8 FF
+    assert(jpegs.forall(r => (r.payload(0) & 0xff) == 0xff &&
+      (r.payload(1) & 0xff) == 0xd8 && r.mime == "image/jpeg"))
+    val feats = Multimodal.decodeImage(Multimodal.imageRecords(spark, sf))
+      .collect().map(f => f.doc_id -> f).toMap
+    jpegs.foreach { r =>
+      val id = r.doc_id
+      val w = (id % 14 + 3).toInt; val h = (id % 11 + 3).toInt
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expect += (id * 37 + 11L * (x / 8) + 17L * (y / 8)) % 256
+      val f = feats(id)
+      assert(f.width == w && f.height == h,
+        s"doc $id: JPEG decode returned ${f.width}x${f.height}, painted ${w}x$h")
+      assert(f.luma_sum == expect,
+        s"doc $id: JPEG round-trip not bit-exact (${f.luma_sum} != $expect) — " +
+          "codec drift would silently skew the mm oracles")
+    }
+  }
+
   test("MM2 undecodable payloads degrade per-row to the fingerprint fallback") {
     import spark.implicits._
     val garbage = Seq(
@@ -289,24 +318,31 @@ class DataOpsSpec extends SparkTestBase {
       "undecodable rows must carry the md5 fallback, not fail the task")
   }
 
+  // the mixed fixture's painted pixel value (PNG per-pixel form or the
+  // JPEG blockwise-constant form) — the spec-side twin of the paint in
+  // Multimodal.imageRecords
+  private def paintedPixel(id: Long, x: Int, y: Int): Long =
+    if (id % 3 == 0) (id * 37 + 11L * (x / 8) + 17L * (y / 8)) % 256
+    else (id * 31 + 7L * x + 13L * y) % 256
+
   test("MM7 decoded aHash equals the closed-form hash, independently recomputed") {
     // recompute the 4×4 block-mean hash from the PAINTED closed form
-    // (never touching the decoder) — if the PNG round-trip or the
-    // raster pass drifted by one sample, some bit would flip
+    // (never touching the decoder) — if either codec's round-trip or
+    // the raster pass drifted by one sample, some bit would flip
     def closedFormAhash(id: Long): Long = {
       val w = (id % 14 + 3).toInt; val h = (id % 11 + 3).toInt
       val bsum = new Array[Long](16); val bcnt = new Array[Long](16)
       var sum = 0L
       for (y <- 0 until h; x <- 0 until w) {
         val b = y * 4 / h * 4 + x * 4 / w
-        val v = (id * 31 + 7L * x + 13L * y) % 256
+        val v = paintedPixel(id, x, y)
         sum += v; bsum(b) += v; bcnt(b) += 1
       }
       (0 until 16).map { b =>
         if (bsum(b) * w * h > sum * bcnt(b)) 1L << b else 0L
       }.sum
     }
-    val decoded = Multimodal.decodeImage(Multimodal.pngRecords(spark, sf))
+    val decoded = Multimodal.decodeImage(Multimodal.imageRecords(spark, sf))
       .collect()
     assert(decoded.nonEmpty)
     decoded.foreach { f =>
@@ -327,7 +363,7 @@ class DataOpsSpec extends SparkTestBase {
       val dsum = new Array[Long](20); val dcnt = new Array[Long](20)
       for (y <- 0 until h; x <- 0 until w) {
         val g = y * 4 / h * 5 + x * 5 / w
-        dsum(g) += (id * 31 + 7L * x + 13L * y) % 256
+        dsum(g) += paintedPixel(id, x, y)
         dcnt(g) += 1
       }
       (for (by <- 0 until 4; bx <- 0 until 4) yield {
@@ -337,7 +373,7 @@ class DataOpsSpec extends SparkTestBase {
         else 0L
       }).sum
     }
-    val decoded = Multimodal.decodeImage(Multimodal.pngRecords(spark, sf))
+    val decoded = Multimodal.decodeImage(Multimodal.imageRecords(spark, sf))
       .collect()
     assert(decoded.nonEmpty)
     decoded.foreach { f =>
