@@ -149,24 +149,42 @@ object DataQuality {
   // is astronomically unlikely AND deterministic, so the oracle always
   // agrees). ---
   def bucketDiff(s: SparkSession, d: String,
-                 nBuckets: Int = 64, mutMod: Int = 97): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    def digest(df: DataFrame) = df
-      .select((col("doc_id") % nBuckets).as("bucket"),
-        (Text.h60(col("text")) % 1000003L).as("h"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).cast("long").as("n"), sum(col("h")).as("hsum"))
-    val a = digest(docs)
-    val b = digest(docs.withColumn("text",
-      when(col("doc_id") % mutMod === 0, concat(col("text"), lit("X")))
-        .otherwise(col("text"))))
-    a.select(col("bucket"), col("n").as("n_a"), col("hsum").as("hsum_a"))
-      .join(b.select(col("bucket"), col("n").as("n_b"),
-        col("hsum").as("hsum_b")), Seq("bucket"), "full_outer")
-      .filter(coalesce(col("n_a"), lit(-1L)) =!= coalesce(col("n_b"), lit(-1L)) ||
-        coalesce(col("hsum_a"), lit(-1L)) =!= coalesce(col("hsum_b"), lit(-1L)))
+                 nBuckets: Int = 64, mutMod: Int = 97): DataFrame =
+    bucketDiffFromCounts(
+      bucketDigestRows(Tables.documents(s, d).select(col("doc_id"),
+          col("text")), nBuckets, mutMod)
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_a"),
+          sum(col("ha")).as("hsum_a"),
+          count(lit(1)).cast("long").as("n_b"),
+          sum(col("hb")).as("hsum_b")))
+
+  /** Per-document digest rows — both snapshots' content hashes off ONE
+    * scan (the mutation is a per-row projection, so computing side b's
+    * hash beside side a's costs a column, not a second corpus pass; the
+    * original two-scan + full-outer form paid 2× the IO for the same
+    * values). ADDITIVE, which is what lets the streaming twin publish
+    * per-batch digest deltas and sum them on read
+    * ([[graft.streaming.Streams]] `bucketDigestMaintainStream`).
+    */
+  private[graft] def bucketDigestRows(docs: DataFrame, nBuckets: Int = 64,
+                                      mutMod: Int = 97): DataFrame =
+    docs.select((col("doc_id") % nBuckets).as("bucket"),
+      (Text.h60(col("text")) % 1000003L).as("ha"),
+      (Text.h60(when(col("doc_id") % mutMod === 0,
+          concat(col("text"), lit("X"))).otherwise(col("text")))
+        % 1000003L).as("hb"))
+
+  /** The diff tail over the summed per-bucket digest relation
+    * (bucket, n_a, hsum_a, n_b, hsum_b) — shared by batch dq3 and the
+    * stream read side so the two can never diverge on what "changed"
+    * means.
+    */
+  private[graft] def bucketDiffFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .select("bucket", "n_a", "hsum_a", "n_b", "hsum_b")
+      .filter(col("n_a") =!= col("n_b") || col("hsum_a") =!= col("hsum_b"))
       .orderBy("bucket")
-  }
 
   def bucketDiffOracleSql(nBuckets: Int = 64, mutMod: Int = 97): String = {
     val h = graft.OracleGen.h60("text")

@@ -919,6 +919,67 @@ object Streams {
         .groupBy("feature", "bucket")
         .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb")))
 
+  /** Streaming maintenance of dq3's snapshot bucket digests — the
+    * anti-entropy monitor kept current as documents arrive: the audit
+    * only ever needs the per-bucket (count, content-hash sum) digests,
+    * which are ADDITIVE over documents, so each batch publishes the
+    * digest delta of its newly-admitted docs and the read side sums
+    * the disjoint deltas. Admission dedups on doc_id against prior
+    * deltas excluding this batch's own (checkpoint-replay rule).
+    * Digesting is [[graft.operators.DataQuality.bucketDigestRows]] —
+    * the batch audit's own definition — and the diff tail is shared
+    * too, so stream and batch can never disagree on what changed.
+    */
+  def bucketDigestMaintainStream(incoming: DataFrame, workDir: String,
+                                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        bucketDigestMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def bucketDigestMaintainBatch(batchDf: DataFrame,
+                                               batchId: Long,
+                                               workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "docs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select("doc_id", "text")
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    // both directories per batch: the admission key set AND the digest
+    // delta derived from exactly the admitted rows
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    graft.operators.DataQuality.bucketDigestRows(fresh)
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_a"),
+        sum(col("ha")).as("hsum_a"),
+        count(lit(1)).cast("long").as("n_b"),
+        sum(col("hb")).as("hsum_b"))
+      .write.mode("overwrite").parquet(s"$workDir/digests/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the additive digest deltas, then the shared diff
+    * tail — stream-maintained bucket diff equals the batch
+    * `dq3_bucket_diff` answer under any wave/redelivery schedule.
+    */
+  def readBucketDiff(s: org.apache.spark.sql.SparkSession,
+                     workDir: String): DataFrame =
+    graft.operators.DataQuality.bucketDiffFromCounts(
+      s.read.parquet(deltaDirs(workDir, "digests"): _*)
+        .groupBy("bucket")
+        .agg(sum(col("n_a")).as("n_a"), sum(col("hsum_a")).as("hsum_a"),
+          sum(col("n_b")).as("n_b"), sum(col("hsum_b")).as("hsum_b")))
+
   /** Read side: docs-per-chunk counts across the disjoint pair deltas
     * (count(*) == countDistinct because the deltas are disjoint and
     * each batch dedups within itself), thresholded into the ban list,

@@ -815,6 +815,40 @@ class StreamingSpec extends SparkTestBase {
       "admission deltas must be disjoint on the order key")
   }
 
+  test("equivalence: streaming bucket-digest maintenance == batch dq3 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shuffled arrival: a bucket's digest accumulates across waves in
+    // any order — only the summed state matters
+    val shuffled = new scala.util.Random(41).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("dq3stream").toString
+    val q = Streams.bucketDigestMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: digests are additive, so a
+    // double-counted doc would shift a bucket's hsum — admission must
+    // drop every redelivered doc
+    try (waves :+ waves.head.take(13)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.bucketDigestMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readBucketDiff(spark, root)) ==
+      rowSet(graft.operators.DataQuality.bucketDiff(spark, sf)),
+      "stream-maintained bucket diff must equal the batch dq3 answer")
+    // the admission deltas must be disjoint on the doc key
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
   test("equivalence: streaming chunk-index maintenance == batch dd21 (shuffled waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
