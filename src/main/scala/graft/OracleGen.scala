@@ -732,16 +732,34 @@ object OracleGen {
   /** tx18_cdc_shared: content-defined chunking replay — boundary
     * positions where the CdcBoundaries rolling polynomial of the
     * w-char window ≡ 0 (mod divisor), chunks from the per-doc lead()
-    * window, h60 chunk fingerprints, shared-chunk rollup. Position
-    * series bound 1024 covers this corpus family's ≤ 600-char
-    * documents; a longer corpus raises it.
+    * window, h60 chunk fingerprints, shared-chunk rollup.
+    *
+    * Replay assumptions, GUARDED in the SQL itself: CdcBoundaries
+    * hashes UTF-8 BYTES while this replay reads CHARACTERS via
+    * ascii()/substr, and the position series is bounded at 1024 — the
+    * two agree exactly iff the corpus is ASCII-only (char == byte) and
+    * every document is ≤ 1024 chars. This corpus family satisfies both
+    * (≤ 600-char ASCII documents); if a corpus change ever broke
+    * either, the guard CTE raises a DuckDB error() naming the cause,
+    * so the correctness gate fails LOUDLY instead of producing a
+    * silently-divergent oracle. (Non-ASCII detection: any multi-byte
+    * codepoint makes length(text) <> strlen(text).)
     */
   def tx18Sql(window: Int = 16, divisor: Int = 64, topK: Int = 25): String =
-    s"""WITH bounds AS (
+    s"""WITH guard AS (
+       |  SELECT CASE WHEN max(strlen(text)) > 1024 THEN
+       |      error('tx18 oracle: document over 1024 chars; raise the position bound')
+       |    WHEN sum(CASE WHEN length(text) <> strlen(text) THEN 1
+       |             ELSE 0 END) > 0 THEN
+       |      error('tx18 oracle: non-ASCII corpus; char-based replay diverges from the byte hash')
+       |    ELSE 0 END AS chk
+       |  FROM documents),
+       |bounds AS (
        |  SELECT doc_id, g.pos FROM documents,
-       |    (SELECT unnest(generate_series(2, 1024)) AS pos) g
+       |    (SELECT unnest(generate_series(2, 1024)) AS pos) g, guard
        |  WHERE length(text) >= ${window + 1}
        |    AND g.pos <= length(text) - ${window - 1}
+       |    AND guard.chk = 0
        |    AND (${rollingPoly(window)})
        |        % ${graft.plans.CdcBoundaries.M} % $divisor = 0),
        |starts AS (

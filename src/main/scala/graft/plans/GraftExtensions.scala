@@ -52,7 +52,29 @@ object GraftExtensions {
     (FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_bounds"),
       (exprs: Seq[Expression]) => CdcBoundaries(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        intArg("cdc_bounds", 2, exprs(1)), intArg("cdc_bounds", 3, exprs(2)))))
+
+  /** SQL literals arrive as whatever type the parser inferred (an
+    * integral constant may be INT or BIGINT; an expression may not be
+    * foldable at all), so a blind `asInstanceOf[Int]` turns a BIGINT
+    * literal into a ClassCastException and a column argument into an
+    * NPE. Fold, accept any integral width, and raise a proper analysis
+    * error otherwise.
+    */
+  private def intArg(fn: String, pos: Int, e: Expression): Int = {
+    def bad(detail: String) = new org.apache.spark.sql.AnalysisException(
+      errorClass = "INVALID_PARAMETER_VALUE.INTEGER",
+      messageParameters = Map("parameter" -> s"argument $pos",
+        "functionName" -> fn, "invalidValue" -> detail))
+    if (!e.foldable) throw bad(s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw bad(s"$other (${e.dataType.simpleString})")
+    }
+  }
 
   /** Register on an already-built session (the extensions class only
     * applies at builder time). Also installs the HOF-dot-product

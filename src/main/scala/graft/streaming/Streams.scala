@@ -818,13 +818,13 @@ object Streams {
     * twin of the activity index: what the scrub needs from history is
     * the DISTINCT (doc_id, chunk-hash) incidence relation, which is
     * SET-UNIONABLE — a micro-batch can only ever ADD pairs, so each
-    * batch publishes the pairs it is first to observe and the logical
-    * index is the disjoint union of the deltas. A redelivered document
-    * and a second identical chunk inside one document are the same
-    * no-op (the pair already exists); admission anti-joins prior
-    * deltas EXCLUDING this batch's own (checkpoint-replay rule: a
-    * replayed batch recomputes an identical delta, overwrite is a
-    * no-op). Segmentation is [[graft.operators.Dedup.chunkRowsOf]] —
+    * batch publishes the pairs of the documents it is FIRST to admit
+    * and the logical index is the disjoint union of the deltas.
+    * Admission is doc_id-keyed against prior deltas EXCLUDING this
+    * batch's own (checkpoint-replay rule: a replayed batch recomputes
+    * an identical delta, overwrite is a no-op); a redelivered document
+    * is dropped wholesale — see [[chunkMaintainBatch]] for the
+    * first-version-wins mutation contract that keeps ban counts exact. Segmentation is [[graft.operators.Dedup.chunkRowsOf]] —
     * the SAME definition the batch scrub uses, so the maintained ban
     * list cannot drift from the batch one. At 100 TB the per-batch
     * cost is the batch's own chunk pairs; the ban list read is a
@@ -841,20 +841,38 @@ object Streams {
       }
       .start()
 
+  /** Admission is keyed on doc_id — a document is chunked into the
+    * index exactly once, on FIRST delivery. This makes the mutation
+    * contract explicit rather than implicit: a redelivery with
+    * IDENTICAL text is a no-op (same pairs would be recomputed), and a
+    * redelivery with CHANGED text is dropped wholesale — first version
+    * wins, so the ban counts can never mix two versions' chunks or
+    * inflate relative to batch dd21 (the failure mode of pair-keyed
+    * admission, where old-text pairs lingered beside new-text ones).
+    * Batch equivalence therefore assumes at-least-once delivery of
+    * immutable documents; true in-place UPDATES need a versioned
+    * delete-and-replace layout, which this add-only index deliberately
+    * does not implement.
+    */
   private[graft] def chunkMaintainBatch(batchDf: DataFrame, batchId: Long,
                                         workDir: String, k: Int = 8): Unit = {
     val s = batchDf.sparkSession
-    val prior = deltaDirs(workDir, "chunks")
+    val prior = deltaDirs(workDir, "docs")
       .filterNot(_.endsWith(s"/b$batchId"))
-    val pairs = graft.operators.Dedup
-      .chunkRowsOf(batchDf.select(col("doc_id"), col("text")), k)
-      .select("doc_id", "gh").distinct()
+    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
     val fresh = prior match {
-      case Seq() => pairs
-      case dirs => pairs.join(
-        s.read.parquet(dirs: _*), Seq("doc_id", "gh"), "left_anti")
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
     }
-    fresh.write.mode("overwrite").parquet(s"$workDir/chunks/b$batchId")
+    // both directories per batch: the admission key set AND the chunk
+    // pairs derived from exactly the admitted documents
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    graft.operators.Dedup.chunkRowsOf(fresh, k)
+      .select("doc_id", "gh").distinct()
+      .write.mode("overwrite").parquet(s"$workDir/chunks/b$batchId")
     ()
   }
 

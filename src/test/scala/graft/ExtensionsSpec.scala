@@ -83,6 +83,30 @@ class ExtensionsSpec extends SparkTestBase {
     df.collect() // still executes correctly
   }
 
+  test("cdc_bounds SQL accepts any integral literal width and rejects the rest properly") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).limit(5).createOrReplaceTempView("docs_cdc")
+    // BIGINT literals (CAST and L-typed) must coerce, not ClassCast
+    val viaLong = spark.sql(
+      """SELECT doc_id, cdc_bounds(text, CAST(64 AS BIGINT), CAST(512 AS BIGINT)) AS b
+        |FROM docs_cdc ORDER BY doc_id""".stripMargin).collect()
+    val viaInt = spark.sql(
+      "SELECT doc_id, cdc_bounds(text, 64, 512) AS b FROM docs_cdc ORDER BY doc_id")
+      .collect()
+    assert(viaLong.map(_.toString).toSeq == viaInt.map(_.toString).toSeq)
+    // a non-foldable argument raises an AnalysisException, not an NPE
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cdc_bounds(text, CAST(doc_id AS INT), 512) FROM docs_cdc")
+        .collect()
+    }
+    assert(e1.getMessage.contains("cdc_bounds"))
+    // a non-integral literal raises the same proper error, not a CCE
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cdc_bounds(text, 'x', 512) FROM docs_cdc").collect()
+    }
+    assert(e2.getMessage.contains("cdc_bounds"))
+  }
+
   test("SQL vec_dot agrees with the Column API vecDot") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sf).limit(50)

@@ -849,6 +849,28 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("chunk index: changed-text redelivery is dropped wholesale (first version wins)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dd21mut").toString
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val v1 = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
+    Streams.chunkMaintainBatch(v1, 0L, root)
+    val before = spark.read.parquet(s"$root/chunks/b0").collect().toSet
+    assert(before.nonEmpty)
+    // the same doc comes back with DIFFERENT text: pair-keyed admission
+    // would index the new text's chunks BESIDE the old ones and inflate
+    // the ban counts — doc-keyed admission must drop it wholesale
+    val v2 = Seq((1L, (21 to 40).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.chunkMaintainBatch(v2, 1L, root)
+    val delta = spark.read.parquet(s"$root/chunks/b1")
+    assert(delta.count() == 0,
+      "a changed-text redelivery must not add chunk pairs")
+    val total = spark.read.parquet(s"$root/chunks/b0", s"$root/chunks/b1")
+      .collect().toSet
+    assert(total == before, "index state must be exactly the first version's")
+  }
+
   test("equivalence: streaming chunk-index maintenance == batch dd21 (shuffled waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
