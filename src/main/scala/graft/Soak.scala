@@ -167,7 +167,10 @@ object Soak {
     // double-sweep diameter, gradient hash, DP release
     "dd21_span_scrub", "dp21_scrub_funnel", "w21_streaks",
     "gr16_double_sweep", "mm8_dhash_buckets", "pv3_dp_noise",
-    "j11_asof_native", "st10_attribution_outer", "dq4_psi_drift")
+    "j11_asof_native", "st10_attribution_outer", "dq4_psi_drift",
+    // round-8 additions: interleaved mixed-unit as-of, boilerplate
+    // coverage probe, per-format decode profile
+    "j12_asof_promo", "dd22_boiler_coverage", "mm9_mime_profile")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -314,6 +314,9 @@ object SparkEntry {
     "dp21_scrub_funnel"  -> ((s, d) => Pipeline.scrubTokenFunnel(s, d)),
     "st10_attribution_outer" -> ((s, d) => Analytics.attributionOuter(s, d)),
     "j11_asof_native"    -> ((s, d) => Relational.asofJoinNative(s, d)),
+    "j12_asof_promo"     -> ((s, d) => Relational.asofPromo(s, d)),
+    "dd22_boiler_coverage" -> ((s, d) => Dedup.boilerplateCoverage(s, d)),
+    "mm9_mime_profile"   -> ((s, d) => Multimodal.mimeProfile(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -416,6 +419,76 @@ object SparkEntry {
     // j11's oracle IS j6's: two independent formulations (union+window
     // composition vs the native merge exec) hashed against the same
     // third-engine replay.
+    // j12: the mixed-unit interleaved as-of — the promo calendar is a
+    // pure function of the order key, the match rule is j11's verbatim
+    // (promo rows sort before events at the same instant; max okey
+    // wins time ties), replayed with the union + ignore-nulls-window
+    // form over the date lifted to timestamp.
+    "j12_asof_promo" ->
+      """WITH promos AS (
+        |  SELECT o_custkey AS uid,
+        |    CAST(DATE '2023-12-18' + CAST(o_orderkey % 50 AS INTEGER)
+        |         AS TIMESTAMP) AS t,
+        |    o_orderkey AS okey, CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders),
+        |combined AS (
+        |  SELECT * FROM promos
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id FROM events),
+        |marked AS (
+        |  SELECT uid, event_id,
+        |    last_value(okey IGNORE NULLS) OVER (
+        |      PARTITION BY uid
+        |      ORDER BY t ASC, okey ASC NULLS LAST, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_okey
+        |  FROM combined)
+        |SELECT event_id, uid AS user_id, asof_okey AS promo_order_key
+        |FROM marked WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    "dd22_boiler_coverage" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |         ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+        |         ws[i+6] || ' ' || ws[i+7])) AS gram
+        |  FROM ws WHERE len(ws) >= 8),
+        |cat AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 3),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN c.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_boiler
+        |  FROM g LEFT JOIN cat c USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_boiler,
+        |  round(CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+        |    AS coverage
+        |FROM cov WHERE n_boiler > 0
+        |ORDER BY coverage DESC, doc_id ASC LIMIT 25""".stripMargin,
+    "mm9_mime_profile" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+        |         ELSE 'image/png' END AS mime,
+        |    CAST(doc_id % 14 + 3 AS INTEGER) AS width,
+        |    CAST(doc_id % 11 + 3 AS INTEGER) AS height
+        |  FROM documents),
+        |xs AS (SELECT doc_id, mime, width, height,
+        |    unnest(generate_series(0, CAST(width AS BIGINT) - 1)) AS x
+        |  FROM dims),
+        |px AS (SELECT doc_id, mime, width, height, x,
+        |    unnest(generate_series(0, CAST(height AS BIGINT) - 1)) AS y
+        |  FROM xs),
+        |luma AS (
+        |  SELECT doc_id, mime, width, height,
+        |    sum(CASE WHEN doc_id % 3 = 0
+        |        THEN (doc_id * 37 + 11 * (x // 8) + 17 * (y // 8)) % 256
+        |        ELSE (doc_id * 31 + 7 * x + 13 * y) % 256 END) AS ls
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT mime, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
+        |  CAST(sum(ls) AS BIGINT) AS luma_mass
+        |FROM luma GROUP BY mime ORDER BY mime""".stripMargin,
     "j11_asof_native" ->
       """WITH combined AS (
         |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,

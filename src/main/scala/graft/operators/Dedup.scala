@@ -824,6 +824,33 @@ object Dedup {
       .limit(topK)
   }
 
+  // --- DD22: boilerplate COVERAGE — per-document share of 8-gram
+  // occurrences hitting the corpus boilerplate catalog (dd13's
+  // repeated-gram index, filtered to minDocs), the per-doc diagnostic
+  // a scrub policy thresholds on ("this page is 80% chrome"). The
+  // catalog side is the persisted index (tiny, broadcast); the
+  // per-doc side is the one corpus gram pass a coverage report
+  // irreducibly requires — counts ride on 8-byte hashes, strings
+  // never shuffle. ---
+  def boilerplateCoverage(s: SparkSession, d: String, n: Int = 8,
+                          minDocs: Long = 3L, topK: Int = 25): DataFrame = {
+    val winners = graft.sources.TextIndex.repeatedGramIndex(s, d, n)
+      .filter(col("n_docs") >= minDocs)
+      .select(xxhash64(col("gram")).as("gh"), lit(1L).as("hit"))
+    gramStrings(s, d, n)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(broadcast(winners), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_boiler"))
+      .filter(col("n_boiler") > 0)
+      .withColumn("coverage",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+      .orderBy(col("coverage").desc, col("doc_id").asc)
+      .limit(topK)
+      .select("doc_id", "n_grams", "n_boiler", "coverage")
+  }
+
   // --- DD11: normalized ("fuzzy-exact") dedup — casefold, strip
   // punctuation, collapse whitespace, then hash. Catches the
   // boilerplate-variant duplicates exact dedup misses and near-dup

