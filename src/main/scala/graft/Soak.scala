@@ -170,7 +170,10 @@ object Soak {
     "j11_asof_native", "st10_attribution_outer", "dq4_psi_drift",
     // round-8 additions: interleaved mixed-unit as-of, boilerplate
     // coverage probe, per-format decode profile
-    "j12_asof_promo", "dd22_boiler_coverage", "mm9_mime_profile")
+    "j12_asof_promo", "dd22_boiler_coverage", "mm9_mime_profile",
+    // round-8 additions: per-source diversity spectrum, systematic
+    // sampling over the GlobalOrder two-pass (orders are soak-derived)
+    "tx25_lexical_diversity", "sp6_systematic")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

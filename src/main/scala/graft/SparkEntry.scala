@@ -317,6 +317,10 @@ object SparkEntry {
     "j12_asof_promo"     -> ((s, d) => Relational.asofPromo(s, d)),
     "dd22_boiler_coverage" -> ((s, d) => Dedup.boilerplateCoverage(s, d)),
     "mm9_mime_profile"   -> ((s, d) => Multimodal.mimeProfile(s, d)),
+    // round-8 pack: systematic sampling over the GlobalOrder two-pass,
+    // per-source lexical-diversity concentration statistics
+    "sp6_systematic"     -> ((s, d) => Sampling.systematic(s, d)),
+    "tx25_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -489,6 +493,9 @@ object SparkEntry {
         |  CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS sum_pixels,
         |  CAST(sum(ls) AS BIGINT) AS luma_mass
         |FROM luma GROUP BY mime ORDER BY mime""".stripMargin,
+    "sp6_systematic" -> operators.Sampling.systematicOracleSql(),
+    "tx25_lexical_diversity" ->
+      operators.TextAnalysis.lexicalDiversityOracleSql(),
     "j11_asof_native" ->
       """WITH combined AS (
         |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,

@@ -136,4 +136,35 @@ object Sampling {
         sum(col("w") * col("cents")).as("boot_cents"))
       .orderBy("rep")
   }
+
+  // --- SP6: systematic (every k-th) sampling along a total order —
+  // the survey-sampling design that spreads an exact 1/step rate
+  // evenly over the sort dimension (hash sampling is uniform but
+  // clumps; systematic guarantees one pick per stride, the usual ask
+  // for ordered spot-audits and time-spread eval slices). The global
+  // rank comes from GlobalOrder's range-partition + offset-table
+  // two-pass — no single-task window at any scale — and the keep
+  // decision is then a pure per-row modulus, so the whole sampler is
+  // one range shuffle regardless of corpus size. Replayable: the rank
+  // is a function of the snapshot alone, so a re-run reselects the
+  // identical rows (rand()-offset variants can't be oracle-checked).
+  // ---
+  def systematic(s: SparkSession, d: String, step: Int = 97): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      Benchmark2.priceCents(col("o_totalprice")).as("cents"))
+    GlobalOrder.withRowNumber(o, "rn", col("o_orderkey").asc)
+      .filter(pmod(col("rn") - 1, lit(step.toLong)) === 0)
+      .select("rn", "o_orderkey", "o_orderstatus", "cents")
+      .orderBy("rn")
+  }
+
+  def systematicOracleSql(step: Int = 97): String =
+    s"""WITH r AS (
+       |  SELECT o_orderkey, o_orderstatus,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       |    row_number() OVER (ORDER BY o_orderkey) AS rn
+       |  FROM orders)
+       |SELECT rn, o_orderkey, o_orderstatus, cents
+       |FROM r WHERE (rn - 1) % $step = 0 ORDER BY rn""".stripMargin
 }

@@ -857,4 +857,60 @@ object TextAnalysis {
       .select(col("token"), col("oa"), col("ob"), col("dcross"),
         round(col("chi2"), 6).as("chi2"))
   }
+
+  // --- TX25: lexical-diversity profile per source — Simpson repeat
+  // rate Σnᵢ(nᵢ−1)/(N(N−1)) and Yule's K = 10⁴·(Σnᵢ²−N)/N² over the
+  // per-source token-frequency spectrum. These are the concentration
+  // statistics a corpus-mix report uses to spot template-y or
+  // low-entropy sources before training (high repeat rate = few token
+  // types dominate); unlike per-doc TTR (tx1/tx4's diversity input)
+  // they measure the SOURCE distribution, and unlike entropy they stay
+  // in exact integer arithmetic until one final IEEE division — sums
+  // of nᵢ² are order-independent longs (< 2⁵³ through sf10-scale
+  // sources), so the oracle is bit-stable where Σp·ln(p) would be
+  // libm-dependent. Shape: explode → (source, token) hash agg with
+  // map-side combine → per-source rollup over ≤|vocab| rows; the one
+  // data-scale shuffle carries (token, partial count), never raw text.
+  // ---
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("n"))
+    tf.groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("n") * (col("n") - 1)).as("rep"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("rep").cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6)
+          .as("simpson"),
+        round(lit(10000.0) * (col("sq") - col("n_tokens")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 4)
+          .as("yule_k"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[lexicalDiversity]] — same frequency spectrum and
+    * integer sums, one division per statistic.
+    */
+  def lexicalDiversityOracleSql(): String =
+    """WITH tf AS (
+      |  SELECT source, t, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(n * (n - 1)) AS BIGINT) AS rep,
+      |    CAST(sum(n * n) AS BIGINT) AS sq
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |  round(CAST(rep AS DOUBLE)
+      |    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) AS simpson,
+      |  round(10000.0 * CAST(sq - n_tokens AS DOUBLE)
+      |    / CAST(n_tokens * n_tokens AS DOUBLE), 4) AS yule_k
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -481,6 +481,54 @@ class Pack10Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("sp6: systematic sample is exactly every 97th key in global order") {
+    val rows = graft.operators.Sampling.systematic(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(rows.length == ((n - 1) / 97 + 1).toInt,
+      "exact 1/step rate: one pick per stride")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i.toLong * 97 + 1, s"rank stride broken at $i")
+    }
+    // replay the selection exactly: rank = position in the sorted keys
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted
+    val expect = keys.indices.collect { case i if i % 97 == 0 => keys(i) }
+    assert(rows.map(_.getLong(1)).toSeq == expect.toSeq,
+      "sampled keys must be the every-97th elements of the total order")
+  }
+
+  test("tx25: spectrum statistics match a local replay; shares bounded") {
+    val rows = graft.operators.TextAnalysis.lexicalDiversity(spark, sf)
+      .collect()
+    val srcs = rows.map(_.getString(0)).toSeq
+    assert(srcs == srcs.sorted && srcs.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0,
+        s"simpson out of (0,1]: $r")
+      assert(r.getDouble(4) > 0.0, s"yule_k must be positive: $r")
+    }
+    // exact replay for one source from the raw text
+    val src = srcs.head
+    val freq = Tables.documents(spark, sf).filter(col("source") === src)
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .foldLeft(Map.empty[String, Long]) { (m, t) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+    val bigN = freq.values.sum
+    val rep = freq.values.map(v => v * (v - 1)).sum
+    val sq = freq.values.map(v => v * v).sum
+    val row = rows.find(_.getString(0) == src).get
+    assert(row.getLong(1) == bigN && row.getLong(2) == freq.size)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) == r6(rep.toDouble / (bigN * (bigN - 1)).toDouble))
+    assert(row.getDouble(4) ==
+      r4(10000.0 * (sq - bigN).toDouble / (bigN * bigN).toDouble))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
