@@ -172,8 +172,10 @@ object Soak {
     // coverage probe, per-format decode profile
     "j12_asof_promo", "dd22_boiler_coverage", "mm9_mime_profile",
     // round-8 additions: per-source diversity spectrum, systematic
-    // sampling over the GlobalOrder two-pass (orders are soak-derived)
-    "tx25_lexical_diversity", "sp6_systematic")
+    // sampling over the GlobalOrder two-pass (orders are soak-derived),
+    // the forward/nearest directions of the native as-of merge
+    "tx25_lexical_diversity", "sp6_systematic",
+    "j13_asof_forward", "j14_asof_nearest")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

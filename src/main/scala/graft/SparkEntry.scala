@@ -321,6 +321,8 @@ object SparkEntry {
     // per-source lexical-diversity concentration statistics
     "sp6_systematic"     -> ((s, d) => Sampling.systematic(s, d)),
     "tx25_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
+    "j13_asof_forward"   -> ((s, d) => Relational.asofForward(s, d)),
+    "j14_asof_nearest"   -> ((s, d) => Relational.asofNearest(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -496,6 +498,74 @@ object SparkEntry {
     "sp6_systematic" -> operators.Sampling.systematicOracleSql(),
     "tx25_lexical_diversity" ->
       operators.TextAnalysis.lexicalDiversityOracleSql(),
+    // j13: forward replay — the union form mirrored: events sort
+    // BEFORE promos at the same instant so an equal-t promo falls in
+    // the event's FOLLOWING frame (at-or-after includes the tie), and
+    // first_value picks the min okey, the first row in right sort
+    // order — exactly the exec's merge lookahead.
+    "j13_asof_forward" ->
+      """WITH promos AS (
+        |  SELECT o_custkey AS uid,
+        |    CAST(DATE '2023-12-18' + CAST(o_orderkey % 50 AS INTEGER)
+        |         AS TIMESTAMP) AS t,
+        |    o_orderkey AS okey, CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders),
+        |combined AS (
+        |  SELECT * FROM promos
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id FROM events),
+        |marked AS (
+        |  SELECT uid, event_id,
+        |    first_value(okey IGNORE NULLS) OVER (
+        |      PARTITION BY uid
+        |      ORDER BY t ASC, event_id ASC NULLS LAST, okey ASC NULLS LAST
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_okey
+        |  FROM combined)
+        |SELECT event_id, uid AS user_id, next_okey AS next_promo_key
+        |FROM marked WHERE event_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    // j14: nearest replay — BOTH one-sided passes (j12's backward
+    // ordering, j13's forward ordering), joined per event, then the
+    // exec's distance rule re-applied in epoch micros with equal
+    // distances resolving to the backward row. Distance 0 lands on the
+    // backward side in both formulations (the ≤), so an equal-t promo
+    // picks the same max-okey row either way.
+    "j14_asof_nearest" ->
+      """WITH promos AS (
+        |  SELECT o_custkey AS uid,
+        |    CAST(DATE '2023-12-18' + CAST(o_orderkey % 50 AS INTEGER)
+        |         AS TIMESTAMP) AS t,
+        |    o_orderkey AS okey, CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders),
+        |combined AS (
+        |  SELECT * FROM promos
+        |  UNION ALL
+        |  SELECT user_id, ts, CAST(NULL AS BIGINT), event_id FROM events),
+        |b AS (
+        |  SELECT uid, event_id, t,
+        |    last_value(okey IGNORE NULLS) OVER w AS prev_okey,
+        |    last_value(CASE WHEN okey IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER w AS prev_t
+        |  FROM combined
+        |  WINDOW w AS (PARTITION BY uid
+        |    ORDER BY t ASC, okey ASC NULLS LAST, event_id ASC NULLS LAST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_id,
+        |    first_value(okey IGNORE NULLS) OVER w2 AS next_okey,
+        |    first_value(CASE WHEN okey IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER w2 AS next_t
+        |  FROM combined
+        |  WINDOW w2 AS (PARTITION BY uid
+        |    ORDER BY t ASC, event_id ASC NULLS LAST, okey ASC NULLS LAST
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT b.event_id, b.uid AS user_id,
+        |  CASE WHEN prev_okey IS NULL THEN next_okey
+        |       WHEN next_okey IS NULL THEN prev_okey
+        |       WHEN epoch_us(b.t) - epoch_us(prev_t)
+        |            <= epoch_us(next_t) - epoch_us(b.t)
+        |         THEN prev_okey ELSE next_okey END AS near_promo_key
+        |FROM b JOIN f USING (event_id)
+        |WHERE b.event_id IS NOT NULL ORDER BY b.event_id""".stripMargin,
     "j11_asof_native" ->
       """WITH combined AS (
         |  SELECT o_custkey AS uid, o_orderdate AS t, o_orderkey AS okey,

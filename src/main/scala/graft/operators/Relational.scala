@@ -258,16 +258,63 @@ object Relational {
     graft.plans.GraftExtensions.register(s)
     val events = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), col("ts"))
-    val promos = Tables.orders(s, d).select(
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        promoCalendar(s, d), "o_custkey", "promo_date", "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("promo_order_key"))
+      .orderBy("event_id")
+  }
+
+  /** j12's promotion calendar (DateType, 2023-12-18 + okey mod 50 —
+    * straddles the January-2024 event stream), shared by the three
+    * as-of directions so their results are comparable per event.
+    */
+  private def promoCalendar(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
       col("o_custkey"),
       date_add(to_date(lit("2023-12-18")),
         (col("o_orderkey") % 50).cast("int")).as("promo_date"),
       col("o_orderkey"))
+
+  // --- J13: FORWARD as-of — each event matched to the user's EARLIEST
+  // promotion at-or-after it ("which offer lands next?", the
+  // conversion-attribution mirror image of j11's backward rule). Same
+  // native one-pass merge, direction flipped: the match is the merge
+  // LOOKAHEAD itself, so forward carries zero held state. Min-okey
+  // breaks date ties (the first row in right sort order). Both outer
+  // branches fire at corpus scale: events after their user's last
+  // promotion get nulls. ---
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
     graft.plans.AsOfJoin.asof(
         events, "user_id", "ts",
-        promos, "o_custkey", "promo_date", "o_orderkey")
+        promoCalendar(s, d), "o_custkey", "promo_date", "o_orderkey",
+        direction = "forward")
       .select(col("event_id"), col("user_id"),
-        col("o_orderkey").as("promo_order_key"))
+        col("o_orderkey").as("next_promo_key"))
+      .orderBy("event_id")
+  }
+
+  // --- J14: NEAREST as-of — each event matched to the promotion
+  // CLOSEST in time, either side ("which offer was this user acting
+  // on?"). The merge holds the backward candidate and compares it
+  // with the forward lookahead in internal micros; equal distances
+  // resolve to the backward row (pandas merge_asof convention). The
+  // oracle replays both one-sided passes in SQL and re-applies the
+  // same distance rule — a genuinely independent formulation. ---
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        promoCalendar(s, d), "o_custkey", "promo_date", "o_orderkey",
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("near_promo_key"))
       .orderBy("event_id")
   }
 

@@ -12,12 +12,16 @@ import org.apache.spark.sql.graftbridge.Bridge
 /** Native AS-OF JOIN — the full rung-(c) ladder of SURVEY.md §4.2:
   * a custom `LogicalPlan` node, a `SparkStrategy` planning it, and a
   * `SparkPlan` executing it, registered through
-  * `SparkSessionExtensions`. Semantics (backward as-of, LEFT OUTER):
-  * each left row pairs with the single right row sharing its key
-  * whose time is the LATEST at-or-before the left row's time —
-  * deterministic under time ties via an explicit right-side
-  * tie-break column (max tie wins, matching j6's composed form) —
-  * or all-null right columns when no right row qualifies.
+  * `SparkSessionExtensions`. Semantics (LEFT OUTER, three directions
+  * — pandas merge_asof parity): each left row pairs with the single
+  * right row sharing its key whose time is the LATEST at-or-before
+  * (`backward`, default; max-tie wins, matching j6's composed form),
+  * the EARLIEST at-or-after (`forward`; min-tie wins), or whichever
+  * of those two is closer (`nearest`; equal distances resolve to the
+  * backward row) — or all-null right columns when no right row
+  * qualifies. All three run the same one-pass merge: backward holds
+  * one consumed row, forward IS the merge lookahead, nearest compares
+  * the two.
   *
   * Why a physical operator when j6's union + ignore-nulls-window
   * composition already scales: the composition materializes the
@@ -36,7 +40,8 @@ import org.apache.spark.sql.graftbridge.Bridge
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTie: Expression) extends BinaryNode {
+                        rightTie: Expression,
+                        direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -46,8 +51,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, dir) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +60,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTie: Expression) extends BinaryExecNode {
+                        rightTie: Expression,
+                        direction: String) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -115,11 +121,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
       advanceRight()
+      // direction hoisted to an int switch outside the row loop:
+      // 0 = backward, 1 = forward, 2 = nearest
+      val dir = direction match {
+        case "backward" => 0
+        case "forward" => 1
+        case "nearest" => 2
+        case other => throw new IllegalStateException(
+          s"unknown as-of direction '$other'")
+      }
       // the held candidate: the latest right row consumed so far whose
       // key matches the current left key (copied — iterator rows are
-      // reused buffers)
+      // reused buffers). Forward never looks back, so it skips the
+      // copies; nearest also records the candidate's time for the
+      // distance compare.
       var best: InternalRow = null
       var bestKey = 0L
+      var bestTime = 0L
       lIter.map { l =>
         val lk = lkB.eval(l)
         val lt = ltB.eval(l)
@@ -129,11 +147,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val k = asLong(lk)
           val t = asLong(lt)
           if (best != null && bestKey != k) best = null
-          while (haveR && (rKey < k || (rKey == k && rTime <= t))) {
-            if (rKey == k) { best = rRow.copy(); bestKey = k }
+          // drain right rows that can never serve this (or any later —
+          // left times ascend) left row as a forward candidate; each
+          // consumed same-key row becomes the running backward
+          // candidate. Forward keeps an == t row in the lookahead
+          // (at-or-after includes the tie); backward/nearest consume
+          // it (at-or-before / distance zero).
+          while (haveR && (rKey < k ||
+              (rKey == k && (if (dir == 1) rTime < t else rTime <= t)))) {
+            if (rKey == k && dir != 1) {
+              best = rRow.copy(); bestKey = k; bestTime = rTime
+            }
             advanceRight()
           }
-          toUnsafe(joined(l, if (best != null) best else nullRight))
+          // the lookahead is the FIRST same-key row strictly after t
+          // (at-or-after t for forward) — in right sort order, so the
+          // min (time, tie) among qualifying rows
+          val fwdOk = haveR && rKey == k
+          val m = dir match {
+            case 0 => best
+            case 1 => if (fwdOk) rRow else null
+            case _ => // nearest: closer side wins, distance ties to the
+              // backward row (pandas merge_asof convention)
+              if (best != null && (!fwdOk || t - bestTime <= rTime - t)) best
+              else if (fwdOk) rRow
+              else best
+          }
+          toUnsafe(joined(l, if (m != null) m else nullRight))
         }
       }
     }
@@ -155,16 +195,25 @@ object AsOfJoin {
   private def timeOk(t: DataType): Boolean =
     isTemporal(t) || Integral.contains(t.simpleString)
 
-  /** DataFrame API: backward as-of join of `left` to `right` on
-    * integral key columns, times compared at-or-before, ties on the
-    * right broken by `rightTie` (max wins). Columns are resolved
-    * against each side's ANALYZED plan, so the node enters the
-    * optimizer fully resolved (no dependence on analyzer behavior for
-    * foreign nodes).
+  /** DataFrame API: as-of join of `left` to `right` on integral key
+    * columns. `direction` selects the match rule (pandas merge_asof's
+    * three modes, one shared merge pass):
+    *  - `"backward"` (default): the LATEST right row at-or-before the
+    *    left time; right ties broken by max `rightTie`.
+    *  - `"forward"`: the EARLIEST right row at-or-after the left time;
+    *    ties broken by min `rightTie` (the first row in right sort
+    *    order — no extra state, the merge lookahead IS the match).
+    *  - `"nearest"`: whichever of those two is closer in time, equal
+    *    distances resolving to the backward row.
+    * Columns are resolved against each side's ANALYZED plan, so the
+    * node enters the optimizer fully resolved (no dependence on
+    * analyzer behavior for foreign nodes).
     */
   def asof(leftDf: DataFrame, leftKey: String, leftTime: String,
            rightDf: DataFrame, rightKey: String, rightTime: String,
-           rightTie: String): DataFrame = {
+           rightTie: String, direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"as-of direction must be backward|forward|nearest, got '$direction'")
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
@@ -204,6 +253,6 @@ object AsOfJoin {
       }
     val (ltU, rtU) = (lift(lt, rt.dataType), lift(rt, lt.dataType))
     Bridge.dataFrame(leftDf.sparkSession,
-      AsOfJoinPlan(lp, rp, lk, rk, ltU, rtU, tie))
+      AsOfJoinPlan(lp, rp, lk, rk, ltU, rtU, tie, direction))
   }
 }

@@ -96,6 +96,83 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("forward: earliest at-or-after wins, min tie on equal times, past excluded") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 12L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 11L, 77L), (1L, 8L, 3L),
+      (2L, 4L, 1L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "forward")
+      .select(col("lid"), col("tie")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // lid 100 (t=10): at-or-after includes the t=10 rows — MIN tie
+    // wins forward (first in right sort order); t=8 is the past
+    assert(out(100L) == 5L, s"forward tie policy broke: $out")
+    // lid 101 (t=12): nothing at-or-after -> null (left outer)
+    assert(out(101L) == -1L)
+    // lid 102 (t=5): the only key-2 row is in the past -> null
+    assert(out(102L) == -1L)
+  }
+
+  test("nearest: closer side wins, equal distances resolve backward") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 33L, 102L),
+      (2L, 7L, 103L), (3L, 1L, 104L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 7L, 1L), (1L, 12L, 2L), (1L, 26L, 3L), (1L, 30L, 4L),
+      (2L, 9L, 5L)).toDF("rk", "rt", "tie")
+    val out = AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "nearest")
+      .select(col("lid"), col("tie")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // lid 100 (t=10): back 7 (d=3) vs fwd 12 (d=2) -> forward
+    assert(out(100L) == 2L, s"nearest chose wrong side: $out")
+    // lid 101 (t=20): back 12 (d=8) vs fwd 26 (d=6) -> forward
+    assert(out(101L) == 3L)
+    // lid 102 (t=33): back 30 (d=3), no forward -> backward
+    assert(out(102L) == 4L)
+    // lid 103 (t=7): only a future row (d=2) -> forward
+    assert(out(103L) == 5L)
+    // lid 104: key 3 has no right rows at all -> null
+    assert(out(104L) == -1L)
+    // equal distances resolve to the BACKWARD row
+    val l2 = Seq((1L, 10L, 200L)).toDF("k", "t", "lid")
+    val r2 = Seq((1L, 8L, 1L), (1L, 12L, 2L)).toDF("rk", "rt", "tie")
+    val tie = AsOfJoin.asof(l2, "k", "t", r2, "rk", "rt", "tie", "nearest")
+      .select(col("tie")).collect().head.getLong(0)
+    assert(tie == 1L, "equal distance must resolve backward")
+  }
+
+  test("nearest with equal-t right rows: distance zero wins as the backward max-tie") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 11L, 77L))
+      .toDF("rk", "rt", "tie")
+    val out = AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "nearest")
+      .select(col("tie")).collect().head.getLong(0)
+    // the == t rows are the backward candidate (distance 0); max tie
+    // wins among them, beating the strictly-future row
+    assert(out == 9L)
+  }
+
+  test("forward directions share the mixed-unit lift and reject bad directions") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-06-15 12:00:00", 100L))
+      .toDF("k", "ts", "lid")
+      .select(col("k"), col("ts").cast("timestamp").as("t"), col("lid"))
+    val r = Seq((1L, "2024-06-10", 7L), (1L, "2024-12-25", 9L))
+      .toDF("rk", "d", "tie")
+      .select(col("rk"), col("d").cast("date").as("rt"), col("tie"))
+    // forward must pick the FUTURE date — compared raw (days vs
+    // micros) every date would sort into the past and yield null
+    val out = AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "forward")
+      .select(col("tie")).collect().head.getLong(0)
+    assert(out == 9L, "date lift must hold for forward matches")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "sideways")
+    }
+  }
+
   test("type contract is enforced at the API boundary") {
     import spark.implicits._
     val l = Seq(("a", 1L, 1L)).toDF("k", "t", "lid")

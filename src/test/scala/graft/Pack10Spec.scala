@@ -481,6 +481,35 @@ class Pack10Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(2) > 0 && r.getLong(3) > 0))
   }
 
+  test("j13/j14: forward matches never predate; nearest is at least as close as either side") {
+    import org.apache.spark.sql.functions.{abs => cabs, coalesce, date_add, lit, to_date, unix_micros}
+    def promoTs(keyCol: org.apache.spark.sql.Column) =
+      date_add(to_date(lit("2023-12-18")), (keyCol % 50).cast("int"))
+        .cast("timestamp")
+    val ev = Tables.events(spark, sf)
+    val fwd = graft.operators.Relational.asofForward(spark, sf)
+    val lateF = fwd.join(ev, Seq("event_id"))
+      .filter(col("next_promo_key").isNotNull)
+      .filter(promoTs(col("next_promo_key")) < col("ts"))
+    assert(lateF.count() == 0, "a forward match predates its event")
+    // nearest must be no farther than the one-sided matches
+    val near = graft.operators.Relational.asofNearest(spark, sf)
+      .withColumnRenamed("near_promo_key", "nk")
+    val back = graft.operators.Relational.asofPromo(spark, sf)
+      .withColumnRenamed("promo_order_key", "bk").select("event_id", "bk")
+    val huge = lit(Long.MaxValue)
+    val joinedAll = near.join(fwd.select("event_id", "next_promo_key"), Seq("event_id"))
+      .join(back, Seq("event_id")).join(ev, Seq("event_id"))
+      .withColumn("dn", coalesce(cabs(unix_micros(promoTs(col("nk")))
+        - unix_micros(col("ts"))), huge))
+      .withColumn("df_", coalesce(cabs(unix_micros(promoTs(col("next_promo_key")))
+        - unix_micros(col("ts"))), huge))
+      .withColumn("db", coalesce(cabs(unix_micros(promoTs(col("bk")))
+        - unix_micros(col("ts"))), huge))
+    assert(joinedAll.filter(col("dn") > col("df_") || col("dn") > col("db"))
+      .count() == 0, "nearest must dominate both one-sided matches")
+  }
+
   test("sp6: systematic sample is exactly every 97th key in global order") {
     val rows = graft.operators.Sampling.systematic(spark, sf).collect()
     val n = Tables.orders(spark, sf).count()
