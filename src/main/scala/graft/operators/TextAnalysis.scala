@@ -872,11 +872,24 @@ object TextAnalysis {
   // map-side combine → per-source rollup over ≤|vocab| rows; the one
   // data-scale shuffle carries (token, partial count), never raw text.
   // ---
-  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("source"), explode(Text.tokens(col("text"))).as("t"))
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    diversityFromSpectrum(tokenSpectrum(
+      Tables.documents(s, d).select("source", "text")))
+
+  /** The (source, t, n) token-frequency spectrum — tx25's additive
+    * state, shared with the streaming twin (per-batch spectrum deltas
+    * over disjoint docs merge by summing n per (source, t)).
+    */
+  private[graft] def tokenSpectrum(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(Text.tokens(col("text"))).as("t"))
       .groupBy("source", "t")
       .agg(count(lit(1)).as("n"))
+
+  /** The statistics tail over a merged spectrum — one definition for
+    * the batch query and the stream read side, so the two can never
+    * disagree on the formulas.
+    */
+  private[graft] def diversityFromSpectrum(tf: DataFrame): DataFrame =
     tf.groupBy("source")
       .agg(sum(col("n")).as("n_tokens"),
         count(lit(1)).as("vocab"),
@@ -890,7 +903,6 @@ object TextAnalysis {
           / (col("n_tokens") * col("n_tokens")).cast("double"), 4)
           .as("yule_k"))
       .orderBy("source")
-  }
 
   /** Oracle twin of [[lexicalDiversity]] — same frequency spectrum and
     * integer sums, one division per statistic.

@@ -998,6 +998,65 @@ object Streams {
         .agg(sum(col("n_a")).as("n_a"), sum(col("hsum_a")).as("hsum_a"),
           sum(col("n_b")).as("n_b"), sum(col("hsum_b")).as("hsum_b")))
 
+  /** Streaming maintenance of tx25's token-frequency spectrum — the
+    * lexical-diversity monitor kept current as documents arrive. The
+    * diversity statistics are NOT additive (Σn(n−1) over merged
+    * counts ≠ its sum over deltas), but the spectrum underneath them
+    * IS: disjoint-doc batches contribute disjoint token counts that
+    * merge by summation per (source, token). So each batch publishes
+    * the spectrum delta of its newly-admitted docs; the read side
+    * sums the deltas into the merged spectrum and applies the batch
+    * query's own statistics tail
+    * ([[graft.operators.TextAnalysis.diversityFromSpectrum]]), so
+    * stream and batch can never disagree on the formulas. Admission
+    * dedups on doc_id against prior deltas excluding this batch's own
+    * (the checkpoint-replay rule shared by every twin here).
+    */
+  def spectrumMaintainStream(incoming: DataFrame, workDir: String,
+                             checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        spectrumMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def spectrumMaintainBatch(batchDf: DataFrame,
+                                           batchId: Long,
+                                           workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "sdocs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select("doc_id", "source", "text")
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/sdocs/b$batchId")
+    graft.operators.TextAnalysis.tokenSpectrum(
+        fresh.select("source", "text"))
+      .write.mode("overwrite").parquet(s"$workDir/spectrum/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the disjoint spectrum deltas into the merged
+    * (source, token) counts, then the batch statistics tail —
+    * stream-maintained lexical diversity equals the batch
+    * `tx25_lexical_diversity` answer under any wave/redelivery
+    * schedule (StreamingSpec equivalence).
+    */
+  def readLexicalDiversity(s: org.apache.spark.sql.SparkSession,
+                           workDir: String): DataFrame =
+    graft.operators.TextAnalysis.diversityFromSpectrum(
+      s.read.parquet(deltaDirs(workDir, "spectrum"): _*)
+        .groupBy("source", "t")
+        .agg(sum(col("n")).as("n")))
+
   /** Read side: docs-per-chunk counts across the disjoint pair deltas
     * (count(*) == countDistinct because the deltas are disjoint and
     * each batch dedups within itself), thresholded into the ban list,

@@ -645,6 +645,43 @@ class StreamingSpec extends SparkTestBase {
       "stream-maintained anomalies must equal the batch w16 answer")
   }
 
+  test("equivalence: streaming spectrum maintenance == batch tx25 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    // shuffled arrival: a (source, token) count accumulates across
+    // waves in any order — only the summed spectrum matters
+    val shuffled = new scala.util.Random(29).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val root = java.nio.file.Files.createTempDirectory("tx25stream").toString
+    val q = Streams.spectrumMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("source"),
+        col("_3").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: spectrum deltas are
+    // additive, so a double-counted doc would shift n_tokens AND the
+    // squared sums — admission must drop every redelivered doc
+    try (waves :+ waves.head.take(17)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.spectrumMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "source", "text"),
+      0L, root)
+    assert(rowSet(Streams.readLexicalDiversity(spark, root)) ==
+      rowSet(graft.operators.TextAnalysis.lexicalDiversity(spark, sf)),
+      "stream-maintained diversity must equal the batch tx25 answer")
+    // the admission deltas must be disjoint on the doc key
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/sdocs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
   test("equivalence: streaming activity index == batch st5/st6 (shuffled waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
