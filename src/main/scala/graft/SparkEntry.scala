@@ -323,6 +323,7 @@ object SparkEntry {
     "tx25_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "j13_asof_forward"   -> ((s, d) => Relational.asofForward(s, d)),
     "j14_asof_nearest"   -> ((s, d) => Relational.asofNearest(s, d)),
+    "tx26_perplexity"    -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -498,6 +499,8 @@ object SparkEntry {
     "sp6_systematic" -> operators.Sampling.systematicOracleSql(),
     "tx25_lexical_diversity" ->
       operators.TextAnalysis.lexicalDiversityOracleSql(),
+    "tx26_perplexity" ->
+      operators.TextAnalysis.perplexityScoreOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

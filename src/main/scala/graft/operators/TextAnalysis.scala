@@ -904,6 +904,74 @@ object TextAnalysis {
           .as("yule_k"))
       .orderBy("source")
 
+  // --- TX26: per-document SELF-PERPLEXITY under the corpus trigram
+  // LM — mean_nll = Σ (ln n_ctx − ln n_tri) / N over the doc's word
+  // trigrams, i.e. the negative mean log of tx15's conditional
+  // P(t3|t1,t2). THE canonical LLM-pipeline quality filter (drop
+  // high-perplexity noise, flag low-perplexity boilerplate); tx16 is
+  // its integer-ratio cousin, this is the real log form. No smoothing
+  // term: the LM is trained on the corpus being scored, so every doc
+  // trigram has n_tri ≥ 1 by construction. Numerics, deliberately:
+  // the per-doc sum of ~10²–10³ ln terms carries ≲1e-13 absolute
+  // error from libm's 1-ulp ln and engine-dependent summation order —
+  // rounding mean_nll to 4dp leaves a 5e-5 half-width boundary, nine
+  // orders above the jitter, so the oracle hash is stable where a
+  // 6dp sort key on raw ln sums would not be (tx13's lift-not-PMI
+  // rationale, applied in reverse). Shape: one trigram explode
+  // projected to (doc_id, source, gh, ch) HASHES — strings never
+  // shuffle — two hash aggs with map-side combine for the counts,
+  // count joins left to AQE (the trigram-type relation grows with
+  // vocab, not corpus, but hard-broadcasting a grow-with-data side
+  // would be the 100 TB smell), and one per-doc rollup. ---
+  def perplexityScore(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), size(ws) - lit(2))).as("i"), ws)
+      .select(col("doc_id"), col("source"),
+        xxhash64(element_at(ws, col("i")), element_at(ws, col("i") + 1),
+          element_at(ws, col("i") + 2)).as("gh"),
+        xxhash64(element_at(ws, col("i")), element_at(ws, col("i") + 1))
+          .as("ch"))
+    val triCnt = base.groupBy("gh", "ch").agg(count(lit(1)).as("n_tri"))
+    val ctxCnt = triCnt.groupBy("ch").agg(sum(col("n_tri")).as("n_ctx"))
+    base.join(triCnt, Seq("gh", "ch")).join(ctxCnt, Seq("ch"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tri_doc"),
+        sum(log(col("n_ctx").cast("double"))
+          - log(col("n_tri").cast("double"))).as("nll"))
+      .select(col("doc_id"), col("source"), col("n_tri_doc"),
+        round(col("nll") / col("n_tri_doc").cast("double"), 4).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[perplexityScore]] — DuckDB counts the trigrams
+    * by their strings (no xxhash64 there; equal counts unless a
+    * 64-bit gram-hash collision, the dd-family's standing trade) and
+    * replays the same ln sum and 4dp rounding.
+    */
+  def perplexityScoreOracleSql(): String =
+    """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |            FROM documents),
+      |tri AS (
+      |  SELECT doc_id, source,
+      |    ws[i] AS t1, ws[i + 1] AS t2, ws[i + 2] AS t3
+      |  FROM (SELECT doc_id, source, ws,
+      |          unnest(range(1, len(ws) - 1)) AS i
+      |        FROM ws WHERE len(ws) >= 3)),
+      |tc AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_tri
+      |       FROM tri GROUP BY 1, 2, 3),
+      |cc AS (SELECT t1, t2, CAST(sum(n_tri) AS BIGINT) AS n_ctx
+      |       FROM tc GROUP BY 1, 2)
+      |SELECT tri.doc_id, tri.source,
+      |  CAST(count(*) AS BIGINT) AS n_tri_doc,
+      |  round(sum(ln(CAST(n_ctx AS DOUBLE)) - ln(CAST(n_tri AS DOUBLE)))
+      |    / count(*), 4) AS mean_nll
+      |FROM tri JOIN tc USING (t1, t2, t3) JOIN cc USING (t1, t2)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
   /** Oracle twin of [[lexicalDiversity]] — same frequency spectrum and
     * integer sums, one division per statistic.
     */

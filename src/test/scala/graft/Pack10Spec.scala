@@ -558,6 +558,36 @@ class Pack10Spec extends SparkTestBase {
       r4(10000.0 * (sq - bigN).toDouble / (bigN * bigN).toDouble))
   }
 
+  test("tx26: per-doc NLL matches a local replay; non-negative everywhere") {
+    val rows = graft.operators.TextAnalysis.perplexityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0,
+      s"n_ctx >= n_tri makes every term non-negative: $r"))
+    // full local replay of the LM and the scoring chain
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val tris = docs.flatMap { case (id, tx) =>
+      val ws = tx.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else (0 to ws.length - 3).map(i => (id, (ws(i), ws(i + 1), ws(i + 2))))
+    }
+    val triCnt = tris.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val ctxCnt = triCnt.toSeq.groupBy { case ((a, b, _), _) => (a, b) }
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val byDoc = tris.groupBy(_._1)
+    rows.take(5).foreach { r =>
+      val terms = byDoc(r.getLong(0)).map { case (_, t) =>
+        math.log(ctxCnt((t._1, t._2)).toDouble) - math.log(triCnt(t).toDouble)
+      }
+      assert(r.getLong(2) == terms.size, s"trigram count off for $r")
+      // local summation order differs from Spark's partial aggs; agree
+      // within the 4dp rounding half-width
+      assert(math.abs(r.getDouble(3) - terms.sum / terms.size) <= 5.1e-5,
+        s"NLL replay off for $r")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
