@@ -324,6 +324,8 @@ object SparkEntry {
     "j13_asof_forward"   -> ((s, d) => Relational.asofForward(s, d)),
     "j14_asof_nearest"   -> ((s, d) => Relational.asofNearest(s, d)),
     "tx26_perplexity"    -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
+    "a48_cuped"          -> ((s, d) => Analytics.cupedAbTest(s, d)),
+    "dp22_cluster_balance" -> ((s, d) => DataPrep.clusterBalancedSample(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -501,6 +503,9 @@ object SparkEntry {
       operators.TextAnalysis.lexicalDiversityOracleSql(),
     "tx26_perplexity" ->
       operators.TextAnalysis.perplexityScoreOracleSql(),
+    "a48_cuped" -> operators.Analytics.cupedAbTestOracleSql(),
+    "dp22_cluster_balance" ->
+      operators.DataPrep.clusterBalancedSampleOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

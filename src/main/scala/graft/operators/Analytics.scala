@@ -1540,6 +1540,82 @@ object Analytics {
       |    > 1.96 AS significant_5pct
       |FROM c""".stripMargin
 
+  // --- A48: CUPED-adjusted A/B readout (Deng et al., WSDM'13) — the
+  // industry-standard variance-reduction companion to a46's z-test.
+  // Per user: x = pre-period spend (days 1–15), y = post-period spend
+  // (days 16+); θ = pooled cov(x,y)/var(x) fitted once across ALL
+  // users (the standard pooled estimator — fitting per-arm would bias
+  // the contrast); adjusted metric y′ = y − θ(x − x̄). Reported per
+  // variant: n, mean(y), mean(y′), and the variance reduction
+  // 1 − var(y′)/var(y) that tells the experimenter how much extra
+  // power CUPED bought. Moments are explicit Σ/Σxy sums (population
+  // form) so Spark and DuckDB execute the same arithmetic — engine
+  // var_pop implementations (Welford vs raw) would differ in low
+  // bits for no gain. Shape: one events scan → per-user hash-agg →
+  // one scalar broadcast (θ, x̄ — two doubles) → per-variant hash-agg;
+  // at 100 TB it is two map-side-combined aggregations and a
+  // two-double broadcast, nothing else. ---
+  def cupedAbTest(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(dayofmonth(col("ts")) <= 15, col("value"))
+          .otherwise(lit(0.0))).as("x"),
+        sum(when(dayofmonth(col("ts")) > 15, col("value"))
+          .otherwise(lit(0.0))).as("y"))
+    val m = perUser
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (col("sx") / col("n")).as("xbar"))
+    perUser.crossJoin(broadcast(m))
+      .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("xbar")))
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("y")), 4).as("mean_y"),
+        round(avg(col("y_adj")), 4).as("mean_y_cuped"),
+        round(lit(1.0)
+          - (sum(col("y_adj") * col("y_adj")) / count(lit(1))
+              - avg(col("y_adj")) * avg(col("y_adj")))
+            / (sum(col("y") * col("y")) / count(lit(1))
+              - avg(col("y")) * avg(col("y"))), 5).as("var_reduction"))
+      .orderBy("variant")
+  }
+
+  /** Oracle twin of [[cupedAbTest]] — identical pooled-θ fit and
+    * population-moment variance chain.
+    */
+  def cupedAbTestOracleSql(): String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN day(ts) <= 15 THEN value ELSE 0 END) AS x,
+      |    sum(CASE WHEN day(ts) > 15 THEN value ELSE 0 END) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM pu),
+      |t AS (
+      |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+      |    sx / n AS xbar
+      |  FROM m),
+      |adj AS (
+      |  SELECT user_id % 2 AS variant, y,
+      |    y - theta * (x - xbar) AS y_adj
+      |  FROM pu CROSS JOIN t)
+      |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |  round(avg(y), 4) AS mean_y,
+      |  round(avg(y_adj), 4) AS mean_y_cuped,
+      |  round(1.0
+      |    - (sum(y_adj * y_adj) / count(*) - avg(y_adj) * avg(y_adj))
+      |      / (sum(y * y) / count(*) - avg(y) * avg(y)), 5)
+      |    AS var_reduction
+      |FROM adj GROUP BY 1 ORDER BY variant""".stripMargin
+
   /** Oracle twin of [[ohlcBars]]. */
   def ohlcBarsOracleSql(): String =
     """SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,

@@ -890,4 +890,53 @@ object DataPrep {
        |  round(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
        |    AS epochs
        |FROM p ORDER BY source""".stripMargin
+
+  // --- DP22: cluster-balanced corpus sampling — cap each semantic
+  // cluster's contribution at a fixed quota so the sample is diverse
+  // by construction (the "cluster then sample evenly" recipe from
+  // DoReMi/D4-style data curation, on KM1's assignment relation).
+  // Per-cluster pick order is the md5 pseudo-random key the sp-family
+  // already uses — deterministic, replayable, uniform within cluster.
+  // Shape: the assignment is a codegen'd projection (k·dim literal
+  // centroids, no join); the quota is a per-cluster row_number — a
+  // key-partitioned window exactly like sp2's reservoir, so it scales
+  // as one shuffle on a real key. Returned rows grow with k·quota,
+  // not the corpus. ---
+  def clusterBalancedSample(s: SparkSession, d: String,
+                            k: Int = 4, quota: Int = 40): DataFrame =
+    Similarity.clusterAssignments(s, d, k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+            col("vec_id").asc)))
+      .filter(col("rk") <= quota)
+      .select(col("cluster").cast("int").as("cluster"),
+        col("rk").cast("int").as("rk"), col("vec_id"), col("label"))
+      .orderBy("cluster", "rk")
+
+  /** Oracle twin of [[clusterBalancedSample]] — KM1's assignment CTE
+    * (argmax cosine, ties to the smaller centroid id) + the same
+    * md5-ordered per-cluster quota.
+    */
+  def clusterBalancedSampleOracleSql(k: Int = 4, quota: Int = 40): String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+       |  WHERE vec_id < $k),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                             CAST(c.cemb AS DOUBLE[])) DESC,
+       |      c.cid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, label, cid AS cluster FROM scored
+       |        WHERE rn = 1),
+       |rk AS (
+       |  SELECT cluster, vec_id, label,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rk
+       |  FROM asg)
+       |SELECT CAST(cluster AS INTEGER) AS cluster, CAST(rk AS INTEGER) AS rk,
+       |  vec_id, CAST(label AS INTEGER) AS label
+       |FROM rk WHERE rk <= $quota ORDER BY cluster, rk""".stripMargin
 }

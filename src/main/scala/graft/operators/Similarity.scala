@@ -245,17 +245,27 @@ object Similarity {
   // a pure codegen'd projection, no join, no shuffle until the final
   // per-cluster rollup. Deterministic argmax: ties break to the
   // smaller centroid id via (sim, -cid) struct ordering. ---
-  def nearestCentroid(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val best = bestCentroid(seedCentroids(e, k), col("embedding"))
-    e.select(col("vec_id"),
-        (-best.getField("neg_cid")).as("cluster"),
-        best.getField("sim").as("sim"))
+  def nearestCentroid(s: SparkSession, d: String, k: Int = 4): DataFrame =
+    clusterAssignments(s, d, k)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
         round(avg(col("sim")), 4).as("avg_sim"),
         round(min(col("sim")), 4).as("min_sim"))
       .orderBy("cluster")
+
+  /** KM1's E-step as a relation — one row per vector with its nearest
+    * seed centroid: (vec_id, label, cluster, sim). Shared by KM1's
+    * rollup and dp22's cluster-balanced sampler so the assignment rule
+    * cannot drift between the audit and the consumer. Still a pure
+    * codegen'd projection (k·dim literal centroids, no join).
+    */
+  private[graft] def clusterAssignments(s: SparkSession, d: String,
+                                        k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val best = bestCentroid(seedCentroids(e, k), col("embedding"))
+    e.select(col("vec_id"), col("label"),
+      (-best.getField("neg_cid")).as("cluster"),
+      best.getField("sim").as("sim"))
   }
 
   // --- KM2: centroid update (the M-step that completes KM1's E-step

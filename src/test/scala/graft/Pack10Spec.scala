@@ -588,6 +588,56 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("a48: CUPED preserves the contrast frame and matches a local replay") {
+    val rows = Analytics.cupedAbTest(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L), "one row per arm")
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == users, "every user lands in an arm")
+    // local replay: per-user pre/post sums, pooled theta, adjusted means
+    val pu = Tables.events(spark, sf)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dom"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        (u, rs.filter(_.getInt(1) <= 15).map(_.getDouble(2)).sum,
+          rs.filter(_.getInt(1) > 15).map(_.getDouble(2)).sum)
+      }.toSeq
+    val n = pu.size.toDouble
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(r => r._2 * r._3).sum
+    val sxx = pu.map(r => r._2 * r._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    rows.foreach { r =>
+      val arm = pu.filter(_._1 % 2 == r.getLong(0))
+      val my = arm.map(_._3).sum / arm.size
+      val mya = arm.map(t => t._3 - theta * (t._2 - xbar)).sum / arm.size
+      assert(math.abs(r.getDouble(2) - my) <= 5.1e-5, s"mean_y replay: $r")
+      assert(math.abs(r.getDouble(3) - mya) <= 5.1e-5, s"cuped replay: $r")
+      // CUPED shifts the mean by theta * (arm pre-mean - pooled pre-mean);
+      // with both arms populated the reduction is a ratio in (-inf, 1]
+      assert(r.getDouble(4) <= 1.0, s"var reduction bounded above: $r")
+    }
+  }
+
+  test("dp22: quota respected per cluster, sample is a subset of the assignment") {
+    val quota = 40
+    val rows = graft.operators.DataPrep
+      .clusterBalancedSample(spark, sf, 4, quota).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getInt(0))
+    val sizes = Similarity.nearestCentroid(spark, sf, 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length == math.min(quota.toLong, sizes(c)),
+        s"cluster $c must fill min(quota, members)")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length),
+        s"ranks in cluster $c must be the 1..n prefix")
+    }
+    val ids = rows.map(_.getLong(2))
+    assert(ids.distinct.length == ids.length, "a vector is sampled once")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
