@@ -1155,6 +1155,55 @@ object OracleGen {
        |ORDER BY t.q_id, t.rk""".stripMargin
   }
 
+  /** SIM16 replay: sim12's chains/codes/LUT score the whole indexed
+    * corpus, the top-`shortlist` ADC ranks per query join back to raw
+    * embeddings, and the exact left-assoc dot reranks to top-k —
+    * identical to Similarity.pqRefineTopK including the `reordered`
+    * rank-change flag.
+    */
+  def sim16Sql(numQueryVecs: Int = 5, k: Int = 3, shortlist: Int = 12,
+               mSub: Int = graft.operators.Similarity.PqM,
+               kk: Int = graft.operators.Similarity.PqK,
+               iters: Int = graft.operators.Similarity.PqIters,
+               subDim: Int = graft.operators.Similarity.PqSubDim,
+               dim: Int = 64): String = {
+    val chains = pqChains(mSub, kk, iters, subDim)
+    val codeCtes = pqCodesCtes(mSub, iters, subDim,
+      s"WHERE e.vec_id >= $numQueryVecs")
+    val lutCte = pqLutCte(mSub, iters, subDim, numQueryVecs)
+    val sCols = pqSumCols(mSub)
+    val sSum = pqSumExpr(mSub)
+    s"""WITH $chains,
+       |$codeCtes,
+       |$lutCte,
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id,
+       |    $sCols
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS srk
+       |  FROM adc),
+       |rr AS (
+       |  SELECT t.q_id, t.vec_id, t.srk,
+       |    ${pairDot("q.embedding", "e.embedding", dim)} AS xdot
+       |  FROM short t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN embeddings q ON q.vec_id = t.q_id
+       |  WHERE t.srk <= $shortlist),
+       |rr2 AS (
+       |  SELECT q_id, vec_id, srk, xdot,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY xdot DESC, vec_id ASC) AS rk
+       |  FROM rr)
+       |SELECT q_id, vec_id, CAST(rk AS INTEGER) AS rk,
+       |  CAST(srk AS INTEGER) AS srk, round(xdot, 6) AS dot,
+       |  rk <> srk AS reordered
+       |FROM rr2 WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
+  }
+
   /** SIM13 replay: the full IVF-PQ — sim4's coarse Lloyd chain +
     * cell/probe assignment bounds the candidate set, sim12's subspace
     * chains + code/LUT machinery scores it. Candidates follow sim4's

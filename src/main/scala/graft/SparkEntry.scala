@@ -326,6 +326,7 @@ object SparkEntry {
     "tx26_perplexity"    -> ((s, d) => TextAnalysis.perplexityScore(s, d)),
     "a48_cuped"          -> ((s, d) => Analytics.cupedAbTest(s, d)),
     "dp22_cluster_balance" -> ((s, d) => DataPrep.clusterBalancedSample(s, d)),
+    "sim16_pq_refine"    -> ((s, d) => Similarity.pqRefineTopK(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -506,6 +507,7 @@ object SparkEntry {
     "a48_cuped" -> operators.Analytics.cupedAbTestOracleSql(),
     "dp22_cluster_balance" ->
       operators.DataPrep.clusterBalancedSampleOracleSql(),
+    "sim16_pq_refine" -> OracleGen.sim16Sql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

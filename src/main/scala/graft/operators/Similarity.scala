@@ -629,16 +629,20 @@ object Similarity {
   // join is a broadcast hash join, and the per-query rank is a
   // TakeOrdered-sized window — the standard IVF-PQ recipe minus the
   // coarse stage (compose with sim4's cell probe to add it). ---
-  def pqAdcTopK(s: SparkSession, d: String,
-                numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
+  /** The compressed-domain scoring shared by sim12 and sim16: per
+    * (query, indexed vector) the ADC score — LUT-sum over subspaces
+    * in a FIXED left-assoc order (s0+s1+s2+s3) so the double is
+    * bit-identical across engines. Returns (q_id, vec_id, adc).
+    */
+  private def adcScores(s: SparkSession, d: String,
+                        numQueryVecs: Int): DataFrame = {
     import graft.plans.VectorExpressions.vecDot
     val books = (0 until PqM).map(m =>
       graft.sources.VectorIndex.pqCodebookArrays(s, d, m, PqK, PqIters, PqSubDim))
     val codes = graft.sources.VectorIndex
       .pqIndex(s, d, PqM, PqK, PqIters, PqSubDim)
       .filter(col("vec_id") >= numQueryVecs)
-    val e = Tables.embeddings(s, d)
-    val q = e.filter(col("vec_id") < numQueryVecs)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < numQueryVecs)
     val lutStructs = for { m <- 0 until PqM; cid <- 0 until PqK } yield
       struct(lit(m).as("m"), lit(cid).as("cid"),
         vecDot(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
@@ -647,7 +651,7 @@ object Similarity {
         explode(array(lutStructs: _*)).as("t"))
       .select(col("q_id"), col("t.m").as("lm"), col("t.cid").as("cid"),
         col("t.dotv").as("dotv"))
-    val scored = codes.join(broadcast(lut),
+    codes.join(broadcast(lut),
         col("m") === col("lm") && col("code") === col("cid"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(when(col("m") === 0, col("dotv"))).as("s0"),
@@ -655,6 +659,15 @@ object Similarity {
         sum(when(col("m") === 2, col("dotv"))).as("s2"),
         sum(when(col("m") === 3, col("dotv"))).as("s3"))
       .withColumn("adc", col("s0") + col("s1") + col("s2") + col("s3"))
+      .select("q_id", "vec_id", "adc")
+  }
+
+  def pqAdcTopK(s: SparkSession, d: String,
+                numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < numQueryVecs)
+    val scored = adcScores(s, d, numQueryVecs)
     val w = Window.partitionBy("q_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
     val top = scored.withColumn("rk", row_number().over(w))
@@ -673,6 +686,45 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"),
         round(col("adc"), 6).as("adc"),
         coalesce(col("hit"), lit(0)).as("in_exact"))
+      .orderBy("q_id", "rk")
+  }
+
+  // --- SIM16: two-stage retrieve-then-refine — the serving pattern
+  // FAISS ships as IndexRefineFlat: the compressed-domain ADC scan
+  // (sim12's scoring, 16-byte codes) nominates a SHORTLIST of R ≫ k
+  // candidates per query, and only those R rows ever touch a raw
+  // embedding — an exact-dot rerank picks the final top-k. Fixes PQ's
+  // rank inversions near the decision boundary at the cost of R raw
+  // reads per query instead of |corpus|. Shape at 100 TB: stage one
+  // reads codes only; the shortlist (nq·R keys) broadcasts into the
+  // corpus scan — a broadcast semi-probe, never a second full-width
+  // pass; the rerank window is TakeOrdered-sized. `srk` (the ADC rank)
+  // and `reordered` make the refinement itself auditable — a hash
+  // oracle on rank CHANGES, not just membership. ---
+  def pqRefineTopK(s: SparkSession, d: String, numQueryVecs: Int = 5,
+                   k: Int = 3, shortlist: Int = 12): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val e = Tables.embeddings(s, d)
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = adcScores(s, d, numQueryVecs)
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= shortlist)
+      .select("q_id", "vec_id", "srk")
+    val qe = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val rer = e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("srk"),
+        vecDot(col("q_emb"), col("embedding")).as("xdot"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("xdot").desc, col("vec_id").asc)
+    rer.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk").cast("int").as("rk"),
+        col("srk").cast("int").as("srk"),
+        round(col("xdot"), 6).as("dot"),
+        (col("rk") =!= col("srk")).as("reordered"))
       .orderBy("q_id", "rk")
   }
 

@@ -638,6 +638,37 @@ class Pack10Spec extends SparkTestBase {
     assert(ids.distinct.length == ids.length, "a vector is sampled once")
   }
 
+  test("sim16: refine reranks within the ADC shortlist and never loses to stage one") {
+    val k = 3
+    val rows = Similarity.pqRefineTopK(spark, sf, 5, k, 12).collect()
+    assert(rows.length == 5 * k, "k rows per query")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to k), s"ranks 1..k for $q")
+      val dots = rs.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        s"exact dot must descend with rank for $q")
+      rs.foreach(r => assert(r.getInt(3) >= 1 && r.getInt(3) <= 12,
+        s"candidates come from the shortlist: $r"))
+      rs.foreach(r => assert(r.getBoolean(5) == (r.getInt(2) != r.getInt(3)),
+        s"reordered flag must equal rank-change: $r"))
+    }
+    // refinement can only improve the served top-1: its exact dot is
+    // >= the exact dot of stage one's ADC-rank-1 candidate
+    val adc1 = Similarity.pqAdcTopK(spark, sf, 5, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => a(i) * b(i)).sum
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      val q = r.getLong(0)
+      val stage1 = dot(e(q), e(adc1(q)))
+      // dot column is rounded to 6dp; compare within its half-width
+      assert(r.getDouble(4) >= stage1 - 5.1e-7,
+        s"refined top-1 must dominate the unrefined pick for $q")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
