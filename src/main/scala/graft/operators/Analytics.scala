@@ -1555,14 +1555,27 @@ object Analytics {
   // one scalar broadcast (θ, x̄ — two doubles) → per-variant hash-agg;
   // at 100 TB it is two map-side-combined aggregations and a
   // two-double broadcast, nothing else. ---
-  def cupedAbTest(s: SparkSession, d: String): DataFrame = {
-    val perUser = Tables.events(s, d)
-      .groupBy(col("user_id"))
+  def cupedAbTest(s: SparkSession, d: String): DataFrame =
+    cupedFromPerUser(cupedPerUserRows(Tables.events(s, d)))
+
+  /** Per-user (x = pre-period spend, y = post-period spend) — the
+    * ADDITIVE state under a48: disjoint event batches contribute
+    * per-user partial sums that merge by summation, which is what the
+    * streaming experiment monitor maintains.
+    */
+  private[graft] def cupedPerUserRows(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
       .agg(
         sum(when(dayofmonth(col("ts")) <= 15, col("value"))
           .otherwise(lit(0.0))).as("x"),
         sum(when(dayofmonth(col("ts")) > 15, col("value"))
           .otherwise(lit(0.0))).as("y"))
+
+  /** The θ fit + per-arm rollup over a per-user (user_id, x, y)
+    * relation — shared by [[cupedAbTest]] and the streaming twin so
+    * the two can never disagree on the estimator.
+    */
+  private[graft] def cupedFromPerUser(perUser: DataFrame): DataFrame = {
     val m = perUser
       .agg(count(lit(1)).cast("double").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

@@ -998,6 +998,61 @@ object Streams {
         .agg(sum(col("n_a")).as("n_a"), sum(col("hsum_a")).as("hsum_a"),
           sum(col("n_b")).as("n_b"), sum(col("hsum_b")).as("hsum_b")))
 
+  /** Streaming maintenance of a48's per-user CUPED state — the live
+    * experiment monitor: θ, the adjusted per-arm means, and the
+    * variance reduction are all functions of the per-user (x, y)
+    * pre/post spend sums, which are ADDITIVE over events — disjoint
+    * event batches contribute per-user partials that merge by
+    * summation. Each batch publishes the partial sums of its
+    * newly-admitted events; the read side sums the deltas and applies
+    * the batch estimator's own tail
+    * ([[graft.operators.Analytics.cupedFromPerUser]]), so the monitor
+    * and the a48 readout can never disagree on the estimator.
+    * Admission dedups on event_id against prior deltas excluding this
+    * batch's own (the checkpoint-replay rule shared by every twin
+    * here).
+    */
+  def cupedIndexMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cupedMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def cupedMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                        workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "events")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchEvents = batchDf.select("event_id", "user_id", "ts", "value")
+      .dropDuplicates("event_id")
+    val fresh = prior match {
+      case Seq() => batchEvents
+      case dirs => batchEvents.join(
+        s.read.parquet(dirs: _*), Seq("event_id"), "left_anti")
+    }
+    fresh.select("event_id")
+      .write.mode("overwrite").parquet(s"$workDir/events/b$batchId")
+    graft.operators.Analytics.cupedPerUserRows(fresh)
+      .write.mode("overwrite").parquet(s"$workDir/sums/b$batchId")
+    ()
+  }
+
+  /** Read side: merge the additive per-user deltas, then the shared
+    * estimator tail — the stream-maintained experiment readout equals
+    * the batch `a48_cuped` answer under any wave/redelivery schedule.
+    */
+  def readCupedAbTest(s: org.apache.spark.sql.SparkSession,
+                      workDir: String): DataFrame =
+    graft.operators.Analytics.cupedFromPerUser(
+      s.read.parquet(deltaDirs(workDir, "sums"): _*)
+        .groupBy("user_id")
+        .agg(sum(col("x")).as("x"), sum(col("y")).as("y")))
+
   /** Streaming maintenance of tx25's token-frequency spectrum — the
     * lexical-diversity monitor kept current as documents arrive. The
     * diversity statistics are NOT additive (Σn(n−1) over merged

@@ -886,6 +886,42 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("equivalence: streaming CUPED maintenance == batch a48 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect().toSeq
+    // shuffled arrival: a user's (x, y) sums accumulate across waves
+    // in any order — only the merged per-user state matters
+    val shuffled = new scala.util.Random(53).shuffle(events)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val root = java.nio.file.Files.createTempDirectory("a48stream").toString
+    val q = Streams.cupedIndexMaintainStream(
+      mem.toDF().select(col("_1").as("event_id"), col("_2").as("user_id"),
+        col("_3").as("ts"), col("_4").as("value")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: the sums are additive, so a
+    // double-counted event would shift x or y — admission must drop
+    // every redelivered event
+    try (waves :+ waves.head.take(19)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.cupedMaintainBatch(
+      Tables.events(spark, sf).select("event_id", "user_id", "ts", "value"),
+      0L, root)
+    assert(rowSet(Streams.readCupedAbTest(spark, root)) ==
+      rowSet(graft.operators.Analytics.cupedAbTest(spark, sf)),
+      "stream-maintained CUPED readout must equal the batch a48 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/events").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("event_id").count(),
+      "event admission deltas must be disjoint")
+  }
+
   test("chunk index: changed-text redelivery is dropped wholesale (first version wins)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dd21mut").toString
