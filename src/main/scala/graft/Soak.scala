@@ -176,7 +176,8 @@ object Soak {
     // the forward/nearest directions of the native as-of merge
     "tx25_lexical_diversity", "sp6_systematic",
     "j13_asof_forward", "j14_asof_nearest", "tx26_perplexity",
-    "a48_cuped", "dp22_cluster_balance", "sim16_pq_refine")
+    "a48_cuped", "dp22_cluster_balance", "sim16_pq_refine",
+    "pv4_randomized_response", "dq5_profile_drift", "tx27_burstiness")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

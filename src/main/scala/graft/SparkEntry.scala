@@ -327,6 +327,9 @@ object SparkEntry {
     "a48_cuped"          -> ((s, d) => Analytics.cupedAbTest(s, d)),
     "dp22_cluster_balance" -> ((s, d) => DataPrep.clusterBalancedSample(s, d)),
     "sim16_pq_refine"    -> ((s, d) => Similarity.pqRefineTopK(s, d)),
+    "pv4_randomized_response" -> ((s, d) => DataQuality.randomizedResponse(s, d)),
+    "dq5_profile_drift"  -> ((s, d) => DataQuality.profileDrift(s, d)),
+    "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -508,6 +511,10 @@ object SparkEntry {
     "dp22_cluster_balance" ->
       operators.DataPrep.clusterBalancedSampleOracleSql(),
     "sim16_pq_refine" -> OracleGen.sim16Sql(),
+    "pv4_randomized_response" ->
+      operators.DataQuality.randomizedResponseOracleSql(),
+    "dq5_profile_drift" -> operators.DataQuality.profileDriftOracleSql(),
+    "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

@@ -399,4 +399,166 @@ object DataQuality {
        |    * (1.0 / $epsilon) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4)
        |    AS n_noisy
        |FROM u ORDER BY event_type""".stripMargin
+
+  // --- PV4: k-ary RANDOMIZED RESPONSE [Warner 1965; the generalized
+  // k-RR of Kairouz et al., ICML 2016] — pv3 adds noise to the
+  // RELEASED aggregate; RR perturbs each CONTRIBUTION, the local-DP
+  // model where the collector never sees a true row. Each event
+  // reports its true type with p = e^ε/(e^ε+K−1), else one of the
+  // K−1 other types uniformly; the collector debiases with
+  // n̂ = (n_rep − N·q)/(p−q), q = (1−p)/(K−1). Both coins are the
+  // keyed md5-uniform primitive (keyed on event_id — pv3's
+  // replayable-release rationale, per row). The type domain is the
+  // fixed K=5 event vocabulary, asserted by an isin guard so a new
+  // category fails loudly instead of silently skewing q. Shape: one
+  // scan, two per-row codegen'd hashes, two 5-row aggs and a 5-row
+  // join — local-DP collection costs nothing at any scale. ---
+  def randomizedResponse(s: SparkSession, d: String,
+                         epsilon: Double = 1.0): DataFrame = {
+    val domain = Seq("click", "error", "purchase", "signup", "view")
+    val kk = domain.size
+    val p = math.exp(epsilon) / (math.exp(epsilon) + kk - 1)
+    val q = (1.0 - p) / (kk - 1)
+    def md5u(key: org.apache.spark.sql.Column) =
+      (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + 0.5) /
+        4294967296.0
+    val keep = md5u(concat(lit("pv4c:"), col("event_id").cast("string")))
+    val pick = md5u(concat(lit("pv4r:"), col("event_id").cast("string")))
+    val others = array_remove(
+      array(domain.map(lit): _*), col("event_type"))
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin(domain: _*))
+      .select(col("event_type"),
+        when(keep < p, col("event_type"))
+          .otherwise(element_at(others,
+            (floor(pick * (kk - 1)) + 1).cast("int"))).as("reported"))
+    val trueCnt = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+    val repCnt = base.groupBy(col("reported").as("event_type"))
+      .agg(count(lit(1)).as("n_reported"))
+    trueCnt.join(repCnt, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_reported"), lit(0L)).as("n_reported"))
+      .crossJoin(broadcast(
+        base.agg(count(lit(1)).cast("double").as("n_total"))))
+      .select(col("event_type"), col("n_true"), col("n_reported"),
+        lit(epsilon).as("epsilon"),
+        round((col("n_reported").cast("double") - col("n_total") * q)
+          / (p - q), 4).as("est_true"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle twin of [[randomizedResponse]] — same keyed coins, same
+    * alphabetical other-category table, same debias arithmetic.
+    */
+  def randomizedResponseOracleSql(epsilon: Double = 1.0): String = {
+    val domain = Seq("click", "error", "purchase", "signup", "view")
+    val kk = domain.size
+    val p = math.exp(epsilon) / (math.exp(epsilon) + kk - 1)
+    val q = (1.0 - p) / (kk - 1)
+    val domLit = domain.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT event_type,
+       |    CASE WHEN (CAST(CAST('0x' ||
+       |        substr(md5('pv4c:' || CAST(event_id AS VARCHAR)), 1, 8)
+       |        AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 < $p
+       |      THEN event_type
+       |      ELSE list_filter($domLit, x -> x <> event_type)[
+       |        CAST(floor(((CAST(CAST('0x' ||
+       |          substr(md5('pv4r:' || CAST(event_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)
+       |          * ${kk - 1}) AS INTEGER) + 1]
+       |    END AS reported
+       |  FROM events WHERE event_type IN (SELECT unnest($domLit))),
+       |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+       |       FROM base GROUP BY 1),
+       |rc AS (SELECT reported AS event_type,
+       |         CAST(count(*) AS BIGINT) AS n_reported
+       |       FROM base GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM base)
+       |SELECT coalesce(tc.event_type, rc.event_type) AS event_type,
+       |  coalesce(n_true, 0) AS n_true,
+       |  coalesce(n_reported, 0) AS n_reported,
+       |  CAST($epsilon AS DOUBLE) AS epsilon,
+       |  round((CAST(coalesce(n_reported, 0) AS DOUBLE) - n_total * $q)
+       |    / (${p - q}), 4) AS est_true
+       |FROM tc FULL OUTER JOIN rc ON tc.event_type = rc.event_type
+       |CROSS JOIN n ORDER BY event_type""".stripMargin
+  }
+
+  // --- DQ5: half-over-half PROFILE DRIFT — dq1's one-pass column
+  // profile, run over two time slices of `events` in the SAME scan
+  // (conditional aggregates, not two passes) and diffed: per column,
+  // row/null/exact-distinct counts for days 1–15 vs the rest, the
+  // distinct-cardinality ratio, and the completeness delta. This is
+  // the schema-drift gate a feed monitor runs before dq4's
+  // distribution-level PSI: cardinality collapse (a upstream join
+  // starts fanning out), completeness cliffs (a field goes null), or
+  // a vocabulary explosion all show here first. Shape: one scan, one
+  // Expand for the multi-distinct agg, constant post-agg work. ---
+  def profileDrift(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("event_type", "props", "user_id", "value")
+    val inA = dayofmonth(col("ts")) <= 15
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    val aggs = cols.flatMap(c => Seq(
+      cnt(inA).as(s"na_$c"), cnt(!inA).as(s"nb_$c"),
+      cnt(inA && col(c).isNull).as(s"nulla_$c"),
+      cnt(!inA && col(c).isNull).as(s"nullb_$c"),
+      countDistinct(when(inA, col(c))).cast("long").as(s"nda_$c"),
+      countDistinct(when(!inA, col(c))).cast("long").as(s"ndb_$c")))
+    Tables.events(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"na_$c").as("n_a"), col(s"nulla_$c").as("n_null_a"),
+          col(s"nda_$c").as("n_distinct_a"),
+          col(s"nb_$c").as("n_b"), col(s"nullb_$c").as("n_null_b"),
+          col(s"ndb_$c").as("n_distinct_b"))): _*)).as("p"))
+      .select(col("p.*"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct_b").cast("double")
+          / col("n_distinct_a").cast("double"), 4))
+      .withColumn("completeness_delta",
+        round((lit(1.0) - col("n_null_b").cast("double")
+            / col("n_b").cast("double"))
+          - (lit(1.0) - col("n_null_a").cast("double")
+            / col("n_a").cast("double")), 6))
+      .orderBy("col_name")
+  }
+
+  /** Oracle twin of [[profileDrift]] — per-column conditional counts
+    * over the same day-15 split, one SELECT per column UNIONed.
+    */
+  def profileDriftOracleSql(): String = {
+    val cols = Seq("event_type", "props", "user_id", "value")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_a,
+         |  CAST(sum(CASE WHEN day(ts) <= 15 AND $c IS NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_null_a,
+         |  CAST(count(DISTINCT CASE WHEN day(ts) <= 15 THEN $c END)
+         |    AS BIGINT) AS n_distinct_a,
+         |  CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_b,
+         |  CAST(sum(CASE WHEN day(ts) > 15 AND $c IS NULL THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_null_b,
+         |  CAST(count(DISTINCT CASE WHEN day(ts) > 15 THEN $c END)
+         |    AS BIGINT) AS n_distinct_b,
+         |  round(CAST(count(DISTINCT CASE WHEN day(ts) > 15 THEN $c END)
+         |      AS DOUBLE)
+         |    / count(DISTINCT CASE WHEN day(ts) <= 15 THEN $c END), 4)
+         |    AS distinct_ratio,
+         |  round((1.0 - CAST(sum(CASE WHEN day(ts) > 15 AND $c IS NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END))
+         |    - (1.0 - CAST(sum(CASE WHEN day(ts) <= 15 AND $c IS NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)), 6)
+         |    AS completeness_delta
+         |FROM events""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 }

@@ -972,6 +972,86 @@ object TextAnalysis {
       |FROM tri JOIN tc USING (t1, t2, t3) JOIN cc USING (t1, t2)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 
+  // --- TX27: token BURSTINESS — the variance-to-mean ratio (index of
+  // dispersion) of each token's per-document count, zeros included:
+  // VMR = (Σc²/N − (Σc/N)²) / (Σc/N) over all N docs. Content words
+  // clump (a doc about a topic repeats its nouns — VMR ≫ 1); function
+  // words spread Poisson-like (VMR ≈ 1) [Church & Gale 1995]. The
+  // canonical keyword/stopword separator next to tx12's tf-idf, and a
+  // quality signal: corpora of stitched boilerplate show inflated VMR
+  // on template tokens. Shape: tokens shuffle as xxhash64 HASHES
+  // through both count aggs (the dd13 discipline); Σc, Σc², df are
+  // integer-exact so the ranking key is deterministic; only the ≤topK
+  // winner hashes see strings again — ONE bounded semi-probe scan
+  // recovers them (isin on a driver-held ≤topK hash set, pushed to
+  // the parquet reader). Ranking rounds VMR to 4dp before the sort so
+  // the cross-engine double jitter (≲1e-12) cannot reorder the cut. ---
+  def burstiness(s: SparkSession, d: String,
+                 minDf: Int = 5, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count().toDouble
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+    val perDoc = tok.groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy("h")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("sumsq"))
+      .filter(col("df") >= minDf)
+      .withColumn("mean", col("tf").cast("double") / nDocs)
+      .withColumn("vmr", round(
+        (col("sumsq").cast("double") / nDocs - col("mean") * col("mean"))
+          / col("mean"), 4))
+    // shortlist topK + slack by the hash tie-break, recover strings for
+    // the shortlist only, and make the FINAL cut on (vmr, tf, token) —
+    // the engine-independent key. A boundary (vmr, tf) tie group merely
+    // has to fit in the slack for both engines to cut identically.
+    val shortlist = stats
+      .orderBy(col("vmr").desc, col("tf").desc, col("h").asc)
+      .limit(topK + 20)
+    val winnerHashes = shortlist.select("h").collect().map(_.getLong(0))
+    val names = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+      .filter(col("h").isin(winnerHashes.toSeq: _*))
+      .groupBy("h").agg(min(col("token")).as("token"))
+    shortlist.join(broadcast(names), Seq("h"))
+      .orderBy(col("vmr").desc, col("tf").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("df"), col("tf"), col("vmr"))
+      .orderBy(col("vmr").desc, col("tf").desc, col("token").asc)
+  }
+
+  /** Oracle twin of [[burstiness]] — DuckDB groups by the token
+    * STRINGS (hash-collision equivalence is the dd-family's standing
+    * trade) and replays the same VMR and the same final
+    * (vmr, tf, token) cut; the Spark side's hash-ordered shortlist
+    * only has to contain that cut, which its slack guarantees for any
+    * boundary tie group of ≤ 20 tokens.
+    */
+  def burstinessOracleSql(minDf: Int = 5, topK: Int = 20): String =
+    s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |pd AS (
+       |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |st AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(c) AS BIGINT) AS tf,
+       |    CAST(sum(c * c) AS BIGINT) AS sumsq
+       |  FROM pd GROUP BY 1),
+       |v AS (
+       |  SELECT token, df, tf,
+       |    round((CAST(sumsq AS DOUBLE) / nd
+       |        - (CAST(tf AS DOUBLE) / nd) * (CAST(tf AS DOUBLE) / nd))
+       |      / (CAST(tf AS DOUBLE) / nd), 4) AS vmr
+       |  FROM st CROSS JOIN n WHERE df >= $minDf)
+       |SELECT token, df, tf, vmr FROM v
+       |ORDER BY vmr DESC, tf DESC, token ASC LIMIT $topK""".stripMargin
+
   /** Oracle twin of [[lexicalDiversity]] — same frequency spectrum and
     * integer sums, one division per statistic.
     */

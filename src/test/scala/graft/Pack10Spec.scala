@@ -669,6 +669,71 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("pv4: RR conserves mass and the debiased estimate is near truth") {
+    val rows = DataQuality.randomizedResponse(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("click", "error", "purchase", "signup", "view"))
+    val (nt, nr) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(nt == nr, "RR permutes contributions; totals must be conserved")
+    // debiasing is exactly unbiased in expectation; on a finite corpus
+    // the estimate sits within a few binomial sd of truth. sd of
+    // n_reported is <= sqrt(N)/2; the (p-q) divisor (~0.28 at eps=1,
+    // K=5) inflates it — 8 * sqrt(N) is a generous deterministic bound
+    val bound = 8.0 * math.sqrt(nt.toDouble)
+    rows.foreach(r => assert(math.abs(r.getDouble(4) - r.getLong(1)) <= bound,
+      s"debiased estimate implausibly far from truth: $r"))
+    // estimates must also sum back to ~N (the debias map is affine)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - nt) <= 0.01 * nt + 5,
+      "affine debias must conserve total mass up to rounding")
+  }
+
+  test("dq5: split sizes add up and self-consistency of ratios holds") {
+    val rows = DataQuality.profileDrift(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("event_type", "props", "user_id", "value"))
+    val total = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(4) == total,
+        s"halves must partition the table: $r")
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(6) <= r.getLong(4),
+        s"distinct cannot exceed rows: $r")
+      val expect = r.getLong(6).toDouble / r.getLong(3).toDouble
+      assert(math.abs(r.getDouble(7) - expect) <= 5.1e-5,
+        s"distinct_ratio replay: $r")
+    }
+  }
+
+  test("tx27: burstiness matches a local replay on the winner set") {
+    val rows = graft.operators.TextAnalysis.burstiness(spark, sf).collect()
+    assert(rows.length == 20)
+    val vmrs = rows.map(_.getDouble(3))
+    assert(vmrs.zip(vmrs.tail).forall { case (a, b) => a >= b },
+      "ranking must descend in vmr")
+    // local replay of the dispersion index for the winners
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val counts = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Long, Long]]
+    docs.foreach { case (id, tx) =>
+      tx.split(" ", -1).foreach { t =>
+        val m = counts.getOrElseUpdate(t,
+          scala.collection.mutable.Map.empty)
+        m(id) = m.getOrElse(id, 0L) + 1L
+      }
+    }
+    rows.foreach { r =>
+      val m = counts(r.getString(0))
+      assert(m.size.toLong == r.getLong(1), s"df replay off: $r")
+      val tf = m.values.sum
+      assert(tf == r.getLong(2), s"tf replay off: $r")
+      val mean = tf / n
+      val vmr = (m.values.map(c => c.toDouble * c).sum / n - mean * mean) / mean
+      assert(math.abs(r.getDouble(3) - vmr) <= 5.1e-5, s"vmr replay off: $r")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
