@@ -177,7 +177,8 @@ object Soak {
     "tx25_lexical_diversity", "sp6_systematic",
     "j13_asof_forward", "j14_asof_nearest", "tx26_perplexity",
     "a48_cuped", "dp22_cluster_balance", "sim16_pq_refine",
-    "pv4_randomized_response", "dq5_profile_drift", "tx27_burstiness")
+    "pv4_randomized_response", "dq5_profile_drift", "tx27_burstiness",
+    "a49_seasonality", "j15_asof_tolerance", "dp23_epoch_shuffle")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -330,6 +330,9 @@ object SparkEntry {
     "pv4_randomized_response" -> ((s, d) => DataQuality.randomizedResponse(s, d)),
     "dq5_profile_drift"  -> ((s, d) => DataQuality.profileDrift(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
+    "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
+    "dp23_epoch_shuffle" -> ((s, d) => DataPrep.epochShuffleAudit(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -515,6 +518,31 @@ object SparkEntry {
       operators.DataQuality.randomizedResponseOracleSql(),
     "dq5_profile_drift" -> operators.DataQuality.profileDriftOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
+    "a49_seasonality" ->
+      operators.Analytics.seasonalityStrengthOracleSql(),
+    // j15: independent bounded-range-join replay of the tolerance
+    // rule — candidates pt ∈ [ts − 7d, ts], backward max (pt, okey)
+    "j15_asof_tolerance" ->
+      """WITH promos AS (
+        |  SELECT o_custkey AS uid,
+        |    CAST(DATE '2023-12-18' + CAST(o_orderkey % 50 AS INTEGER)
+        |      AS TIMESTAMP) AS pt,
+        |    o_orderkey AS okey
+        |  FROM orders),
+        |cand AS (
+        |  SELECT e.event_id, p.okey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.pt DESC, p.okey DESC) AS rn
+        |  FROM events e JOIN promos p
+        |    ON p.uid = e.user_id AND p.pt <= e.ts
+        |    AND p.pt >= e.ts - INTERVAL 7 DAY)
+        |SELECT e.event_id, e.user_id, c.okey AS recent_promo_key
+        |FROM events e
+        |LEFT JOIN (SELECT event_id, okey FROM cand WHERE rn = 1) c
+        |  USING (event_id)
+        |ORDER BY event_id""".stripMargin,
+    "dp23_epoch_shuffle" ->
+      operators.DataPrep.epochShuffleAuditOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

@@ -1299,6 +1299,96 @@ object Analytics {
       .orderBy("lag")
   }
 
+  // --- A49: SEASONALITY & TREND STRENGTH — Hyndman's STL-based
+  // strength measures (FPP3 §4.3) over the daily revenue series:
+  // detrend with a centered 7-day moving average (a42's offset-join
+  // trick — 7 shifted self-joins on date arithmetic, NO global
+  // window, interior days only so every MA has exactly 7 terms),
+  // estimate the weekly seasonal as the per-dow mean of the
+  // detrended series, and report F_s = max(0, 1 − var(rem)/var(det))
+  // and F_t = max(0, 1 − var(rem)/var(x − seasonal)) — the two
+  // numbers a forecasting triage reads first. Daily sums are exact
+  // decimal cents; variances are explicit population moments (same
+  // arithmetic both engines); per-dow remainder means are zero by
+  // construction, so the var cancellation is benign. Scale shape:
+  // day-keyed aggregates (calendar-bounded), a 7-row broadcast, one
+  // final scalar agg. ---
+  def seasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice")).cast(dec)).as("x"))
+    val offs = s.range(-3, 4).select(col("id").cast("int").as("off"))
+    val ma = daily.as("a").crossJoin(broadcast(offs))
+      .join(daily.as("b"),
+        col("b.day") === date_add(col("a.day"), col("off")))
+      .groupBy(col("a.day").as("day"), col("a.x").as("xd"))
+      .agg(count(lit(1)).as("nw"), sum(col("b.x")).as("wsum"))
+      .filter(col("nw") === 7)
+      .select(col("day"), dbl(col("xd")).as("x"),
+        (dbl(col("wsum")) / 7.0).as("trend"))
+    val det = ma
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .withColumn("det", col("x") - col("trend"))
+    val seas = det.groupBy("dow")
+      .agg(avg(col("det")).as("seasonal"))
+    det.join(broadcast(seas), Seq("dow"))
+      .withColumn("rem", col("det") - col("seasonal"))
+      .withColumn("sa", col("x") - col("seasonal"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(col("rem") * col("rem")) / count(lit(1))
+          - avg(col("rem")) * avg(col("rem"))).as("vr"),
+        (sum(col("det") * col("det")) / count(lit(1))
+          - avg(col("det")) * avg(col("det"))).as("vd"),
+        (sum(col("sa") * col("sa")) / count(lit(1))
+          - avg(col("sa")) * avg(col("sa"))).as("vs"))
+      .select(col("n_days"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vd")), 5)
+          .as("f_seasonal"),
+        round(greatest(lit(0.0), lit(1.0) - col("vr") / col("vs")), 5)
+          .as("f_trend"))
+  }
+
+  /** Oracle twin of [[seasonalityStrength]] — same centered-MA
+    * offset join, per-dow seasonal means, and population moments.
+    */
+  def seasonalityStrengthOracleSql(): String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+      |      AS x
+      |  FROM orders GROUP BY 1),
+      |ma AS (
+      |  SELECT a.day, CAST(a.x AS DOUBLE) AS x,
+      |    CAST(sum(b.x) AS DOUBLE) / 7.0 AS trend
+      |  FROM daily a
+      |  CROSS JOIN (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER)
+      |              AS off) o
+      |  JOIN daily b ON b.day = a.day + o.off
+      |  GROUP BY a.day, a.x
+      |  HAVING count(*) = 7),
+      |det AS (
+      |  SELECT day, x, trend, CAST(dayofweek(day) AS INTEGER) AS dow,
+      |    x - trend AS det
+      |  FROM ma),
+      |seas AS (
+      |  SELECT dow, avg(det) AS seasonal FROM det GROUP BY 1),
+      |r AS (
+      |  SELECT det.det - seasonal AS rem, det.det AS det,
+      |    det.x - seasonal AS sa
+      |  FROM det JOIN seas ON det.dow = seas.dow)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |  round(greatest(0.0, 1.0
+      |    - (sum(rem * rem) / count(*) - avg(rem) * avg(rem))
+      |      / (sum(det * det) / count(*) - avg(det) * avg(det))), 5)
+      |    AS f_seasonal,
+      |  round(greatest(0.0, 1.0
+      |    - (sum(rem * rem) / count(*) - avg(rem) * avg(rem))
+      |      / (sum(sa * sa) / count(*) - avg(sa) * avg(sa))), 5)
+      |    AS f_trend
+      |FROM r""".stripMargin
+
   // --- A43: trimmed & winsorized means — the robust-location pair
   // next to a18's median and a25's MAD: drop (trimmed) or clamp
   // (winsorized) the tail 5% at each end before averaging, the

@@ -939,4 +939,61 @@ object DataPrep {
        |SELECT CAST(cluster AS INTEGER) AS cluster, CAST(rk AS INTEGER) AS rk,
        |  vec_id, CAST(label AS INTEGER) AS label
        |FROM rk WHERE rk <= $quota ORDER BY cluster, rk""".stripMargin
+
+  // --- DP23: EPOCH-SHUFFLE DECORRELATION AUDIT — multi-epoch training
+  // reshuffles the corpus with a per-epoch keyed permutation
+  // (md5("epN:" || id), dp10's primitive); this audits that epochs 0
+  // and 1 are actually decorrelated by computing the exact Spearman ρ
+  // between the two global positions: ρ = 1 − 6Σd²/(n(n²−1)), an
+  // integer-exact statistic until one final division (the a37 lesson).
+  // A loader bug that reuses one epoch's order (ρ = 1) or block-swaps
+  // it (|ρ| near 1) shows immediately; keyed md5 epochs land near 0.
+  // Both global positions come from the GlobalOrder two-pass — range
+  // partition + offset table, never a single-task window. Σd² sums as
+  // decimal(38,0) (Σd² ≤ n³/3 overflows a long past n ≈ 3·10⁶; the
+  // BIGINT output cast is test-scale contract, the internal sum is
+  // not). ---
+  def epochShuffleAudit(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dec = "decimal(38,0)"
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    def pos(e: Int, out: String) = GlobalOrder.withRowNumber(
+        docs.withColumn("k",
+          md5(concat(lit(s"ep$e:"), col("doc_id").cast("string")))),
+        out, col("k"), col("doc_id"))
+      .select(col("doc_id"), col(out))
+    pos(0, "p0").join(pos(1, "p1"), Seq("doc_id"))
+      .select(((col("p0") - col("p1")) * (col("p0") - col("p1")))
+        .cast(dec).as("d2"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("d2")).as("sd2"))
+      .select(col("n_docs"), col("sd2").cast("long").as("sum_d2"),
+        round(lit(1.0) - lit(6.0) * dbl(col("sd2"))
+          / (dbl(col("n_docs")) * (dbl(col("n_docs")) * dbl(col("n_docs"))
+            - lit(1.0))), 6).as("spearman_rho"))
+  }
+
+  /** Oracle twin of [[epochShuffleAudit]] — the same keyed orders as
+    * plain global windows (DuckDB's single-node window is its native
+    * total order) and the same integer-exact ρ.
+    */
+  def epochShuffleAuditOracleSql(): String =
+    """WITH p0 AS (
+      |  SELECT doc_id, row_number() OVER (
+      |    ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) AS p0
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT doc_id, row_number() OVER (
+      |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) AS p1
+      |  FROM documents),
+      |j AS (
+      |  SELECT CAST(p0 - p1 AS HUGEINT) * CAST(p0 - p1 AS HUGEINT) AS d2
+      |  FROM p0 JOIN p1 USING (doc_id))
+      |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(d2) AS BIGINT) AS sum_d2,
+      |  round(1.0 - 6.0 * CAST(sum(d2) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE)
+      |      * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+      |    6) AS spearman_rho
+      |FROM j""".stripMargin
 }

@@ -498,8 +498,8 @@ object DataQuality {
   // a vocabulary explosion all show here first. Shape: one scan, one
   // Expand for the multi-distinct agg, constant post-agg work. ---
   def profileDrift(s: SparkSession, d: String): DataFrame = {
-    val cols = Seq("event_type", "props", "user_id", "value")
-    val inA = dayofmonth(col("ts")) <= 15
+    val cols = profileCols
+    val inA = profileHalfA
     def cnt(cond: org.apache.spark.sql.Column) =
       sum(when(cond, 1L).otherwise(0L))
     val aggs = cols.flatMap(c => Seq(
@@ -517,6 +517,16 @@ object DataQuality {
           col(s"nb_$c").as("n_b"), col(s"nullb_$c").as("n_null_b"),
           col(s"ndb_$c").as("n_distinct_b"))): _*)).as("p"))
       .select(col("p.*"))
+      .transform(profileFromStats)
+  }
+
+  /** The drift-derivation tail over a (col_name, n_a, n_null_a,
+    * n_distinct_a, n_b, n_null_b, n_distinct_b) stats relation —
+    * shared by [[profileDrift]] and the streaming monitor so the two
+    * can never disagree on the derived ratios.
+    */
+  private[graft] def profileFromStats(stats: DataFrame): DataFrame =
+    stats
       .withColumn("distinct_ratio",
         round(col("n_distinct_b").cast("double")
           / col("n_distinct_a").cast("double"), 4))
@@ -525,7 +535,57 @@ object DataQuality {
             / col("n_b").cast("double"))
           - (lit(1.0) - col("n_null_a").cast("double")
             / col("n_a").cast("double")), 6))
+      .select(col("col_name"), col("n_a"), col("n_null_a"),
+        col("n_distinct_a"), col("n_b"), col("n_null_b"),
+        col("n_distinct_b"), col("distinct_ratio"),
+        col("completeness_delta"))
       .orderBy("col_name")
+
+  /** The profiled column set and the half-split rule — one definition
+    * for the batch gate and the streaming monitor.
+    */
+  private[graft] val profileCols = Seq("event_type", "props", "user_id", "value")
+  private[graft] def profileHalfA: org.apache.spark.sql.Column =
+    dayofmonth(col("ts")) <= 15
+
+  /** Additive per-column conditional counts of an event slice — the
+    * streaming monitor's per-batch count delta (long format, one row
+    * per profiled column).
+    */
+  private[graft] def profileCountRows(events: DataFrame): DataFrame = {
+    val inA = profileHalfA
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, 1L).otherwise(0L))
+    val aggs = profileCols.flatMap(c => Seq(
+      cnt(inA).as(s"na_$c"), cnt(!inA).as(s"nb_$c"),
+      cnt(inA && col(c).isNull).as(s"nulla_$c"),
+      cnt(!inA && col(c).isNull).as(s"nullb_$c")))
+    events.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(profileCols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(s"na_$c").as("n_a"), col(s"nulla_$c").as("n_null_a"),
+          col(s"nb_$c").as("n_b"), col(s"nullb_$c").as("n_null_b"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+  }
+
+  /** The distinct-value key relation of an event slice: one row per
+    * (col_name, half, value-hash) with values stringified before
+    * hashing — the NON-additive distinct counts become a mergeable
+    * key set (hash-collision equivalence is the standing trade).
+    */
+  private[graft] def profileValueKeys(events: DataFrame): DataFrame = {
+    val inA = profileHalfA
+    val half = when(inA, lit("a")).otherwise(lit("b"))
+    events
+      .select(half.as("half"), explode(array(profileCols.map(c =>
+        struct(lit(c).as("col_name"),
+          xxhash64(col(c).cast("string")).as("vh"),
+          col(c).isNull.as("is_null"))): _*)).as("p"))
+      .filter(!col("p.is_null"))
+      .select(col("p.col_name").as("col_name"), col("half"),
+        col("p.vh").as("vh"))
+      .dropDuplicates("col_name", "half", "vh")
   }
 
   /** Oracle twin of [[profileDrift]] — per-column conditional counts

@@ -318,6 +318,29 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // --- J15: as-of with TOLERANCE — merge_asof's staleness bound on
+  // the native operator: each event matched to the user's latest
+  // promotion at-or-before it ONLY if that promotion is at most 7
+  // days old ("don't attribute to an offer the user has surely
+  // forgotten"). The tolerance is checked inside the same one-pass
+  // merge (a per-row long compare, no extra state); events whose
+  // latest promo is staler than the bound take the LEFT OUTER null
+  // branch, which fires at corpus scale by construction of the
+  // calendar. The oracle is an independent bounded-range-join replay
+  // (pt ∈ [ts − 7d, ts], max (pt, okey) wins). ---
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoin.asof(
+        events, "user_id", "ts",
+        promoCalendar(s, d), "o_custkey", "promo_date", "o_orderkey",
+        direction = "backward", tolerance = 7L * 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("recent_promo_key"))
+      .orderBy("event_id")
+  }
+
   // --- D1: DISTINCT (SURVEY.md §2.4 ABSENT row — built-in) ---
   def distinctValues(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderpriority").distinct().orderBy("o_orderpriority")

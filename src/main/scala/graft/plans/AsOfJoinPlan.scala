@@ -41,7 +41,8 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTie: Expression,
-                        direction: String = "backward") extends BinaryNode {
+                        direction: String = "backward",
+                        tolerance: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -51,8 +52,9 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, dir) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, dir,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -61,7 +63,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTie: Expression,
-                        direction: String) extends BinaryExecNode {
+                        direction: String,
+                        tolerance: Long = Long.MaxValue)
+    extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -162,16 +166,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           }
           // the lookahead is the FIRST same-key row strictly after t
           // (at-or-after t for forward) — in right sort order, so the
-          // min (time, tie) among qualifying rows
-          val fwdOk = haveR && rKey == k
+          // min (time, tie) among qualifying rows. Tolerance bounds
+          // each side's reach: both differences are non-negative by
+          // the merge invariants (bestTime <= t <= lookahead rTime),
+          // so Long.MaxValue means "unbounded" with no overflow.
+          val bOk = best != null && t - bestTime <= tolerance
+          val fwdOk = haveR && rKey == k && rTime - t <= tolerance
           val m = dir match {
-            case 0 => best
+            case 0 => if (bOk) best else null
             case 1 => if (fwdOk) rRow else null
             case _ => // nearest: closer side wins, distance ties to the
               // backward row (pandas merge_asof convention)
-              if (best != null && (!fwdOk || t - bestTime <= rTime - t)) best
+              if (bOk && (!fwdOk || t - bestTime <= rTime - t)) best
               else if (fwdOk) rRow
-              else best
+              else null
           }
           toUnsafe(joined(l, if (m != null) m else nullRight))
         }
@@ -211,9 +219,18 @@ object AsOfJoin {
     */
   def asof(leftDf: DataFrame, leftKey: String, leftTime: String,
            rightDf: DataFrame, rightKey: String, rightTime: String,
-           rightTie: String, direction: String = "backward"): DataFrame = {
+           rightTie: String, direction: String = "backward",
+           tolerance: Long = Long.MaxValue): DataFrame = {
     require(Set("backward", "forward", "nearest").contains(direction),
       s"as-of direction must be backward|forward|nearest, got '$direction'")
+    // the node needs its strategy in the session or planning asserts
+    // "No plan for AsOfJoinPlan" — register is idempotent, so the API
+    // carries its own requirement instead of leaving a footgun
+    GraftExtensions.register(leftDf.sparkSession)
+    // merge_asof's tolerance, in the compared unit: MICROSECONDS once
+    // a temporal pair is lifted (date sides cast up), raw units for
+    // integral time columns
+    require(tolerance >= 0L, s"as-of tolerance must be >= 0, got $tolerance")
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String, side: String): Attribute =
@@ -253,6 +270,6 @@ object AsOfJoin {
       }
     val (ltU, rtU) = (lift(lt, rt.dataType), lift(rt, lt.dataType))
     Bridge.dataFrame(leftDf.sparkSession,
-      AsOfJoinPlan(lp, rp, lk, rk, ltU, rtU, tie, direction))
+      AsOfJoinPlan(lp, rp, lk, rk, ltU, rtU, tie, direction, tolerance))
   }
 }

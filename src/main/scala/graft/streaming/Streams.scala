@@ -998,6 +998,76 @@ object Streams {
         .agg(sum(col("n_a")).as("n_a"), sum(col("hsum_a")).as("hsum_a"),
           sum(col("n_b")).as("n_b"), sum(col("hsum_b")).as("hsum_b")))
 
+  /** Streaming maintenance of dq5's schema-drift profile — the column
+    * monitor kept current as events arrive. The count side (rows,
+    * nulls per half) is ADDITIVE; the exact distinct counts are NOT,
+    * but the value-key set underneath them IS mergeable: each batch
+    * publishes the distinct (col, half, value-hash) keys of its
+    * newly-admitted events, and the read side dedups the union — the
+    * tx25-spectrum move, applied to distinct-cardinality instead of
+    * token counts. The derivation tail
+    * ([[graft.operators.DataQuality.profileFromStats]]) is shared
+    * with the batch gate. Admission dedups on event_id against prior
+    * deltas excluding this batch's own.
+    */
+  def profileIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        profileMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def profileMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                          workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "pevents")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchEvents = batchDf
+      .select("event_id", "ts", "event_type", "props", "user_id", "value")
+      .dropDuplicates("event_id")
+    val fresh = prior match {
+      case Seq() => batchEvents
+      case dirs => batchEvents.join(
+        s.read.parquet(dirs: _*), Seq("event_id"), "left_anti")
+    }
+    // a multi-output batch: admission keys, additive counts, and the
+    // distinct-value key delta all derive from the SAME admitted set,
+    // so localCheckpoint once instead of recomputing the anti-join
+    val admitted = fresh.localCheckpoint(true)
+    admitted.select("event_id")
+      .write.mode("overwrite").parquet(s"$workDir/pevents/b$batchId")
+    graft.operators.DataQuality.profileCountRows(admitted)
+      .write.mode("overwrite").parquet(s"$workDir/pcounts/b$batchId")
+    graft.operators.DataQuality.profileValueKeys(admitted)
+      .write.mode("overwrite").parquet(s"$workDir/pvalues/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the additive count deltas, dedup the value-key
+    * union into exact distinct cardinalities, and apply the shared
+    * derivation tail — the monitor equals the batch `dq5_profile_drift`
+    * answer under any wave/redelivery schedule.
+    */
+  def readProfileDrift(s: org.apache.spark.sql.SparkSession,
+                       workDir: String): DataFrame = {
+    val counts = s.read.parquet(deltaDirs(workDir, "pcounts"): _*)
+      .groupBy("col_name")
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_null_a")).as("n_null_a"),
+        sum(col("n_b")).as("n_b"), sum(col("n_null_b")).as("n_null_b"))
+    val distincts = s.read.parquet(deltaDirs(workDir, "pvalues"): _*)
+      .dropDuplicates("col_name", "half", "vh")
+      .groupBy("col_name")
+      .agg(
+        sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_distinct_a"),
+        sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_distinct_b"))
+    graft.operators.DataQuality.profileFromStats(
+      counts.join(distincts, Seq("col_name")))
+  }
+
   /** Streaming maintenance of a48's per-user CUPED state — the live
     * experiment monitor: θ, the adjusted per-arm means, and the
     * variance reduction are all functions of the per-user (x, y)

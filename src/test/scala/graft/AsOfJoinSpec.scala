@@ -69,6 +69,39 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> -1L, 2L -> 42L, 3L -> -1L))
   }
 
+  test("tolerance bounds every direction's reach; zero and unbounded edges hold") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L), (1L, 103L, 2L), (1L, 110L, 3L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 98L, 11L), (1L, 104L, 12L))
+      .toDF("rk", "rt", "tie")
+    def run(dir: String, tol: Long) =
+      AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", dir, tol)
+        .select(col("lid"), col("tie")).collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    // backward, tol=3: lid1 (t=100) reaches rt=98 (dist 2); lid2
+    // (t=103) cannot (dist 5) -> null; lid3 (t=110) cannot reach 104
+    // (dist 6) -> null
+    assert(run("backward", 3L) == Map(1L -> 11L, 2L -> -1L, 3L -> -1L))
+    // forward, tol=3: lid1 can't reach 104 (dist 4); lid2 can (dist 1)
+    assert(run("forward", 3L) == Map(1L -> -1L, 2L -> 12L, 3L -> -1L))
+    // nearest, tol=3: lid1 takes backward 98 (fwd 104 out of reach
+    // anyway dist 4 > 3); lid2 takes forward 104 (backward dist 5 out);
+    // lid3 has neither side in reach
+    assert(run("nearest", 3L) == Map(1L -> 11L, 2L -> 12L, 3L -> -1L))
+    // tol=0: only exact-time hits qualify — none here
+    assert(run("backward", 0L) == Map(1L -> -1L, 2L -> -1L, 3L -> -1L))
+    // unbounded default reproduces the plain directions
+    assert(run("backward", Long.MaxValue) ==
+      Map(1L -> 11L, 2L -> 11L, 3L -> 12L))
+    assert(run("nearest", Long.MaxValue) ==
+      Map(1L -> 11L, 2L -> 12L, 3L -> 12L))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, "k", "t", r, "rk", "rt", "tie", "backward", -1L)
+    }
+  }
+
   test("mixed timestamp/date times compare in one unit (date lifted to micros)") {
     import spark.implicits._
     // Internal representations differ by ~14 orders of magnitude

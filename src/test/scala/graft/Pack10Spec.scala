@@ -734,6 +734,65 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("a49: strengths are in [0,1] and the MA frame is interior-only") {
+    val r = Analytics.seasonalityStrength(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, fs, ft) = (r.head.getLong(0), r.head.getDouble(1),
+      r.head.getDouble(2))
+    assert(fs >= 0.0 && fs <= 1.0, s"F_s out of range: $fs")
+    assert(ft >= 0.0 && ft <= 1.0, s"F_t out of range: $ft")
+    // interior days only: the count must be <= distinct days - 6 when
+    // the calendar is gap-free, and strictly less than distinct days
+    val days = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(n >= 1 && n < days, s"MA frame must drop edge days: $n vs $days")
+    // local replay of the whole chain
+    val daily = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect()
+      .groupBy(_.getDate(0).toLocalDate)
+      .map { case (d, rs) =>
+        d -> rs.map(r => math.round(r.getDouble(1) * 100)).sum.toDouble
+      }
+    val interior = daily.keys.filter(d =>
+      (-3 to 3).forall(o => daily.contains(d.plusDays(o)))).toSeq
+    assert(interior.size.toLong == n, "interior-day count replay")
+    val det = interior.map { d =>
+      val trend = (-3 to 3).map(o => daily(d.plusDays(o))).sum / 7.0
+      (d.getDayOfWeek.getValue % 7, daily(d) - trend, daily(d))
+    }
+    val seas = det.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sum / v.size
+    }
+    def varp(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => x * x).sum / xs.size - m * m
+    }
+    val rem = det.map { case (dw, dv, _) => dv - seas(dw) }
+    val sa = det.map { case (dw, _, x) => x - seas(dw) }
+    val expFs = math.max(0.0, 1.0 - varp(rem) / varp(det.map(_._2)))
+    val expFt = math.max(0.0, 1.0 - varp(rem) / varp(sa))
+    assert(math.abs(fs - expFs) <= 5.1e-5, s"F_s replay: $fs vs $expFs")
+    assert(math.abs(ft - expFt) <= 5.1e-5, s"F_t replay: $ft vs $expFt")
+  }
+
+  test("dp23: epoch permutations are near-independent; identical epochs give rho 1") {
+    val r = graft.operators.DataPrep.epochShuffleAudit(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, sd2, rho) = (r.head.getLong(0), r.head.getLong(1),
+      r.head.getDouble(2))
+    assert(n == Tables.documents(spark, sf).count())
+    // two independent uniform permutations: E[rho] = 0, sd ~ 1/sqrt(n-1);
+    // 6 sd is a generous deterministic bound at any test SF
+    assert(math.abs(rho) <= 6.0 / math.sqrt((n - 1).toDouble),
+      s"keyed epochs must decorrelate: rho=$rho n=$n")
+    // rho replay from the exact integer sum
+    val expect = 1.0 - 6.0 * sd2.toDouble / (n.toDouble * (n.toDouble * n - 1))
+    assert(math.abs(rho - expect) <= 5.1e-7, "rho must derive from sum_d2")
+    // degenerate check via the formula: identical permutations -> d2=0 -> rho=1
+    assert(1.0 - 6.0 * 0.0 / (n.toDouble * (n.toDouble * n - 1)) == 1.0)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))

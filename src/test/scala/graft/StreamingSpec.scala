@@ -922,6 +922,45 @@ class StreamingSpec extends SparkTestBase {
       "event admission deltas must be disjoint")
   }
 
+  test("equivalence: streaming profile maintenance == batch dq5 (shuffled waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select("event_id", "ts", "event_type", "props", "user_id", "value")
+      .as[(Long, java.sql.Timestamp, String, String, Long, Double)]
+      .collect().toSeq
+    // shuffled arrival: counts are additive and the distinct-value key
+    // set is union-mergeable — arrival order must not matter
+    val shuffled = new scala.util.Random(61).shuffle(events)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, Long, Double)]
+    val root = java.nio.file.Files.createTempDirectory("dq5stream").toString
+    val q = Streams.profileIndexMaintainStream(
+      mem.toDF().select(col("_1").as("event_id"), col("_2").as("ts"),
+        col("_3").as("event_type"), col("_4").as("props"),
+        col("_5").as("user_id"), col("_6").as("value")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: a double-counted event
+    // shifts n_a/n_b even where the distinct set absorbs it —
+    // admission must drop every redelivered event
+    try (waves :+ waves.head.take(23)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.profileMaintainBatch(
+      Tables.events(spark, sf)
+        .select("event_id", "ts", "event_type", "props", "user_id", "value"),
+      0L, root)
+    assert(rowSet(Streams.readProfileDrift(spark, root)) ==
+      rowSet(graft.operators.DataQuality.profileDrift(spark, sf)),
+      "stream-maintained profile drift must equal the batch dq5 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/pevents").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("event_id").count(),
+      "event admission deltas must be disjoint")
+  }
+
   test("chunk index: changed-text redelivery is dropped wholesale (first version wins)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dd21mut").toString
