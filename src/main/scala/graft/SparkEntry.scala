@@ -333,6 +333,8 @@ object SparkEntry {
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
     "dp23_epoch_shuffle" -> ((s, d) => DataPrep.epochShuffleAudit(s, d)),
+    "pp2_dynamic_pruning" -> ((s, d) => graft.sources.Marts.dynamicPrunedDaily(s, d)),
+    "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -543,6 +545,9 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "dp23_epoch_shuffle" ->
       operators.DataPrep.epochShuffleAuditOracleSql(),
+    "pp2_dynamic_pruning" ->
+      sources.Marts.dynamicPrunedDailyOracleSql(),
+    "tx28_readability" -> operators.TextAnalysis.readabilityOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

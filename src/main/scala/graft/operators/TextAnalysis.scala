@@ -1052,6 +1052,67 @@ object TextAnalysis {
        |SELECT token, df, tf, vmr FROM v
        |ORDER BY vmr DESC, tf DESC, token ASC LIMIT $topK""".stripMargin
 
+  // --- TX28: FLESCH READING EASE per source — 206.835 − 1.015·(W/S)
+  // − 84.6·(Sy/W) over corpus-level exact counts: words = space
+  // tokens, sentences = terminal-punctuation runs (min 1 per doc so a
+  // fragment counts as one sentence), syllables = [aeiouy]+ vowel
+  // groups per word (min 1 — the standard heuristic for consonant
+  // fragments). The classic corpus-quality knob next to tx4's ratio
+  // score: training mixes report it per source to spot OCR debris
+  // (absurdly high) and legalese (deeply negative). Everything is an
+  // integer sum until the one closed-form formula — the tx25
+  // bit-stability rationale. Per-row work is a codegen'd HOF chain
+  // (transform + aggregate, no UDF); one hash-agg by source. ---
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val syllables = aggregate(
+      transform(words, w => greatest(
+        size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))),
+        lit(1))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val sentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    Tables.documents(s, d)
+      .select(col("source"), size(words).cast("long").as("w"),
+        sentences.cast("long").as("st"), syllables.as("sy"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("st")).as("n_sentences"),
+        sum(col("sy")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * col("n_words").cast("double")
+            / col("n_sentences").cast("double")
+          - lit(84.6) * col("n_syllables").cast("double")
+            / col("n_words").cast("double"), 4).as("flesch"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[readability]] — the same tokenization, vowel
+    * grouping, and minimum clamps in DuckDB list functions.
+    */
+  def readabilityOracleSql(): String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS BIGINT) AS st,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')),
+      |                    1))) AS BIGINT) AS sy
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS n_words,
+      |  CAST(sum(st) AS BIGINT) AS n_sentences,
+      |  CAST(sum(sy) AS BIGINT) AS n_syllables,
+      |  round(206.835
+      |    - 1.015 * CAST(sum(w) AS DOUBLE) / CAST(sum(st) AS DOUBLE)
+      |    - 84.6 * CAST(sum(sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4)
+      |    AS flesch
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Oracle twin of [[lexicalDiversity]] — same frequency spectrum and
     * integer sums, one division per statistic.
     */

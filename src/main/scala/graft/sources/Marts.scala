@@ -66,6 +66,50 @@ object Marts {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy("event_date")
 
+  /** PP2: DYNAMIC partition pruning — pp1's predicate is a literal the
+    * planner prunes statically; here the pruned day set is only known
+    * at RUNTIME (the distinct promotion days of a filtered order
+    * slice), so Spark's DPP injects the dim side as a subquery filter
+    * into the fact scan's PartitionFilters — the fact directories for
+    * non-promotion days are never listed or opened. At 100 TB this is
+    * THE star-join survival trick: the fact scan is bounded by the
+    * dim filter before a single fact row is read. MartsSpec asserts
+    * `dynamicpruning` in the executed plan, so a regression to a
+    * full-scan-then-join is a test failure, not a silent 1000× read.
+    * The oracle replays over the RAW events table (layout must never
+    * change results).
+    */
+  def dynamicPrunedDaily(s: SparkSession, d: String,
+                         keyMod: Int = 64): DataFrame = {
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderkey") % keyMod === 0)
+      .select(date_add(to_date(lit("2023-12-18")),
+        (col("o_orderkey") % 50).cast("int")).as("event_date"))
+      .distinct()
+    eventsByDay(s, d)
+      .join(dim, Seq("event_date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_date")
+  }
+
+  /** Oracle twin of [[dynamicPrunedDaily]] — the same day dim over raw
+    * orders, semi-joined to raw events by calendar date.
+    */
+  def dynamicPrunedDailyOracleSql(keyMod: Int = 64): String =
+    s"""WITH dim AS (
+       |  SELECT DISTINCT DATE '2023-12-18'
+       |    + CAST(o_orderkey % 50 AS INTEGER) AS event_date
+       |  FROM orders WHERE o_orderkey % $keyMod = 0)
+       |SELECT CAST(ts AS DATE) AS event_date,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  round(sum(value), 2) AS total_value
+       |FROM events JOIN dim ON CAST(ts AS DATE) = dim.event_date
+       |GROUP BY 1 ORDER BY event_date""".stripMargin
+
   // --- Z-ordered clustering mart ---
 
   /** Events clustered on the Morton interleave of (user_id, hour

@@ -157,4 +157,29 @@ class MartsSpec extends SparkTestBase {
     assert(mart.map(_.toString).toSeq == raw.map(_.toString).toSeq,
       "bucketed layout must be answer-identical to the raw join")
   }
+
+  test("PP2 injects a dynamic pruning subquery into the fact scan") {
+    val df = graft.sources.Marts.dynamicPrunedDaily(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"DPP subquery missing from PartitionFilters:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "promotion days must intersect the event month")
+    // answer-identical to the same aggregate over the RAW tables
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 64 === 0)
+      .select(date_add(to_date(lit("2023-12-18")),
+        (col("o_orderkey") % 50).cast("int")).as("event_date"))
+      .distinct()
+    val raw = Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+      .join(dim, Seq("event_date"))
+      .groupBy("event_date")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_date").collect()
+    assert(rows.map(_.toString).toSeq == raw.map(_.toString).toSeq,
+      "partitioned layout must be answer-identical to the raw join")
+  }
 }

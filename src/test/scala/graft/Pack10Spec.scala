@@ -793,6 +793,29 @@ class Pack10Spec extends SparkTestBase {
     assert(1.0 - 6.0 * 0.0 / (n.toDouble * (n.toDouble * n - 1)) == 1.0)
   }
 
+  test("tx28: counts replay locally; clamps guarantee positive denominators") {
+    val rows = graft.operators.TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val ds = bySource(r.getString(0))
+      assert(r.getLong(1) == ds.length)
+      val w = ds.map(_._2.split(" ", -1).length.toLong).sum
+      val st = ds.map(d => math.max(
+        "[.!?]+".r.findAllIn(d._2).length, 1).toLong).sum
+      val sy = ds.map(_._2.split(" ", -1).map(t => math.max(
+        "[aeiouy]+".r.findAllIn(t.toLowerCase).length, 1).toLong).sum).sum
+      assert(r.getLong(2) == w, s"word count replay: ${r.getString(0)}")
+      assert(r.getLong(3) == st, s"sentence count replay: ${r.getString(0)}")
+      assert(r.getLong(4) == sy, s"syllable count replay: ${r.getString(0)}")
+      val flesch = 206.835 - 1.015 * w.toDouble / st - 84.6 * sy.toDouble / w
+      assert(math.abs(r.getDouble(5) - flesch) <= 5.1e-5,
+        s"flesch replay: ${r.getString(0)}")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
