@@ -335,6 +335,7 @@ object SparkEntry {
     "dp23_epoch_shuffle" -> ((s, d) => DataPrep.epochShuffleAudit(s, d)),
     "pp2_dynamic_pruning" -> ((s, d) => graft.sources.Marts.dynamicPrunedDaily(s, d)),
     "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
+    "gr17_local_clustering" -> ((s, d) => Graph.localClustering(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -548,6 +549,8 @@ object SparkEntry {
     "pp2_dynamic_pruning" ->
       sources.Marts.dynamicPrunedDailyOracleSql(),
     "tx28_readability" -> operators.TextAnalysis.readabilityOracleSql(),
+    "gr17_local_clustering" ->
+      operators.Graph.localClusteringOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

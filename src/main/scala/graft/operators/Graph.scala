@@ -856,6 +856,85 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  // --- GR17: per-node LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz)
+  // over the same support-thresholded graph — lcc(v) =
+  // 2·t(v)/(deg(v)·(deg(v)−1)), the node-level texture GR2's single
+  // global count averages away (a node in one dense clique scores 1.0;
+  // a same-degree broker bridging communities scores ≈ 0). Triangle
+  // enumeration reuses GR2's degree-oriented wedge scheme verbatim
+  // (one row per triangle, O(√m) out-degree bound); each triangle is
+  // credited to its three corners by a 3-array explode — integer
+  // counts all the way, one identical-in-both-engines division per
+  // output row, bounded top-K presentation. ---
+  def localClustering(s: SparkSession, d: String, minSupport: Int = 2,
+                      topK: Int = 20): DataFrame = {
+    val und = supportedEdges(s, d, minSupport).localCheckpoint()
+    val deg = und.select(col("pa").as("n")).unionByName(und.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val e = und
+      .join(deg.withColumnRenamed("n", "pa").withColumnRenamed("deg", "da"), "pa")
+      .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("deg", "db"), "pb")
+    val before = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = e.select(
+        when(before, col("pa")).otherwise(col("pb")).as("lo"),
+        when(before, col("pb")).otherwise(col("pa")).as("hi"))
+      .localCheckpoint()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+      .select(col("x.lo").as("v0"), col("x.hi").as("w1"), col("y.hi").as("w2"))
+    val closed = wedges.join(und,
+      col("w1") === col("pa") && col("w2") === col("pb"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("v0"), col("w1"), col("w2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left_outer")
+      .select(col("n").as("part"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)).cast("double")
+          / (col("deg").cast("double") * (col("deg").cast("double") - 1.0)),
+          4).as("lcc"))
+      .orderBy(col("lcc").desc, col("deg").desc, col("part").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[localClustering]] — gr2's edge/orientation CTEs
+    * with the wedge anchor kept, corners exploded, same division.
+    */
+  def localClusteringOracleSql(minSupport: Int = 2, topK: Int = 20): String =
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT pa, pb FROM (
+       |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n
+       |    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minSupport),
+       |deg AS MATERIALIZED (SELECT n, count(*) AS dg FROM
+       |    (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
+       |  GROUP BY 1),
+       |oriented AS MATERIALIZED (
+       |  SELECT CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+       |              THEN pa ELSE pb END AS lo,
+       |         CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+       |              THEN pb ELSE pa END AS hi
+       |  FROM und JOIN deg d1 ON d1.n = und.pa JOIN deg d2 ON d2.n = und.pb),
+       |closed AS (
+       |  SELECT x.lo AS v0, x.hi AS w1, y.hi AS w2
+       |  FROM oriented x JOIN oriented y ON x.lo = y.lo AND x.hi < y.hi
+       |  WHERE EXISTS (SELECT 1 FROM und WHERE pa = x.hi AND pb = y.hi)),
+       |pn AS (SELECT unnest([v0, w1, w2]) AS n FROM closed),
+       |tc AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM pn GROUP BY 1)
+       |SELECT d.n AS part, CAST(d.dg AS BIGINT) AS deg,
+       |  CAST(coalesce(tri, 0) AS BIGINT) AS n_triangles,
+       |  round(2.0 * CAST(coalesce(tri, 0) AS DOUBLE)
+       |    / (CAST(d.dg AS DOUBLE) * (CAST(d.dg AS DOUBLE) - 1.0)), 4)
+       |    AS lcc
+       |FROM deg d LEFT JOIN tc ON tc.n = d.n
+       |WHERE d.dg >= 2
+       |ORDER BY lcc DESC, deg DESC, part ASC LIMIT $topK""".stripMargin
+
   // --- GR3: market-basket pair mining — co-purchase support counts.
   // pair_n = orders containing both parts; a_n / b_n = orders
   // containing each part alone (the ingredients of confidence

@@ -149,6 +149,25 @@ class GraphSpec extends SparkTestBase {
     assert(row.getAs[Long]("n_reached") == nodes.size - 1)
   }
 
+  test("gr17: lcc in [0,1]; per-node triangles sum to 3x gr2's global count") {
+    val rows = Graph.localClustering(spark, sf, 2, 1000000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dg, tri, lcc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dg >= 2, s"deg-1 nodes have no defined lcc: $r")
+      assert(lcc >= 0.0 && lcc <= 1.0, s"lcc out of range: $r")
+      assert(tri <= dg * (dg - 1) / 2, s"triangles exceed wedge count: $r")
+      assert(math.abs(lcc - 2.0 * tri / (dg.toDouble * (dg - 1))) <= 5.1e-5,
+        s"lcc must derive from (tri, deg): $r")
+    }
+    // every triangle has three corners of degree >= 2, so the unbounded
+    // per-node sum is exactly three times gr2's global triangle count
+    val global = Graph.triangleCount(spark, sf)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(rows.map(_.getLong(2)).sum == 3 * global,
+      "per-node credit must total 3 triangles each")
+  }
+
   test("gr1: fixed-point iteration is deterministic across partitionings") {
     val a = Graph.pageRank(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
