@@ -336,6 +336,7 @@ object SparkEntry {
     "pp2_dynamic_pruning" -> ((s, d) => graft.sources.Marts.dynamicPrunedDaily(s, d)),
     "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
     "gr17_local_clustering" -> ((s, d) => Graph.localClustering(s, d)),
+    "sp7_jackknife"      -> ((s, d) => Sampling.jackknifeQuality(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -551,6 +552,8 @@ object SparkEntry {
     "tx28_readability" -> operators.TextAnalysis.readabilityOracleSql(),
     "gr17_local_clustering" ->
       operators.Graph.localClusteringOracleSql(),
+    "sp7_jackknife" ->
+      operators.Sampling.jackknifeQualityOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

@@ -167,4 +167,78 @@ object Sampling {
        |  FROM orders)
        |SELECT rn, o_orderkey, o_orderstatus, cents
        |FROM r WHERE (rn - 1) % $step = 0 ORDER BY rn""".stripMargin
+
+  // --- SP7: delete-a-group JACKKNIFE [Kott 2001's survey workhorse] —
+  // the variance estimate sp5's bootstrap gets by resampling, obtained
+  // instead from k leave-one-source-out replicates of the corpus mean
+  // quality: θ₍ᵢ₎ = mean over all docs NOT from source i, and
+  // v_jack = (k−1)/k · Σ(θ₍ᵢ₎ − θ̄)². The grouped form matters at
+  // 100 TB: deleting a GROUP needs only per-group (n, Σq) — one
+  // hash-agg to k rows, every replicate then pure arithmetic on the
+  // broadcast totals; the classic leave-one-ROW-out would need n
+  // replicates. Quality (tx4's 4dp score) is summed as scaled 1e4
+  // longs, so the replicate means are exact-integer ratios; only the
+  // final k-row variance runs in doubles. ---
+  def jackknifeQuality(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val bySource = Tables.documents(s, d).select("doc_id", "source")
+      .join(TextAnalysis.qualityScoreRaw(s, d), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("quality") * 10000).cast("long")).as("sq"))
+    val totals = bySource.agg(
+      sum(col("n")).as("nn"), sum(col("sq")).as("tsq"),
+      count(lit(1)).as("k"))
+    val thetas = bySource.crossJoin(broadcast(totals))
+      .select(col("k"), col("nn"), col("tsq"),
+        ((dbl(col("tsq")) - dbl(col("sq")))
+          / (dbl(col("nn")) - dbl(col("n"))) / 10000.0).as("theta_i"))
+    thetas
+      .groupBy("k", "nn", "tsq")
+      .agg(sum(col("theta_i")).as("st"),
+        sum(col("theta_i") * col("theta_i")).as("st2"))
+      .select(col("k").as("k_groups"), col("nn").as("n_docs"),
+        round(dbl(col("tsq")) / dbl(col("nn")) / 10000.0, 6).as("theta_hat"),
+        round((dbl(col("k")) - 1.0) / dbl(col("k"))
+          * (col("st2") - col("st") * col("st") / dbl(col("k"))), 6)
+          .as("var_jack"))
+  }
+
+  /** Oracle twin of [[jackknifeQuality]] — tx4's quality CTE, the same
+    * scaled-long sums, replicate ratios, and (k−1)/k variance.
+    */
+  def jackknifeQualityOracleSql(): String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |q AS (
+      |  SELECT source, CAST(round(round(
+      |    (CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END)
+      |      * 0.4
+      |    + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+      |    + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a')))
+      |                        AS DOUBLE) / len(ws) * 2.0, 1.0)) * 0.2, 4)
+      |    * 10000) AS BIGINT) AS q4
+      |  FROM w),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q4) AS BIGINT) AS sq
+      |  FROM q GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sq) AS BIGINT) AS tsq,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM g),
+      |th AS (
+      |  SELECT k, nn, tsq,
+      |    (CAST(tsq - sq AS DOUBLE)) / (CAST(nn - n AS DOUBLE)) / 10000.0
+      |      AS theta_i
+      |  FROM g CROSS JOIN t)
+      |SELECT k AS k_groups, nn AS n_docs,
+      |  round(CAST(tsq AS DOUBLE) / CAST(nn AS DOUBLE) / 10000.0, 6)
+      |    AS theta_hat,
+      |  round((CAST(k AS DOUBLE) - 1.0) / CAST(k AS DOUBLE)
+      |    * (sum(theta_i * theta_i)
+      |      - sum(theta_i) * sum(theta_i) / CAST(k AS DOUBLE)), 6)
+      |    AS var_jack
+      |FROM th GROUP BY k, nn, tsq""".stripMargin
 }

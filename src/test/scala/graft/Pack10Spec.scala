@@ -816,6 +816,38 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("sp7: replicate ratios replay locally; variance is non-negative") {
+    val r = graft.operators.Sampling.jackknifeQuality(spark, sf).collect()
+    assert(r.length == 1)
+    val (k, n, th, v) = (r.head.getLong(0), r.head.getLong(1),
+      r.head.getDouble(2), r.head.getDouble(3))
+    assert(v >= 0.0, s"a sum of squares about the mean: $v")
+    // local replay from per-doc qualities
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map(x => (x.getString(1), x.getString(2)))
+    assert(n == docs.length)
+    def quality(tx: String): Long = {
+      val ws = tx.split(" ", -1)
+      val lenOk = if (ws.length >= 20 && ws.length <= 2000) 1.0 else 0.4
+      val div = ws.distinct.length.toDouble / ws.length
+      val stop = ws.count(t => t == "the" || t == "a").toDouble / ws.length
+      val q = BigDecimal(lenOk * 0.4 + div * 0.4
+        + (1.0 - math.min(stop * 2.0, 1.0)) * 0.2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(q * 10000)
+    }
+    val g = docs.groupBy(_._1).map { case (s0, ds) =>
+      (s0, ds.length.toLong, ds.map(d => quality(d._2)).sum)
+    }.toSeq
+    assert(k == g.length)
+    val (nn, tsq) = (g.map(_._2).sum, g.map(_._3).sum)
+    assert(math.abs(th - tsq.toDouble / nn / 10000.0) <= 5.1e-7)
+    val thetas = g.map(t => (tsq - t._3).toDouble / (nn - t._2) / 10000.0)
+    val vexp = (k - 1).toDouble / k *
+      (thetas.map(x => x * x).sum - math.pow(thetas.sum, 2) / k)
+    assert(math.abs(v - vexp) <= 5.1e-7, s"variance replay: $v vs $vexp")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
