@@ -179,7 +179,8 @@ object Soak {
     "a48_cuped", "dp22_cluster_balance", "sim16_pq_refine",
     "pv4_randomized_response", "dq5_profile_drift", "tx27_burstiness",
     "a49_seasonality", "j15_asof_tolerance", "dp23_epoch_shuffle",
-    "tx28_readability", "gr17_local_clustering", "sp7_jackknife")
+    "tx28_readability", "gr17_local_clustering", "sp7_jackknife",
+    "sq6_kaplan_meier")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -337,6 +337,7 @@ object SparkEntry {
     "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
     "gr17_local_clustering" -> ((s, d) => Graph.localClustering(s, d)),
     "sp7_jackknife"      -> ((s, d) => Sampling.jackknifeQuality(s, d)),
+    "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -554,6 +555,8 @@ object SparkEntry {
       operators.Graph.localClusteringOracleSql(),
     "sp7_jackknife" ->
       operators.Sampling.jackknifeQualityOracleSql(),
+    "sq6_kaplan_meier" ->
+      operators.DataPrep.kaplanMeierOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

@@ -940,6 +940,96 @@ object DataPrep {
        |  vec_id, CAST(label AS INTEGER) AS label
        |FROM rk WHERE rk <= $quota ORDER BY cluster, rk""".stripMargin
 
+  // --- SQ6: KAPLAN–MEIER SURVIVAL with right-censoring — the
+  // statistic st5's retention counts approximate without ever
+  // handling CENSORING: a user last seen near the observation edge
+  // has not churned, they are merely unobserved, and counting them as
+  // churned biases every naive retention curve down. Per user:
+  // the event is FIRST CONVERSION (a46's qualifying purchase,
+  // value > 150): duration = days from the user's first activity to
+  // their first conversion; a user who never converts is right-
+  // censored at the corpus edge (duration = days observed, event
+  // flag off). At each event time t: risk set n_t = users with
+  // duration ≥ t (ties with censoring stay at risk at t — the
+  // standard convention), deaths d_t = conversions at exactly t, and
+  // S(t) = Π(1 − d_i/n_i), computed as exp of the ordered ln-sum so
+  // both engines run the identical left-assoc chain. The duration
+  // domain is calendar-bounded (≤ the corpus day span), so the
+  // ordered window over the per-duration aggregate is hygiene-legal
+  // by construction. ---
+  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"),
+        min(when(col("event_type") === "purchase" && col("value") > 150,
+          to_date(col("ts")))).as("cv"))
+    val mx = Tables.events(s, d).agg(max(to_date(col("ts"))).as("mx"))
+    val du = perUser.crossJoin(broadcast(mx))
+      .select(
+        datediff(coalesce(col("cv"), col("mx")), col("fd"))
+          .cast("long").as("dur_days"),
+        col("cv").isNull.as("censored"))
+    val byDur = du.groupBy("dur_days")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d_events"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+    val w = Window.orderBy(col("dur_days").asc)
+    byDur
+      .withColumn("cum_before", coalesce(sum(col("n_total"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(du.agg(count(lit(1)).as("nn"))))
+      .withColumn("n_risk", col("nn") - col("cum_before"))
+      .withColumn("lnterm", when(col("d_events") > 0,
+        log(lit(1.0) - col("d_events").cast("double")
+          / col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("survival", round(exp(sum(col("lnterm"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))), 6))
+      .filter(col("d_events") > 0)
+      .select(col("dur_days"), col("n_risk"), col("d_events"),
+        col("n_censored"), col("survival"))
+      .orderBy("dur_days")
+  }
+
+  /** Oracle twin of [[kaplanMeier]] — same risk sets, censoring
+    * convention, and ordered exp-ln-sum product.
+    */
+  def kaplanMeierOracleSql(): String =
+    s"""WITH pu AS (
+       |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+       |    min(CASE WHEN event_type = 'purchase' AND value > 150
+       |        THEN CAST(ts AS DATE) END) AS cv
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+       |du AS (
+       |  SELECT CAST(coalesce(cv, mx) - fd AS BIGINT) AS dur_days,
+       |    (cv IS NULL) AS censored
+       |  FROM pu CROSS JOIN mx),
+       |bd AS (
+       |  SELECT dur_days, CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS d_events,
+       |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_censored
+       |  FROM du GROUP BY 1),
+       |r AS (
+       |  SELECT *,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM du)
+       |      - coalesce(sum(n_total) OVER (ORDER BY dur_days
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM bd),
+       |sv AS (
+       |  SELECT *, exp(sum(CASE WHEN d_events > 0
+       |      THEN ln(1.0 - CAST(d_events AS DOUBLE)
+       |        / CAST(n_risk AS DOUBLE))
+       |      ELSE 0.0 END)
+       |    OVER (ORDER BY dur_days
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+       |  FROM r)
+       |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, d_events,
+       |  n_censored, round(surv, 6) AS survival
+       |FROM sv WHERE d_events > 0 ORDER BY dur_days""".stripMargin
+
   // --- DP23: EPOCH-SHUFFLE DECORRELATION AUDIT — multi-epoch training
   // reshuffles the corpus with a per-epoch keyed permutation
   // (md5("epN:" || id), dp10's primitive); this audits that epochs 0

@@ -848,6 +848,48 @@ class Pack10Spec extends SparkTestBase {
     assert(math.abs(v - vexp) <= 5.1e-7, s"variance replay: $v vs $vexp")
   }
 
+  test("sq6: survival is a decreasing step function matching a local KM replay") {
+    val rows = graft.operators.DataPrep.kaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sv = rows.map(_.getDouble(4))
+    assert(sv.zip(sv.tail).forall { case (a, b) => a >= b },
+      "S(t) must be non-increasing")
+    assert(sv.forall(x => x >= 0.0 && x <= 1.0))
+    // local replay of the risk sets and the product-limit estimator
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        r.getString(2), r.getDouble(3)))
+    val mx = ev.map(_._2).max
+    // .toSeq BEFORE map: mapping a Map to (dur, censored) tuples would
+    // dedupe users sharing the same pair and understate the risk sets
+    val du = ev.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val fd = xs.map(_._2).min
+      val cv = xs.filter(x => x._3 == "purchase" && x._4 > 150)
+        .map(_._2).sorted.headOption
+      (java.time.temporal.ChronoUnit.DAYS.between(fd, cv.getOrElse(mx)),
+        cv.isEmpty)
+    }
+    var surv = 1.0
+    var checked = 0
+    du.map(_._1).distinct.sorted.foreach { t =>
+      val nRisk = du.count(_._1 >= t).toLong
+      val d = du.count(x => x._1 == t && !x._2).toLong
+      if (d > 0) {
+        surv *= 1.0 - d.toDouble / nRisk
+        val row = rows.find(_.getLong(0) == t)
+          .getOrElse(fail(s"missing event time $t"))
+        assert(row.getLong(1) == nRisk && row.getLong(2) == d,
+          s"risk set replay at t=$t")
+        assert(math.abs(row.getDouble(4) - surv) <= 5.1e-6,
+          s"S($t) replay: ${row.getDouble(4)} vs $surv")
+        checked += 1
+      }
+    }
+    assert(checked == rows.length, "one output row per event time")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
