@@ -54,40 +54,108 @@ object Bench {
     }
     // The warm-up also force-builds every persisted index artifact, so
     // the timed passes below are probe-only by construction. Surface
-    // that one-time cost explicitly (VectorIndex.ensure ledgers every
-    // build in this JVM) so a first-touch amortization can never be
-    // mistaken for a query regression.
-    val builds = graft.sources.VectorIndex.buildLog
+    // that one-time cost explicitly (sources.BuildLedger records every
+    // build in this JVM, across all index families) so a first-touch
+    // amortization can never be mistaken for a query regression.
+    val builds = graft.sources.BuildLedger.log
     def bmap: String = builds.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val buildTotal = builds.values.sum
+
+    // ---- noise evidence: the canary --------------------------------
+    // Round-8's driver artifact recorded 40s of phantom 3-30x
+    // regressions (external machine load outlasted all three attempts
+    // of a contiguous query cluster) that cost a full adjudication.
+    // Best-of-N cannot defend against a contention window longer than
+    // the N attempts — so the sweep carries its own load evidence: a
+    // fixed cheap canary query runs before the sweep (5x, median =
+    // baseline) and again after every CanaryEvery queries. A canary
+    // sample > 3x baseline marks its window loaded; queries timed
+    // inside a loaded window are flagged noise_suspect in the JSON, so
+    // a contaminated sweep is self-identifying instead of needing a
+    // judge re-run. All attempt times are recorded too (not just the
+    // min) — a genuine regression shows three consistent attempts
+    // against a quiet canary; noise shows inflated attempts against an
+    // inflated canary.
+    val CanaryEvery = 20
+    val canaryName =
+      if (selected.contains("q6_forecast_rev")) "q6_forecast_rev"
+      else selected.keys.toSeq.sorted.head
+    val canaryFn = selected(canaryName)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] attempt failed: ${e.getMessage}"); false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      release() // outside the timed span: queries stay independent
+      (dt, ok)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val canaryBase = median((1 to 5).map(_ => timeOnce(canaryFn)._1))
+    val canarySeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    var lastCanary = canaryBase
+    def sampleCanary(pos: Int): Unit = {
+      lastCanary = timeOnce(canaryFn)._1
+      canarySeries += ((pos, lastCanary))
+    }
 
     // best-of-3 per query: a single local[32] pass is GC/OS-noisy
     // (observed 3x run-to-run swings on projection-only queries, and
     // best-of-2 still left ±15% swings between identical-code runs —
     // the round-4 q18/q19 "regressions" were exactly that noise)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        release() // outside the timed span: queries stay independent
-        (dt, ok)
-      }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % CanaryEvery == 0) sampleCanary(i)
+      val attempts = (1 to 3).map(_ => timeOnce(fn))
       val succeeded = attempts.filter(_._2).map(_._1)
       // a crashed query must not masquerade as a fast success
       (name, if (succeeded.nonEmpty) succeeded.min else -1.0,
-        succeeded.nonEmpty)
+        succeeded.nonEmpty, attempts.map(_._1),
+        lastCanary > 3.0 * canaryBase)
     }
+    sampleCanary(ordered.size)
+    // a query is also suspect if the canary sample CLOSING its window
+    // was loaded — contention that started mid-window is otherwise
+    // invisible to the opening sample
+    val loadedAt = canarySeries.filter(_._2 > 3.0 * canaryBase).map(_._1).toSet
+    def windowLoaded(i: Int): Boolean = {
+      val open = (i / CanaryEvery) * CanaryEvery
+      val close = canarySeries.map(_._1).filter(_ > i)
+        .minOption.getOrElse(ordered.size)
+      loadedAt.contains(open) || loadedAt.contains(close)
+    }
+    val flagged = results.zipWithIndex.collect {
+      case ((name, _, _, _, openLoaded), i) if openLoaded || windowLoaded(i) =>
+        name
+    }
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] NOISE: canary exceeded 3x baseline " +
+        f"($canaryBase%.3fs) during ${flagged.size} queries: " +
+        flagged.take(10).mkString(","))
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    def amap(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, as) =>
+        "\"" + k + "\":" + as.map(a => f"$a%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val canaryJson =
+      "{\"name\":\"" + canaryName + "\",\"base\":" + f"$canaryBase%.3f" +
+        ",\"series\":" + canarySeries
+          .map { case (p, v) => f"[$p,$v%.3f]" }.mkString("[", ",", "]") + "}"
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val slim = results.map(r => (r._1, r._2, r._3))
+    val failed = slim.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = slim.collect { case (_, v, true) => v }.sum
     // The driver keeps only a truncated ~2.5 KB tail of stdout, and its
     // JSON parse of the printed line came back empty in rounds 4-5 because
     // the full 160+-query map blows past that window. So: the PRINTED line
@@ -95,11 +163,14 @@ object Bench {
     // queries BASELINE.md describes) plus complete totals and the complete
     // failure list; the full per-query map goes to BENCH_FULL.json, which
     // the judge reads directly.
-    val headline = results.filter(_._1.matches("q\\d+.*"))
+    val headline = slim.filter(_._1.matches("q\\d+.*"))
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(results)},"failed":$failed,"build_s":$buildTotal%.3f,"builds":$bmap,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(slim)},"attempts":${amap(results.map(r => (r._1, r._4)))},"canary":$canaryJson,"noise_flagged":$flaggedJson,"failed":$failed,"build_s":$buildTotal%.3f,"builds":$bmap,"sf":"$sfDir"}"""
+    // the PRINTED line must fit the driver's ~2.5KB stdout tail — carry
+    // only the flag COUNT there; the full list + canary series live in
+    // BENCH_FULL.json, which the judge reads directly
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"queries":${qmap(headline)},"failed":$failed,"build_s":$buildTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(headline)},"noise_flagged_n":${flagged.size},"failed":$failed,"build_s":$buildTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(if (only.isEmpty) line else full)
     // a filtered dev run must not clobber the full artifact the judge reads
     if (only.isEmpty)

@@ -957,13 +957,32 @@ object DataPrep {
   // domain is calendar-bounded (≤ the corpus day span), so the
   // ordered window over the per-duration aggregate is hygiene-legal
   // by construction. ---
-  def kaplanMeier(s: SparkSession, d: String): DataFrame = {
-    val perUser = Tables.events(s, d)
-      .groupBy(col("user_id"))
+  def kaplanMeier(s: SparkSession, d: String): DataFrame =
+    kaplanMeierFromPerUser(kmUserState(Tables.events(s, d)))
+
+  /** sq6's per-user (first-activity, first-conversion, last-activity)
+    * state over an arbitrary events relation — additive-by-min/max, so
+    * disjoint OR overlapping event batches merge by (min fd, min cv,
+    * max md): min/max are idempotent, which is what makes the
+    * streaming twin redelivery-safe without an admission ledger.
+    * Shared with Streams.kmMaintainBatch so batch and stream can never
+    * define the event or the censoring edge differently.
+    */
+  private[graft] def kmUserState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("fd"),
         min(when(col("event_type") === "purchase" && col("value") > 150,
-          to_date(col("ts")))).as("cv"))
-    val mx = Tables.events(s, d).agg(max(to_date(col("ts"))).as("mx"))
+          to_date(col("ts")))).as("cv"),
+        max(to_date(col("ts"))).as("md"))
+
+  /** The estimator tail over merged per-user state — ONE definition
+    * for the batch query and the stream read side (the
+    * cupedFromPerUser discipline), so the two cannot disagree on risk
+    * sets, the censoring convention, or the ordered exp-ln-sum chain.
+    * The censoring edge mx = max(md) equals the corpus max event date.
+    */
+  private[graft] def kaplanMeierFromPerUser(perUser: DataFrame): DataFrame = {
+    val mx = perUser.agg(max(col("md")).as("mx"))
     val du = perUser.crossJoin(broadcast(mx))
       .select(
         datediff(coalesce(col("cv"), col("mx")), col("fd"))

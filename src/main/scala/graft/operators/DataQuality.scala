@@ -409,8 +409,10 @@ object DataQuality {
   // n̂ = (n_rep − N·q)/(p−q), q = (1−p)/(K−1). Both coins are the
   // keyed md5-uniform primitive (keyed on event_id — pv3's
   // replayable-release rationale, per row). The type domain is the
-  // fixed K=5 event vocabulary, asserted by an isin guard so a new
-  // category fails loudly instead of silently skewing q. Shape: one
+  // fixed K=5 event vocabulary, enforced with a raise_error branch in
+  // the scan itself — an out-of-domain row aborts the query loudly
+  // (coverage cannot silently shrink, and q cannot silently skew)
+  // instead of being filtered away. Shape: one
   // scan, two per-row codegen'd hashes, two 5-row aggs and a 5-row
   // join — local-DP collection costs nothing at any scale. ---
   def randomizedResponse(s: SparkSession, d: String,
@@ -426,10 +428,14 @@ object DataQuality {
     val pick = md5u(concat(lit("pv4r:"), col("event_id").cast("string")))
     val others = array_remove(
       array(domain.map(lit): _*), col("event_type"))
+    val guarded =
+      when(col("event_type").isin(domain: _*), col("event_type"))
+        .otherwise(raise_error(concat(
+          lit("pv4: event_type outside the fixed RR domain: "),
+          col("event_type"))))
     val base = Tables.events(s, d)
-      .filter(col("event_type").isin(domain: _*))
-      .select(col("event_type"),
-        when(keep < p, col("event_type"))
+      .select(guarded.as("event_type"),
+        when(keep < p, guarded)
           .otherwise(element_at(others,
             (floor(pick * (kk - 1)) + 1).cast("int"))).as("reported"))
     val trueCnt = base.groupBy(col("event_type"))

@@ -214,11 +214,26 @@ object GlobalOrder {
         .map(r => (r.getInt(0), r.getLong(1)) -> (r.get(2), r.get(3)))
         .toMap
       val pairs = targets.map(byTarget)
-      // bucket = 1 + count of boundary pairs strictly below this row
+      // bucket = 1 + count of boundary pairs strictly below this row.
+      // NULL metrics participate in the order exactly where the range
+      // shuffle put them (Spark defaults: NULLS FIRST under asc,
+      // NULLS LAST under desc), so the comparison must be spelled out
+      // null-safely — a bare lit(null) < metric evaluates to NULL,
+      // every when(below,...) would count 0, and null-metric rows
+      // would silently collapse into bucket 1 instead of the
+      // rank-based bucket withNtile assigns them.
       pairs.foldLeft(lit(1)) { case (acc, (m, k)) =>
         val below =
-          if (asc) (lit(m) < metric) || (lit(m) === metric && lit(k) < col(key))
-          else (lit(m) > metric) || (lit(m) === metric && lit(k) < col(key))
+          if (m == null) {
+            // boundary sits inside the null-metric group
+            if (asc) metric.isNotNull || lit(k) < col(key)
+            else metric.isNull && lit(k) < col(key)
+          } else if (asc)
+            metric.isNotNull && ((lit(m) < metric) ||
+              (lit(m) === metric && lit(k) < col(key)))
+          else
+            metric.isNull || (lit(m) > metric) ||
+              (lit(m) === metric && lit(k) < col(key))
         acc + when(below, 1).otherwise(0)
       }.cast("int")
     }

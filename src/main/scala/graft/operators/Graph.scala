@@ -827,50 +827,30 @@ object Graph {
   // co-purchase signal graph. ---
   def triangleCount(s: SparkSession, d: String, minSupport: Int = 2): DataFrame = {
     val und = supportedEdges(s, d, minSupport).localCheckpoint()
-    val deg = und.select(col("pa").as("n")).unionByName(und.select(col("pb").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): lo = smaller endpoint under the total order
-    val e = und
-      .join(deg.withColumnRenamed("n", "pa").withColumnRenamed("deg", "da"), "pa")
-      .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("deg", "db"), "pb")
-    val before = col("da") < col("db") ||
-      (col("da") === col("db") && col("pa") < col("pb"))
-    val oriented = e.select(
-        when(before, col("pa")).otherwise(col("pb")).as("lo"),
-        when(before, col("pb")).otherwise(col("pa")).as("hi"))
-      .localCheckpoint()
-    // wedges around lo; (hi1, hi2) canonicalized by plain id order so
-    // the closing join can probe the UNDIRECTED edge set in one shot
-    val wedges = oriented.as("x").join(oriented.as("y"),
-        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
-      .select(col("x.hi").as("w1"), col("y.hi").as("w2"))
-    // closing edge: (w1, w2) has w1 < w2 by construction and `und` is
-    // canonical pa < pb, so the probe is a pure EQUI join (an OR over
-    // both orientations would degrade to a nested-loop). Semi keeps
-    // each wedge row at most once; two wedges closing the same (w1,w2)
-    // from different lo's are different triangles and stay distinct rows.
-    val closed = wedges.join(und,
-      col("w1") === col("pa") && col("w2") === col("pb"), "left_semi")
+    val (deg, closed) = orientedTriangles(und)
     deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
         und.agg(count(lit(1)).as("n_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
-  // --- GR17: per-node LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz)
-  // over the same support-thresholded graph — lcc(v) =
-  // 2·t(v)/(deg(v)·(deg(v)−1)), the node-level texture GR2's single
-  // global count averages away (a node in one dense clique scores 1.0;
-  // a same-degree broker bridging communities scores ≈ 0). Triangle
-  // enumeration reuses GR2's degree-oriented wedge scheme verbatim
-  // (one row per triangle, O(√m) out-degree bound); each triangle is
-  // credited to its three corners by a 3-array explode — integer
-  // counts all the way, one identical-in-both-engines division per
-  // output row, bounded top-K presentation. ---
-  def localClustering(s: SparkSession, d: String, minSupport: Int = 2,
-                      topK: Int = 20): DataFrame = {
-    val und = supportedEdges(s, d, minSupport).localCheckpoint()
-    val deg = und.select(col("pa").as("n")).unionByName(und.select(col("pb").as("n")))
+  /** GR2/GR17's shared degree-oriented triangle machinery
+    * (Schank–Wagner / Suri–Vassilvitskii): given the canonical
+    * undirected edge set (pa < pb, pre-checkpointed by the caller),
+    * returns (degree relation, triangle relation). Orientation runs
+    * every edge from its (deg, id)-smaller endpoint, bounding
+    * out-degree by O(√m) so the wedge self-join is near-linear in
+    * edges; wedges (hi1, hi2 canonicalized by id order) are closed by
+    * ONE equi semi-join against the canonical edge set (an OR over
+    * both orientations would degrade to a nested-loop). The output has
+    * exactly one row per triangle — its unique degree-ordering — as
+    * (v0, w1, w2) with v0 the (deg, id)-smallest corner, so gr2 can
+    * count rows and gr17 can credit corners, off the SAME definition.
+    */
+  private def orientedTriangles(und: DataFrame): (DataFrame, DataFrame) = {
+    val deg = und.select(col("pa").as("n"))
+      .unionByName(und.select(col("pb").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): lo = smaller endpoint under the total order
     val e = und
       .join(deg.withColumnRenamed("n", "pa").withColumnRenamed("deg", "da"), "pa")
       .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("deg", "db"), "pb")
@@ -883,8 +863,29 @@ object Graph {
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
       .select(col("x.lo").as("v0"), col("x.hi").as("w1"), col("y.hi").as("w2"))
-    val closed = wedges.join(und,
-      col("w1") === col("pa") && col("w2") === col("pb"), "left_semi")
+    // semi keeps each wedge row at most once; two wedges closing the
+    // same (w1, w2) from different v0's are different triangles and
+    // stay distinct rows
+    (deg, wedges.join(und,
+      col("w1") === col("pa") && col("w2") === col("pb"), "left_semi"))
+  }
+
+  // --- GR17: per-node LOCAL CLUSTERING COEFFICIENT (Watts–Strogatz)
+  // over the same support-thresholded graph — lcc(v) =
+  // 2·t(v)/(deg(v)·(deg(v)−1)), the node-level texture GR2's single
+  // global count averages away (a node in one dense clique scores 1.0;
+  // a same-degree broker bridging communities scores ≈ 0). Triangle
+  // enumeration is GR2's [[orientedTriangles]] helper — ONE shared
+  // definition (one row per triangle, O(√m) out-degree bound), so a
+  // tie-break change can never silently strand one of the two hash
+  // oracles; each triangle is
+  // credited to its three corners by a 3-array explode — integer
+  // counts all the way, one identical-in-both-engines division per
+  // output row, bounded top-K presentation. ---
+  def localClustering(s: SparkSession, d: String, minSupport: Int = 2,
+                      topK: Int = 20): DataFrame = {
+    val und = supportedEdges(s, d, minSupport).localCheckpoint()
+    val (deg, closed) = orientedTriangles(und)
     val perNode = closed
       .select(explode(array(col("v0"), col("w1"), col("w2"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri"))

@@ -823,10 +823,16 @@ object TextAnalysis {
   // Doubles appear only per-row (one identical expression both
   // engines, no cross-row FP summation — the reason this ranks by
   // per-token χ² instead of reporting a corpus-level χ² total). Shape:
-  // one exploded-token hash agg with map-side partials; the marginal
-  // totals na/nb are a 1-row aggregate attached by broadcast (plans
-  // as BNLJ, the sanctioned tiny-cross shape — never a global window
-  // over the vocabulary, which grows with the corpus). This is
+  // the exploded tokens shuffle as xxhash64 HASHES (strings never
+  // cross the wire — the dd13/tx27 discipline), one hash agg with
+  // map-side partials; the marginal totals na/nb are a 1-row aggregate
+  // attached by broadcast (plans as BNLJ, the sanctioned tiny-cross
+  // shape — never a global window over the vocabulary, which grows
+  // with the corpus). Winner strings come back from the persisted
+  // vocabulary-sized token catalog (TextIndex.tokenCatalog) for the
+  // ≤topN+slack shortlist only; the final cut is on (chi2, token) —
+  // the engine-independent key — so a boundary tie group merely has
+  // to fit in the slack for both engines to cut identically. This is
   // the distinctive-vocabulary gate a mixing pipeline runs before
   // assuming two crawls are interchangeable. ---
   def sourceDivergence(s: SparkSession, d: String,
@@ -836,13 +842,14 @@ object TextAnalysis {
     val perTok = Tables.documents(s, d)
       .filter(col("source").isin(srcA, srcB))
       .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
-      .groupBy("token")
+      .select(col("source"), xxhash64(col("token")).as("h"))
+      .groupBy("h")
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("oa"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("ob"))
       // feeds both the row relation and the 1-row marginal aggregate —
       // checkpoint so the token explode + agg runs once
       .localCheckpoint()
-    perTok
+    val scored = perTok
       .crossJoin(broadcast(perTok.agg(sum(col("oa")).as("na"),
         sum(col("ob")).as("nb"))))
       .filter(col("oa") + col("ob") >= minCount)
@@ -852,6 +859,14 @@ object TextAnalysis {
         dbl(col("nn")) * dbl(col("dcross")) * dbl(col("dcross"))
           / (dbl(col("na")) * dbl(col("nb")) * dbl(col("oa") + col("ob"))
             * dbl(col("nn") - col("oa") - col("ob"))))
+    val shortlist = scored
+      .orderBy(col("chi2").desc, col("h").asc)
+      .limit(topN + 20)
+    val winnerHashes = shortlist.select("h").collect().map(_.getLong(0))
+    val names = graft.sources.TextIndex.tokenCatalog(s, d)
+      .filter(col("h").isin(winnerHashes.toSeq: _*))
+      .groupBy("h").agg(min(col("token")).as("token"))
+    shortlist.join(broadcast(names), Seq("h"))
       .orderBy(col("chi2").desc, col("token").asc)
       .limit(topN)
       .select(col("token"), col("oa"), col("ob"), col("dcross"),
@@ -981,10 +996,11 @@ object TextAnalysis {
   // quality signal: corpora of stitched boilerplate show inflated VMR
   // on template tokens. Shape: tokens shuffle as xxhash64 HASHES
   // through both count aggs (the dd13 discipline); Σc, Σc², df are
-  // integer-exact so the ranking key is deterministic; only the ≤topK
-  // winner hashes see strings again — ONE bounded semi-probe scan
-  // recovers them (isin on a driver-held ≤topK hash set, pushed to
-  // the parquet reader). Ranking rounds VMR to 4dp before the sort so
+  // integer-exact so the ranking key is deterministic; winner strings
+  // come from the persisted vocabulary-sized token catalog
+  // (TextIndex.tokenCatalog — h-sorted, so the isin probe prunes at
+  // row-group stats), NOT a second corpus tokenize: the corpus is
+  // scanned exactly once. Ranking rounds VMR to 4dp before the sort so
   // the cross-engine double jitter (≲1e-12) cannot reorder the cut. ---
   def burstiness(s: SparkSession, d: String,
                  minDf: Int = 5, topK: Int = 20): DataFrame = {
@@ -1011,9 +1027,7 @@ object TextAnalysis {
       .orderBy(col("vmr").desc, col("tf").desc, col("h").asc)
       .limit(topK + 20)
     val winnerHashes = shortlist.select("h").collect().map(_.getLong(0))
-    val names = docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .select(col("token"), xxhash64(col("token")).as("h"))
+    val names = graft.sources.TextIndex.tokenCatalog(s, d)
       .filter(col("h").isin(winnerHashes.toSeq: _*))
       .groupBy("h").agg(min(col("token")).as("token"))
     shortlist.join(broadcast(names), Seq("h"))

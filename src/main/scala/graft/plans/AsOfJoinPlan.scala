@@ -259,7 +259,14 @@ object AsOfJoin {
     require(isTemporal(lt.dataType) == isTemporal(rt.dataType),
       s"as-of time columns must share a family (both temporal or both " +
         s"integral), got ${lt.dataType.simpleString}/${rt.dataType.simpleString}")
-    val zone = Some(leftDf.sparkSession.sessionState.conf.sessionLocalTimeZone)
+    // The lift zone is pinned to UTC, NOT the session zone: the
+    // comparison must be timezone-invariant like the oracle's naive
+    // timestamp arithmetic. A session zone with a DST transition
+    // inside the joined window would shift lifted midnights by an
+    // hour and could flip nearest-side choices or an exact tolerance
+    // boundary relative to the naive result. UTC has no transitions,
+    // so date-midnight micros equal the naive micros DuckDB compares.
+    val zone = Some("UTC")
     def lift(e: Expression, other: DataType): Expression =
       (e.dataType, other) match {
         case (DateType, TimestampNTZType) =>

@@ -84,19 +84,14 @@ object VectorIndex {
     */
   private val Sentinel = "_GRAFT_INDEX_OK"
 
-  /** Build-time ledger: artifact kind -> seconds, for every index this
-    * JVM actually built (cache hits record nothing). Every artifact
-    * family funnels through [[ensure]] — text/vector/graph indexes and
-    * the bucketed marts alike — so the bench reads this to report
-    * one-time build cost separately from steady-state probe timings,
-    * with no duplicated parameter lists to drift out of sync.
+  /** Every artifact family funnels through [[ensure]] — text/vector/
+    * graph indexes and the bucketed marts alike — and each build is
+    * reported into the shared [[BuildLedger]] registry, which the
+    * bench reads to separate one-time build cost from steady-state
+    * probe timings. Kept as an alias for callers that still address
+    * the ledger through this object.
     */
-  private val buildLedger =
-    new java.util.concurrent.ConcurrentHashMap[String, Double]()
-  def buildLog: Map[String, Double] = {
-    import scala.jdk.CollectionConverters._
-    buildLedger.asScala.toMap
-  }
+  def buildLog: Map[String, Double] = BuildLedger.log
 
   /** Build into a temp dir, publish with an atomic rename. The object
     * lock serializes threads in THIS JVM; the rename protocol covers
@@ -120,7 +115,8 @@ object VectorIndex {
           ".tmp." + ProcessHandle.current().pid())
         val t0 = System.nanoTime()
         build(tmp.toString)
-        buildLedger.put(path.getFileName.toString, (System.nanoTime() - t0) / 1e9)
+        BuildLedger.record(path.getFileName.toString,
+          (System.nanoTime() - t0) / 1e9)
         Files.createFile(tmp.resolve(Sentinel))
         try {
           Files.createDirectories(path.getParent)

@@ -857,6 +857,21 @@ object Streams {
   private[graft] def chunkMaintainBatch(batchDf: DataFrame, batchId: Long,
                                         workDir: String, k: Int = 8): Unit = {
     val s = batchDf.sparkSession
+    // Layout migration: the admission ledger moved from chunks/ (pair
+    // deltas, whose doc_id set IS the admitted set) to a dedicated
+    // docs/ directory. A workdir written by the old layout has chunk
+    // deltas but no docs/ ledger; without seeding, every previously
+    // admitted document would be re-admitted and its pairs
+    // double-published, breaking the disjointness invariant the read
+    // side's exact ban counts rely on. So the first docs-keyed batch
+    // to touch a legacy workdir seeds docs/blegacy from the distinct
+    // doc_ids already present in chunks/ — idempotent (overwrite of
+    // the same derivation) and a no-op for fresh workdirs.
+    val legacyChunks = deltaDirs(workDir, "chunks")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    if (deltaDirs(workDir, "docs").isEmpty && legacyChunks.nonEmpty)
+      s.read.parquet(legacyChunks: _*).select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$workDir/docs/blegacy")
     val prior = deltaDirs(workDir, "docs")
       .filterNot(_.endsWith(s"/b$batchId"))
     val batchDocs = batchDf.select(col("doc_id"), col("text"))
@@ -875,6 +890,68 @@ object Streams {
       .write.mode("overwrite").parquet(s"$workDir/chunks/b$batchId")
     ()
   }
+
+  /** Streaming maintenance of dd13/dd22's repeated-gram count state —
+    * the boilerplate catalog kept current as documents arrive. The
+    * per-gram (n_docs, n_occurrences) counts are ADDITIVE over
+    * disjoint document sets, so each batch publishes the unfloored
+    * count state of its newly-admitted docs
+    * ([[graft.sources.TextIndex.repGramStateOf]] — the SAME definition
+    * the persisted index's base/delta slices use, so stream and batch
+    * can never count differently) and the read side sums the disjoint
+    * deltas and applies the floor. Admission is doc_id-keyed against
+    * prior deltas excluding this batch's own (checkpoint-replay rule);
+    * a redelivered document is dropped wholesale — first version wins,
+    * the [[chunkMaintainBatch]] mutation contract. At 100 TB a corpus
+    * append costs the batch's own gram pass; the catalog read is a
+    * sum over gh-keyed deltas, never a corpus re-gram.
+    */
+  def repGramIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                 checkpointDir: String, n: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        repGramMaintainBatch(batch.toDF(), batchId, workDir, n)
+      }
+      .start()
+
+  private[graft] def repGramMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                          workDir: String, n: Int = 8): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "docs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    // both directories per batch: the admission key set AND the count
+    // state derived from exactly the admitted documents
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    graft.sources.TextIndex.repGramStateOf(fresh, n)
+      .write.mode("overwrite").parquet(s"$workDir/repstate/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the additive count states, apply the floor — the
+    * stream-maintained catalog equals the from-scratch
+    * `TextIndex.repeatedGramIndex` rows under any wave/redelivery
+    * schedule (StreamingSpec pins the equivalence).
+    */
+  def readRepeatedGrams(s: org.apache.spark.sql.SparkSession,
+                        workDir: String, floor: Long = 2L): DataFrame =
+    s.read.parquet(deltaDirs(workDir, "repstate"): _*)
+      .groupBy("gh")
+      .agg(min(col("gram")).as("gram"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_occurrences")).as("n_occurrences"))
+      .filter(col("n_docs") >= floor)
+      .select("gram", "n_docs", "n_occurrences")
 
   /** Streaming maintenance of dq4's PSI drift state — the
     * serving-side drift monitor: what the audit needs from history is
@@ -1064,9 +1141,63 @@ object Streams {
       .agg(
         sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_distinct_a"),
         sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_distinct_b"))
+    // LEFT join from counts: a profiled column whose admitted values
+    // are all NULL contributes no pvalues rows at all, and an inner
+    // join would silently drop that column from the streamed monitor
+    // while batch profileDrift still reports it (n_distinct 0) — the
+    // completeness cliff this monitor exists to flag.
     graft.operators.DataQuality.profileFromStats(
-      counts.join(distincts, Seq("col_name")))
+      counts.join(distincts, Seq("col_name"), "left")
+        .withColumn("n_distinct_a", coalesce(col("n_distinct_a"), lit(0L)))
+        .withColumn("n_distinct_b", coalesce(col("n_distinct_b"), lit(0L))))
   }
+
+  /** Streaming maintenance of sq6's Kaplan–Meier per-user state — the
+    * live time-to-conversion monitor. The state a survival curve needs
+    * from history is per-user (first-activity, first-conversion,
+    * last-activity), which is additive-by-MIN/MAX — and min/max are
+    * IDEMPOTENT, so unlike the sum-based twins this one needs no
+    * admission ledger at all: a redelivered event can only re-assert
+    * bounds the merge already holds, and a checkpoint replay
+    * overwrites its own delta with identical bytes. Each batch
+    * publishes its own per-user partial
+    * ([[graft.operators.DataPrep.kmUserState]] — the batch query's own
+    * state definition); the read side merges by (min, min, max) and
+    * applies the batch estimator's own tail
+    * ([[graft.operators.DataPrep.kaplanMeierFromPerUser]]), so the
+    * monitor and the sq6 readout can never disagree on risk sets or
+    * the censoring edge. Assumes immutable events (the engine-wide
+    * at-least-once contract).
+    */
+  def kmIndexMaintainStream(incoming: DataFrame, workDir: String,
+                            checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        kmMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def kmMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                     workDir: String): Unit = {
+    graft.operators.DataPrep.kmUserState(batchDf)
+      .write.mode("overwrite").parquet(s"$workDir/kmuser/b$batchId")
+    ()
+  }
+
+  /** Read side: merge the idempotent per-user bounds, then the shared
+    * estimator tail — stream-maintained survival equals the batch
+    * `sq6_kaplan_meier` answer under any wave/redelivery schedule.
+    */
+  def readKaplanMeier(s: org.apache.spark.sql.SparkSession,
+                      workDir: String): DataFrame =
+    graft.operators.DataPrep.kaplanMeierFromPerUser(
+      s.read.parquet(deltaDirs(workDir, "kmuser"): _*)
+        .groupBy("user_id")
+        .agg(min(col("fd")).as("fd"), min(col("cv")).as("cv"),
+          max(col("md")).as("md")))
 
   /** Streaming maintenance of a48's per-user CUPED state — the live
     * experiment monitor: θ, the adjusted per-arm means, and the

@@ -983,6 +983,37 @@ class StreamingSpec extends SparkTestBase {
     assert(total == before, "index state must be exactly the first version's")
   }
 
+  test("chunk index: a legacy chunks/-only workdir is seeded, not re-admitted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dd21legacy").toString
+    val words = (1 to 20).map(i => s"w$i").mkString(" ")
+    val v1 = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
+    Streams.chunkMaintainBatch(v1, 0L, root)
+    val before = spark.read.parquet(s"$root/chunks/b0").collect().toSet
+    // simulate a workdir written by the pre-docs/ layout: the chunk
+    // deltas exist but the admission ledger directory does not
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$root/docs"))
+    // redelivery of an already-indexed doc against the legacy workdir:
+    // without seeding, doc 1 would be re-admitted and its pairs
+    // double-published beside b0's, breaking count==countDistinct
+    val v2 = Seq((1L, words), (3L, (21 to 40).map(i => s"m$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.chunkMaintainBatch(v2, 1L, root)
+    val b1 = spark.read.parquet(s"$root/chunks/b1")
+    assert(b1.filter(col("doc_id") === 1L).count() == 0,
+      "a legacy-admitted doc must not re-publish chunk pairs")
+    assert(b1.filter(col("doc_id") === 3L).count() > 0,
+      "a genuinely new doc must still be admitted")
+    val all = spark.read.parquet(s"$root/chunks/b0", s"$root/chunks/b1")
+    assert(all.count() == all.dropDuplicates("doc_id", "gh").count(),
+      "chunk pair deltas must stay disjoint across the layout migration")
+    assert(spark.read.parquet(s"$root/chunks/b0").collect().toSet == before)
+  }
+
   test("equivalence: streaming chunk-index maintenance == batch dd21 (shuffled waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1016,5 +1047,70 @@ class StreamingSpec extends SparkTestBase {
         .filter(_.isDirectory).map(_.getAbsolutePath): _*)
     assert(pairs.count() == pairs.dropDuplicates("doc_id", "gh").count(),
       "chunk pair deltas must be disjoint")
+  }
+
+  test("equivalence: streaming repeated-gram maintenance == from-scratch catalog (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shuffled arrival: the floor flip (n_docs >= 2) may happen in any
+    // wave — only the merged count state matters
+    val shuffled = new scala.util.Random(31).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("repgramstream").toString
+    val q = Streams.repGramIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: counts are additive, so a
+    // double-counted doc would inflate n_docs — admission must drop it
+    try (waves :+ waves.head.take(7)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.repGramMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readRepeatedGrams(spark, root)) ==
+      rowSet(graft.sources.TextIndex.repeatedGramIndex(spark, sf, 8)),
+      "stream-maintained catalog must equal the from-scratch index")
+    // the count-state deltas must cover disjoint documents
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
+  test("equivalence: streaming Kaplan-Meier maintenance == batch sq6 (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect().toSeq
+    val shuffled = new scala.util.Random(41).shuffle(events)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val root = java.nio.file.Files.createTempDirectory("sq6stream").toString
+    val q = Streams.kmIndexMaintainStream(
+      mem.toDF().select(col("_1").as("user_id"), col("_2").as("ts"),
+        col("_3").as("event_type"), col("_4").as("value")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: min/max bounds are
+    // idempotent — re-sent events must not move the curve (this twin
+    // deliberately has NO admission ledger; redelivery-safety is
+    // algebraic, and this is the assertion that proves it)
+    try (waves :+ waves.head.take(25)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a replay that covers MORE events than the original batch 0:
+    // a superset re-assertion of the same per-user bounds must leave
+    // the merged state invariant
+    Streams.kmMaintainBatch(
+      Tables.events(spark, sf).select("user_id", "ts", "event_type", "value"),
+      0L, root)
+    assert(rowSet(Streams.readKaplanMeier(spark, root)) ==
+      rowSet(graft.operators.DataPrep.kaplanMeier(spark, sf)),
+      "stream-maintained survival must equal the batch sq6 answer")
   }
 }

@@ -116,6 +116,64 @@ class TextIndexSpec extends SparkTestBase {
     }
   }
 
+  test("token catalog: equals inline distinct tokens; tx23/tx27 reuse it") {
+    import org.apache.spark.sql.functions._
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val idx = asSet(TextIndex.tokenCatalog(spark, sf))
+    val inline = asSet(Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .select(xxhash64(col("token")).as("h"), col("token")))
+    assert(idx.nonEmpty && idx == inline,
+      "persisted catalog must equal the inline vocabulary")
+    val files1 = indexFiles("tokcat_ws")
+    assert(files1.nonEmpty)
+    // the winner-string probes must reuse the catalog, never rebuild
+    // it (and never re-tokenize the corpus for name recovery)
+    graft.operators.TextAnalysis.burstiness(spark, sf).collect()
+    graft.operators.TextAnalysis.sourceDivergence(spark, sf).collect()
+    assert(indexFiles("tokcat_ws") == files1,
+      "tx27/tx23 must probe the catalog, not rewrite it")
+  }
+
+  test("repeated-gram state: base ∪ delta compaction == from-scratch catalog, base untouched") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val base = TextIndex.repGramStateBase(spark, sf, boundary)
+    val baseDir = new java.io.File(
+      new java.net.URI(base.inputFiles.head)).getParentFile
+    def snapshot() = baseDir.listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = snapshot()
+
+    val delta = TextIndex.repGramStateDelta(spark, sf, boundary)
+    assert(snapshot() == before,
+      "building the state delta must not touch any base state file")
+    assert(base.count() > 0 && delta.count() > 0)
+
+    // monolithic equivalence: summed states + floor == the from-scratch
+    // build dd13/dd22 probe (same rows, including grams repeated only
+    // ACROSS the boundary — the non-distributive floor case)
+    val compacted = rows(TextIndex.compactRepeatedGramIndex(spark, sf, boundary))
+    assert(compacted == rows(TextIndex.repeatedGramIndex(spark, sf, 8)),
+      "compacted catalog must be row-identical to the from-scratch build")
+    // and the merge genuinely exercises cross-slice addition: some gram
+    // must be sub-floor in every single slice yet repeated overall
+    val baseOnly = base.filter(col("n_docs") >= 2)
+      .select("gram").collect().map(_.getString(0)).toSet
+    val deltaOnly = delta.filter(col("n_docs") >= 2)
+      .select("gram").collect().map(_.getString(0)).toSet
+    val crossOnly = compacted.map(_._1) -- baseOnly -- deltaOnly
+    assert(crossOnly.nonEmpty,
+      "boundary should split at least one repeated gram across slices")
+  }
+
   test("DD17 incremental pairs == full-corpus LSH pairs involving the batch") {
     import org.apache.spark.sql.functions.col
     val maxId = Tables.documents(spark, sf)
