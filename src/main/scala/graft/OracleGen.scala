@@ -1204,6 +1204,88 @@ object OracleGen {
        |FROM rr2 WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** SR1 replay: BOTH legs of the hybrid fusion independently — the
+    * BM25 leg is tx19's CTE chain cut at r, the vector leg is sim16's
+    * PQ chain for ONE query vector (codes trained/encoded in SQL,
+    * ADC shortlist, exact-dot refine) cut at r — then the RRF tail
+    * with integer-exact ranks (row_number, equal to the Spark side's
+    * count-of-better under the same total orders) and the identical
+    * 1/(k+rank) arithmetic.
+    */
+  def sr1Sql(terms: Seq[String] = Seq("window", "merge", "scan"),
+             r: Int = 50, adcShort: Int = 60, kRrf: Int = 60,
+             topK: Int = 20, dim: Int = 64): String = {
+    import graft.operators.Similarity.{PqM, PqK, PqIters, PqSubDim}
+    val chains = pqChains(PqM, PqK, PqIters, PqSubDim)
+    val codeCtes = pqCodesCtes(PqM, PqIters, PqSubDim, "WHERE e.vec_id >= 1")
+    val lutCte = pqLutCte(PqM, PqIters, PqSubDim, 1)
+    val sCols = pqSumCols(PqM)
+    val sSum = pqSumExpr(PqM)
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $chains,
+       |$codeCtes,
+       |$lutCte,
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id,
+       |    $sCols
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  GROUP BY 1, 2),
+       |vshort AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS srk
+       |  FROM adc),
+       |vrr AS (
+       |  SELECT t.vec_id, ${pairDot("q.embedding", "e.embedding", dim)} AS xdot
+       |  FROM vshort t
+       |  JOIN embeddings e ON e.vec_id = t.vec_id
+       |  JOIN embeddings q ON q.vec_id = t.q_id
+       |  WHERE t.srk <= $adcShort),
+       |rankb AS (
+       |  SELECT doc_id, r_vec FROM (
+       |    SELECT vec_id AS doc_id, CAST(row_number() OVER
+       |      (ORDER BY xdot DESC, vec_id ASC) AS INTEGER) AS r_vec
+       |    FROM vrr) WHERE r_vec <= $r),
+       |btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |bdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM btok GROUP BY 1),
+       |bst AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM bdl),
+       |btf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM btok
+       |  WHERE token IN ($termList) GROUP BY 1, 2),
+       |bdfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+       |bc AS (
+       |  SELECT btf.doc_id,
+       |    ln(1.0 + (bst.n_docs - bdfq.df + 0.5) / (CAST(bdfq.df AS DOUBLE) + 0.5))
+       |      * (CAST(btf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(btf.tf AS DOUBLE)
+       |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(bdl.dl AS DOUBLE) / bst.avgdl))
+       |      AS contrib
+       |  FROM btf JOIN bdfq ON btf.token = bdfq.token
+       |  JOIN bdl ON btf.doc_id = bdl.doc_id, bst),
+       |lega AS (
+       |  SELECT doc_id, round(sum(contrib), 6) AS bm25
+       |  FROM bc GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id ASC LIMIT $r),
+       |ranka AS (
+       |  SELECT doc_id, CAST(row_number() OVER
+       |    (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_bm25
+       |  FROM lega),
+       |fused AS (
+       |  SELECT coalesce(ranka.doc_id, rankb.doc_id) AS doc_id,
+       |    CAST(coalesce(r_bm25, 0) AS INTEGER) AS r_bm25,
+       |    CAST(coalesce(r_vec, 0) AS INTEGER) AS r_vec
+       |  FROM ranka FULL OUTER JOIN rankb ON ranka.doc_id = rankb.doc_id)
+       |SELECT doc_id, r_bm25, r_vec,
+       |  round(CASE WHEN r_bm25 > 0
+       |          THEN 1.0 / ($kRrf.0 + CAST(r_bm25 AS DOUBLE)) ELSE 0.0 END
+       |      + CASE WHEN r_vec > 0
+       |          THEN 1.0 / ($kRrf.0 + CAST(r_vec AS DOUBLE)) ELSE 0.0 END,
+       |    6) AS rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $topK""".stripMargin
+  }
+
   /** SIM13 replay: the full IVF-PQ — sim4's coarse Lloyd chain +
     * cell/probe assignment bounds the candidate set, sim12's subspace
     * chains + code/LUT machinery scores it. Candidates follow sim4's

@@ -241,6 +241,7 @@ object SparkEntry {
     "gr4_hop_distance"  -> ((s, d) => Graph.hopDistance(s, d)),
     "dd19_prefix_filter" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
     "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
+    "sr1_hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
     "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
@@ -557,6 +558,7 @@ object SparkEntry {
       operators.Sampling.jackknifeQualityOracleSql(),
     "sq6_kaplan_meier" ->
       operators.DataPrep.kaplanMeierOracleSql(),
+    "sr1_hybrid_rrf" -> OracleGen.sr1Sql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval at the PRODUCTION scale path — the fusion a
+  * RAG/search stack actually serves: tx19's Okapi BM25 (lexical leg)
+  * combined with sim16's PQ retrieve-then-refine ANN (vector leg) by
+  * reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher SIGIR 2009):
+  *
+  *   rrf(d) = Σ_legs 1 / (k + rank_leg(d)),  k = 60
+  *
+  * sim14 already fuses BM25 with sim1's EXACT cosine — the reference
+  * fusion, whose vector leg scans every raw embedding. sr1 is the
+  * 100 TB serving shape: the vector leg's first stage reads 16-byte
+  * PQ CODES only, and raw embeddings are touched for the adcShort
+  * shortlist alone (a broadcast semi-probe), so the fused query's
+  * full-width read is bounded by shortlists on BOTH legs — BM25
+  * reads the query terms' posting lists, the ANN reads codes + R raw
+  * rows. RRF needs only the integer RANKS inside each leg's bounded
+  * top-R, which is what makes the whole composition hash-oracled:
+  * ranks are engine-exact (each leg orders by a score both engines
+  * compute bit-identically, with an id tie-break) and 1/(60+r) is one
+  * identical per-row double expression.
+  *
+  * Rank recovery is window-free on the lexical leg (rank = 1 + count
+  * of strictly-better rows via a broadcast self-join of the ≤R-row
+  * checkpointed shortlist — the plan-hygiene gate bans global windows
+  * over grow-with-data keys, and a rank window above a doc_id-keyed
+  * aggregate would be indistinguishable from one) and per-query
+  * partitioned on the vector leg (sim16's own TakeOrdered-sized
+  * window). The full-outer fuse keeps documents surfaced by only one
+  * leg; their other-leg contribution is 0 — the standard RRF
+  * treatment of shortlist misses.
+  */
+object Retrieval {
+
+  /** rank inside one bounded shortlist: 1 + #{rows strictly before
+    * this one under (score desc, id asc)}. `leg` must be small (≤ R
+    * rows, enforced upstream by the leg's own LIMIT) and is
+    * checkpointed by the caller so the self-join does not re-run the
+    * leg.
+    */
+  private def rankByCount(leg: DataFrame, score: String, id: String,
+                          out: String): DataFrame = {
+    val better =
+      col(s"y.$score") > col(s"x.$score") ||
+        (col(s"y.$score") === col(s"x.$score") &&
+          col(s"y.$id") < col(s"x.$id"))
+    leg.as("x").join(broadcast(leg.as("y")), better, "left")
+      .groupBy(col(s"x.$id").as(id))
+      .agg((count(col(s"y.$id")) + 1L).cast("int").as(out))
+  }
+
+  // --- SR1: hybrid BM25 + PQ-refined ANN with RRF fusion. Query =
+  // tx19's default term set on the lexical side and embedding 0 (a
+  // stand-in for an embedded query) on the vector side; both legs
+  // run at R = 50 (the ANN leg refines an adcShort = 60 codes-only
+  // shortlist), fusion returns the top 20 by (rrf, doc_id). ---
+  def hybridRrf(s: SparkSession, d: String,
+                terms: Seq[String] = Seq("window", "merge", "scan"),
+                r: Int = 50, adcShort: Int = 60, kRrf: Int = 60,
+                topK: Int = 20): DataFrame = {
+    val legA = TextAnalysis.bm25TopDocs(s, d, terms, r).localCheckpoint()
+    val ra = rankByCount(legA, "bm25", "doc_id", "r_bm25")
+    val rb = Similarity.refinedLeg(s, d, r, adcShort)
+    def contrib(c: org.apache.spark.sql.Column) =
+      when(c > 0, lit(1.0) / (lit(kRrf.toDouble) + c.cast("double")))
+        .otherwise(lit(0.0))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_bm25"), lit(0)).as("r_bm25"),
+        coalesce(col("r_vec"), lit(0)).as("r_vec"))
+      .withColumn("rrf", round(contrib(col("r_bm25")) +
+        contrib(col("r_vec")), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+}

@@ -689,6 +689,39 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The single-query retrieve-then-refine leg sr1's hybrid fusion
+    * uses as its vector side: the codes-only ADC scan nominates an
+    * `adcShort` shortlist for query vector 0, an exact-dot rerank of
+    * ONLY those rows ranks the top `r` — sim16's two-stage shape,
+    * reduced to one query and returned as the (doc_id, r_vec) rank
+    * relation a rank-fusion combiner consumes (vec_id ≡ doc_id in
+    * this corpus). Raw embeddings are touched for adcShort rows, not
+    * the corpus — the difference between this and sim14's exact
+    * cosine leg IS sr1's reason to exist.
+    */
+  private[graft] def refinedLeg(s: SparkSession, d: String,
+                                r: Int, adcShort: Int): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val ws = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = adcScores(s, d, 1)
+      .withColumn("srk", row_number().over(ws))
+      .filter(col("srk") <= adcShort)
+      .select("q_id", "vec_id")
+    val e = Tables.embeddings(s, d)
+    val qe = e.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("xdot").desc, col("vec_id").asc)
+    e.join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qe), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        vecDot(col("q_emb"), col("embedding")).as("xdot"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= r)
+      .select(col("vec_id").as("doc_id"), col("rk").cast("int").as("r_vec"))
+  }
+
   // --- SIM16: two-stage retrieve-then-refine — the serving pattern
   // FAISS ships as IndexRefineFlat: the compressed-domain ADC scan
   // (sim12's scoring, 16-byte codes) nominates a SHORTLIST of R ≫ k

@@ -890,6 +890,34 @@ class Pack10Spec extends SparkTestBase {
     assert(checked == rows.length, "one output row per event time")
   }
 
+  test("sr1: RRF fusion replays from its own legs; ranks bounded by R") {
+    val r = 50
+    val fused = operators.Retrieval.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty && fused.length <= 20)
+    // replay the fusion from the legs' own outputs
+    val legA = operators.TextAnalysis.bm25TopDocs(spark, sf, topK = r)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val legB = operators.Similarity.refinedLeg(spark, sf, r, 60)
+      .collect().map(row => row.getLong(0) -> row.getInt(1)).toMap
+    fused.foreach { row =>
+      val (id, ra, rb, rrf) =
+        (row.getLong(0), row.getInt(1), row.getInt(2), row.getDouble(3))
+      assert(ra >= 0 && ra <= r && rb >= 0 && rb <= r)
+      assert(ra == legA.getOrElse(id, 0), s"bm25 rank mismatch for $id")
+      assert(rb == legB.getOrElse(id, 0), s"vector rank mismatch for $id")
+      val expect =
+        (if (ra > 0) 1.0 / (60 + ra) else 0.0) +
+          (if (rb > 0) 1.0 / (60 + rb) else 0.0)
+      assert(math.abs(rrf - expect) <= 5.1e-7, s"rrf replay for $id")
+    }
+    // fusion is genuinely hybrid: the top fused doc set is not just
+    // one leg's prefix unless the corpus makes it so — at minimum the
+    // scores must be non-increasing
+    val scores = fused.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, "fused order by rrf desc")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
