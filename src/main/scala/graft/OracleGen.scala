@@ -1204,6 +1204,56 @@ object OracleGen {
        |FROM rr2 WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** SIM17 replay: sim12's ADC top-k and the exact-dot top-k, their
+    * per-query intersection counted — integer-exact recall@k.
+    */
+  def sim17Sql(numQueryVecs: Int = 5, k: Int = 10,
+               mSub: Int = graft.operators.Similarity.PqM,
+               kk: Int = graft.operators.Similarity.PqK,
+               iters: Int = graft.operators.Similarity.PqIters,
+               subDim: Int = graft.operators.Similarity.PqSubDim,
+               dim: Int = 64): String = {
+    val chains = pqChains(mSub, kk, iters, subDim)
+    val codeCtes = pqCodesCtes(mSub, iters, subDim,
+      s"WHERE e.vec_id >= $numQueryVecs")
+    val lutCte = pqLutCte(mSub, iters, subDim, numQueryVecs)
+    val sCols = pqSumCols(mSub)
+    val sSum = pqSumExpr(mSub)
+    s"""WITH $chains,
+       |$codeCtes,
+       |$lutCte,
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id,
+       |    $sCols
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS rk
+       |  FROM adc),
+       |ex AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${pairDot("q.embedding", "e.embedding", dim)} DESC,
+       |      e.vec_id ASC) AS xrk
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE q.vec_id < $numQueryVecs AND e.vec_id >= $numQueryVecs),
+       |hits AS (
+       |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM (SELECT q_id, vec_id FROM top WHERE rk <= $k) t
+       |  JOIN (SELECT q_id, vec_id FROM ex WHERE xrk <= $k) x
+       |    ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+       |  GROUP BY t.q_id),
+       |qs AS (SELECT vec_id AS q_id FROM embeddings
+       |  WHERE vec_id < $numQueryVecs)
+       |SELECT qs.q_id, coalesce(n_hit, 0) AS n_hit,
+       |  CAST($k AS INTEGER) AS k,
+       |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / $k.0, 4) AS recall
+       |FROM qs LEFT JOIN hits ON qs.q_id = hits.q_id
+       |ORDER BY qs.q_id""".stripMargin
+  }
+
   /** SR1 replay: BOTH legs of the hybrid fusion independently — the
     * BM25 leg is tx19's CTE chain cut at r, the vector leg is sim16's
     * PQ chain for ONE query vector (codes trained/encoded in SQL,

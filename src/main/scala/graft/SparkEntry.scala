@@ -242,6 +242,8 @@ object SparkEntry {
     "dd19_prefix_filter" -> ((s, d) => Dedup.prefixFilterJaccardPairs(s, d)),
     "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
     "sr1_hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
+    "sr2_query_likelihood" -> ((s, d) => Retrieval.queryLikelihoodTopDocs(s, d)),
+    "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
     "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
@@ -272,6 +274,7 @@ object SparkEntry {
     "sim12_pq_adc"       -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim14_hybrid_rrf"   -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "sim17_pq_recall"    -> ((s, d) => Similarity.pqRecallAudit(s, d)),
     "sim15_lsh_filtered" -> ((s, d) => Similarity.lshAnnFiltered(s, d)),
     "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
     "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
@@ -280,6 +283,8 @@ object SparkEntry {
     "gr11_assoc_rules"   -> ((s, d) => Graph.associationRules(s, d)),
     "gr12_hits"          -> ((s, d) => Graph.hits(s, d)),
     "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
+    "a50_mann_kendall"   -> ((s, d) => Analytics.mannKendall(s, d)),
+    "a51_runs_test"      -> ((s, d) => Analytics.runsTest(s, d)),
     "a42_acf"            -> ((s, d) => Analytics.autocorrelation(s, d)),
     "a43_trimmed_stats"  -> ((s, d) => Analytics.trimmedStats(s, d)),
     "a44_dow_seasonality" -> ((s, d) => Analytics.dowSeasonality(s, d)),
@@ -330,6 +335,7 @@ object SparkEntry {
     "sim16_pq_refine"    -> ((s, d) => Similarity.pqRefineTopK(s, d)),
     "pv4_randomized_response" -> ((s, d) => DataQuality.randomizedResponse(s, d)),
     "dq5_profile_drift"  -> ((s, d) => DataQuality.profileDrift(s, d)),
+    "dq6_referential"    -> ((s, d) => DataQuality.referentialIntegrity(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
@@ -337,6 +343,7 @@ object SparkEntry {
     "pp2_dynamic_pruning" -> ((s, d) => graft.sources.Marts.dynamicPrunedDaily(s, d)),
     "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
     "gr17_local_clustering" -> ((s, d) => Graph.localClustering(s, d)),
+    "gr18_rich_club"     -> ((s, d) => Graph.richClub(s, d)),
     "sp7_jackknife"      -> ((s, d) => Sampling.jackknifeQuality(s, d)),
     "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
@@ -523,6 +530,8 @@ object SparkEntry {
     "pv4_randomized_response" ->
       operators.DataQuality.randomizedResponseOracleSql(),
     "dq5_profile_drift" -> operators.DataQuality.profileDriftOracleSql(),
+    "dq6_referential" ->
+      operators.DataQuality.referentialIntegrityOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     "a49_seasonality" ->
       operators.Analytics.seasonalityStrengthOracleSql(),
@@ -554,11 +563,18 @@ object SparkEntry {
     "tx28_readability" -> operators.TextAnalysis.readabilityOracleSql(),
     "gr17_local_clustering" ->
       operators.Graph.localClusteringOracleSql(),
+    "gr18_rich_club" -> operators.Graph.richClubOracleSql(),
     "sp7_jackknife" ->
       operators.Sampling.jackknifeQualityOracleSql(),
     "sq6_kaplan_meier" ->
       operators.DataPrep.kaplanMeierOracleSql(),
     "sr1_hybrid_rrf" -> OracleGen.sr1Sql(),
+    "sr2_query_likelihood" ->
+      operators.Retrieval.queryLikelihoodOracleSql(),
+    "a50_mann_kendall" -> operators.Analytics.mannKendallOracleSql(),
+    "a51_runs_test" -> operators.Analytics.runsTestOracleSql(),
+    "tx29_collocations" ->
+      operators.TextAnalysis.collocationsOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and
@@ -2994,6 +3010,7 @@ object SparkEntry {
     "sim12_pq_adc" -> OracleGen.sim12Sql(),
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
+    "sim17_pq_recall" -> OracleGen.sim17Sql(),
     "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
     "dp18_filter_funnel" -> OracleGen.dp18Sql(),
     "a46_ab_test" -> operators.Analytics.abTestOracleSql(),

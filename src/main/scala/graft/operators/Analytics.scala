@@ -1783,4 +1783,151 @@ object Analytics {
        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
        |FROM m ORDER BY lag""".stripMargin
+
+  // --- A50: MANN-KENDALL trend test on the monthly revenue series —
+  // the nonparametric significance companion to a41's Theil-Sen
+  // slope (Sen estimates HOW MUCH, Mann-Kendall says WHETHER):
+  // S = SUM_{i<j} sign(c_j - c_i), Var(S) with the tie correction
+  // (n(n-1)(2n+5) - SUM_g t_g(t_g-1)(2t_g+5))/18, and the
+  // continuity-corrected z = (S -/+ 1)/sqrt(Var). S and both variance
+  // numerators are EXACT integers (cents series, bounded 84-month
+  // domain -> ~3.5k pairs at any corpus size, a41's boundedness
+  // argument verbatim); doubles appear only in the one final division
+  // and sqrt — identical per-row arithmetic on both engines. ---
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val monthly = Tables.orders(s, d)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12
+        + month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("c"))
+    val pairs = monthly.select(col("x").as("xa"), col("c").as("ca"))
+      .join(broadcast(monthly.select(col("x").as("xb"), col("c").as("cb"))),
+        col("xa") < col("xb"))
+      .agg(sum(signum(dbl(col("cb") - col("ca"))).cast("long")).as("s_stat"))
+    val nn = monthly.agg(count(lit(1)).as("n"))
+    val ties = monthly.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)),
+        lit(0L)).as("tie_term"))
+    pairs.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+      .withColumn("var_num",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie_term"))
+      .select(col("n").as("n_months"), col("s_stat"),
+        round(dbl(col("var_num")) / 18.0, 4).as("var_s"),
+        round(
+          when(col("s_stat") > 0,
+            dbl(col("s_stat") - 1) / sqrt(dbl(col("var_num")) / 18.0))
+          .when(col("s_stat") < 0,
+            dbl(col("s_stat") + 1) / sqrt(dbl(col("var_num")) / 18.0))
+          .otherwise(lit(0.0)), 4).as("z"))
+  }
+
+  /** Oracle twin of [[mannKendall]] — same exact-integer S, tie
+    * correction, and continuity-corrected z.
+    */
+  def mannKendallOracleSql(): String =
+    """WITH m AS (
+      |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+      |    AS x, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(sum(CAST(sign(CAST(b.c - a.c AS DOUBLE)) AS BIGINT))
+      |    AS BIGINT) AS s_stat
+      |  FROM m a JOIN m b ON a.x < b.x),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+      |t AS (
+      |  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |    AS tie_term
+      |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM m GROUP BY c)),
+      |v AS (
+      |  SELECT n.n, p.s_stat,
+      |    n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS var_num
+      |  FROM p, n, t)
+      |SELECT n AS n_months, s_stat,
+      |  round(CAST(var_num AS DOUBLE) / 18.0, 4) AS var_s,
+      |  round(CASE
+      |    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |      / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 4) AS z
+      |FROM v""".stripMargin
+
+  // --- A51: WALD-WOLFOWITZ runs test — is the monthly revenue series
+  // RANDOM around its median, or does it clump (momentum) / alternate
+  // (overcorrection)? Months equal to the median are dropped (the
+  // standard convention); R = number of sign runs in time order,
+  // mu_R = 1 + 2*n1*n2/(n1+n2), sigma2_R = 2*n1*n2*(2*n1*n2-n1-n2) /
+  // ((n1+n2)^2*(n1+n2-1)), z = (R - mu_R)/sigma_R. The median is the
+  // exact lower-median rank pick and every count is an exact integer;
+  // the lag window rides the calendar-bounded monthly aggregate
+  // (a38/a41's hygiene argument). ---
+  def runsTest(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val monthly = Tables.orders(s, d)
+      .groupBy(((year(col("o_orderdate")) - 1992) * 12
+        + month(col("o_orderdate")) - 1).cast("long").as("x"))
+      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("c"))
+    val wM = Window.partitionBy(lit(0)).orderBy(col("c").asc, col("x").asc)
+    val med = monthly
+      .withColumn("rn", row_number().over(wM).cast("long"))
+      .withColumn("nm", sum(lit(1L)).over(Window.partitionBy(lit(0))))
+      .filter(col("rn") === expr("(nm + 1) div 2"))
+      .select(col("c").as("med"))
+    val signed = monthly.crossJoin(broadcast(med))
+      .filter(col("c") =!= col("med"))
+      .select(col("x"), (col("c") > col("med")).cast("int").as("up"))
+    val wX = Window.partitionBy(lit(0)).orderBy(col("x").asc)
+    signed
+      .withColumn("flip",
+        when(lag(col("up"), 1).over(wX).isNull, 1L)
+          .when(lag(col("up"), 1).over(wX) =!= col("up"), 1L)
+          .otherwise(0L))
+      .agg(sum(col("up").cast("long")).as("n1"),
+        sum(lit(1L) - col("up")).as("n2"),
+        sum(col("flip")).as("n_runs"))
+      .withColumn("mu", lit(1.0)
+        + lit(2.0) * dbl(col("n1")) * dbl(col("n2")) / dbl(col("n1") + col("n2")))
+      .withColumn("s2", lit(2.0) * dbl(col("n1")) * dbl(col("n2"))
+        * (lit(2.0) * dbl(col("n1")) * dbl(col("n2")) - dbl(col("n1")) - dbl(col("n2")))
+        / (dbl(col("n1") + col("n2")) * dbl(col("n1") + col("n2"))
+          * dbl(col("n1") + col("n2") - 1)))
+      .select(col("n1"), col("n2"), col("n_runs"),
+        round((dbl(col("n_runs")) - col("mu")) / sqrt(col("s2")), 4).as("z"))
+  }
+
+  /** Oracle twin of [[runsTest]] — same median pick, run counting via
+    * lag, and closed-form moments.
+    */
+  def runsTestOracleSql(): String =
+    """WITH m AS (
+      |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+      |    AS x, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |md AS (
+      |  SELECT c AS med FROM (
+      |    SELECT c, row_number() OVER (ORDER BY c ASC, x ASC) AS rn,
+      |      count(*) OVER () AS nm
+      |    FROM m) WHERE rn = (nm + 1) // 2),
+      |sg AS (
+      |  SELECT x, CAST(c > med AS INTEGER) AS up
+      |  FROM m, md WHERE c <> med),
+      |fl AS (
+      |  SELECT up, CASE WHEN lag(up) OVER (ORDER BY x) IS NULL THEN 1
+      |    WHEN lag(up) OVER (ORDER BY x) <> up THEN 1 ELSE 0 END AS flip
+      |  FROM sg),
+      |agg AS (
+      |  SELECT CAST(sum(up) AS BIGINT) AS n1,
+      |    CAST(sum(1 - up) AS BIGINT) AS n2,
+      |    CAST(sum(flip) AS BIGINT) AS n_runs
+      |  FROM fl)
+      |SELECT n1, n2, n_runs,
+      |  round((CAST(n_runs AS DOUBLE)
+      |    - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        / CAST(n1 + n2 AS DOUBLE)))
+      |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |        - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+      |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |        * CAST(n1 + n2 - 1 AS DOUBLE))), 4) AS z
+      |FROM agg""".stripMargin
 }

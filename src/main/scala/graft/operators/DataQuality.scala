@@ -627,4 +627,67 @@ object DataQuality {
          |FROM events""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  // --- DQ6: cross-table REFERENTIAL-INTEGRITY audit — per foreign-key
+  // edge of the warehouse schema, how many child rows point at a
+  // parent key that does not exist? The first gate a warehouse load
+  // runs after ingest (dq2 audits per-ROW constraints; this audits
+  // the RELATIONSHIPS), and the one that catches partial loads,
+  // truncated dimension refreshes, and out-of-order CDC application.
+  // Shape per edge: one left join from the child's key projection to
+  // the DISTINCT parent keys — tiny parents (region/nation) broadcast,
+  // large ones shuffle on the key exactly like the production join the
+  // edge exists to serve; counting is integer-exact. The seven audits
+  // are independent single-row aggregates unioned at the end, so AQE
+  // schedules them as parallel subplans of one job. ---
+  def referentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"))
+    Seq(
+      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      edge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      edge("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      edge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relationship")
+  }
+
+  /** Oracle twin of [[referentialIntegrity]] — the same seven
+    * left-join audits, one UNION ALL per FK edge.
+    */
+  def referentialIntegrityOracleSql(): String = {
+    val edges = Seq(
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    edges.map { case (name, c, ck, p, pk) =>
+      s"""SELECT '$name' AS relationship,
+         |  CAST(count(*) AS BIGINT) AS n_child,
+         |  CAST(sum(CASE WHEN pp.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphans
+         |FROM (SELECT $ck AS k FROM $c) cc
+         |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $p) pp ON cc.k = pp.k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
 }

@@ -900,6 +900,84 @@ object Graph {
       .limit(topK)
   }
 
+  // --- GR18: RICH-CLUB coefficient — do high-degree parts co-purchase
+  // preferentially with EACH OTHER? φ(k) = 2·E_k / (N_k·(N_k−1)) over
+  // the subgraph induced by nodes with degree > k, for a fixed k
+  // ladder [Colizza et al., Nat. Phys. 2006] — the hub-interconnection
+  // diagnostic gr10's assortativity summarizes to one number and this
+  // resolves into a curve. Shape: the degree relation and one
+  // edge-with-degrees join (gr2's first stage), each exploded over the
+  // BOUNDED k ladder — integer counts per k, one final per-row
+  // division; zero-node rungs report φ = 0 on both engines rather
+  // than a null-vs-NaN divergence. ---
+  def richClub(s: SparkSession, d: String, minSupport: Int = 2,
+               ks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val und = supportedEdges(s, d, minSupport).localCheckpoint()
+    val deg = und.select(col("pa").as("n"))
+      .unionByName(und.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ksCol = array(ks.map(lit): _*)
+    val e = und
+      .join(deg.withColumnRenamed("n", "pa").withColumnRenamed("deg", "da"), "pa")
+      .join(deg.withColumnRenamed("n", "pb").withColumnRenamed("deg", "db"), "pb")
+    val ek = e.select(explode(ksCol).as("k"), col("da"), col("db"))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    val nk = deg.select(explode(ksCol).as("k"), col("deg"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val base = s.range(1).select(explode(ksCol).as("k"))
+    base.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi", when(col("n_nodes") >= 2,
+        round(lit(2.0) * col("n_edges").cast("double")
+          / (col("n_nodes").cast("double")
+            * (col("n_nodes").cast("double") - 1.0)), 6))
+        .otherwise(lit(0.0)))
+      .orderBy("k")
+  }
+
+  /** Oracle twin of [[richClub]] — gr2's und/deg CTEs, the same
+    * k-ladder unnest, counts, and guarded division.
+    */
+  def richClubOracleSql(minSupport: Int = 2,
+                        ks: Seq[Int] = Seq(1, 2, 4, 8)): String = {
+    val kList = ks.mkString(", ")
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT pa, pb FROM (
+       |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n
+       |    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minSupport),
+       |deg AS MATERIALIZED (SELECT n, count(*) AS dg FROM
+       |    (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
+       |  GROUP BY 1),
+       |ks AS (SELECT unnest([$kList]) AS k),
+       |nk AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM ks JOIN deg ON deg.dg > ks.k GROUP BY k),
+       |ek AS (
+       |  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM ks JOIN (
+       |    SELECT d1.dg AS da, d2.dg AS db
+       |    FROM und JOIN deg d1 ON d1.n = und.pa
+       |    JOIN deg d2 ON d2.n = und.pb) ed
+       |    ON ed.da > ks.k AND ed.db > ks.k
+       |  GROUP BY k)
+       |SELECT ks.k, coalesce(n_nodes, 0) AS n_nodes,
+       |  coalesce(n_edges, 0) AS n_edges,
+       |  CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+       |    round(2.0 * CAST(coalesce(n_edges, 0) AS DOUBLE)
+       |      / (CAST(n_nodes AS DOUBLE) * (CAST(n_nodes AS DOUBLE) - 1.0)), 6)
+       |  ELSE 0.0 END AS phi
+       |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+       |ORDER BY ks.k""".stripMargin
+  }
+
   /** Oracle twin of [[localClustering]] — gr2's edge/orientation CTEs
     * with the wedge anchor kept, corners exploded, same division.
     */

@@ -76,4 +76,96 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  // --- SR2: query-likelihood retrieval with Dirichlet smoothing
+  // [Zhai & Lafferty, SIGIR'01] — the language-modeling scorer that
+  // completes the classical ranking triad next to tx19's BM25 and
+  // sim1/sim16's vector legs:
+  //
+  //   score(d) = Σ_t ln( (tf_{t,d} + μ·cf_t/|C|) / (dl_d + μ) ),  μ=2000
+  //
+  // Candidate docs are those containing ≥ 1 query term (the posting-
+  // list shape — the term filter cuts the corpus-wide shuffle to the
+  // query terms' rows, tx19's rationale), but the SUM runs over ALL
+  // query terms — a missing term contributes its smoothed-background
+  // ln, which is what separates QL from a tf-only scorer. FP
+  // discipline: the per-term lns are PIVOTED into one fixed
+  // written-order expression (never a cross-row double sum whose
+  // association order the engine picks), cf_t and |C| are exact
+  // integers, and the final score rounds to 6dp before the (score,
+  // doc_id) cut. Precondition: every query term occurs somewhere in
+  // the corpus (cf_t ≥ 1; holds for the default term set) — a
+  // zero-cf term would put ln(0) = -inf in every candidate row. ---
+  def queryLikelihoodTopDocs(s: SparkSession, d: String,
+                             terms: Seq[String] =
+                               Seq("window", "merge", "scan"),
+                             mu: Double = 2000.0,
+                             topK: Int = 20): DataFrame = {
+    val tok = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("token"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qtok = tok.filter(col("token").isin(terms: _*))
+    // one row: per-term collection frequencies + the corpus token total
+    val stats = qtok.groupBy()
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"cf$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"cf$i")
+      }: _*)
+      .crossJoin(broadcast(dl.agg(sum(col("dl")).as("c_total"))))
+    val perDoc = qtok.groupBy("doc_id")
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }: _*)
+    val score = terms.indices.map { i =>
+      log((col(s"tf$i").cast("double") +
+        lit(mu) * col(s"cf$i").cast("double") / col("c_total").cast("double"))
+        / (col("dl").cast("double") + lit(mu)))
+    }.reduce(_ + _)
+    perDoc.join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("ql"))
+      .orderBy(col("ql").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[queryLikelihoodTopDocs]] — identical pivoted
+    * written-order ln sum, exact integer cf/|C|, same 6dp cut.
+    */
+  def queryLikelihoodOracleSql(terms: Seq[String] =
+                                 Seq("window", "merge", "scan"),
+                               mu: Double = 2000.0,
+                               topK: Int = 20): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val cfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS cf$i"
+    }.mkString(",\n       |    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }.mkString(",\n       |    ")
+    val lnTerms = terms.indices.map { i =>
+      s"ln((CAST(tf$i AS DOUBLE) + $mu * CAST(cf$i AS DOUBLE) " +
+        s"/ CAST(c_total AS DOUBLE)) / (CAST(dl AS DOUBLE) + $mu))"
+    }.mkString("\n       |      + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |ct AS (SELECT CAST(sum(dl) AS BIGINT) AS c_total FROM dl),
+       |qtok AS (SELECT doc_id, token FROM tok WHERE token IN ($termList)),
+       |cf AS (
+       |  SELECT $cfCols
+       |  FROM qtok),
+       |tf AS (
+       |  SELECT doc_id,
+       |    $tfCols
+       |  FROM qtok GROUP BY doc_id)
+       |SELECT tf.doc_id,
+       |  round($lnTerms, 6) AS ql
+       |FROM tf JOIN dl ON tf.doc_id = dl.doc_id, cf, ct
+       |ORDER BY ql DESC, tf.doc_id ASC LIMIT $topK""".stripMargin
+  }
 }

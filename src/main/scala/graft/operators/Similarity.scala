@@ -689,6 +689,50 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  // --- SIM17: PQ RECALL AUDIT — recall@k of the compressed-domain
+  // ADC ranking against the exact-dot ground truth, per query: sim8
+  // runs this gate for the LSH and IVF indexes; this is the same
+  // acceptance test for the PQ family (FAISS benchmarks report
+  // exactly this curve), and sim12's per-row in_exact flag rolled up
+  // to the per-query fraction a pipeline thresholds on. recall@k =
+  // |ADC top-k ∩ exact top-k| / k — integer intersection counts, so
+  // the audit is hash-exact where a score-error metric would be
+  // FP-fragile. Shape: the ADC leg reads 16-byte codes; the exact leg
+  // is the one full-width scan ground truth irreducibly costs (run
+  // rarely, on a sampled query set — here the 5 fixed query vectors);
+  // both rank windows are per-query TakeOrdered-sized. ---
+  def pqRecallAudit(s: SparkSession, d: String,
+                    numQueryVecs: Int = 5, k: Int = 10): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    val e = Tables.embeddings(s, d)
+    val wa = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val approx = adcScores(s, d, numQueryVecs)
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id")
+    val qe = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val we = Window.partitionBy("q_id")
+      .orderBy(col("xdot").desc, col("vec_id").asc)
+    val exact = e.filter(col("vec_id") >= numQueryVecs)
+      .crossJoin(broadcast(qe))
+      .select(col("q_id"), col("vec_id"),
+        vecDot(col("q_emb"), col("embedding")).as("xdot"))
+      .withColumn("xrk", row_number().over(we))
+      .filter(col("xrk") <= k)
+      .select("q_id", "vec_id")
+    val hits = approx.join(exact, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    qe.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(k).as("k"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / lit(k.toDouble), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** The single-query retrieve-then-refine leg sr1's hybrid fusion
     * uses as its vector side: the codes-only ADC scan nominates an
     * `adcShort` shortlist for query vector 0, an exact-dot rerank of

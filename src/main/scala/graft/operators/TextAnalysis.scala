@@ -1148,4 +1148,156 @@ object TextAnalysis {
       |  round(10000.0 * CAST(sq - n_tokens AS DOUBLE)
       |    / CAST(n_tokens * n_tokens AS DOUBLE), 4) AS yule_k
       |FROM agg ORDER BY source""".stripMargin
+
+  // --- TX29: COLLOCATION strength via Dunning's log-likelihood G²
+  // [Dunning, CL 1993] — which adjacent word pairs co-occur far more
+  // than their unigram frequencies predict? The statistic tf-idf and
+  // PMI both get wrong on sparse counts (G² is the likelihood-ratio
+  // form that stays calibrated at low frequency — Dunning's whole
+  // point): per bigram, the 2×2 contingency (first = w1?) × (second
+  // = w2?) over ALL adjacent pairs, G² = 2·Σ O·ln(O/E). Candidates
+  // are constrained to bigrams of FREQUENT tokens (top-F unigrams by
+  // (count, token) — collocations among rare words are unstable and
+  // both engines cut the same F-set because the tie-break is the
+  // string): that bounds the cell lattice at (F+1)², which is what
+  // makes ONE corpus-scale shuffle enough — each bigram occurrence
+  // maps to its (frequent-or-null, frequent-or-null) cell, the cell
+  // relation is ≤ (F+1)² rows, and every marginal (c1, c2, N) is a
+  // tiny re-aggregate of the cells, never a corpus re-scan. Counts
+  // are exact integers; each G² is one fixed written-order per-row
+  // expression of those integers; the cut key is (round(G²,4) desc,
+  // w1, w2). Winner strings come from the same frequent-set collect
+  // that defines the lattice (the tokenCatalog ranks it), so no
+  // second corpus pass exists anywhere. ---
+  def collocations(s: SparkSession, d: String, topF: Int = 200,
+                   minPair: Long = 5L, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // frequent set: top-F unigrams by (count desc, token asc) — the
+    // string tie-break is what lets DuckDB cut the identical set; the
+    // persisted tokenCatalog supplies strings without a string shuffle
+    // (the count agg rides hashes, the catalog join is vocab-scale).
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(xxhash64(col("token")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+    val freq = uni
+      .join(graft.sources.TextIndex.tokenCatalog(s, d), Seq("h"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topF)
+      .select("h", "token")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val freqHashes = freq.map(_._1).toSeq
+    val ws = col("ws")
+    val bi = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= 2)
+      .select(explode(sequence(lit(1), size(ws) - lit(1))).as("i"), ws)
+      .select(xxhash64(element_at(ws, col("i"))).as("h1"),
+        xxhash64(element_at(ws, col("i") + 1)).as("h2"))
+    // one corpus-scale shuffle: every adjacent pair lands in its
+    // (frequent-or-null, frequent-or-null) cell; NULL collapses all
+    // non-frequent tokens, so the grouped relation is ≤ (F+1)² rows
+    val cells = bi
+      .select(when(col("h1").isin(freqHashes: _*), col("h1")).as("f1"),
+        when(col("h2").isin(freqHashes: _*), col("h2")).as("f2"))
+      .groupBy("f1", "f2").agg(count(lit(1)).as("nn"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("nn")).as("n_total"))
+    val c1 = cells.filter(col("f1").isNotNull)
+      .groupBy(col("f1").as("m1")).agg(sum(col("nn")).as("c1"))
+    val c2 = cells.filter(col("f2").isNotNull)
+      .groupBy(col("f2").as("m2")).agg(sum(col("nn")).as("c2"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    def term(o: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+             cc: org.apache.spark.sql.Column) =
+      when(o > 0, dbl(o) * log(dbl(o)
+        / (dbl(r) * dbl(cc) / dbl(col("n_total"))))).otherwise(lit(0.0))
+    val names = s.createDataFrame(freq.toSeq).toDF("h", "w")
+    val scored = cells
+      .filter(col("f1").isNotNull && col("f2").isNotNull &&
+        col("nn") >= minPair)
+      .select(col("f1"), col("f2"), col("nn").as("o11"))
+      .join(broadcast(c1), col("f1") === col("m1"))
+      .join(broadcast(c2), col("f2") === col("m2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("o12", col("c1") - col("o11"))
+      .withColumn("o21", col("c2") - col("o11"))
+      .withColumn("o22",
+        col("n_total") - col("c1") - col("c2") + col("o11"))
+      .withColumn("g2", round(lit(2.0) * (
+        term(col("o11"), col("c1"), col("c2"))
+          + term(col("o12"), col("c1"), col("n_total") - col("c2"))
+          + term(col("o21"), col("n_total") - col("c1"), col("c2"))
+          + term(col("o22"), col("n_total") - col("c1"),
+              col("n_total") - col("c2"))), 4))
+    scored
+      .join(broadcast(names.toDF("h", "w1")), col("f1") === col("h"))
+      .drop("h")
+      .join(broadcast(names.toDF("h", "w2")), col("f2") === col("h"))
+      .select(col("w1"), col("w2"), col("o11").as("n_pair"),
+        col("c1").as("n_first"), col("c2").as("n_second"), col("g2"))
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[collocations]] — DuckDB works the token STRINGS
+    * (hash-collision equivalence is the standing trade), cuts the same
+    * (count, token) frequent set, builds the same (F+1)² cell lattice,
+    * and replays the identical written-order G².
+    */
+  def collocationsOracleSql(topF: Int = 200, minPair: Long = 5L,
+                            topK: Int = 20): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |freq AS (
+       |  SELECT token FROM (
+       |    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+       |    FROM tok GROUP BY 1)
+       |  ORDER BY cnt DESC, token ASC LIMIT $topF),
+       |bi AS (
+       |  SELECT ws[i] AS t1, ws[i + 1] AS t2
+       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+       |        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+       |        WHERE len(ws) >= 2)),
+       |cells AS (
+       |  SELECT
+       |    CASE WHEN t1 IN (SELECT token FROM freq) THEN t1 END AS f1,
+       |    CASE WHEN t2 IN (SELECT token FROM freq) THEN t2 END AS f2,
+       |    CAST(count(*) AS BIGINT) AS nn
+       |  FROM bi GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(nn) AS BIGINT) AS n_total FROM cells),
+       |c1 AS (SELECT f1 AS m1, CAST(sum(nn) AS BIGINT) AS c1 FROM cells
+       |  WHERE f1 IS NOT NULL GROUP BY 1),
+       |c2 AS (SELECT f2 AS m2, CAST(sum(nn) AS BIGINT) AS c2 FROM cells
+       |  WHERE f2 IS NOT NULL GROUP BY 1),
+       |sc AS (
+       |  SELECT f1 AS w1, f2 AS w2, nn AS o11, c1, c2, n_total,
+       |    c1 - nn AS o12, c2 - nn AS o21,
+       |    n_total - c1 - c2 + nn AS o22
+       |  FROM cells
+       |  JOIN c1 ON cells.f1 = c1.m1
+       |  JOIN c2 ON cells.f2 = c2.m2, tot
+       |  WHERE f1 IS NOT NULL AND f2 IS NOT NULL AND nn >= $minPair),
+       |g AS (
+       |  SELECT w1, w2, o11 AS n_pair, c1 AS n_first, c2 AS n_second,
+       |    round(2.0 * (
+       |      CASE WHEN o11 > 0 THEN CAST(o11 AS DOUBLE)
+       |        * ln(CAST(o11 AS DOUBLE) / (CAST(c1 AS DOUBLE)
+       |          * CAST(c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |        ELSE 0.0 END
+       |      + CASE WHEN o12 > 0 THEN CAST(o12 AS DOUBLE)
+       |        * ln(CAST(o12 AS DOUBLE) / (CAST(c1 AS DOUBLE)
+       |          * CAST(n_total - c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |        ELSE 0.0 END
+       |      + CASE WHEN o21 > 0 THEN CAST(o21 AS DOUBLE)
+       |        * ln(CAST(o21 AS DOUBLE) / (CAST(n_total - c1 AS DOUBLE)
+       |          * CAST(c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |        ELSE 0.0 END
+       |      + CASE WHEN o22 > 0 THEN CAST(o22 AS DOUBLE)
+       |        * ln(CAST(o22 AS DOUBLE) / (CAST(n_total - c1 AS DOUBLE)
+       |          * CAST(n_total - c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |        ELSE 0.0 END), 4) AS g2
+       |  FROM sc)
+       |SELECT w1, w2, n_pair, n_first, n_second, g2
+       |FROM g ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT $topK""".stripMargin
 }

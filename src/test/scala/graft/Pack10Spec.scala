@@ -918,6 +918,84 @@ class Pack10Spec extends SparkTestBase {
     assert(scores == scores.sorted.reverse, "fused order by rrf desc")
   }
 
+  test("sr2: QL scores are negative log-probs, ordered, bounded by topK") {
+    val rows = operators.Retrieval.queryLikelihoodTopDocs(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // (tf + mu·p)/(dl + mu) < 1 for any real corpus term, so each of
+    // the three ln terms is negative
+    rows.foreach(r => assert(r.getDouble(1) < 0.0))
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("sim17: one recall row per query, recall = n_hit/k in [0,1]") {
+    val rows = operators.Similarity.pqRecallAudit(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 5L))
+    rows.foreach { r =>
+      val (nHit, k, rec) = (r.getLong(1), r.getInt(2), r.getDouble(3))
+      assert(nHit >= 0 && nHit <= k)
+      assert(math.abs(rec - nHit.toDouble / k) <= 5.1e-5)
+    }
+  }
+
+  test("dq6: seven FK edges, zero orphans on consistent data, counts replay") {
+    val rows = operators.DataQuality.referentialIntegrity(spark, sf).collect()
+    assert(rows.length == 7)
+    rows.foreach(r => assert(r.getLong(2) == 0L,
+      s"${r.getString(0)} reported orphans on referentially-intact data"))
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("lineitem->orders") == Tables.lineitem(spark, sf).count())
+    assert(byName("nation->region") == Tables.nation(spark, sf).count())
+  }
+
+  test("a50: Mann-Kendall S bounded by pair count, variance positive") {
+    val r = Analytics.mannKendall(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, s, varS, z) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(2), r(0).getDouble(3))
+    assert(math.abs(s) <= n * (n - 1) / 2)
+    assert(varS > 0 && !z.isNaN)
+    // z sign agrees with S
+    assert(s == 0 || (s > 0) == (z > 0) || z == 0.0)
+  }
+
+  test("a51: runs count within [1, n1+n2], z finite") {
+    val r = Analytics.runsTest(spark, sf).collect()
+    assert(r.length == 1)
+    val (n1, n2, runs, z) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(n1 > 0 && n2 > 0)
+    assert(runs >= 1 && runs <= n1 + n2)
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("gr18: one row per k, phi in [0,1], counts shrink as k grows") {
+    val rows = operators.Graph.richClub(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach { r =>
+      val (nn, ne, phi) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(phi >= 0.0 && phi <= 1.0)
+      assert(ne <= nn * (nn - 1) / 2)
+    }
+    val ns = rows.map(_.getLong(1)).toSeq
+    assert(ns == ns.sorted.reverse, "node counts must shrink as k grows")
+  }
+
+  test("tx29: G2 non-negative, pairs above the floor, deterministic cut") {
+    val rows = operators.TextAnalysis.collocations(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5L, "n_pair under the minPair floor")
+      // 2x2 G2 with MLE expectations is always >= 0
+      assert(r.getDouble(5) >= 0.0)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        "pair count cannot exceed its marginals")
+    }
+    val g2s = rows.map(_.getDouble(5)).toSeq
+    assert(g2s == g2s.sorted.reverse)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
