@@ -180,7 +180,15 @@ object Soak {
     "pv4_randomized_response", "dq5_profile_drift", "tx27_burstiness",
     "a49_seasonality", "j15_asof_tolerance", "dp23_epoch_shuffle",
     "tx28_readability", "gr17_local_clustering", "sp7_jackknife",
-    "sq6_kaplan_meier")
+    "sq6_kaplan_meier",
+    // round-9 additions: hybrid BM25+PQ fusion and its QL sibling, the
+    // PQ recall gate, G² collocations over the frequent-token lattice,
+    // the rich-club curve, and both monthly-series trend tests
+    // (orders are soak-derived; dq6 is excluded — it reads
+    // part/supplier/region, which the soak does not derive)
+    "sr1_hybrid_rrf", "sr2_query_likelihood", "sim17_pq_recall",
+    "tx29_collocations", "gr18_rich_club",
+    "a50_mann_kendall", "a51_runs_test")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

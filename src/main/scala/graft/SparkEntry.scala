@@ -81,6 +81,7 @@ object SparkEntry {
     "s1_union"          -> ((s, d) => Relational.setUnion(s, d)),
     "s2_intersect"      -> ((s, d) => Relational.setIntersect(s, d)),
     "s3_except"         -> ((s, d) => Relational.setExcept(s, d)),
+    "s4_except_all"     -> ((s, d) => Relational.setExceptAll(s, d)),
     // §2.6 windows
     "w1_topn_per_group" -> ((s, d) => Relational.topNPerGroup(s, d)),
     "w3_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
@@ -336,6 +337,8 @@ object SparkEntry {
     "pv4_randomized_response" -> ((s, d) => DataQuality.randomizedResponse(s, d)),
     "dq5_profile_drift"  -> ((s, d) => DataQuality.profileDrift(s, d)),
     "dq6_referential"    -> ((s, d) => DataQuality.referentialIntegrity(s, d)),
+    "dp24_mixture_cal"   -> ((s, d) => DataPrep.mixtureCalibration(s, d)),
+    "pv5_generalization" -> ((s, d) => DataQuality.generalizationLadder(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
@@ -532,6 +535,10 @@ object SparkEntry {
     "dq5_profile_drift" -> operators.DataQuality.profileDriftOracleSql(),
     "dq6_referential" ->
       operators.DataQuality.referentialIntegrityOracleSql(),
+    "dp24_mixture_cal" ->
+      operators.DataPrep.mixtureCalibrationOracleSql(),
+    "pv5_generalization" ->
+      operators.DataQuality.generalizationLadderOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     "a49_seasonality" ->
       operators.Analytics.seasonalityStrengthOracleSql(),
@@ -1046,6 +1053,14 @@ object SparkEntry {
         |SELECT o_custkey FROM orders
         |WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2
         |ORDER BY o_custkey""".stripMargin,
+    "s4_except_all" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS multiplicity FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 1
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND month(o_orderdate) = 2)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "w1_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1105,4 +1105,76 @@ object DataPrep {
       |      * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
       |    6) AS spearman_rho
       |FROM j""".stripMargin
+
+  // --- DP24: MIXTURE CALIBRATION — the data-mixing step between
+  // "here is the corpus" and "here is the training set": given a
+  // TARGET domain distribution (a mixing recipe — DoReMi-style
+  // weights; here a deterministic per-source formula so the oracle
+  // replays it) and the corpus's CURRENT token mix, compute the
+  // per-source subsampling rate that realizes the target. With
+  // subsampling only (rate ≤ 1, no upweighting), the achievable
+  // output size is total_out = min_s(n_s / w_s): the most
+  // under-represented source binds the whole budget, its rate is
+  // exactly 1, and every other source is downsampled to w_s·total_out
+  // tokens. Shape: one corpus scan to per-source token counts (exact
+  // longs, 20 rows), two tiny re-aggregates (weight normalizer, the
+  // binding min) attached by broadcast — per-row double arithmetic on
+  // exact integers, each value rounded once. ---
+  def mixtureCalibration(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val per = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      // raw target weight: a deterministic function of the source id
+      // (srcN -> N mod 4 + 1) standing in for a learned mixing recipe
+      .withColumn("w_raw",
+        (substring(col("source"), 4, 10).cast("long") % 4 + 1))
+      .localCheckpoint() // feeds three aggregates; 20 rows
+    val norm = per.agg(sum(col("w_raw")).as("w_total"),
+      sum(col("n_tokens")).as("corpus_tokens"))
+    val shaped = per.crossJoin(broadcast(norm))
+      .withColumn("target_w", dbl(col("w_raw")) / dbl(col("w_total")))
+      .withColumn("cap", dbl(col("n_tokens")) / col("target_w"))
+    val binding = shaped.agg(min(col("cap")).as("total_out"))
+    shaped.crossJoin(broadcast(binding))
+      .select(col("source"), col("n_tokens"),
+        round(dbl(col("n_tokens")) / dbl(col("corpus_tokens")), 6)
+          .as("current_share"),
+        round(col("target_w"), 6).as("target_share"),
+        round(col("target_w") * col("total_out") / dbl(col("n_tokens")), 6)
+          .as("sample_rate"),
+        floor(col("target_w") * col("total_out")).cast("long")
+          .as("n_tokens_out"))
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[mixtureCalibration]] — same weight formula,
+    * normalizer, binding min, and rounding.
+    */
+  def mixtureCalibrationOracleSql(): String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    (CAST(substr(source, 4) AS BIGINT) % 4 + 1) AS w_raw
+      |  FROM documents GROUP BY 1),
+      |norm AS (
+      |  SELECT CAST(sum(w_raw) AS BIGINT) AS w_total,
+      |    CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+      |  FROM per),
+      |shaped AS (
+      |  SELECT source, n_tokens, corpus_tokens,
+      |    CAST(w_raw AS DOUBLE) / CAST(w_total AS DOUBLE) AS target_w,
+      |    CAST(n_tokens AS DOUBLE)
+      |      / (CAST(w_raw AS DOUBLE) / CAST(w_total AS DOUBLE)) AS cap
+      |  FROM per, norm),
+      |binding AS (SELECT min(cap) AS total_out FROM shaped)
+      |SELECT source, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6)
+      |    AS current_share,
+      |  round(target_w, 6) AS target_share,
+      |  round(target_w * total_out / CAST(n_tokens AS DOUBLE), 6)
+      |    AS sample_rate,
+      |  CAST(floor(target_w * total_out) AS BIGINT) AS n_tokens_out
+      |FROM shaped, binding
+      |ORDER BY source""".stripMargin
 }

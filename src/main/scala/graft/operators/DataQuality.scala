@@ -690,4 +690,65 @@ object DataQuality {
          |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $p) pp ON cc.k = pp.k""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
   }
+
+  // --- PV5: GENERALIZATION LADDER — how much must the
+  // quasi-identifier be coarsened before the release is k-anonymous?
+  // pv1 reports WHERE the k=5 violations are at one granularity; this
+  // is the curve a privacy engineer actually walks: per ladder level
+  // (full QI -> drop the balance band -> drop the nation -> publish
+  // one class), the equivalence-class count, the smallest class, the
+  // rows that would need suppression at k, and the suppression rate.
+  // Shape: ONE scan of customer — each row explodes into its four
+  // generalized keys (strings of enum-like attributes), one hash-agg
+  // over (level, key), then a 4-row rollup; all counts exact longs,
+  // one rounded ratio. ---
+  def generalizationLadder(s: SparkSession, d: String,
+                           k: Int = 5): DataFrame = {
+    val lv = array(
+      struct(lit(0).as("level"), concat_ws("|", col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long")).as("qi")),
+      struct(lit(1).as("level"),
+        concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("qi")),
+      struct(lit(2).as("level"), col("c_mktsegment").as("qi")),
+      struct(lit(3).as("level"), lit("all").as("qi")))
+    Tables.customer(s, d)
+      .select(explode(lv).as("g"))
+      .groupBy(col("g.level").as("level"), col("g.qi").as("qi"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_classes"),
+        min(col("n")).as("min_class"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed"),
+        sum(col("n")).as("n_rows"))
+      .select(col("level"), col("n_classes"), col("min_class"),
+        col("n_suppressed"),
+        round(col("n_suppressed").cast("double")
+          / col("n_rows").cast("double"), 6).as("suppression_rate"))
+      .orderBy("level")
+  }
+
+  /** Oracle twin of [[generalizationLadder]] — the same four
+    * generalized keys via UNION ALL, same rollup.
+    */
+  def generalizationLadderOracleSql(k: Int = 5): String =
+    s"""WITH g AS (
+       |  SELECT 0 AS level, concat_ws('|', c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS qi FROM customer
+       |  UNION ALL
+       |  SELECT 1, concat_ws('|', c_nationkey, c_mktsegment) FROM customer
+       |  UNION ALL
+       |  SELECT 2, c_mktsegment FROM customer
+       |  UNION ALL
+       |  SELECT 3, 'all' FROM customer),
+       |cls AS (
+       |  SELECT level, qi, CAST(count(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1, 2)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+       |  CAST(min(n) AS BIGINT) AS min_class,
+       |  CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT)
+       |    AS n_suppressed,
+       |  round(CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE), 6) AS suppression_rate
+       |FROM cls GROUP BY level ORDER BY level""".stripMargin
 }

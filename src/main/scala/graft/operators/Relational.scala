@@ -364,6 +364,18 @@ object Relational {
     custkeysInMonth(s, d, 1).except(custkeysInMonth(s, d, 2))
       .orderBy("o_custkey")
 
+  /** §2.7 MULTISET difference — `exceptAll` keeps multiplicities (a
+    * customer with 3 January orders and 1 February order survives
+    * twice), the bag semantics s3's set-EXCEPT collapses. Spark plans
+    * it as the sum-of-signed-counts generate (no distinct), the same
+    * rewrite engines use for EXCEPT ALL; the surviving rows are
+    * rolled up per key so the relation hash-compares deterministically.
+    */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    custkeysInMonth(s, d, 1).exceptAll(custkeysInMonth(s, d, 2))
+      .groupBy("o_custkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("o_custkey")
+
   // --- W1: row_number pagination/top-n-per-group (SURVEY.md §2.6 — the
   // windowed form of O1-O4). Total order inside each partition via the
   // (o_totalprice desc, o_orderkey) tiebreak. ---

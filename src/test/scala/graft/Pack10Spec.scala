@@ -996,6 +996,35 @@ class Pack10Spec extends SparkTestBase {
     assert(g2s == g2s.sorted.reverse)
   }
 
+  test("dp24: rates feasible, binding source saturates, shares normalize") {
+    val rows = operators.DataPrep.mixtureCalibration(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf)
+      .select("source").distinct().count())
+    val rates = rows.map(_.getDouble(4))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0 + 5e-6),
+      "subsampling-only calibration must never upsample")
+    assert(rates.max >= 1.0 - 5e-6,
+      "the binding source must run at rate ~1")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 1e-4,
+      "target shares must normalize")
+    rows.foreach(r => assert(r.getLong(5) <= r.getLong(1),
+      "output tokens cannot exceed the source's tokens"))
+  }
+
+  test("pv5: coarsening monotonicity — min class grows, suppression shrinks") {
+    val rows = operators.DataQuality.generalizationLadder(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    val minC = rows.map(_.getLong(2)).toSeq
+    assert(minC == minC.sorted,
+      "each level merges classes, so the smallest class cannot shrink")
+    val sup = rows.map(_.getDouble(4)).toSeq
+    assert(sup == sup.sorted.reverse,
+      "suppression rate must be non-increasing up the ladder")
+    assert(rows.last.getLong(1) == 1L, "the top of the ladder is one class")
+    val total = Tables.customer(spark, sf).count()
+    rows.foreach(r => assert(r.getLong(3) <= total))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
