@@ -187,8 +187,9 @@ object Soak {
     // (orders are soak-derived; dq6 is excluded — it reads
     // part/supplier/region, which the soak does not derive)
     "sr1_hybrid_rrf", "sr2_query_likelihood", "sim17_pq_recall",
-    "tx29_collocations", "gr18_rich_club",
-    "a50_mann_kendall", "a51_runs_test")
+    "tx29_collocations", "gr18_rich_club", "gr19_neighbor_deg",
+    "a50_mann_kendall", "a51_runs_test",
+    "dp24_mixture_cal", "pv5_generalization", "s4_except_all")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -347,6 +347,7 @@ object SparkEntry {
     "tx28_readability"   -> ((s, d) => TextAnalysis.readability(s, d)),
     "gr17_local_clustering" -> ((s, d) => Graph.localClustering(s, d)),
     "gr18_rich_club"     -> ((s, d) => Graph.richClub(s, d)),
+    "gr19_neighbor_deg"  -> ((s, d) => Graph.neighborDegree(s, d)),
     "sp7_jackknife"      -> ((s, d) => Sampling.jackknifeQuality(s, d)),
     "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
@@ -571,6 +572,7 @@ object SparkEntry {
     "gr17_local_clustering" ->
       operators.Graph.localClusteringOracleSql(),
     "gr18_rich_club" -> operators.Graph.richClubOracleSql(),
+    "gr19_neighbor_deg" -> operators.Graph.neighborDegreeOracleSql(),
     "sp7_jackknife" ->
       operators.Sampling.jackknifeQualityOracleSql(),
     "sq6_kaplan_meier" ->

@@ -939,6 +939,67 @@ object Graph {
       .orderBy("k")
   }
 
+  // --- GR19: DEGREE-CORRELATION curve — the edge-weighted average
+  // neighbor degree knn(k) = (Σ_{v: deg v = k} Σ_{u∈N(v)} deg u)
+  // / (k·n_k) per degree class k [Pastor-Satorras et al., PRL 2001 —
+  // the edge-weighted form, chosen over the node-averaged one
+  // because it keeps BOTH sums exact integers until one final
+  // division]. Rising knn(k) = assortative wiring (hubs prefer
+  // hubs), falling = disassortative; gr10's single coefficient is
+  // this curve's correlation summary, gr18's rich-club its top-end
+  // zoom. Shape: the undirected edge list doubled into incidence
+  // (bounded ×2), two degree joins, one hash-agg per degree class —
+  // the output is degree-domain-sized, never edge-sized. ---
+  def neighborDegree(s: SparkSession, d: String,
+                     minSupport: Int = 2): DataFrame = {
+    val und = supportedEdges(s, d, minSupport).localCheckpoint()
+    val deg = und.select(col("pa").as("n"))
+      .unionByName(und.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val inc = und.select(col("pa").as("v"), col("pb").as("u"))
+      .unionByName(und.select(col("pb").as("v"), col("pa").as("u")))
+    val perNode = inc
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+      .groupBy("v").agg(sum(col("du")).as("snd"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "k"), "v")
+    perNode.groupBy("k")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("snd")).as("sum_nbr_deg"))
+      .select(col("k"), col("n_nodes"),
+        round(col("sum_nbr_deg").cast("double")
+          / (col("k").cast("double") * col("n_nodes").cast("double")), 6)
+          .as("knn"))
+      .orderBy("k")
+  }
+
+  /** Oracle twin of [[neighborDegree]] — same incidence doubling,
+    * degree joins, and edge-weighted division.
+    */
+  def neighborDegreeOracleSql(minSupport: Int = 2): String =
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT pa, pb FROM (
+       |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n
+       |    FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |    GROUP BY 1, 2)
+       |  WHERE n >= $minSupport),
+       |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM
+       |    (SELECT pa AS n FROM und UNION ALL SELECT pb FROM und)
+       |  GROUP BY 1),
+       |inc AS (
+       |  SELECT pa AS v, pb AS u FROM und
+       |  UNION ALL
+       |  SELECT pb AS v, pa AS u FROM und),
+       |pn AS (
+       |  SELECT inc.v, CAST(sum(du.dg) AS BIGINT) AS snd
+       |  FROM inc JOIN deg du ON du.n = inc.u
+       |  GROUP BY inc.v)
+       |SELECT dv.dg AS k, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  round(CAST(sum(snd) AS DOUBLE)
+       |    / (CAST(dv.dg AS DOUBLE) * CAST(count(*) AS DOUBLE)), 6) AS knn
+       |FROM pn JOIN deg dv ON dv.n = pn.v
+       |GROUP BY dv.dg ORDER BY k""".stripMargin
+
   /** Oracle twin of [[richClub]] — gr2's und/deg CTEs, the same
     * k-ladder unnest, counts, and guarded division.
     */

@@ -311,4 +311,69 @@ object TextIndex {
     }
     s.read.parquet(path.toString)
   }
+
+  // --- Incremental maintenance for the token catalog (tx23/tx27/
+  // tx29's winner-string source). The vocabulary is a DISTINCT union —
+  // a token usually lives in BOTH slices — so unlike the repgram
+  // counts the delta is not disjoint: the logical index is
+  // base ∪ delta deduped by hash. That is still cheap to maintain
+  // (the delta pays one batch-sized tokenize; compaction is a
+  // read-files dedup, never a corpus re-tokenize), and probe-side
+  // consumers are union-safe even WITHOUT the dedup: every probe
+  // rolls up min(token) per h, and duplicate (h, token) rows collapse
+  // to the same answer. ---
+
+  private def tokenCatalogSlice(s: SparkSession, d: String,
+                                kindSuffix: String)
+                               (pred: org.apache.spark.sql.Column)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"tokcat_ws_$kindSuffix")
+    VectorIndex.ensure(path) { out =>
+      graft.Tables.documents(s, d).filter(pred)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .select(xxhash64(col("token")).as("h"), col("token"))
+        .repartitionByRange(4, col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** The vocabulary as it stood BEFORE the batch: docs < `boundary`. */
+  def tokenCatalogBase(s: SparkSession, d: String,
+                       boundary: Long): DataFrame =
+    tokenCatalogSlice(s, d, s"lt$boundary")(
+      org.apache.spark.sql.functions.col("doc_id") < boundary)
+
+  /** The batch vocabulary delta: docs >= `boundary` — one batch-sized
+    * tokenize, published beside the base.
+    */
+  def tokenCatalogDelta(s: SparkSession, d: String,
+                        boundary: Long): DataFrame =
+    tokenCatalogSlice(s, d, s"ge$boundary")(
+      org.apache.spark.sql.functions.col("doc_id") >= boundary)
+
+  /** Compaction: distinct-union the slices BY READING FILES (tokens
+    * are never re-derived from text) and restore the h-sorted probe
+    * layout — row-identical to the from-scratch [[tokenCatalog]]
+    * (TextIndexSpec pins the equivalence).
+    */
+  def compactTokenCatalog(s: SparkSession, d: String,
+                          boundary: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"tokcat_ws_compacted$boundary")
+    VectorIndex.ensure(path) { out =>
+      tokenCatalogBase(s, d, boundary)
+        .unionByName(tokenCatalogDelta(s, d, boundary))
+        .dropDuplicates("h", "token")
+        .repartitionByRange(4, col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
 }

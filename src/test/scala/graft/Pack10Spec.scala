@@ -1025,6 +1025,24 @@ class Pack10Spec extends SparkTestBase {
     rows.foreach(r => assert(r.getLong(3) <= total))
   }
 
+  test("gr19: degree classes partition the nodes, knn within degree bounds") {
+    val rows = operators.Graph.neighborDegree(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ks = rows.map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted && ks.distinct.length == ks.length)
+    val maxDeg = ks.max
+    rows.foreach { r =>
+      // an average of neighbor degrees lives inside [1, maxDeg]
+      assert(r.getDouble(2) >= 1.0 - 5e-7 &&
+        r.getDouble(2) <= maxDeg + 5e-7)
+    }
+    // every node is in exactly one degree class
+    val und = operators.Graph.supportedEdges(spark, sf, 2)
+    val nNodes = und.select(col("pa").as("n"))
+      .unionByName(und.select(col("pb").as("n"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nNodes)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))

@@ -174,6 +174,36 @@ class TextIndexSpec extends SparkTestBase {
       "boundary should split at least one repeated gram across slices")
   }
 
+  test("token catalog: base ∪ delta compaction == from-scratch, base untouched") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val base = TextIndex.tokenCatalogBase(spark, sf, boundary)
+    val baseDir = new java.io.File(
+      new java.net.URI(base.inputFiles.head)).getParentFile
+    def snapshot() = baseDir.listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = snapshot()
+
+    val delta = TextIndex.tokenCatalogDelta(spark, sf, boundary)
+    assert(snapshot() == before,
+      "building the vocabulary delta must not touch any base file")
+    assert(base.count() > 0 && delta.count() > 0)
+
+    // the vocabulary union is NOT disjoint (shared tokens live in
+    // both slices) — compaction dedups; the result must equal the
+    // from-scratch catalog exactly
+    assert(rows(TextIndex.compactTokenCatalog(spark, sf, boundary)) ==
+      rows(TextIndex.tokenCatalog(spark, sf)),
+      "compacted vocabulary must equal the from-scratch catalog")
+    assert((rows(base) intersect rows(delta)).nonEmpty,
+      "slices should share vocabulary — the dedup must be exercised")
+  }
+
   test("DD17 incremental pairs == full-corpus LSH pairs involving the batch") {
     import org.apache.spark.sql.functions.col
     val maxId = Tables.documents(spark, sf)
