@@ -189,7 +189,8 @@ object Soak {
     "sr1_hybrid_rrf", "sr2_query_likelihood", "sim17_pq_recall",
     "tx29_collocations", "gr18_rich_club", "gr19_neighbor_deg",
     "a50_mann_kendall", "a51_runs_test",
-    "dp24_mixture_cal", "pv5_generalization", "s4_except_all")
+    "dp24_mixture_cal", "pv5_generalization", "s4_except_all",
+    "tx30_heaps_curve", "dd23_shingle_sense")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

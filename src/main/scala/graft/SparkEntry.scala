@@ -245,6 +245,8 @@ object SparkEntry {
     "sr1_hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "sr2_query_likelihood" -> ((s, d) => Retrieval.queryLikelihoodTopDocs(s, d)),
     "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
+    "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
+    "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
     "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
@@ -584,6 +586,10 @@ object SparkEntry {
     "a51_runs_test" -> operators.Analytics.runsTestOracleSql(),
     "tx29_collocations" ->
       operators.TextAnalysis.collocationsOracleSql(),
+    "tx30_heaps_curve" ->
+      operators.TextAnalysis.heapsCurveOracleSql(),
+    "dd23_shingle_sense" ->
+      operators.Dedup.shingleSensitivityOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

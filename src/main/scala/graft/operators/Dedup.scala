@@ -1006,4 +1006,96 @@ object Dedup {
         coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
+
+  // --- DD23: SHINGLE-SIZE SENSITIVITY — how robust is the near-dup
+  // threshold to the n-gram size choice? The tuning audit a dedup
+  // rollout runs before fixing n: for each candidate shingle size,
+  // the exact-Jaccard pair counts on the keyed subsample (dd2's
+  // oracle-checkable slice) at the deployment threshold. A pair
+  // census that swings wildly across n means the corpus sits near the
+  // threshold and the chosen n is load-bearing; a flat census means
+  // any n works. Shape per n: one gram explode over the SUBSAMPLE
+  // (never the corpus), per-doc distinct counts, one shared-gram
+  // self-join — all counts exact integers, three relations unioned.
+  // At 100 TB this runs on the same keyed sample dd2/dd6 use; the
+  // full-corpus decision stays with the LSH family. ---
+  def shingleSensitivity(s: SparkSession, d: String,
+                         ns: Seq[Int] = Seq(2, 3, 5),
+                         threshold: Double = 0.5,
+                         sampleMod: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("doc_id") % sampleMod === 0)
+      .select("doc_id", "text")
+    ns.map { n =>
+      val grams = gramStringsOf(docs, n)
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+        .dropDuplicates("doc_id", "gh")
+      val cnt = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      val shared = grams.as("a").join(grams.as("b"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("sh"))
+      shared
+        .join(cnt.withColumnRenamed("doc_id", "da")
+          .withColumnRenamed("ng", "na"), "da")
+        .join(cnt.withColumnRenamed("doc_id", "db")
+          .withColumnRenamed("ng", "nb"), "db")
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("sh").cast("double")
+            / (col("na") + col("nb") - col("sh")).cast("double")
+            >= threshold, 1L).otherwise(0L)).as("n_pairs_ge_threshold"))
+        .select(lit(n).as("n"), col("n_candidate_pairs"),
+          col("n_pairs_ge_threshold"))
+    }.reduce(_ unionByName _)
+      .orderBy("n")
+  }
+
+  /** Oracle twin of [[shingleSensitivity]] — dd19's exact-Jaccard
+    * formulation replayed once per shingle size on token strings.
+    */
+  def shingleSensitivityOracleSql(ns: Seq[Int] = Seq(2, 3, 5),
+                                  threshold: Double = 0.5,
+                                  sampleMod: Long = 5L): String =
+    ns.map { n =>
+      s"""SELECT $n AS n,
+         |  CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         |  CAST(sum(CASE WHEN CAST(sh AS DOUBLE)
+         |      / CAST(na + nb - sh AS DOUBLE) >= $threshold
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_ge_threshold
+         |FROM (
+         |  SELECT da, db, sh, ca.ng AS na, cb.ng AS nb FROM (
+         |    SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS sh
+         |    FROM (
+         |      SELECT DISTINCT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+         |          i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |            FROM documents WHERE doc_id % $sampleMod = 0)) a
+         |    JOIN (
+         |      SELECT DISTINCT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+         |          i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |            FROM documents WHERE doc_id % $sampleMod = 0)) b
+         |      ON a.g = b.g AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2) sp
+         |  JOIN (SELECT doc_id, count(*) AS ng FROM (
+         |      SELECT DISTINCT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+         |          i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |            FROM documents WHERE doc_id % $sampleMod = 0))
+         |    GROUP BY doc_id) ca ON ca.doc_id = sp.da
+         |  JOIN (SELECT doc_id, count(*) AS ng FROM (
+         |      SELECT DISTINCT doc_id,
+         |        unnest(list_transform(
+         |          generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+         |          i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |            FROM documents WHERE doc_id % $sampleMod = 0))
+         |    GROUP BY doc_id) cb ON cb.doc_id = sp.db)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY n")
 }

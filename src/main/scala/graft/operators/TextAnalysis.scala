@@ -1300,4 +1300,68 @@ object TextAnalysis {
        |  FROM sc)
        |SELECT w1, w2, n_pair, n_first, n_second, g2
        |FROM g ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT $topK""".stripMargin
+
+  // --- TX30: VOCABULARY GROWTH (Heaps' law) curve — distinct-token
+  // count at 10%..100% corpus prefixes, the curve a data-scaling
+  // report reads the Heaps exponent off (sublinear growth = healthy
+  // natural text; near-linear growth = ID/hash debris inflating the
+  // vocabulary — a corpus-health smell tx1's per-doc TTR cannot see).
+  // The trick that makes this ONE corpus scan instead of ten: a
+  // token is in prefix p iff its FIRST-OCCURRENCE doc id is under the
+  // cutoff, so one per-token min(doc_id) aggregate (hash-keyed, the
+  // dd13 discipline) feeds every prefix; the explode over the
+  // 10-step ladder happens on the VOCAB-sized relation. Outputs are
+  // exact integers only — no FP anywhere, the strongest oracle class
+  // this engine has. Cutoffs are exact integer arithmetic
+  // ((max_id + 1)·p / 100, integer division) so both engines cut
+  // identical prefixes. ---
+  def heapsCurve(s: SparkSession, d: String, steps: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val pcts = array((1 to steps).map(i => lit(i * 100 / steps)): _*)
+    val firstDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("fd"))
+    val vocab = firstDoc.crossJoin(broadcast(mx))
+      .select(explode(pcts).as("pct"), col("fd"), col("mx"))
+      .filter(col("fd") <
+        ((col("mx") + 1) * col("pct") / 100).cast("long"))
+      .groupBy("pct").agg(count(lit(1)).as("vocab"))
+    val nd = docs.crossJoin(broadcast(mx))
+      .select(explode(pcts).as("pct"), col("doc_id"), col("mx"))
+      .filter(col("doc_id") <
+        ((col("mx") + 1) * col("pct") / 100).cast("long"))
+      .groupBy("pct").agg(count(lit(1)).as("n_docs"))
+    nd.join(vocab, Seq("pct"))
+      .select(col("pct"), col("n_docs"), col("vocab"))
+      .orderBy("pct")
+  }
+
+  /** Oracle twin of [[heapsCurve]] — same first-occurrence trick over
+    * token strings, same integer cutoffs.
+    */
+  def heapsCurveOracleSql(steps: Int = 10): String = {
+    val pcts = (1 to steps).map(i => i * 100 / steps).mkString(", ")
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |fd AS (
+       |  SELECT token, min(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents)
+       |  GROUP BY token),
+       |pcts AS (SELECT unnest([$pcts]) AS pct),
+       |v AS (
+       |  SELECT pct, CAST(count(*) AS BIGINT) AS vocab
+       |  FROM fd, mx, pcts
+       |  WHERE fd < (mx + 1) * pct // 100
+       |  GROUP BY pct),
+       |nd AS (
+       |  SELECT pct, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents, mx, pcts
+       |  WHERE doc_id < (mx + 1) * pct // 100
+       |  GROUP BY pct)
+       |SELECT nd.pct, n_docs, vocab
+       |FROM nd JOIN v ON nd.pct = v.pct
+       |ORDER BY nd.pct""".stripMargin
+  }
 }

@@ -1043,6 +1043,29 @@ class Pack10Spec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == nNodes)
   }
 
+  test("tx30: vocabulary growth is monotone and sublinear per doc") {
+    val rows = operators.TextAnalysis.heapsCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10).map(_ * 10))
+    val vocab = rows.map(_.getLong(2)).toSeq
+    val nd = rows.map(_.getLong(1)).toSeq
+    assert(vocab == vocab.sorted, "vocabulary can only grow with the prefix")
+    assert(nd == nd.sorted && nd.last == Tables.documents(spark, sf).count())
+    // full-prefix vocab equals the corpus vocabulary
+    val full = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).distinct().count()
+    assert(vocab.last == full)
+  }
+
+  test("dd23: candidate pairs shrink as shingles grow; thresholds bounded") {
+    val rows = operators.Dedup.shingleSensitivity(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 3, 5))
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "thresholded pairs are a subset of candidates"))
+    val cands = rows.map(_.getLong(1)).toSeq
+    assert(cands == cands.sorted.reverse,
+      "longer shingles can only prune shared-gram candidates")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
