@@ -1794,12 +1794,25 @@ object Analytics {
   // domain -> ~3.5k pairs at any corpus size, a41's boundedness
   // argument verbatim); doubles appear only in the one final division
   // and sqrt — identical per-row arithmetic on both engines. ---
-  def mannKendall(s: SparkSession, d: String): DataFrame = {
-    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
-    val monthly = Tables.orders(s, d)
-      .groupBy(((year(col("o_orderdate")) - 1992) * 12
-        + month(col("o_orderdate")) - 1).cast("long").as("x"))
+  def mannKendall(s: SparkSession, d: String): DataFrame =
+    mannKendallFromMonthly(monthlyRevenueState(Tables.orders(s, d)))
+
+  /** The (month index, cents) state BOTH trend tests read — additive
+    * over disjoint order sets (cents sums merge by summation), so the
+    * streaming twin maintains exactly this relation and the batch
+    * queries and the live monitor share one definition of the series.
+    */
+  private[graft] def monthlyRevenueState(orders: DataFrame): DataFrame =
+    orders.groupBy(((year(col("o_orderdate")) - 1992) * 12
+      + month(col("o_orderdate")) - 1).cast("long").as("x"))
       .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("c"))
+
+  /** a50's estimator tail over a merged monthly state — one definition
+    * for batch and stream (the cupedFromPerUser discipline).
+    */
+  private[graft] def mannKendallFromMonthly(monthly0: DataFrame): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val monthly = monthly0
     val pairs = monthly.select(col("x").as("xa"), col("c").as("ca"))
       .join(broadcast(monthly.select(col("x").as("xb"), col("c").as("cb"))),
         col("xa") < col("xb"))
@@ -1861,12 +1874,13 @@ object Analytics {
   // exact lower-median rank pick and every count is an exact integer;
   // the lag window rides the calendar-bounded monthly aggregate
   // (a38/a41's hygiene argument). ---
-  def runsTest(s: SparkSession, d: String): DataFrame = {
+  def runsTest(s: SparkSession, d: String): DataFrame =
+    runsTestFromMonthly(monthlyRevenueState(Tables.orders(s, d)))
+
+  /** a51's estimator tail over the same merged monthly state. */
+  private[graft] def runsTestFromMonthly(monthly0: DataFrame): DataFrame = {
     def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
-    val monthly = Tables.orders(s, d)
-      .groupBy(((year(col("o_orderdate")) - 1992) * 12
-        + month(col("o_orderdate")) - 1).cast("long").as("x"))
-      .agg(sum(Benchmark2.priceCents(col("o_totalprice"))).as("c"))
+    val monthly = monthly0
     val wM = Window.partitionBy(lit(0)).orderBy(col("c").asc, col("x").asc)
     val med = monthly
       .withColumn("rn", row_number().over(wM).cast("long"))

@@ -1152,6 +1152,65 @@ object Streams {
         .withColumn("n_distinct_b", coalesce(col("n_distinct_b"), lit(0L))))
   }
 
+  /** Streaming maintenance of a50/a51's monthly revenue series — ONE
+    * maintained state, TWO live monitors: the (month, cents) sums are
+    * ADDITIVE over disjoint order sets, so each batch publishes the
+    * monthly partial sums of its newly-admitted orders
+    * ([[graft.operators.Analytics.monthlyRevenueState]] — the batch
+    * queries' own series definition) and both trend tests re-derive
+    * from the merged state through their batch tails
+    * (mannKendallFromMonthly / runsTestFromMonthly), so the monitor
+    * can never disagree with the a50/a51 readouts. Admission dedups on
+    * o_orderkey against prior deltas excluding this batch's own (the
+    * checkpoint-replay rule shared by every sum-based twin).
+    */
+  def trendIndexMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        trendMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def trendMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                        workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "orders")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchOrders = batchDf
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .dropDuplicates("o_orderkey")
+    val fresh = prior match {
+      case Seq() => batchOrders
+      case dirs => batchOrders.join(
+        s.read.parquet(dirs: _*).select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+    }
+    fresh.select("o_orderkey")
+      .write.mode("overwrite").parquet(s"$workDir/orders/b$batchId")
+    graft.operators.Analytics.monthlyRevenueState(fresh)
+      .write.mode("overwrite").parquet(s"$workDir/monthly/b$batchId")
+    ()
+  }
+
+  private def mergedMonthly(s: org.apache.spark.sql.SparkSession,
+                            workDir: String): DataFrame =
+    s.read.parquet(deltaDirs(workDir, "monthly"): _*)
+      .groupBy("x").agg(sum(col("c")).as("c"))
+
+  /** Read side #1: the live Mann–Kendall monitor off the merged state. */
+  def readMannKendall(s: org.apache.spark.sql.SparkSession,
+                      workDir: String): DataFrame =
+    graft.operators.Analytics.mannKendallFromMonthly(mergedMonthly(s, workDir))
+
+  /** Read side #2: the live runs-test monitor off the SAME state. */
+  def readRunsTest(s: org.apache.spark.sql.SparkSession,
+                   workDir: String): DataFrame =
+    graft.operators.Analytics.runsTestFromMonthly(mergedMonthly(s, workDir))
+
   /** Streaming maintenance of sq6's Kaplan–Meier per-user state — the
     * live time-to-conversion monitor. The state a survival curve needs
     * from history is per-user (first-activity, first-conversion,

@@ -1082,6 +1082,43 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("equivalence: one maintained monthly state drives both trend monitors (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq
+    val shuffled = new scala.util.Random(61).shuffle(orders)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val root = java.nio.file.Files.createTempDirectory("trendstream").toString
+    val q = Streams.trendIndexMaintainStream(
+      mem.toDF().select(col("_1").as("o_orderkey"),
+        col("_2").as("o_orderdate"), col("_3").as("o_totalprice")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: the sums are additive, so a
+    // double-counted order would shift a month's cents — admission
+    // must drop every redelivered order
+    try (waves :+ waves.head.take(17)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.trendMaintainBatch(
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_orderdate", "o_totalprice"), 0L, root)
+    assert(rowSet(Streams.readMannKendall(spark, root)) ==
+      rowSet(graft.operators.Analytics.mannKendall(spark, sf)),
+      "stream-maintained Mann-Kendall must equal the batch a50 answer")
+    assert(rowSet(Streams.readRunsTest(spark, root)) ==
+      rowSet(graft.operators.Analytics.runsTest(spark, sf)),
+      "stream-maintained runs test must equal the batch a51 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/orders").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("o_orderkey").count(),
+      "order admission deltas must be disjoint")
+  }
+
   test("equivalence: streaming Kaplan-Meier maintenance == batch sq6 (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
