@@ -119,27 +119,34 @@ object Bench {
       val succeeded = attempts.filter(_._2).map(_._1)
       // a crashed query must not masquerade as a fast success
       (name, if (succeeded.nonEmpty) succeeded.min else -1.0,
-        succeeded.nonEmpty, attempts.map(_._1),
-        lastCanary > 3.0 * canaryBase)
+        succeeded.nonEmpty, attempts.map(_._1))
     }
     sampleCanary(ordered.size)
-    // a query is also suspect if the canary sample CLOSING its window
-    // was loaded — contention that started mid-window is otherwise
-    // invisible to the opening sample
-    val loadedAt = canarySeries.filter(_._2 > 3.0 * canaryBase).map(_._1).toSet
+    // The load reference is the canary's OWN median over the whole
+    // sweep (floored by the pre-sweep base): the first runs after
+    // warmup are the fastest the JVM will ever be, and judging every
+    // later sample against that optimum flags ordinary steady-state
+    // drift (observed: a 2-3x mid-sweep ripple with healthy per-query
+    // attempts). Genuine external load — the round-8 incident read
+    // 10-30x — clears the 3x-of-median bar in every sample it taints.
+    // A query is suspect if EITHER canary sample bounding its window
+    // was loaded: contention that starts mid-window is invisible to
+    // the opening sample but caught by the closing one.
+    val canaryRef = math.max(canaryBase,
+      median(canarySeries.map(_._2).toSeq))
+    val loadedAt = canarySeries.filter(_._2 > 3.0 * canaryRef).map(_._1).toSet
     def windowLoaded(i: Int): Boolean = {
       val open = (i / CanaryEvery) * CanaryEvery
       val close = canarySeries.map(_._1).filter(_ > i)
         .minOption.getOrElse(ordered.size)
       loadedAt.contains(open) || loadedAt.contains(close)
     }
-    val flagged = results.zipWithIndex.collect {
-      case ((name, _, _, _, openLoaded), i) if openLoaded || windowLoaded(i) =>
-        name
+    val flagged = ordered.zipWithIndex.collect {
+      case ((name, _), i) if windowLoaded(i) => name
     }
     if (flagged.nonEmpty)
-      System.err.println(s"[bench] NOISE: canary exceeded 3x baseline " +
-        f"($canaryBase%.3fs) during ${flagged.size} queries: " +
+      System.err.println(s"[bench] NOISE: canary exceeded 3x reference " +
+        f"($canaryRef%.3fs) during ${flagged.size} queries: " +
         flagged.take(10).mkString(","))
     def qmap(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -149,6 +156,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val canaryJson =
       "{\"name\":\"" + canaryName + "\",\"base\":" + f"$canaryBase%.3f" +
+        ",\"ref\":" + f"$canaryRef%.3f" +
         ",\"series\":" + canarySeries
           .map { case (p, v) => f"[$p,$v%.3f]" }.mkString("[", ",", "]") + "}"
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")

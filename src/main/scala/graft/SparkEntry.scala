@@ -312,6 +312,7 @@ object SparkEntry {
     "gr14_modularity"    -> ((s, d) => Graph.modularity(s, d)),
     "dp16_contrastive_negs" -> ((s, d) => DataPrep.contrastiveNegatives(s, d)),
     "mm7_ahash_buckets"  -> ((s, d) => Multimodal.ahashBuckets(s, d)),
+    "mm10_contrast_gate" -> ((s, d) => Multimodal.contrastGate(s, d)),
     "gr15_incremental_edges" -> ((s, d) => Graph.incrementalEdgeAudit(s, d)),
     // round-7 pack: boilerplate scrub (the rewrite side of dd13),
     // gaps-and-islands streaks
@@ -590,6 +591,8 @@ object SparkEntry {
       operators.TextAnalysis.heapsCurveOracleSql(),
     "dd23_shingle_sense" ->
       operators.Dedup.shingleSensitivityOracleSql(),
+    "mm10_contrast_gate" ->
+      operators.Multimodal.contrastGateOracleSql(),
     // j13: forward replay — the union form mirrored: events sort
     // BEFORE promos at the same instant so an equal-t promo falls in
     // the event's FOLLOWING frame (at-or-after includes the tie), and

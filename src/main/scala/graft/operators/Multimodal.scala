@@ -416,4 +416,101 @@ object Multimodal {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("dhash").asc)
       .limit(topK)
+
+  /** Second-moment decode output for mm10's contrast gate: exact
+    * integer (n_px, Σv, Σv²) off the decoded raster; −1 sentinel for
+    * undecodable payloads (the [[decodeImage]] degradation contract).
+    */
+  case class MediaMoments(doc_id: Long, mime: String, n_px: Long,
+                          luma_sum: Long, luma_sumsq: Long)
+
+  /** REAL decode, one raster pass accumulating Σv and Σv² — both
+    * exact longs (≤ 2^21 for any fixture-sized image; a production
+    * 10-megapixel frame still fits 2^40), so every downstream
+    * statistic is integer arithmetic.
+    */
+  def decodeMoments(records: Dataset[MediaRecord]): Dataset[MediaMoments] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+        if (img == null) MediaMoments(r.doc_id, r.mime, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val ras = img.getRaster
+          var sv = 0L; var svv = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ras.getSample(x, y, 0).toLong
+              sv += v; svv += v * v
+              x += 1
+            }
+            y += 1
+          }
+          MediaMoments(r.doc_id, r.mime, w.toLong * h, sv, svv)
+        }
+      }
+    }
+  }
+
+  // --- MM10: CONTRAST QUALITY GATE — per format, how many decoded
+  // images fall under a pixel-variance floor? The visual-quality
+  // sibling of tx4's text gate: a training mix drops near-uniform
+  // frames (letterboxing, failed renders, blank scans) before they
+  // poison an encoder. The decode is REAL (javax.imageio over the
+  // mixed PNG+JPEG fixture); the flag is decided by the exact integer
+  // cross-multiply  n·Σv² − (Σv)² < floor·n²  (population variance
+  // < floor with both sides scaled by n² — no FP anywhere, so the
+  // gate can never be a rounding artifact, and the DuckDB oracle
+  // replays DECODED pixels in closed form). Per-format rollup is two
+  // rows; the one double is the final share. ---
+  def contrastGate(s: SparkSession, d: String,
+                   varFloor: Long = 800L): DataFrame = {
+    val m = decodeMoments(imageRecords(s, d)).toDF()
+      .filter(col("n_px") > 0)
+    m.withColumn("low",
+        when(col("n_px") * col("luma_sumsq")
+          - col("luma_sum") * col("luma_sum")
+          < lit(varFloor) * col("n_px") * col("n_px"), 1L).otherwise(0L))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_images"), sum(col("low")).as("n_low_contrast"))
+      .select(col("mime"), col("n_images"), col("n_low_contrast"),
+        round(col("n_low_contrast").cast("double")
+          / col("n_images").cast("double"), 6).as("low_share"))
+      .orderBy("mime")
+  }
+
+  /** Oracle twin of [[contrastGate]] — DuckDB replays the decoded
+    * pixels in closed form (the mixed-fixture paint formulas) and the
+    * same integer cross-multiplied variance flag.
+    */
+  def contrastGateOracleSql(varFloor: Long = 800L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, (doc_id % 14 + 3) AS w, (doc_id % 11 + 3) AS h,
+       |    (doc_id % 3 = 0) AS jp
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, jp,
+       |    CASE WHEN jp THEN (doc_id*37 + 11*(x//8) + 17*(y//8)) % 256
+       |         ELSE (doc_id*31 + 7*x + 13*y) % 256 END AS v
+       |  FROM (SELECT doc_id, jp, h, unnest(range(0, w)) AS x FROM d),
+       |  LATERAL (SELECT unnest(range(0, h)) AS y) AS ty),
+       |m AS (
+       |  SELECT doc_id, jp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv
+       |  FROM px GROUP BY 1, 2)
+       |SELECT CASE WHEN jp THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+       |  CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(CASE WHEN n*svv - sv*sv < $varFloor*n*n
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low_contrast,
+       |  round(CAST(sum(CASE WHEN n*svv - sv*sv < $varFloor*n*n
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS low_share
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 }

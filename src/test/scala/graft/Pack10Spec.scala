@@ -1066,6 +1066,23 @@ class Pack10Spec extends SparkTestBase {
       "longer shingles can only prune shared-gram candidates")
   }
 
+  test("mm10: decoded moments replay the closed-form paint; flags partition") {
+    val rows = operators.Multimodal.contrastGate(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("image/jpeg", "image/png"))
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "every document decodes — no fingerprint fallbacks on the fixture")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the JPEG paint is constant per 8x8 block (tiny fixtures are
+    // mostly one block), the PNG paint a per-pixel gradient — so the
+    // low-contrast rate must be far higher on the JPEG side
+    val byMime = rows.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byMime("image/jpeg") > byMime("image/png"),
+      "block-constant JPEG paint must flag low-contrast more often")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
