@@ -650,15 +650,42 @@ object DataQuality {
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_child"),
           col("n_orphans"))
+    // The three lineitem edges share the fact scan: ONE pass over the
+    // big table joins all three parent key sets, and a 1-row aggregate
+    // fans back out to three audit rows — a per-edge formulation would
+    // scan lineitem three times for the same answer. Join strategy is
+    // left to AQE: every TPC-H parent grows with the corpus, so a
+    // hard broadcast hint would be the grow-with-data smell; at bench
+    // scale AQE broadcasts the key projections anyway, at 100 TB the
+    // orders edge becomes the same shuffle the production join pays.
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"))
+        .distinct().withColumn("oh", lit(1)),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(Tables.part(s, d).select(col("p_partkey"))
+        .distinct().withColumn("ph", lit(1)),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(Tables.supplier(s, d).select(col("s_suppkey"))
+        .distinct().withColumn("sh", lit(1)),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("oh").isNull, 1L).otherwise(0L)).as("no_o"),
+        sum(when(col("ph").isNull, 1L).otherwise(0L)).as("no_p"),
+        sum(when(col("sh").isNull, 1L).otherwise(0L)).as("no_s"))
+      .select(explode(array(
+        struct(lit("lineitem->orders").as("relationship"),
+          col("n_child"), col("no_o").as("n_orphans")),
+        struct(lit("lineitem->part").as("relationship"),
+          col("n_child"), col("no_p").as("n_orphans")),
+        struct(lit("lineitem->supplier").as("relationship"),
+          col("n_child"), col("no_s").as("n_orphans")))).as("e"))
+      .select(col("e.relationship").as("relationship"),
+        col("e.n_child").as("n_child"), col("e.n_orphans").as("n_orphans"))
     Seq(
+      li,
       edge("customer->nation", Tables.customer(s, d), "c_nationkey",
         Tables.nation(s, d), "n_nationkey"),
-      edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
-        Tables.orders(s, d), "o_orderkey"),
-      edge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
-        Tables.part(s, d), "p_partkey"),
-      edge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
-        Tables.supplier(s, d), "s_suppkey"),
       edge("nation->region", Tables.nation(s, d), "n_regionkey",
         Tables.region(s, d), "r_regionkey"),
       edge("orders->customer", Tables.orders(s, d), "o_custkey",
