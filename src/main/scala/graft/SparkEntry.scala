@@ -342,6 +342,7 @@ object SparkEntry {
     "dq6_referential"    -> ((s, d) => DataQuality.referentialIntegrity(s, d)),
     "dp24_mixture_cal"   -> ((s, d) => DataPrep.mixtureCalibration(s, d)),
     "pv5_generalization" -> ((s, d) => DataQuality.generalizationLadder(s, d)),
+    "pv6_t_closeness"    -> ((s, d) => DataQuality.tCloseness(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
@@ -543,6 +544,8 @@ object SparkEntry {
       operators.DataPrep.mixtureCalibrationOracleSql(),
     "pv5_generalization" ->
       operators.DataQuality.generalizationLadderOracleSql(),
+    "pv6_t_closeness" ->
+      operators.DataQuality.tClosenessOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     "a49_seasonality" ->
       operators.Analytics.seasonalityStrengthOracleSql(),

@@ -778,4 +778,102 @@ object DataQuality {
        |  round(CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS DOUBLE)
        |    / CAST(sum(n) AS DOUBLE), 6) AS suppression_rate
        |FROM cls GROUP BY level ORDER BY level""".stripMargin
+
+  // --- PV6: t-CLOSENESS audit — the third rung of the release-gate
+  // ladder (pv1 k-anonymity: classes big enough; pv2 l-diversity:
+  // sensitive values varied enough; t-closeness [Li et al., ICDE
+  // 2007]: the sensitive DISTRIBUTION inside each class close enough
+  // to the global one, the property that stops an attacker learning
+  // "this class skews rich" without identifying anyone). For the
+  // ordered sensitive attribute (balance band) the distance is the
+  // Earth Mover's over the ordered domain: EMD = Σ_k |CumP_c(k) −
+  // CumP(k)| / (K−1). Exactness: the comparison runs on the
+  // INTEGER-cleared form Σ_k |cum_ck·n_total − cum_gk·n_c| (every
+  // term an exact long, the Σ an order-independent integer sum), and
+  // the one division to t happens per class row, rounded once. Shape:
+  // two bounded aggregates (class×band grid ≤ |classes|·K), cumulative
+  // sums over the K-bounded band ladder, one row per class. ---
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"))
+    val bands = rows.select("bucket").distinct()
+    val nTotalDf = rows.agg(count(lit(1)).as("n_total"))
+    val globalCum = rows.groupBy("bucket").agg(count(lit(1)).as("ngk"))
+      .join(broadcast(bands), Seq("bucket"), "right")
+      .withColumn("ngk", coalesce(col("ngk"), lit(0L)))
+      .withColumn("cum_g", sum(col("ngk")).over(Window
+        .partitionBy(lit(0)).orderBy(col("bucket").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("bucket", "cum_g")
+    val classes = rows.groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_c"))
+    val grid = classes.crossJoin(broadcast(bands))
+    val classCum = rows.groupBy("nation", "segment", "bucket")
+      .agg(count(lit(1)).as("nck"))
+      .join(grid, Seq("nation", "segment", "bucket"), "right")
+      .withColumn("nck", coalesce(col("nck"), lit(0L)))
+      .withColumn("cum_c", sum(col("nck")).over(Window
+        .partitionBy(col("nation"), col("segment"))
+        .orderBy(col("bucket").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val kBands = bands.agg(count(lit(1)).as("kk"))
+    classCum
+      .join(broadcast(globalCum), Seq("bucket"))
+      .crossJoin(broadcast(nTotalDf))
+      .groupBy(col("nation"), col("segment"), col("n_c"), col("n_total"))
+      .agg(sum(abs(col("cum_c") * col("n_total")
+        - col("cum_g") * col("n_c"))).as("numer"))
+      .crossJoin(broadcast(kBands))
+      .select(col("nation"), col("segment"), col("n_c"),
+        round(col("numer").cast("double")
+          / (col("n_c").cast("double") * col("n_total").cast("double")
+            * (col("kk").cast("double") - 1.0)), 6).as("t_closeness"))
+      .orderBy("nation", "segment")
+  }
+
+  /** Oracle twin of [[tCloseness]] — same complete band ladder,
+    * integer-cleared cumulative distance, one rounded division.
+    */
+  def tClosenessOracleSql(): String =
+    """WITH rows_ AS (
+      |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket
+      |  FROM customer),
+      |bands AS (SELECT DISTINCT bucket FROM rows_),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM rows_),
+      |kb AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM bands),
+      |gc AS (
+      |  SELECT bucket, sum(ngk) OVER (ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+      |  FROM (
+      |    SELECT b.bucket, CAST(coalesce(g.ngk, 0) AS BIGINT) AS ngk
+      |    FROM bands b LEFT JOIN (
+      |      SELECT bucket, CAST(count(*) AS BIGINT) AS ngk
+      |      FROM rows_ GROUP BY 1) g ON b.bucket = g.bucket)),
+      |cls AS (
+      |  SELECT nation, segment, CAST(count(*) AS BIGINT) AS n_c
+      |  FROM rows_ GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT nation, segment, n_c, bucket,
+      |    sum(nck) OVER (PARTITION BY nation, segment ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      |  FROM (
+      |    SELECT cls.nation, cls.segment, cls.n_c, b.bucket,
+      |      CAST(coalesce(x.nck, 0) AS BIGINT) AS nck
+      |    FROM cls CROSS JOIN bands b
+      |    LEFT JOIN (
+      |      SELECT nation, segment, bucket, CAST(count(*) AS BIGINT) AS nck
+      |      FROM rows_ GROUP BY 1, 2, 3) x
+      |      ON x.nation = cls.nation AND x.segment = cls.segment
+      |        AND x.bucket = b.bucket))
+      |SELECT cc.nation, cc.segment, cc.n_c,
+      |  round(CAST(sum(abs(cum_c * n_total - cum_g * n_c)) AS DOUBLE)
+      |    / (CAST(n_c AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |      * (CAST(kk AS DOUBLE) - 1.0)), 6) AS t_closeness
+      |FROM cc JOIN gc ON cc.bucket = gc.bucket, nt, kb
+      |GROUP BY cc.nation, cc.segment, cc.n_c, n_total, kk
+      |ORDER BY nation, segment""".stripMargin
 }

@@ -1317,18 +1317,36 @@ object TextAnalysis {
   // identical prefixes. ---
   def heapsCurve(s: SparkSession, d: String, steps: Int = 10): DataFrame = {
     val docs = Tables.documents(s, d)
-    val mx = docs.agg(max(col("doc_id")).as("mx"))
-    val pcts = array((1 to steps).map(i => lit(i * 100 / steps)): _*)
-    val firstDoc = docs
+    heapsFromState(tokenFirstDocState(docs), docs.select("doc_id"), steps)
+  }
+
+  /** tx30's per-token first-occurrence state over an arbitrary
+    * (doc_id, text) relation — additive-by-MIN (idempotent, like the
+    * Kaplan–Meier bounds), which is what lets the streaming twin
+    * maintain the vocabulary-growth monitor without an admission
+    * ledger. Shared with Streams.heapsMaintainBatch.
+    */
+  private[graft] def tokenFirstDocState(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"), xxhash64(col("token")).as("h"))
       .groupBy("h").agg(min(col("doc_id")).as("fd"))
+
+  /** The curve tail over merged state — ONE definition for the batch
+    * query and the stream read side, so the two cannot disagree on
+    * cutoffs or prefixes. `docIds` must be the distinct document ids
+    * (the batch path passes the table's own id column).
+    */
+  private[graft] def heapsFromState(firstDoc: DataFrame, docIds: DataFrame,
+                                    steps: Int = 10): DataFrame = {
+    val mx = docIds.agg(max(col("doc_id")).as("mx"))
+    val pcts = array((1 to steps).map(i => lit(i * 100 / steps)): _*)
     val vocab = firstDoc.crossJoin(broadcast(mx))
       .select(explode(pcts).as("pct"), col("fd"), col("mx"))
       .filter(col("fd") <
         ((col("mx") + 1) * col("pct") / 100).cast("long"))
       .groupBy("pct").agg(count(lit(1)).as("vocab"))
-    val nd = docs.crossJoin(broadcast(mx))
+    val nd = docIds.crossJoin(broadcast(mx))
       .select(explode(pcts).as("pct"), col("doc_id"), col("mx"))
       .filter(col("doc_id") <
         ((col("mx") + 1) * col("pct") / 100).cast("long"))

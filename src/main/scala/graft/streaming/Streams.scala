@@ -1211,6 +1211,54 @@ object Streams {
                    workDir: String): DataFrame =
     graft.operators.Analytics.runsTestFromMonthly(mergedMonthly(s, workDir))
 
+  /** Streaming maintenance of tx30's vocabulary-growth state — the
+    * live corpus-health monitor (near-linear vocabulary growth = ID/
+    * hash debris arriving). Per-token first-occurrence doc ids are
+    * additive-by-MIN and the document-id set is union-mergeable —
+    * both IDEMPOTENT, so like the Kaplan–Meier twin this needs no
+    * admission ledger: a redelivered document re-asserts bounds and
+    * ids the merge already holds, and a checkpoint replay overwrites
+    * its own delta. Each batch publishes its own per-token
+    * ([[graft.operators.TextAnalysis.tokenFirstDocState]]) and doc-id
+    * deltas; the read side merges by min / distinct and applies the
+    * batch query's own curve tail.
+    */
+  def heapsIndexMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        heapsMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def heapsMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                        workDir: String): Unit = {
+    val batch = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    batch.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    graft.operators.TextAnalysis.tokenFirstDocState(batch)
+      .write.mode("overwrite").parquet(s"$workDir/vocab/b$batchId")
+    ()
+  }
+
+  /** Read side: merge the idempotent per-token minima and the doc-id
+    * union, then the shared curve tail — stream-maintained growth
+    * equals the batch `tx30_heaps_curve` answer under any
+    * wave/redelivery schedule.
+    */
+  def readHeapsCurve(s: org.apache.spark.sql.SparkSession,
+                     workDir: String, steps: Int = 10): DataFrame =
+    graft.operators.TextAnalysis.heapsFromState(
+      s.read.parquet(deltaDirs(workDir, "vocab"): _*)
+        .groupBy("h").agg(min(col("fd")).as("fd")),
+      s.read.parquet(deltaDirs(workDir, "docs"): _*)
+        .select("doc_id").distinct(),
+      steps)
+
   /** Streaming maintenance of sq6's Kaplan–Meier per-user state — the
     * live time-to-conversion monitor. The state a survival curve needs
     * from history is per-user (first-activity, first-conversion,

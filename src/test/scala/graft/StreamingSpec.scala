@@ -1119,6 +1119,33 @@ class StreamingSpec extends SparkTestBase {
       "order admission deltas must be disjoint")
   }
 
+  test("equivalence: streaming vocabulary-growth maintenance == batch tx30 (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(71).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("tx30stream").toString
+    val q = Streams.heapsIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: min/distinct are
+    // idempotent — re-sent documents must not move the curve (no
+    // admission ledger by design; this is the assertion proving it)
+    try (waves :+ waves.head.take(11)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a replay covering MORE docs than the original batch 0: a
+    // superset re-assertion must leave the merged state invariant
+    Streams.heapsMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readHeapsCurve(spark, root)) ==
+      rowSet(graft.operators.TextAnalysis.heapsCurve(spark, sf)),
+      "stream-maintained growth curve must equal the batch tx30 answer")
+  }
+
   test("equivalence: streaming Kaplan-Meier maintenance == batch sq6 (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
