@@ -190,7 +190,8 @@ object Soak {
     "tx29_collocations", "gr18_rich_club", "gr19_neighbor_deg",
     "a50_mann_kendall", "a51_runs_test",
     "dp24_mixture_cal", "pv5_generalization", "s4_except_all",
-    "tx30_heaps_curve", "dd23_shingle_sense", "mm10_contrast_gate")
+    "tx30_heaps_curve", "dd23_shingle_sense", "mm10_contrast_gate",
+    "pv6_t_closeness", "sp8_power_analysis", "dd24_cluster_sizes")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

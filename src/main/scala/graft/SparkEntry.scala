@@ -247,6 +247,7 @@ object SparkEntry {
     "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
+    "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
     "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
@@ -343,6 +344,7 @@ object SparkEntry {
     "dp24_mixture_cal"   -> ((s, d) => DataPrep.mixtureCalibration(s, d)),
     "pv5_generalization" -> ((s, d) => DataQuality.generalizationLadder(s, d)),
     "pv6_t_closeness"    -> ((s, d) => DataQuality.tCloseness(s, d)),
+    "sp8_power_analysis" -> ((s, d) => Sampling.powerAnalysis(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
@@ -546,6 +548,8 @@ object SparkEntry {
       operators.DataQuality.generalizationLadderOracleSql(),
     "pv6_t_closeness" ->
       operators.DataQuality.tClosenessOracleSql(),
+    "sp8_power_analysis" ->
+      operators.Sampling.powerAnalysisOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     "a49_seasonality" ->
       operators.Analytics.seasonalityStrengthOracleSql(),
@@ -1686,6 +1690,38 @@ object SparkEntry {
         |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
         |SELECT doc AS doc_id, min(r) AS comp FROM reach
         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // dd24: dd8's component chain rolled up twice — sizes, then the
+    // size histogram
+    "dd24_cluster_sizes" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN cnt ca ON ca.doc_id = doc_a
+        |  JOIN cnt cb ON cb.doc_id = doc_b
+        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+        |reach(doc, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc),
+        |comp AS (SELECT doc AS doc_id, min(r) AS comp FROM reach GROUP BY doc),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM comp GROUP BY comp)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // dd18: dd8's component chain + tx4's quality, one argmax per
     // component (quality DESC, doc_id ASC)
     "dd18_cluster_reps" ->

@@ -469,6 +469,22 @@ object Dedup {
     componentsFromPairs(nodes, pairs, maxIter, jumpFrom).orderBy("doc_id")
   }
 
+  // --- DD24: cluster SIZE DISTRIBUTION — the dedup report's headline
+  // figure: how many near-dup clusters exist at each size, and how
+  // many documents they absorb? Singleton-heavy = clean corpus; a fat
+  // tail = template farms (and the expected post-dedup corpus size is
+  // n_total − Σ(size−1)·n_clusters, readable straight off this
+  // relation). One rollup over dd8's component relation — component
+  // ids are data-parallel, both aggregates are integer counts. ---
+  def clusterSizeDistribution(s: SparkSession, d: String,
+                              threshold: Double = 0.5): DataFrame =
+    dedupComponents(s, d, threshold)
+      .groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+
   // --- DD18: cluster REPRESENTATIVE selection — the decision step
   // after dd8's components: of each near-dup cluster, exactly one
   // document survives into the corpus, chosen by quality (tx4's score)

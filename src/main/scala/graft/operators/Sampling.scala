@@ -241,4 +241,94 @@ object Sampling {
       |      - sum(theta_i) * sum(theta_i) / CAST(k AS DOUBLE)), 6)
       |    AS var_jack
       |FROM th GROUP BY k, nn, tsq""".stripMargin
+
+  // --- SP8: EXPERIMENT POWER / SAMPLE-SIZE calculator — the question
+  // every A/B readout (a46) begets: "how many users per arm would we
+  // need to detect this effect reliably?" Two-proportion power at
+  // α = 0.05 (two-sided), target power 80%:
+  //   n/arm = (z_{α/2}·√(2p̄(1−p̄)) + z_β·√(p_a(1−p_a)+p_b(1−p_b)))² / Δ²
+  // [Fleiss, Statistical Methods for Rates and Proportions]. The z
+  // constants are spelled as the SAME literals on both engines
+  // (1.959964, 0.841621 — the 6dp standard-normal quantiles), the
+  // rates come from a46's own exact conversion counts, and the whole
+  // computation is one broadcast row of per-row double arithmetic —
+  // the experiment-design companion the a46/a48 suite was missing.
+  // Also reports the minimum detectable effect at the CURRENT n (the
+  // same formula solved for Δ), so the readout says both "what this
+  // test could see" and "what a conclusive test would cost". ---
+  def powerAnalysis(s: SparkSession, d: String): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val za = 1.959964
+    val zb = 0.841621
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 150, 1L).otherwise(0L)).as("converted"))
+    val byVariant = perUser
+      .groupBy((col("user_id") % 2).as("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(b)
+      .withColumn("p_a", dbl(col("conv_a")) / dbl(col("n_a")))
+      .withColumn("p_b", dbl(col("conv_b")) / dbl(col("n_b")))
+      .withColumn("p_bar",
+        (dbl(col("conv_a")) + dbl(col("conv_b")))
+          / (dbl(col("n_a")) + dbl(col("n_b"))))
+      .withColumn("delta", abs(col("p_a") - col("p_b")))
+      .withColumn("n_required", ceil(
+        pow(lit(za) * sqrt(lit(2.0) * col("p_bar") * (lit(1.0) - col("p_bar")))
+          + lit(zb) * sqrt(col("p_a") * (lit(1.0) - col("p_a"))
+            + col("p_b") * (lit(1.0) - col("p_b"))),
+          lit(2.0)) / (col("delta") * col("delta"))).cast("long"))
+      .withColumn("mde_at_n",
+        (lit(za) * sqrt(lit(2.0) * col("p_bar") * (lit(1.0) - col("p_bar")))
+          + lit(zb) * sqrt(col("p_a") * (lit(1.0) - col("p_a"))
+            + col("p_b") * (lit(1.0) - col("p_b"))))
+          / sqrt(least(dbl(col("n_a")), dbl(col("n_b")))))
+      .select(col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("delta"), 6).as("observed_delta"),
+        col("n_required").as("n_per_arm_for_80pct_power"),
+        round(col("mde_at_n"), 6).as("mde_at_current_n"))
+  }
+
+  /** Oracle twin of [[powerAnalysis]] — identical literals and
+    * association order.
+    */
+  def powerAnalysisOracleSql(): String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150
+      |        THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY user_id),
+      |bv AS (
+      |  SELECT user_id % 2 AS variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS conv
+      |  FROM pu GROUP BY 1),
+      |ab AS (
+      |  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      |  FROM (SELECT n, conv FROM bv WHERE variant = 0) a,
+      |       (SELECT n, conv FROM bv WHERE variant = 1) b),
+      |x AS (
+      |  SELECT n_a, n_b,
+      |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+      |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+      |    (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+      |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_bar
+      |  FROM ab),
+      |y AS (
+      |  SELECT n_a, n_b, p_a, p_b, p_bar, abs(p_a - p_b) AS delta,
+      |    1.959964 * sqrt(2.0 * p_bar * (1.0 - p_bar))
+      |      + 0.841621 * sqrt(p_a * (1.0 - p_a) + p_b * (1.0 - p_b)) AS zsum
+      |  FROM x)
+      |SELECT n_a, n_b, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+      |  round(delta, 6) AS observed_delta,
+      |  CAST(ceil(pow(zsum, 2.0) / (delta * delta)) AS BIGINT)
+      |    AS n_per_arm_for_80pct_power,
+      |  round(zsum / sqrt(least(CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE))), 6)
+      |    AS mde_at_current_n
+      |FROM y""".stripMargin
 }

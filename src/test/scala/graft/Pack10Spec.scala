@@ -1083,6 +1083,51 @@ class Pack10Spec extends SparkTestBase {
       "block-constant JPEG paint must flag low-contrast more often")
   }
 
+  test("dd24: size histogram conserves documents and matches dd8") {
+    val rows = operators.Dedup.clusterSizeDistribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sf).count(),
+      "every document lives in exactly one cluster")
+    val comps = operators.Dedup.dedupComponents(spark, sf)
+      .groupBy("comp").count().groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(comps(r.getLong(0)) == r.getLong(1)))
+  }
+
+  test("pv6: t in [0,1]; a class distributed like the global scores ~0") {
+    val rows = operators.DataQuality.tCloseness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // classes partition the table
+    assert(rows.map(_.getLong(2)).sum == Tables.customer(spark, sf).count())
+    // small classes drift more than the population on average: the
+    // largest class should sit below the max t (sanity, not a theorem
+    // - it holds for any non-degenerate synthetic draw)
+    val maxT = rows.map(_.getDouble(3)).max
+    assert(maxT > 0.0, "identical distributions everywhere is a red flag")
+  }
+
+  test("sp8: power math replays; MDE shrinks with more users") {
+    val r = operators.Sampling.powerAnalysis(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (na, nb) = (row.getLong(0), row.getLong(1))
+    val (pa, pb) = (row.getDouble(2), row.getDouble(3))
+    val delta = row.getDouble(4)
+    val nReq = row.getLong(5)
+    val mde = row.getDouble(6)
+    assert(math.abs(delta - math.abs(pa - pb)) <= 2.1e-6)
+    // replay the Fleiss formula
+    val pbar = (pa * na + pb * nb) / (na + nb)
+    val zsum = 1.959964 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+      0.841621 * math.sqrt(pa * (1.0 - pa) + pb * (1.0 - pb))
+    assert(math.abs(nReq - math.ceil(zsum * zsum / (delta * delta))) <= 1.0)
+    assert(math.abs(mde - zsum / math.sqrt(math.min(na, nb).toDouble)) <= 1e-4)
+    assert(mde > 0 && nReq > 0)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
