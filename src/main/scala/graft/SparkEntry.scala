@@ -345,6 +345,8 @@ object SparkEntry {
     "pv5_generalization" -> ((s, d) => DataQuality.generalizationLadder(s, d)),
     "pv6_t_closeness"    -> ((s, d) => DataQuality.tCloseness(s, d)),
     "sp8_power_analysis" -> ((s, d) => Sampling.powerAnalysis(s, d)),
+    "dq7_calendar_gaps"  -> ((s, d) => DataQuality.calendarGaps(s, d)),
+    "dq8_functional_deps" -> ((s, d) => DataQuality.functionalDependencies(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "a49_seasonality"    -> ((s, d) => Analytics.seasonalityStrength(s, d)),
     "j15_asof_tolerance" -> ((s, d) => Relational.asofTolerance(s, d)),
@@ -550,6 +552,10 @@ object SparkEntry {
       operators.DataQuality.tClosenessOracleSql(),
     "sp8_power_analysis" ->
       operators.Sampling.powerAnalysisOracleSql(),
+    "dq7_calendar_gaps" ->
+      operators.DataQuality.calendarGapsOracleSql(),
+    "dq8_functional_deps" ->
+      operators.DataQuality.functionalDependenciesOracleSql(),
     "tx27_burstiness" -> operators.TextAnalysis.burstinessOracleSql(),
     "a49_seasonality" ->
       operators.Analytics.seasonalityStrengthOracleSql(),

@@ -876,4 +876,107 @@ object DataQuality {
       |FROM cc JOIN gc ON cc.bucket = gc.bucket, nt, kb
       |GROUP BY cc.nation, cc.segment, cc.n_c, n_total, kk
       |ORDER BY nation, segment""".stripMargin
+
+  // --- DQ7: CALENDAR-GAP audit — which days inside the corpus span
+  // have NO orders at all? Time-series queries (a38/a41/a42/a49) all
+  // assume a reasonably dense daily series; a silent feed outage
+  // shows up as missing days long before it shows up in totals. The
+  // expected calendar is generated from the observed span (sequence
+  // of dates — bounded by the calendar, not the data), observed days
+  // anti-join it away, and the report is one row of exact counts plus
+  // the gap extremes. ---
+  def calendarGaps(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day")).distinct()
+      .localCheckpoint() // feeds the span aggregate AND the anti-join
+    val span = days.agg(min(col("day")).as("mn"), max(col("day")).as("mx"),
+      count(lit(1)).as("n_observed"))
+    val expected = span.select(col("n_observed"),
+      (datediff(col("mx"), col("mn")) + 1).cast("long").as("n_expected"),
+      explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 day"))).as("day"))
+    expected.join(days, Seq("day"), "left_anti")
+      .groupBy(col("n_expected"), col("n_observed"))
+      .agg(count(lit(1)).as("n_missing"),
+        min(col("day")).as("first_missing"),
+        max(col("day")).as("last_missing"))
+      .select(col("n_expected").as("n_expected_days"),
+        col("n_observed").as("n_observed_days"),
+        col("n_missing"), col("first_missing"), col("last_missing"))
+  }
+
+  /** Oracle twin of [[calendarGaps]] — same generated calendar and
+    * anti-join. NOTE: like the Spark side, emits NO row when the
+    * calendar is complete (the groupBy sees zero missing days) — a
+    * dense feed hashes as the empty relation on both engines.
+    */
+  def calendarGapsOracleSql(): String =
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+      |span AS (
+      |  SELECT min(day) AS mn, max(day) AS mx,
+      |    CAST(count(*) AS BIGINT) AS n_observed
+      |  FROM days),
+      |expected AS (
+      |  SELECT n_observed,
+      |    CAST(date_diff('day', mn, mx) + 1 AS BIGINT) AS n_expected,
+      |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+      |      AS day
+      |  FROM span),
+      |missing AS (
+      |  SELECT e.* FROM expected e
+      |  WHERE NOT EXISTS (SELECT 1 FROM days WHERE days.day = e.day))
+      |SELECT n_expected AS n_expected_days, n_observed AS n_observed_days,
+      |  CAST(count(*) AS BIGINT) AS n_missing,
+      |  min(day) AS first_missing, max(day) AS last_missing
+      |FROM missing GROUP BY 1, 2""".stripMargin
+
+  // --- DQ8: FUNCTIONAL-DEPENDENCY audit — does column A determine
+  // column B? The profiling question behind key discovery and
+  // denormalization safety (J3 keeps movie_name denormalized in the
+  // reference — the audit that makes that safe is exactly "does
+  // movie_id still determine movie_name"). Per audited pair: the
+  // number of determinant values, how many of them map to MORE than
+  // one dependent value, and the verdict. One groupBy + distinct
+  // count per pair, exact integers, four independent subplans in one
+  // union. ---
+  def functionalDependencies(s: SparkSession, d: String): DataFrame = {
+    def fd(name: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("dependency"), col("n_keys"),
+          col("n_violating"), (col("n_violating") === 0).as("fd_holds"))
+    Seq(
+      fd("c_custkey->c_nationkey", Tables.customer(s, d),
+        "c_custkey", "c_nationkey"),
+      fd("l_orderkey->l_returnflag", Tables.lineitem(s, d),
+        "l_orderkey", "l_returnflag"),
+      fd("o_custkey->o_orderpriority", Tables.orders(s, d),
+        "o_custkey", "o_orderpriority"),
+      fd("o_orderkey->o_custkey", Tables.orders(s, d),
+        "o_orderkey", "o_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("dependency")
+  }
+
+  /** Oracle twin of [[functionalDependencies]] — same per-pair
+    * distinct-count audits, one UNION ALL each.
+    */
+  def functionalDependenciesOracleSql(): String = {
+    val pairs = Seq(
+      ("c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+      ("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+      ("o_custkey->o_orderpriority", "orders", "o_custkey",
+        "o_orderpriority"),
+      ("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"))
+    pairs.map { case (name, t, a, b) =>
+      s"""SELECT '$name' AS dependency,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $t GROUP BY $a)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY dependency")
+  }
 }

@@ -1128,6 +1128,28 @@ class Pack10Spec extends SparkTestBase {
     assert(mde > 0 && nReq > 0)
   }
 
+  test("dq7/dq8: calendar accounting balances; PK dependencies hold") {
+    val gaps = operators.DataQuality.calendarGaps(spark, sf).collect()
+    if (gaps.nonEmpty) {
+      val r = gaps(0)
+      assert(r.getLong(0) == r.getLong(1) + r.getLong(2),
+        "expected = observed + missing")
+      assert(r.getDate(3) != null && r.getDate(4) != null)
+    } else {
+      // empty relation == complete calendar; cross-check directly
+      val days = Tables.orders(spark, sf)
+        .select(to_date(col("o_orderdate"))).distinct().count()
+      val span = Tables.orders(spark, sf)
+        .agg(datediff(max(to_date(col("o_orderdate"))),
+          min(to_date(col("o_orderdate")))) + 1).head.getInt(0)
+      assert(days == span)
+    }
+    val fds = operators.DataQuality.functionalDependencies(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(fds("c_custkey->c_nationkey"), "a key determines its row")
+    assert(fds("o_orderkey->o_custkey"), "a key determines its row")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
