@@ -1204,6 +1204,85 @@ object OracleGen {
        |FROM rr2 WHERE rk <= $k ORDER BY q_id, rk""".stripMargin
   }
 
+  /** SIM18 replay: one Lloyd chain + assignment, a rank-exposing
+    * probe relation sliced per nProbe level, exact re-rank per level,
+    * and per-level recall against the shared brute-force truth.
+    */
+  def sim18Sql(numQueryVecs: Int = 5, k: Int = 3,
+               numCells: Int = 16, probes: Seq[Int] = Seq(1, 2, 4),
+               dim: Int = 64,
+               iters: Int = graft.operators.Similarity.IvfLloydIters): String = {
+    val maxP = probes.max
+    val pList = probes.mkString(", ")
+    s"""WITH ${normsCte(dim)},
+       |${lloydCtes(numCells, iters, dim)},
+       |scores AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${pairDot("e.embedding", "c.cemb", dim)} AS score
+       |  FROM embeddings e CROSS JOIN cent$iters c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores) t WHERE rn = 1),
+       |pr AS (
+       |  SELECT vec_id AS query_id, cid AS probe_cell, rn AS prank FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY score DESC, cid DESC) AS rn
+       |    FROM scores WHERE vec_id < $numQueryVecs) t
+       |  WHERE rn <= $maxP),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY cs DESC, vec_id ASC) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |        (${pairDot("e.embedding", "q.embedding", dim)})
+       |          / (ne.nrm * nq.nrm) AS cs
+       |      FROM embeddings e
+       |      JOIN norms ne ON ne.vec_id = e.vec_id
+       |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |                  WHERE vec_id < $numQueryVecs) q
+       |      JOIN norms nq ON nq.vec_id = q.vec_id
+       |      WHERE e.vec_id <> q.vec_id) s) r
+       |  WHERE rnk <= $k),
+       |np AS (SELECT unnest([$pList]) AS n_probe),
+       |cand AS (
+       |  SELECT np.n_probe, p.query_id, cl.vec_id
+       |  FROM np JOIN pr p ON p.prank <= np.n_probe
+       |  JOIN cells cl ON cl.cell = p.probe_cell
+       |  WHERE cl.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.n_probe, c.query_id, c.vec_id,
+       |    round((${pairDot("e.embedding", "qe.embedding", dim)})
+       |          / (ne.nrm * nq.nrm), 4) AS cos_sim
+       |  FROM cand c
+       |  JOIN embeddings e  ON e.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN norms ne ON ne.vec_id = c.vec_id
+       |  JOIN norms nq ON nq.vec_id = c.query_id),
+       |res AS (
+       |  SELECT n_probe, query_id, vec_id FROM (
+       |    SELECT n_probe, query_id, vec_id,
+       |      row_number() OVER (PARTITION BY n_probe, query_id
+       |                         ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+       |    FROM scored) t WHERE rnk <= $k)
+       |SELECT np.n_probe,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+       |    / (SELECT count(*) FROM truth), 4) AS recall
+       |FROM np LEFT JOIN (
+       |  SELECT r.n_probe, count(*) AS n_hits
+       |  FROM res r JOIN truth t
+       |    ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+       |  GROUP BY r.n_probe) h ON h.n_probe = np.n_probe
+       |ORDER BY np.n_probe""".stripMargin
+  }
+
   /** SIM17 replay: sim12's ADC top-k and the exact-dot top-k, their
     * per-query intersection counted — integer-exact recall@k.
     */

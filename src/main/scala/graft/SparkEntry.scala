@@ -279,6 +279,7 @@ object SparkEntry {
     "sim13_ivf_pq"       -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     "sim14_hybrid_rrf"   -> ((s, d) => Similarity.hybridRrf(s, d)),
     "sim17_pq_recall"    -> ((s, d) => Similarity.pqRecallAudit(s, d)),
+    "sim18_probe_sweep"  -> ((s, d) => Similarity.ivfProbeSweep(s, d)),
     "sim15_lsh_filtered" -> ((s, d) => Similarity.lshAnnFiltered(s, d)),
     "a38_changepoint"    -> ((s, d) => Analytics.changepoint(s, d)),
     "sp5_bootstrap"      -> ((s, d) => Sampling.poissonBootstrap(s, d)),
@@ -3082,6 +3083,7 @@ object SparkEntry {
     "sim13_ivf_pq" -> OracleGen.sim13Sql(),
     "sim14_hybrid_rrf" -> operators.Similarity.hybridRrfOracleSql(),
     "sim17_pq_recall" -> OracleGen.sim17Sql(),
+    "sim18_probe_sweep" -> OracleGen.sim18Sql(),
     "sim15_lsh_filtered" -> OracleGen.sim15Sql(),
     "dp18_filter_funnel" -> OracleGen.dp18Sql(),
     "a46_ab_test" -> operators.Analytics.abTestOracleSql(),

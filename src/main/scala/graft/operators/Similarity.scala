@@ -463,19 +463,7 @@ object Similarity {
   // feeds both method branches. ---
   def annRecallAudit(s: SparkSession, d: String,
                      numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val queries = e.filter(col("vec_id") < numQueryVecs)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-    val truth = e.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        vecCosine(col("embedding"), col("q_emb")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id")
-      .localCheckpoint()
+    val truth = exactTruth(s, d, numQueryVecs, k)
     def recallOf(method: String, approx: DataFrame): DataFrame =
       truth.join(
           approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
@@ -486,6 +474,54 @@ object Similarity {
     recallOf("ivf", ivfAnn(s, d, numQueryVecs, k))
       .unionByName(recallOf("lsh", lshAnn(s, d, numQueryVecs, k)))
       .orderBy("method")
+  }
+
+  /** The brute-force top-k ground truth sim8/sim18 audit against —
+    * ONE definition (checkpointed: it feeds every method/probe leg),
+    * so two recall audits can never disagree on what "truth" means.
+    */
+  private def exactTruth(s: SparkSession, d: String,
+                         numQueryVecs: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val queries = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        vecCosine(col("embedding"), col("q_emb")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id")
+      .localCheckpoint()
+  }
+
+  // --- SIM18: IVF nProbe SWEEP — recall@k as a function of how many
+  // cells each query probes: THE tuning curve an ANN deployment reads
+  // before fixing nProbe (FAISS's nprobe knob; more probes = more
+  // recall = more raw reads, and the curve says where it saturates).
+  // sim8 reports one point of this curve; the sweep reuses its exact
+  // ground truth (one checkpointed brute-force leg feeds every probe
+  // level) and the SAME persisted IVF index — probe sets are nested
+  // by construction, so the sweep costs |probes| index probes, never
+  // |probes| corpus scans. Integer hit counts; recall must be
+  // non-decreasing in nProbe (the spec asserts it). ---
+  def ivfProbeSweep(s: SparkSession, d: String,
+                    numQueryVecs: Int = 5, k: Int = 3,
+                    probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val truth = exactTruth(s, d, numQueryVecs, k)
+    probes.map { np =>
+      val approx = ivfAnn(s, d, numQueryVecs, k, nProbe = np)
+      truth.join(
+          approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+          Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(lit(np).as("n_probe"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("n_probe")
   }
 
   // --- SIM7: vector preprocessing audit — L2 norm, max-|x|, and the

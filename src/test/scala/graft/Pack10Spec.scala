@@ -1150,6 +1150,22 @@ class Pack10Spec extends SparkTestBase {
     assert(fds("o_orderkey->o_custkey"), "a key determines its row")
   }
 
+  test("sim18: recall is monotone in nProbe and consistent with sim8") {
+    val rows = operators.Similarity.ivfProbeSweep(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    val recalls = rows.map(_.getDouble(3)).toSeq
+    assert(recalls == recalls.sorted,
+      "probing more cells can only add candidates")
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // the nProbe=2 point must equal sim8's ivf row (same truth, same
+    // index, same k)
+    val sim8Ivf = operators.Similarity.annRecallAudit(spark, sf)
+      .filter(col("method") === "ivf").head.getDouble(3)
+    val p2 = rows.find(_.getInt(0) == 2).get.getDouble(3)
+    assert(math.abs(p2 - sim8Ivf) <= 1e-9,
+      "the sweep's nProbe=2 point must replay sim8's audit")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
