@@ -591,8 +591,16 @@ object Dedup {
     * QUERY should repeat).
     */
   private[graft] def simhashSignatures(s: SparkSession, d: String,
-                                       bits: Int = 60): DataFrame = {
-    val tok = Tables.documents(s, d)
+                                       bits: Int = 60): DataFrame =
+    simhashSignaturesOf(Tables.documents(s, d), bits)
+
+  /** Same signature pass over an arbitrary (doc_id, text) relation —
+    * the form the incremental index slices (TextIndex.simhashIndex
+    * Base/Delta) compute per document slice.
+    */
+  private[graft] def simhashSignaturesOf(docs: DataFrame,
+                                         bits: Int = 60): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .select(col("doc_id"), Text.h60(col("t")).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))

@@ -226,6 +226,56 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  // --- Incremental maintenance for the SimHash index (dd4). A SimHash
+  // signature is a pure per-document function — exactly the band
+  // index's argument — so the signature relation of corpus ∪ batch is
+  // the disjoint union of per-slice relations: a batch ingest writes
+  // one delta directory, existing files are never touched, and
+  // compaction is a pure file fold. ---
+
+  private def simhashSlice(s: SparkSession, d: String, kindSuffix: String,
+                           bits: Int)(pred: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"simhash_${bits}_$kindSuffix")
+    VectorIndex.ensure(path) { out =>
+      Dedup.simhashSignaturesOf(
+          graft.Tables.documents(s, d).filter(pred), bits)
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** The SimHash index as it stood BEFORE the batch: docs < boundary. */
+  def simhashIndexBase(s: SparkSession, d: String, boundary: Long,
+                       bits: Int = 60): DataFrame =
+    simhashSlice(s, d, s"lt$boundary", bits)(
+      org.apache.spark.sql.functions.col("doc_id") < boundary)
+
+  /** The batch delta: docs >= boundary — the only signature work an
+    * ingest pays.
+    */
+  def simhashIndexDelta(s: SparkSession, d: String, boundary: Long,
+                        bits: Int = 60): DataFrame =
+    simhashSlice(s, d, s"ge$boundary", bits)(
+      org.apache.spark.sql.functions.col("doc_id") >= boundary)
+
+  /** Compaction: fold base + delta BY READING FILES — signatures are
+    * never recomputed; row-identical to the from-scratch
+    * [[simhashIndex]] (TextIndexSpec pins the equivalence).
+    */
+  def compactSimhashIndex(s: SparkSession, d: String, boundary: Long,
+                          bits: Int = 60): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"simhash_${bits}_compacted$boundary")
+    VectorIndex.ensure(path) { out =>
+      simhashIndexBase(s, d, boundary, bits)
+        .unionByName(simhashIndexDelta(s, d, boundary, bits))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   // --- Incremental maintenance for the repeated-gram catalog (dd13/
   // dd22). Per-gram (n_docs, n_occurrences) counts are ADDITIVE over
   // disjoint document slices (a doc lives in exactly one slice, so

@@ -204,6 +204,32 @@ class TextIndexSpec extends SparkTestBase {
       "slices should share vocabulary — the dedup must be exercised")
   }
 
+  test("simhash index: base ∪ delta compaction == from-scratch, base untouched") {
+    import org.apache.spark.sql.functions.col
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = TextIndex.simhashIndexBase(spark, sf, boundary)
+    val baseDir = new java.io.File(
+      new java.net.URI(base.inputFiles.head)).getParentFile
+    def snapshot() = baseDir.listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = snapshot()
+
+    val delta = TextIndex.simhashIndexDelta(spark, sf, boundary)
+    assert(snapshot() == before,
+      "building the signature delta must not touch any base file")
+    assert(rows(base).forall(_._1 < boundary))
+    assert(rows(delta).forall(_._1 >= boundary))
+    assert(rows(base).nonEmpty && rows(delta).nonEmpty)
+    assert(rows(TextIndex.compactSimhashIndex(spark, sf, boundary)) ==
+      rows(TextIndex.simhashIndex(spark, sf)),
+      "compacted signatures must equal the from-scratch index")
+  }
+
   test("DD17 incremental pairs == full-corpus LSH pairs involving the batch") {
     import org.apache.spark.sql.functions.col
     val maxId = Tables.documents(spark, sf)
