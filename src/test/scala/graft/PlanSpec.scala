@@ -89,6 +89,21 @@ class PlanSpec extends SparkTestBase {
       s"IVF probe must scan the persisted index:\n$p4")
   }
 
+  test("token-catalog probes push the winner-hash IN filter into the index scan") {
+    // the scaladoc's row-group-pruning claim, asserted on the plan:
+    // an isin probe of the persisted (h, token) catalog must reach
+    // the parquet reader as a pushed filter on the h-sorted layout
+    import org.apache.spark.sql.functions.col
+    val cat = graft.sources.TextIndex.tokenCatalog(spark, sf)
+    val someHashes = cat.limit(5).collect().map(_.getLong(0)).toSeq
+    val probe = cat.filter(col("h").isin(someHashes: _*))
+    val p = plan(probe)
+    assert(p.contains("In(h") || p.contains("EqualTo(h"),
+      s"catalog probe must push the hash filter into the scan:\n$p")
+    assert(p.contains("graft-index"),
+      s"catalog probe must scan the persisted catalog:\n$p")
+  }
+
   test("Q5 broadcasts supplier/nation/region; facts join without cartesian") {
     val p = plan(Benchmark2.q5RegionVolume(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
