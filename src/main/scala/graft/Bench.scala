@@ -9,6 +9,37 @@ import org.apache.spark.sql.SparkSession
   * Prints exactly ONE JSON line (driver contract).
   */
 object Bench {
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** The pure noise-flagging rule, factored out so BenchSpec can pin
+    * it against RECORDED canary series (a live injected-load demo is
+    * a scheduler lottery; the recorded organic incident is not):
+    * reference = the series median, a sample is loaded above
+    * `NoiseFactor`×, and a query index is suspect if either canary
+    * sample bounding its window was loaded. Returns (reference,
+    * flagged query indices).
+    */
+  private[graft] val NoiseFactor = 1.8
+  private[graft] def flagWindows(series: Seq[(Int, Double)],
+                                 canaryEvery: Int,
+                                 nQueries: Int): (Double, Set[Int]) = {
+    val ref = median(series.map(_._2))
+    val loadedAt = series.filter(_._2 > NoiseFactor * ref).map(_._1).toSet
+    def windowLoaded(i: Int): Boolean = {
+      val open = (i / canaryEvery) * canaryEvery
+      val close = series.map(_._1).filter(_ > i)
+        .minOption.getOrElse(nQueries)
+      loadedAt.contains(open) || loadedAt.contains(close)
+    }
+    (ref, (0 until nQueries).filter(windowLoaded).toSet)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,12 +125,6 @@ object Bench {
       release() // outside the timed span: queries stay independent
       (dt, ok)
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val canaryBase = median((1 to 5).map(_ => timeOnce(canaryFn)._1))
     val canarySeries = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     var lastCanary = canaryBase
@@ -123,29 +148,33 @@ object Bench {
     }
     sampleCanary(ordered.size)
     // The load reference is the canary's OWN median over the whole
-    // sweep (floored by the pre-sweep base): the first runs after
-    // warmup are the fastest the JVM will ever be, and judging every
-    // later sample against that optimum flags ordinary steady-state
-    // drift (observed: a 2-3x mid-sweep ripple with healthy per-query
-    // attempts). Genuine external load — the round-8 incident read
-    // 10-30x — clears the 3x-of-median bar in every sample it taints.
-    // A query is suspect if EITHER canary sample bounding its window
+    // sweep — not the pre-sweep base (the fastest the JVM will ever
+    // be, so judging against it flags ordinary steady-state drift)
+    // and not max(base, median) (a contention window that lands on
+    // the BASELINE would inflate the reference and mask every later
+    // sample — observed in a deliberately loaded dev run). The median
+    // is robust as long as load taints under half the samples; load
+    // spanning the whole sweep inflates every query uniformly, which
+    // cross-run comparison catches without a flag. Against the run
+    // median the regimes separate cleanly — quiet full sweeps peak at
+    // 1.26-1.31x (measured across the round-9 closing runs and three
+    // deliberately quiet dev sweeps), while contention windows read
+    // 1.9-3.4x (one organic incident, several injected-load runs) and
+    // the round-8 driver incident implied 10x+ — so the threshold
+    // sits at 1.8x: ~40% above the worst quiet ripple, below every
+    // observed contention signature. A false positive costs a glance
+    // at the per-attempt arrays; a false negative costs a full judge
+    // adjudication — the asymmetry argues for the tighter bar. A
+    // query is suspect if EITHER canary sample bounding its window
     // was loaded: contention that starts mid-window is invisible to
     // the opening sample but caught by the closing one.
-    val canaryRef = math.max(canaryBase,
-      median(canarySeries.map(_._2).toSeq))
-    val loadedAt = canarySeries.filter(_._2 > 3.0 * canaryRef).map(_._1).toSet
-    def windowLoaded(i: Int): Boolean = {
-      val open = (i / CanaryEvery) * CanaryEvery
-      val close = canarySeries.map(_._1).filter(_ > i)
-        .minOption.getOrElse(ordered.size)
-      loadedAt.contains(open) || loadedAt.contains(close)
-    }
+    val (canaryRef, flaggedIdx) =
+      flagWindows(canarySeries.toSeq, CanaryEvery, ordered.size)
     val flagged = ordered.zipWithIndex.collect {
-      case ((name, _), i) if windowLoaded(i) => name
+      case ((name, _), i) if flaggedIdx.contains(i) => name
     }
     if (flagged.nonEmpty)
-      System.err.println(s"[bench] NOISE: canary exceeded 3x reference " +
+      System.err.println(s"[bench] NOISE: canary exceeded ${NoiseFactor}x reference " +
         f"($canaryRef%.3fs) during ${flagged.size} queries: " +
         flagged.take(10).mkString(","))
     def qmap(rs: Seq[(String, Double, Boolean)]): String =

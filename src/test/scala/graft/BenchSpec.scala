@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's noise-flagging rule, pinned against RECORDED canary
+  * series — a live injected-load demonstration is a scheduler lottery
+  * (the contention has to coincide with a ~0.1s canary sample), but
+  * the recorded series from real runs are deterministic test vectors:
+  *
+  *  - the ROUND-9 ORGANIC INCIDENT: a transient load ripple during a
+  *    full 296-query sweep inflated samples at positions 80-120 and
+  *    the affected queries (the dd/dp/dq/gr alphabetical span) read
+  *    2-3x their re-run times — the rule must flag those windows;
+  *  - the ROUND-9 CLOSING RUN: quiet throughout — the rule must stay
+  *    silent;
+  *  - a LOADED-BASELINE run: contention on the pre-sweep baseline
+  *    with a quiet sweep — the series median must not be dragged up
+  *    by the one inflated sample (the max(base, median) reference
+  *    this rule replaced failed exactly here).
+  */
+class BenchSpec extends AnyFunSuite {
+
+  // recorded verbatim from the discarded mid-round artifact
+  private val organicIncident = Seq(
+    0 -> 0.207, 20 -> 0.197, 40 -> 0.185, 60 -> 0.225, 80 -> 0.522,
+    100 -> 0.346, 120 -> 0.386, 140 -> 0.221, 160 -> 0.189, 180 -> 0.203,
+    200 -> 0.161, 220 -> 0.216, 240 -> 0.221, 260 -> 0.206, 280 -> 0.194,
+    296 -> 0.202)
+
+  // recorded verbatim from the committed closing run
+  private val quietClosing = Seq(
+    0 -> 0.120, 20 -> 0.157, 40 -> 0.177, 60 -> 0.148, 80 -> 0.137,
+    93 -> 0.137)
+
+  // recorded from a dev run where injected load hit the BASELINE and
+  // the first window, then cleared
+  private val loadedBaseline = Seq(
+    0 -> 0.398, 20 -> 0.162, 40 -> 0.185, 60 -> 0.143, 80 -> 0.159,
+    93 -> 0.131)
+
+  test("the organic incident's loaded windows are flagged, the quiet tail is not") {
+    val (ref, flagged) = Bench.flagWindows(organicIncident, 20, 296)
+    assert(math.abs(ref - 0.2045) < 0.01, s"median reference, got $ref")
+    // the 0.522 (2.6x) and 0.386 (1.9x) samples mark their windows
+    assert(flagged.contains(70) && flagged.contains(90),
+      "queries in the 60-100 span ran under load")
+    assert(flagged.contains(110) && flagged.contains(130),
+      "the 100-140 span is bounded by the 0.386 sample")
+    assert(!flagged.contains(10) && !flagged.contains(250),
+      "quiet windows must not be flagged")
+  }
+
+  test("a quiet sweep raises no flags") {
+    val (_, flagged) = Bench.flagWindows(quietClosing, 20, 93)
+    assert(flagged.isEmpty, s"quiet run flagged: $flagged")
+  }
+
+  test("a loaded baseline flags its own window without masking the sweep") {
+    val (ref, flagged) = Bench.flagWindows(loadedBaseline, 20, 93)
+    // the median ignores the one inflated sample...
+    assert(ref < 0.2, s"median must not absorb the loaded baseline, got $ref")
+    // ...so the tainted first window IS flagged
+    assert((0 until 20).forall(flagged.contains),
+      "queries timed right after the loaded baseline sample are suspect")
+    assert((20 until 93).forall(i => !flagged.contains(i)),
+      "the quiet remainder must stay unflagged")
+  }
+
+  test("median is robust: empty, odd, even") {
+    assert(Bench.median(Nil) == 0.0)
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
+}
