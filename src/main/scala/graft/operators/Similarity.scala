@@ -665,38 +665,49 @@ object Similarity {
   // join is a broadcast hash join, and the per-query rank is a
   // TakeOrdered-sized window — the standard IVF-PQ recipe minus the
   // coarse stage (compose with sim4's cell probe to add it). ---
-  /** The compressed-domain scoring shared by sim12 and sim16: per
-    * (query, indexed vector) the ADC score — LUT-sum over subspaces
-    * in a FIXED left-assoc order (s0+s1+s2+s3) so the double is
-    * bit-identical across engines. Returns (q_id, vec_id, adc).
+  /** Per-query ADC lookup tables: (q_id, lut0..lut{PqM-1}), lut_m =
+    * the PqK subspace dots in cid order. Tiny (nq·PqM·PqK doubles) —
+    * always broadcast. Each element is the SAME vecDot double the
+    * long-format LUT join produced, so every ADC score built from
+    * these by element_at is bit-identical to the join+groupBy shape.
     */
-  private def adcScores(s: SparkSession, d: String,
+  private def queryLuts(s: SparkSession, d: String,
                         numQueryVecs: Int): DataFrame = {
     import graft.plans.VectorExpressions.vecDot
     val books = (0 until PqM).map(m =>
       graft.sources.VectorIndex.pqCodebookArrays(s, d, m, PqK, PqIters, PqSubDim))
-    val codes = graft.sources.VectorIndex
-      .pqIndex(s, d, PqM, PqK, PqIters, PqSubDim)
-      .filter(col("vec_id") >= numQueryVecs)
-    val q = Tables.embeddings(s, d).filter(col("vec_id") < numQueryVecs)
-    val lutStructs = for { m <- 0 until PqM; cid <- 0 until PqK } yield
-      struct(lit(m).as("m"), lit(cid).as("cid"),
+    val lutCols = (0 until PqM).map { m =>
+      array((0 until PqK).map(cid =>
         vecDot(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
-          array(books(m)(cid).map(f => lit(f)): _*)).as("dotv"))
-    val lut = q.select(col("vec_id").as("q_id"),
-        explode(array(lutStructs: _*)).as("t"))
-      .select(col("q_id"), col("t.m").as("lm"), col("t.cid").as("cid"),
-        col("t.dotv").as("dotv"))
-    codes.join(broadcast(lut),
-        col("m") === col("lm") && col("code") === col("cid"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(when(col("m") === 0, col("dotv"))).as("s0"),
-        sum(when(col("m") === 1, col("dotv"))).as("s1"),
-        sum(when(col("m") === 2, col("dotv"))).as("s2"),
-        sum(when(col("m") === 3, col("dotv"))).as("s3"))
-      .withColumn("adc", col("s0") + col("s1") + col("s2") + col("s3"))
-      .select("q_id", "vec_id", "adc")
+          array(books(m)(cid).map(f => lit(f)): _*))): _*).as(s"lut$m")
+    }
+    Tables.embeddings(s, d).filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("q_id") +: lutCols: _*)
   }
+
+  /** LUT-sum over the wide code row in a FIXED left-assoc order
+    * (lut0[c0]+lut1[c1]+…), matching the long shape's s0+s1+s2+s3.
+    */
+  private def adcOfWideCodes: org.apache.spark.sql.Column =
+    (0 until PqM).map(m =>
+      element_at(col(s"lut$m"), col(s"c$m") + 1)).reduceLeft(_ + _)
+
+  /** The compressed-domain scoring shared by sim12 and sim16: per
+    * (query, indexed vector) the ADC score. Round-9 shape: the wide
+    * code table ([[graft.sources.VectorIndex.pqIndexWide]]) scans
+    * once with the broadcast [[queryLuts]] — NO shuffle; the former
+    * (vec_id, m) LUT join + groupBy reconstitution shuffled PqM× the
+    * corpus rows per sweep. Returns (q_id, vec_id, adc), bit-identical
+    * doubles to the long shape (same vecDot elements, same left-assoc
+    * sum order).
+    */
+  private def adcScores(s: SparkSession, d: String,
+                        numQueryVecs: Int): DataFrame =
+    graft.sources.VectorIndex
+      .pqIndexWide(s, d, PqM, PqK, PqIters, PqSubDim)
+      .filter(col("vec_id") >= numQueryVecs)
+      .crossJoin(broadcast(queryLuts(s, d, numQueryVecs)))
+      .select(col("q_id"), col("vec_id"), adcOfWideCodes.as("adc"))
 
   def pqAdcTopK(s: SparkSession, d: String,
                 numQueryVecs: Int = 5, k: Int = 3): DataFrame = {
@@ -857,17 +868,14 @@ object Similarity {
                 numQueryVecs: Int = 5, k: Int = 3,
                 numCells: Int = 16, nProbe: Int = 2): DataFrame = {
     import graft.functions.Vectors.{nearestCellByDot, nearestCellsByDot}
-    import graft.plans.VectorExpressions.vecDot
     val e = Tables.embeddings(s, d)
     val centroids = graft.sources.VectorIndex.lloydCentroidArrays(
       s, d, numCells, IvfLloydIters)
     val idx = graft.sources.VectorIndex.ivfIndex(s, d, numCells,
       s"ivf_lloyd_${numCells}x${IvfLloydIters}t${graft.sources.VectorIndex.LloydTrainCap}")(
       nearestCellByDot(centroids))
-    val books = (0 until PqM).map(m =>
-      graft.sources.VectorIndex.pqCodebookArrays(s, d, m, PqK, PqIters, PqSubDim))
     val codes = graft.sources.VectorIndex
-      .pqIndex(s, d, PqM, PqK, PqIters, PqSubDim)
+      .pqIndexWide(s, d, PqM, PqK, PqIters, PqSubDim)
     val queries = e.filter(col("vec_id") < numQueryVecs)
       .select(col("vec_id").as("query_id"),
         explode(nearestCellsByDot(centroids, nProbe)(col("embedding")))
@@ -878,26 +886,15 @@ object Similarity {
       .join(broadcast(queries),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").dropDuplicates()
-    val lutStructs = for { m <- 0 until PqM; cid <- 0 until PqK } yield
-      struct(lit(m).as("m"), lit(cid).as("cid"),
-        vecDot(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
-          array(books(m)(cid).map(f => lit(f)): _*)).as("dotv"))
-    val lut = e.filter(col("vec_id") < numQueryVecs)
-      .select(col("vec_id").as("q_id"), explode(array(lutStructs: _*)).as("t"))
-      .select(col("q_id"), col("t.m").as("lm"), col("t.cid").as("cid"),
-        col("t.dotv").as("dotv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("vec_id").asc)
+    // Wide-code ADC (round 9): candidate rows pick up their mSub codes
+    // by one vec_id join, the broadcast per-query LUTs resolve by
+    // element_at — the (m, code) reconstitution join + groupBy is gone.
     cand.join(codes, "vec_id")
-      .join(broadcast(lut),
-        col("q_id") === col("query_id") && col("lm") === col("m") &&
-          col("cid") === col("code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(when(col("m") === 0, col("dotv"))).as("s0"),
-        sum(when(col("m") === 1, col("dotv"))).as("s1"),
-        sum(when(col("m") === 2, col("dotv"))).as("s2"),
-        sum(when(col("m") === 3, col("dotv"))).as("s3"))
-      .withColumn("adc", col("s0") + col("s1") + col("s2") + col("s3"))
+      .join(broadcast(queryLuts(s, d, numQueryVecs)),
+        col("q_id") === col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcOfWideCodes.as("adc"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("rk"),

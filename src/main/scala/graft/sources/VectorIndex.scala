@@ -386,4 +386,35 @@ object VectorIndex {
     }
     s.read.parquet(path.toString)
   }
+
+  /** Wide PQ code layout: ONE (vec_id, c0..c{mSub-1}) row per vector —
+    * the ADC SERVING shape. Derived by pivoting [[pqIndex]] (so the
+    * codes are identical by construction; the long layout stays as the
+    * canonical build + oracle-replay relation). What it buys: the
+    * query-side LUT-sum becomes a shuffle-free scan — the per-query
+    * lookup tables broadcast, and each code row picks its mSub
+    * contributions by `element_at` instead of reconstituting
+    * per-vector scores through a (vec_id, m) join + groupBy, which at
+    * 100 TB shuffled mSub× the corpus rows on EVERY query sweep.
+    * vec_id-sorted for row-group locality on id-ranged probes, same as
+    * the long layout.
+    */
+  def pqIndexWide(s: SparkSession, d: String, mSub: Int, k: Int,
+                  iters: Int, subDim: Int): DataFrame = {
+    // Materialize the long index (and its codebooks) BEFORE the ensure
+    // closure so the ledger charges this artifact the pivot alone, not
+    // the nested builds it depends on.
+    val long = pqIndex(s, d, mSub, k, iters, subDim)
+    val path = indexPath(d, s"pqcodes_wide_${mSub}x${k}x${iters}x$subDim")
+    ensure(path) { out =>
+      val first +: rest = (0 until mSub).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m"))
+      long
+        .groupBy("vec_id").agg(first, rest: _*)
+        .repartitionByRange(col("vec_id"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
 }
