@@ -1333,6 +1333,74 @@ object OracleGen {
        |ORDER BY qs.q_id""".stripMargin
   }
 
+  /** SR3 replay: sim17's ADC-vs-exact legs, then the position-
+    * sensitive metrics — per-rank hit flags pivot into the SAME fixed
+    * written-order nDCG expression the Spark side evaluates, with the
+    * identical weight literals ([[graft.operators.Retrieval
+    * .ndcgWeights]], shortest-round-trip strings CAST to DOUBLE), and
+    * MRR as a single integer division.
+    */
+  def sr3Sql(numQueryVecs: Int = 5, k: Int = 10,
+             mSub: Int = graft.operators.Similarity.PqM,
+             kk: Int = graft.operators.Similarity.PqK,
+             iters: Int = graft.operators.Similarity.PqIters,
+             subDim: Int = graft.operators.Similarity.PqSubDim,
+             dim: Int = 64): String = {
+    val chains = pqChains(mSub, kk, iters, subDim)
+    val codeCtes = pqCodesCtes(mSub, iters, subDim,
+      s"WHERE e.vec_id >= $numQueryVecs")
+    val lutCte = pqLutCte(mSub, iters, subDim, numQueryVecs)
+    val sCols = pqSumCols(mSub)
+    val sSum = pqSumExpr(mSub)
+    val (ws, idcg) = graft.operators.Retrieval.ndcgWeights(k)
+    val hCols = (1 to k).map(i =>
+      s"max(CASE WHEN rk = $i THEN hit END) AS h$i").mkString(",\n    ")
+    val dcgExpr = (1 to k).map(i =>
+      s"CASE WHEN h$i = 1 THEN CAST('${ws(i - 1)}' AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END").mkString("\n      + ")
+    s"""WITH $chains,
+       |$codeCtes,
+       |$lutCte,
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id,
+       |    $sCols
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $sSum DESC, vec_id ASC) AS rk
+       |  FROM adc),
+       |ex AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${pairDot("q.embedding", "e.embedding", dim)} DESC,
+       |      e.vec_id ASC) AS xrk
+       |  FROM embeddings q CROSS JOIN embeddings e
+       |  WHERE q.vec_id < $numQueryVecs AND e.vec_id >= $numQueryVecs),
+       |flags AS (
+       |  SELECT t.q_id, t.rk,
+       |    CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM (SELECT q_id, vec_id, rk FROM top WHERE rk <= $k) t
+       |  LEFT JOIN (SELECT q_id, vec_id FROM ex WHERE xrk <= $k) x
+       |    ON t.q_id = x.q_id AND t.vec_id = x.vec_id),
+       |piv AS (
+       |  SELECT q_id,
+       |    $hCols,
+       |    min(CASE WHEN hit = 1 THEN rk END) AS first_hit,
+       |    CAST(sum(hit) AS BIGINT) AS n_hit
+       |  FROM flags GROUP BY q_id)
+       |SELECT q_id, n_hit,
+       |  round(CAST(n_hit AS DOUBLE) / $k.0, 4) AS recall,
+       |  round(CASE WHEN first_hit IS NOT NULL
+       |    THEN CAST(1.0 AS DOUBLE) / CAST(first_hit AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END, 6) AS mrr,
+       |  round(($dcgExpr)
+       |    / CAST('$idcg' AS DOUBLE), 6) AS ndcg
+       |FROM piv
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** SR1 replay: BOTH legs of the hybrid fusion independently — the
     * BM25 leg is tx19's CTE chain cut at r, the vector leg is sim16's
     * PQ chain for ONE query vector (codes trained/encoded in SQL,

@@ -244,6 +244,7 @@ object SparkEntry {
     "tx19_bm25"          -> ((s, d) => TextAnalysis.bm25TopDocs(s, d)),
     "sr1_hybrid_rrf"     -> ((s, d) => Retrieval.hybridRrf(s, d)),
     "sr2_query_likelihood" -> ((s, d) => Retrieval.queryLikelihoodTopDocs(s, d)),
+    "sr3_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
@@ -595,6 +596,7 @@ object SparkEntry {
     "sq6_kaplan_meier" ->
       operators.DataPrep.kaplanMeierOracleSql(),
     "sr1_hybrid_rrf" -> OracleGen.sr1Sql(),
+    "sr3_retrieval_eval" -> OracleGen.sr3Sql(),
     "sr2_query_likelihood" ->
       operators.Retrieval.queryLikelihoodOracleSql(),
     "a50_mann_kendall" -> operators.Analytics.mannKendallOracleSql(),

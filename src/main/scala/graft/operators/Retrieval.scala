@@ -132,6 +132,83 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** The rank-position weight table shared by [[retrievalEval]] and
+    * its oracle: w_i = 1/log2(i+1) for i = 1..k, plus the ideal DCG
+    * (left-assoc sum of all k weights — the truth set has exactly k
+    * members, so IDCG is a constant). Computed ONCE here and embedded
+    * as literals on BOTH engines (Spark `lit`, DuckDB
+    * `CAST('<Double.toString>' AS DOUBLE)` — shortest round-trip
+    * representation, so the parsed double is bit-identical), because a
+    * cross-engine `log2` call is the one place this metric could
+    * diverge by an ulp.
+    */
+  private[graft] def ndcgWeights(k: Int): (Seq[Double], Double) = {
+    val ws = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (ws, ws.foldLeft(0.0)(_ + _))
+  }
+
+  // --- SR3: RETRIEVAL EVAL — the IR acceptance triple for a serving
+  // stack, per query: recall@k (set overlap), MRR (reciprocal rank of
+  // the first relevant result), and binary-relevance nDCG@k, all of
+  // the compressed-domain ADC ranking (sim12's serving leg) against
+  // the exact-dot top-k ground truth (sim17's convention: candidates
+  // are vec_id >= nq, relevance = membership in the exact top-k).
+  // sim17 reports recall alone; MRR and nDCG are the POSITION-
+  // sensitive pair a reranker/fusion change is actually judged on —
+  // recall can hold while the relevant hits slide down the page.
+  // Hash discipline: nDCG's cross-row double sum is pivoted into ONE
+  // fixed written-order expression over k per-rank hit flags (h1·w1 +
+  // … + hk·wk, weights embedded as shared literals via
+  // [[ndcgWeights]]), IDCG is a constant literal, MRR is a single
+  // integer division — nothing depends on engine-side float
+  // accumulation order. Scale shape: the ADC leg reads wide PQ codes
+  // (shuffle-free scan); the exact leg is ground truth's irreducible
+  // full-width pass, run on the bounded query sample only; everything
+  // after the two rank cuts touches ≤ nq·k rows. ---
+  def retrievalEval(s: SparkSession, d: String,
+                    numQueryVecs: Int = 5, k: Int = 10): DataFrame = {
+    import graft.plans.VectorExpressions.vecDot
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.embeddings(s, d)
+    val wsys = Window.partitionBy("q_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val sys = Similarity.adcScores(s, d, numQueryVecs)
+      .withColumn("rk", row_number().over(wsys))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id", "rk")
+    val qe = e.filter(col("vec_id") < numQueryVecs)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wex = Window.partitionBy("q_id")
+      .orderBy(col("xdot").desc, col("vec_id").asc)
+    val truth = e.filter(col("vec_id") >= numQueryVecs)
+      .crossJoin(broadcast(qe))
+      .select(col("q_id"), col("vec_id"),
+        vecDot(col("q_emb"), col("embedding")).as("xdot"))
+      .withColumn("xrk", row_number().over(wex))
+      .filter(col("xrk") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    val flags = sys.join(truth, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rk"),
+        coalesce(col("hit"), lit(0)).as("hit"))
+    val (ws, idcg) = ndcgWeights(k)
+    val hCols = (1 to k).map(i =>
+      max(when(col("rk") === i, col("hit"))).as(s"h$i"))
+    val agg = flags.groupBy("q_id")
+      .agg(hCols.head, hCols.tail ++ Seq(
+        min(when(col("hit") === 1, col("rk"))).as("first_hit"),
+        sum(col("hit")).cast("long").as("n_hit")): _*)
+    val dcg = (1 to k).map(i =>
+      when(col(s"h$i") === 1, lit(ws(i - 1))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    agg.select(col("q_id"), col("n_hit"),
+        round(col("n_hit").cast("double") / lit(k.toDouble), 4).as("recall"),
+        round(when(col("first_hit").isNotNull,
+          lit(1.0) / col("first_hit").cast("double"))
+          .otherwise(lit(0.0)), 6).as("mrr"),
+        round(dcg / lit(idcg), 6).as("ndcg"))
+      .orderBy("q_id")
+  }
+
   /** Oracle twin of [[queryLikelihoodTopDocs]] — identical pivoted
     * written-order ln sum, exact integer cf/|C|, same 6dp cut.
     */

@@ -701,8 +701,8 @@ object Similarity {
     * doubles to the long shape (same vecDot elements, same left-assoc
     * sum order).
     */
-  private def adcScores(s: SparkSession, d: String,
-                        numQueryVecs: Int): DataFrame =
+  private[operators] def adcScores(s: SparkSession, d: String,
+                                   numQueryVecs: Int): DataFrame =
     graft.sources.VectorIndex
       .pqIndexWide(s, d, PqM, PqK, PqIters, PqSubDim)
       .filter(col("vec_id") >= numQueryVecs)

@@ -1166,6 +1166,28 @@ class Pack10Spec extends SparkTestBase {
       "the sweep's nProbe=2 point must replay sim8's audit")
   }
 
+  test("sr3: eval triple is bounded, internally consistent, and replays sim17's recall") {
+    val rows = operators.Retrieval.retrievalEval(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val (nHit, recall, mrr, ndcg) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nHit >= 0 && nHit <= 10)
+      assert(math.abs(recall - nHit / 10.0) <= 1e-9)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      // the position-sensitive metrics are zero exactly when no hit
+      assert((mrr > 0.0) == (nHit > 0), "mrr > 0 iff any hit")
+      assert((ndcg > 0.0) == (nHit > 0), "ndcg > 0 iff any hit")
+    }
+    // same legs, same convention, same k as sim17 — recalls must agree
+    val sim17 = operators.Similarity.pqRecallAudit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.foreach(r =>
+      assert(math.abs(r.getDouble(2) - sim17(r.getLong(0))) <= 1e-9,
+        "sr3 recall must replay sim17's audit"))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
