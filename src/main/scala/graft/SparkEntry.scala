@@ -291,6 +291,7 @@ object SparkEntry {
     "a41_theil_sen"      -> ((s, d) => Analytics.theilSen(s, d)),
     "a50_mann_kendall"   -> ((s, d) => Analytics.mannKendall(s, d)),
     "a51_runs_test"      -> ((s, d) => Analytics.runsTest(s, d)),
+    "a52_kappa"          -> ((s, d) => Analytics.cohenKappa(s, d)),
     "a42_acf"            -> ((s, d) => Analytics.autocorrelation(s, d)),
     "a43_trimmed_stats"  -> ((s, d) => Analytics.trimmedStats(s, d)),
     "a44_dow_seasonality" -> ((s, d) => Analytics.dowSeasonality(s, d)),
@@ -601,6 +602,7 @@ object SparkEntry {
       operators.Retrieval.queryLikelihoodOracleSql(),
     "a50_mann_kendall" -> operators.Analytics.mannKendallOracleSql(),
     "a51_runs_test" -> operators.Analytics.runsTestOracleSql(),
+    "a52_kappa" -> operators.Analytics.cohenKappaOracleSql(),
     "tx29_collocations" ->
       operators.TextAnalysis.collocationsOracleSql(),
     "tx30_heaps_curve" ->

@@ -1944,4 +1944,95 @@ object Analytics {
       |      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
       |        * CAST(n1 + n2 - 1 AS DOUBLE))), 4) AS z
       |FROM agg""".stripMargin
+
+  // --- A52: COHEN'S KAPPA [Cohen 1960] — inter-annotator agreement
+  // on a labeled corpus, THE acceptance gate before human labels feed
+  // a training pipeline: raw agreement p_o is inflated by chance, so
+  // kappa rescales it against the agreement p_e two independent
+  // raters with these marginals would reach by luck:
+  //   kappa = (p_o − p_e) / (1 − p_e).
+  // Raters here are TextAnalysis.annotatorLabels' two deterministic
+  // heuristics over `documents` (quality terciles vs token-length
+  // terciles, one shared tokenize pass). Shape at 100 TB: one
+  // map-only label projection into a 3×3 confusion matrix PIVOTED to
+  // a single row (9 conditional counts, map-side combinable — no
+  // grow-with-data groupBy), then p_o/p_e/kappa as one fixed
+  // written-order double expression over exact longs. Degenerate
+  // corpora where p_e = 1 (every doc in one cell) return NULL kappa —
+  // the honest answer, not a sentinel. ---
+  def cohenKappa(s: SparkSession, d: String): DataFrame =
+    cohenKappaFrom(TextAnalysis.annotatorLabels(s, d))
+
+  /** Generic Cohen's kappa over any (rater_a, rater_b) label pairs
+    * with categories in {low, mid, high}. Split from the rater
+    * construction so other labeled relations can reuse the estimator.
+    */
+  private[graft] def cohenKappaFrom(rated: DataFrame): DataFrame = {
+    val cats = Seq("low", "mid", "high")
+    val cells = for { a <- cats; b <- cats } yield
+      sum(when(col("rater_a") === a && col("rater_b") === b, 1L)
+        .otherwise(0L)).as(s"n_${a}_$b")
+    val one = rated.groupBy()
+      .agg(cells.head, cells.tail :+ count(lit(1)).as("n_docs"): _*)
+    val n = col("n_docs").cast("double")
+    def rowSum(a: String) = cats.map(b => col(s"n_${a}_$b")).reduceLeft(_ + _)
+    def colSum(b: String) = cats.map(a => col(s"n_${a}_$b")).reduceLeft(_ + _)
+    val agree = cats.map(c => col(s"n_${c}_$c")).reduceLeft(_ + _)
+    val po = agree.cast("double") / n
+    val pe = cats.map(c =>
+      (rowSum(c).cast("double") / n) * (colSum(c).cast("double") / n))
+      .reduceLeft(_ + _)
+    one.select(col("n_docs"), agree.cast("long").as("n_agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Oracle twin of [[cohenKappa]]: same rater thresholds over the
+    * same single tokenize, same pivoted 3×3 cells, same written-order
+    * p_o/p_e/kappa arithmetic.
+    */
+  def cohenKappaOracleSql(): String = {
+    val cats = Seq("low", "mid", "high")
+    val cellCols = (for { a <- cats; b <- cats } yield
+      s"CAST(sum(CASE WHEN rater_a = '$a' AND rater_b = '$b' THEN 1 " +
+        s"ELSE 0 END) AS BIGINT) AS n_${a}_$b").mkString(",\n    ")
+    def rowSum(a: String) = cats.map(b => s"n_${a}_$b").mkString(" + ")
+    def colSum(b: String) = cats.map(a => s"n_${a}_$b").mkString(" + ")
+    val agree = cats.map(c => s"n_${c}_$c").mkString(" + ")
+    val pe = cats.map(c =>
+      s"(CAST(${rowSum(c)} AS DOUBLE) / CAST(n_docs AS DOUBLE))" +
+        s" * (CAST(${colSum(c)} AS DOUBLE) / CAST(n_docs AS DOUBLE))")
+      .mkString("\n      + ")
+    s"""WITH ag AS (
+       |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id,
+       |    round((CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+       |      + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+       |      + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE)
+       |                     / len(ws) * 2.0, 1.0)) * 0.2, 4) AS quality,
+       |    CAST(n_chars - (len(ws) - 1) AS DOUBLE)
+       |      / CAST(len(ws) AS DOUBLE) AS avg_len
+       |  FROM ag),
+       |rated AS (
+       |  SELECT doc_id,
+       |    CASE WHEN quality < 0.72 THEN 'low'
+       |         WHEN quality < 0.78 THEN 'mid' ELSE 'high' END AS rater_a,
+       |    CASE WHEN avg_len < 4.43 THEN 'low'
+       |         WHEN avg_len < 4.59 THEN 'mid' ELSE 'high' END AS rater_b
+       |  FROM feat),
+       |piv AS (
+       |  SELECT
+       |    $cellCols,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM rated)
+       |SELECT n_docs, CAST($agree AS BIGINT) AS n_agree,
+       |  round(CAST($agree AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS po,
+       |  round($pe, 6) AS pe,
+       |  round((CAST($agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      - ($pe))
+       |    / (1.0 - ($pe)), 6) AS kappa
+       |FROM piv""".stripMargin
+  }
 }

@@ -155,17 +155,45 @@ object TextAnalysis {
   /** Unsorted (doc_id, quality) — the form pipeline stages consume
     * without paying a presentation sort (see Pipeline.corpusSelect).
     */
-  private[operators] def qualityScoreRaw(s: SparkSession, d: String): DataFrame = {
+  private[operators] def qualityScoreRaw(s: SparkSession, d: String): DataFrame =
+    tokenAggs(s, d, Seq("the", "a"))
+      .select(col("doc_id"), qualityExpr.as("quality"))
+
+  /** The tx4 quality formula over [[tokenAggs]] columns, factored to
+    * ONE definition so a52's rater A can never drift from tx4's score.
+    */
+  private def qualityExpr: org.apache.spark.sql.Column = {
     val nTok = col("n_tokens").cast("double")
     val diversity = col("n_distinct").cast("double") / nTok
     val lengthOk = when(col("n_tokens").between(20, 2000), lit(1.0)).otherwise(lit(0.4))
     val stopShare = col("n_stop").cast("double") / nTok
-    tokenAggs(s, d, Seq("the", "a"))
-      .select(col("doc_id"),
-        round(lengthOk * lit(0.4) + diversity * lit(0.4)
-          + (lit(1.0) - least(stopShare * lit(2.0), lit(1.0))) * lit(0.2), 4)
-          .as("quality"))
+    round(lengthOk * lit(0.4) + diversity * lit(0.4)
+      + (lit(1.0) - least(stopShare * lit(2.0), lit(1.0))) * lit(0.2), 4)
   }
+
+  /** Two deterministic heuristic "annotators" labeling every document
+    * low/mid/high — the labeled-corpus shape an inter-annotator
+    * agreement audit (a52) runs on. Rater A terciles tx4's quality
+    * score (shared [[qualityExpr]] — diversity-driven); rater B
+    * terciles the mean token length in characters (a different
+    * feature, so agreement is informative rather than definitional).
+    * Both raters ride ONE tokenAggs pass — no second tokenize.
+    * Threshold boundaries compare engine-identical doubles (quality is
+    * 4dp-rounded; avg_len is one division of exact ints) against
+    * literal cuts, so the labels hash-replay exactly.
+    */
+  private[operators] def annotatorLabels(s: SparkSession, d: String): DataFrame =
+    tokenAggs(s, d, Seq("the", "a"))
+      .select(col("doc_id"), qualityExpr.as("quality"),
+        ((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens").cast("double")).as("avg_len"))
+      .select(col("doc_id"),
+        when(col("quality") < 0.72, "low")
+          .when(col("quality") < 0.78, "mid")
+          .otherwise("high").as("rater_a"),
+        when(col("avg_len") < 4.43, "low")
+          .when(col("avg_len") < 4.59, "mid")
+          .otherwise("high").as("rater_b"))
 
   /** Stopword profiles for the language-ID heuristic. Real profiles
     * would be per-language function-word lists; the synthetic corpus

@@ -1188,6 +1188,26 @@ class Pack10Spec extends SparkTestBase {
         "sr3 recall must replay sim17's audit"))
   }
 
+  test("a52: kappa bounded by raw agreement, exact on a hand confusion matrix") {
+    val row = Analytics.cohenKappa(spark, sf).collect().head
+    val (nDocs, nAgree, po, pe, kappa) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(nAgree <= nDocs && math.abs(po - nAgree.toDouble / nDocs) <= 1e-6)
+    assert(pe > 0.0 && pe < 1.0, "three-category raters: chance agreement interior")
+    assert(kappa <= po + 1e-9, "kappa discounts chance, never exceeds raw agreement")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // hand-checked matrix: perfect agreement on a balanced sample -> kappa 1
+    import spark.implicits._
+    val perfect = Seq(("low", "low"), ("mid", "mid"), ("high", "high"))
+      .toDF("rater_a", "rater_b")
+    assert(Analytics.cohenKappaFrom(perfect).collect().head.getDouble(4) == 1.0)
+    // independent marginals: agreement at chance -> kappa 0
+    val chance = (for { a <- Seq("low", "mid", "high")
+                        b <- Seq("low", "mid", "high") } yield (a, b))
+      .toDF("rater_a", "rater_b")
+    assert(math.abs(Analytics.cohenKappaFrom(chance).collect().head.getDouble(4)) <= 1e-9)
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
