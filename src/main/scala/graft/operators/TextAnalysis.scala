@@ -820,9 +820,20 @@ object TextAnalysis {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = tok.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    bm25Tail(tf, dl, topK)
+  }
+
+  /** The Okapi scoring tail shared by batch tx19 and the stream-
+    * maintained posting-list read side ([[graft.streaming.Streams
+    * .readBm25]]): identical idf/saturation arithmetic over whatever
+    * (doc_id, token, tf) and (doc_id, dl) relations the caller
+    * derived, so the two paths can never score differently.
+    */
+  private[graft] def bm25Tail(tf: DataFrame, dl: DataFrame,
+                              topK: Int): DataFrame = {
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(dfq), "token")
@@ -840,6 +851,21 @@ object TextAnalysis {
       .agg(round(sum(col("contrib")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(topK)
+  }
+
+  /** BM25 from a maintained inverted index: postings carry every
+    * (doc_id, token, tf); dl re-derives as Σtf per doc (tf preserves
+    * multiplicity, so the sum IS the token count the batch path
+    * counts directly). The term filter cuts the posting scan to the
+    * query terms' lists — the serving read path.
+    */
+  private[graft] def bm25FromPostings(postings: DataFrame,
+                                      terms: Seq[String],
+                                      topK: Int): DataFrame = {
+    val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val tf = postings.filter(col("token").isin(terms: _*))
+      .select("doc_id", "token", "tf")
+    bm25Tail(tf, dl, topK)
   }
 
   // --- TX23: source-divergence keywords — which tokens most

@@ -953,6 +953,65 @@ object Streams {
       .filter(col("n_docs") >= floor)
       .select("gram", "n_docs", "n_occurrences")
 
+  /** Streaming maintenance of tx19's posting lists — the serving-side
+    * inverted index behind the lexical retrieval leg (and sr1's BM25
+    * arm). What the scorer needs from history is the (doc_id, token,
+    * tf) relation; tf preserves multiplicity, so per-doc lengths
+    * re-derive as Σtf and the whole state is PER-DOCUMENT — disjoint
+    * admitted-document sets publish disjoint posting rows, and the
+    * read side unions deltas with NO re-aggregation (a document's
+    * postings live in exactly one delta). Admission is doc_id-keyed
+    * against prior deltas excluding this batch's own (the
+    * checkpoint-replay rule shared by every twin); a redelivered
+    * document is dropped wholesale — first version wins, the
+    * [[chunkMaintainBatch]] mutation contract. At 100 TB a corpus
+    * append costs one tokenize of the batch's own documents; a query
+    * read touches the query terms' posting lists plus the dl roll-up,
+    * never a corpus re-tokenize.
+    */
+  def postingsIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                  checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        postingsMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def postingsMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                           workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "docs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    fresh.select(col("doc_id"),
+        explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$workDir/postings/b$batchId")
+    ()
+  }
+
+  /** Read side: union the disjoint posting deltas, then the shared
+    * Okapi tail ([[graft.operators.TextAnalysis.bm25Tail]]) — the
+    * stream-served BM25 equals batch `tx19_bm25` under any
+    * wave/redelivery schedule (StreamingSpec pins the equivalence).
+    */
+  def readBm25(s: org.apache.spark.sql.SparkSession, workDir: String,
+               terms: Seq[String] = Seq("window", "merge", "scan"),
+               topK: Int = 20): DataFrame =
+    graft.operators.TextAnalysis.bm25FromPostings(
+      s.read.parquet(deltaDirs(workDir, "postings"): _*), terms, topK)
+
   /** Streaming maintenance of dq4's PSI drift state — the
     * serving-side drift monitor: what the audit needs from history is
     * the (feature, bucket, cohort) COUNT relation, which is ADDITIVE,

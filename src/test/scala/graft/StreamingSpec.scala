@@ -1082,6 +1082,38 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("equivalence: stream-maintained posting lists serve batch-identical BM25 (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(47).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("postingstream").toString
+    val q = Streams.postingsIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: tf is per-document state,
+    // so a re-admitted doc would double its posting rows — admission
+    // must drop it
+    try (waves :+ waves.head.take(7)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.postingsMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readBm25(spark, root)) ==
+      rowSet(operators.TextAnalysis.bm25TopDocs(spark, sf)),
+      "stream-served BM25 must equal the batch tx19 answer")
+    // a document's postings must live in exactly one delta
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
   test("equivalence: one maintained monthly state drives both trend monitors (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
