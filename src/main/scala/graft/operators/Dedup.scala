@@ -462,7 +462,30 @@ object Dedup {
   // round via localCheckpoint so plans don't nest across iterations. ---
   def dedupComponents(s: SparkSession, d: String,
                       threshold: Double = 0.5, maxIter: Int = 20,
-                      jumpFrom: Int = 4): DataFrame = {
+                      jumpFrom: Int = 4): DataFrame =
+    // Default-parameter calls (dd8, dd18, dd24, dp22 — every
+    // registered consumer) read the persisted component assignment:
+    // the label-propagation fixpoint is the expensive leg of the dedup
+    // pipeline and its output is a pure corpus function, so it
+    // materializes once per (dataset, threshold) and every post-dedup
+    // stage probes it — the dd13 repeated-gram treatment applied to
+    // the cluster relation. Non-default iteration knobs compute
+    // directly (they parameterize the ALGORITHM, not the answer, so
+    // they must not key new artifacts).
+    if (maxIter == 20 && jumpFrom == 4)
+      graft.sources.TextIndex.componentsIndex(s, d, threshold)
+        .orderBy("doc_id")
+    else componentsFromScratch(s, d, threshold, maxIter, jumpFrom)
+
+  /** The from-scratch fixpoint [[componentsFromPairs]] over the
+    * corpus pair relation — the build side of
+    * [[graft.sources.TextIndex.componentsIndex]], kept callable so the
+    * index spec can pin index == scratch.
+    */
+  private[graft] def componentsFromScratch(s: SparkSession, d: String,
+                                           threshold: Double = 0.5,
+                                           maxIter: Int = 20,
+                                           jumpFrom: Int = 4): DataFrame = {
     val pairs = ngramJaccardPairsRaw(s, d, threshold)
       .select(col("doc_a"), col("doc_b"))
     val nodes = Tables.documents(s, d).select(col("doc_id"))

@@ -244,6 +244,22 @@ class TextIndexSpec extends SparkTestBase {
       "the incremental path must find exactly the full path's batch pairs")
   }
 
+  test("components index builds once and equals the from-scratch fixpoint") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    TextIndex.componentsIndex(spark, sf).count()
+    val files1 = indexFiles("comps_t50")
+    assert(files1.nonEmpty)
+    assert(asSet(TextIndex.componentsIndex(spark, sf)) ==
+      asSet(Dedup.componentsFromScratch(spark, sf)),
+      "persisted component assignment must equal the fixpoint")
+    assert(indexFiles("comps_t50") == files1,
+      "second access must not rewrite the index")
+    // the routed operator serves the same relation
+    assert(asSet(Dedup.dedupComponents(spark, sf)) ==
+      asSet(Dedup.componentsFromScratch(spark, sf)))
+  }
+
   test("prefix index builds once and equals the inline prefix relation") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
