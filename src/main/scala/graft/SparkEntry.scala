@@ -247,6 +247,7 @@ object SparkEntry {
     "sr3_retrieval_eval" -> ((s, d) => Retrieval.retrievalEval(s, d)),
     "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
+    "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
@@ -607,6 +608,8 @@ object SparkEntry {
       operators.TextAnalysis.collocationsOracleSql(),
     "tx30_heaps_curve" ->
       operators.TextAnalysis.heapsCurveOracleSql(),
+    "tx31_quality_clf" ->
+      operators.TextAnalysis.qualityClassifierOracleSql(),
     "dd23_shingle_sense" ->
       operators.Dedup.shingleSensitivityOracleSql(),
     "mm10_contrast_gate" ->

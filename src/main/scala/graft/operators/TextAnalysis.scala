@@ -1436,4 +1436,70 @@ object TextAnalysis {
        |FROM nd JOIN v ON nd.pct = v.pct
        |ORDER BY nd.pct""".stripMargin
   }
+
+  // --- TX31: HASHED-FEATURE LINEAR QUALITY CLASSIFIER — the
+  // fastText-shaped model-based filter production corpus builds run
+  // (CCNet's / WebText's quality gate): tokens hash into F buckets
+  // (the hashing trick — the "model" is a pure function, no weight
+  // table to store, join, or broadcast), each bucket carries a
+  // deterministic integer weight, and a document's score is the
+  // weight sum squashed to a keep-probability. Weights here are
+  // md5-derived stand-ins for trained ones (no training data in this
+  // container) — the SERVING shape is the deliverable: one tokenize,
+  // per-row weight arithmetic, one map-side-combinable long sum per
+  // doc; at 100 TB this is a map-only scan plus a doc-keyed agg, the
+  // cheapest a per-document model score can be. FP discipline: the
+  // raw score is an exact LONG; the squash is the RATIONAL logistic
+  // x/(1+|x|) (one division — bit-identical cross-engine) instead of
+  // 1/(1+e^-x), so no libm call sits between the hash chain and the
+  // oracle. ---
+  def qualityClassifier(s: SparkSession, d: String,
+                        nBuckets: Int = 256): DataFrame = {
+    val bucket = Text.h60(col("token")).mod(nBuckets.toLong)
+    val w = Text.h60(concat(lit("w:"), bucket.cast("string")))
+      .mod(1001L) - lit(500L)
+    val margin = col("raw").cast("double") /
+      (lit(100.0) * col("n_tokens").cast("double"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("raw"))
+      .select(col("doc_id"), col("n_tokens"), col("raw").as("raw_score"),
+        round(lit(0.5) + lit(0.5) * margin / (lit(1.0) + abs(margin)), 6)
+          .as("p_keep"))
+      .withColumn("keep", col("p_keep") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[qualityClassifier]] — the same md5 bucket/weight
+    * chain (h60 replay), exact long sums, and the identical rational
+    * squash.
+    */
+  def qualityClassifierOracleSql(nBuckets: Int = 256): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |wtok AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('w:' ||
+       |      CAST(CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+       |        % $nBuckets AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1001 - 500 AS w
+       |  FROM tok),
+       |ag AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(w) AS BIGINT) AS raw_score
+       |  FROM wtok GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, raw_score,
+       |  round(0.5 + 0.5
+       |      * (CAST(raw_score AS DOUBLE) / (100.0 * CAST(n_tokens AS DOUBLE)))
+       |      / (1.0 + abs(CAST(raw_score AS DOUBLE)
+       |                   / (100.0 * CAST(n_tokens AS DOUBLE)))), 6) AS p_keep,
+       |  (round(0.5 + 0.5
+       |      * (CAST(raw_score AS DOUBLE) / (100.0 * CAST(n_tokens AS DOUBLE)))
+       |      / (1.0 + abs(CAST(raw_score AS DOUBLE)
+       |                   / (100.0 * CAST(n_tokens AS DOUBLE)))), 6) >= 0.5) AS keep
+       |FROM ag
+       |ORDER BY doc_id""".stripMargin
 }

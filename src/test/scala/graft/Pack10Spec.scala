@@ -1208,6 +1208,24 @@ class Pack10Spec extends SparkTestBase {
     assert(math.abs(Analytics.cohenKappaFrom(chance).collect().head.getDouble(4)) <= 1e-9)
   }
 
+  test("tx31: classifier covers every doc; squash is bounded, centered, and monotone") {
+    val rows = operators.TextAnalysis.qualityClassifier(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (n, raw, p, keep) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(n >= 1)
+      assert(math.abs(raw) <= 500L * n, "weights live in [-500, 500]")
+      assert(p > 0.0 && p < 1.0, "rational logistic never saturates")
+      assert(keep == (p >= 0.5))
+      assert((p >= 0.5) == (raw >= 0), "squash is centered at raw = 0")
+    }
+    // monotone: sort by margin, p_keep must sort the same way
+    val byMargin = rows.sortBy(r => r.getLong(2).toDouble / r.getLong(1))
+      .map(_.getDouble(3)).toSeq
+    assert(byMargin == byMargin.sorted, "p_keep monotone in the margin")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
