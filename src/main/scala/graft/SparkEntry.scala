@@ -250,6 +250,7 @@ object SparkEntry {
     "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
+    "dd25_incremental_comps" -> ((s, d) => Dedup.incrementalComponents(s, d)),
     "gr5_personalized_pr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "sq3_session_paths"  -> ((s, d) => DataPrep.sessionPaths(s, d)),
     "gr6_cheapest_route" -> ((s, d) => Graph.cheapestRoute(s, d)),
@@ -364,6 +365,36 @@ object SparkEntry {
     "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
+
+  /** dd8's from-scratch component replay — shared verbatim by dd25,
+    * whose contract is exact equality with the from-scratch labels.
+    */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+      |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+      |  FROM w),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM shared
+      |  JOIN cnt ca ON ca.doc_id = doc_a
+      |  JOIN cnt cb ON cb.doc_id = doc_b
+      |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(doc, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
+      |SELECT doc AS doc_id, min(r) AS comp FROM reach
+      |GROUP BY doc ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "p1_point_filter" ->
@@ -1678,32 +1709,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    "dd8_components" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
-        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
-        |  FROM w),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM shared
-        |  JOIN cnt ca ON ca.doc_id = doc_a
-        |  JOIN cnt cb ON cb.doc_id = doc_b
-        |  WHERE CAST(s AS DOUBLE) / (ca.n + cb.n - s) >= 0.5),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-        |          UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs),
-        |reach(doc, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.doc)
-        |SELECT doc AS doc_id, min(r) AS comp FROM reach
-        |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "dd8_components" -> componentsOracleSql,
+    // dd25 computes only delta-involving pairs + a star-edge relabel,
+    // but its CONTRACT is exact equality with the from-scratch
+    // assignment — so the oracle IS dd8's full replay
+    "dd25_incremental_comps" -> componentsOracleSql,
     // dd24: dd8's component chain rolled up twice — sizes, then the
     // size histogram
     "dd24_cluster_sizes" ->

@@ -1226,6 +1226,14 @@ class Pack10Spec extends SparkTestBase {
     assert(byMargin == byMargin.sorted, "p_keep monotone in the margin")
   }
 
+  test("dd25: star-edge relabel over delta pairs equals the from-scratch assignment") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(operators.Dedup.incrementalComponents(spark, sf)) ==
+      asSet(operators.Dedup.componentsFromScratch(spark, sf)),
+      "incremental labels must equal the from-scratch fixpoint")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
