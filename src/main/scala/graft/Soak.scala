@@ -192,7 +192,12 @@ object Soak {
     "dp24_mixture_cal", "pv5_generalization", "s4_except_all",
     "tx30_heaps_curve", "dd23_shingle_sense", "mm10_contrast_gate",
     "pv6_t_closeness", "sp8_power_analysis", "dd24_cluster_sizes",
-    "dq7_calendar_gaps", "dq8_functional_deps", "sim18_probe_sweep")
+    "dq7_calendar_gaps", "dq8_functional_deps", "sim18_probe_sweep",
+    // this session's additions: the IR eval triple (ADC vs exact legs),
+    // agreement over two tokenize-shared raters, the hashed-feature
+    // classifier scan, and the star-edge incremental relabel
+    "sr3_retrieval_eval", "a52_kappa", "tx31_quality_clf",
+    "dd25_incremental_comps", "sq7_ushape_attr")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -363,6 +363,7 @@ object SparkEntry {
     "gr19_neighbor_deg"  -> ((s, d) => Graph.neighborDegree(s, d)),
     "sp7_jackknife"      -> ((s, d) => Sampling.jackknifeQuality(s, d)),
     "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
+    "sq7_ushape_attr"    -> ((s, d) => Analytics.ushapeAttribution(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
   )
 
@@ -635,6 +636,7 @@ object SparkEntry {
     "a50_mann_kendall" -> operators.Analytics.mannKendallOracleSql(),
     "a51_runs_test" -> operators.Analytics.runsTestOracleSql(),
     "a52_kappa" -> operators.Analytics.cohenKappaOracleSql(),
+    "sq7_ushape_attr" -> operators.Analytics.ushapeAttributionOracleSql(),
     "tx29_collocations" ->
       operators.TextAnalysis.collocationsOracleSql(),
     "tx30_heaps_curve" ->

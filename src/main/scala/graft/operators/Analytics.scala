@@ -1037,6 +1037,84 @@ object Analytics {
       .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
+  // --- SQ7: POSITION-BASED (U-shaped) MULTI-TOUCH ATTRIBUTION — the
+  // credit model between st8's all-touch join and a last-touch rule:
+  // over each purchase's qualifying clicks (st8's own touch set — same
+  // user, preceding hour), the first and last touch earn 40% each and
+  // the middle splits the remaining 20% evenly; one- and two-touch
+  // paths degenerate to 100% / 50-50. Positions come from a window
+  // partitioned BY PURCHASE (each partition is the ≤1-hour click
+  // burst — bounded, never grow-with-data), credits are single
+  // divisions of exact integers, and the credited revenue rounds to
+  // 4dp — both engines agree bit-for-bit. At 100 TB this is st8's
+  // hash join plus a per-purchase window: the credit model adds no
+  // extra scan or shuffle beyond the join it decorates. ---
+  def ushapeAttribution(s: SparkSession, d: String): DataFrame = {
+    // st8's touch join, re-derived here to KEEP click_ts: first/last
+    // are time positions, and click ids need not be time-ordered
+    val e = Tables.events(s, d)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val touches = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("value"), col("click_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id")
+    val wo = w.orderBy(col("click_ts"), col("click_id"))
+    val n = col("n_touches")
+    val credit =
+      when(n === 1, lit(1.0))
+        .when(n === 2, lit(0.5))
+        .when(col("position") === 1 || col("position") === n, lit(0.4))
+        .otherwise(lit(0.2) / (n - lit(2)).cast("double"))
+    touches
+      .withColumn("position", row_number().over(wo))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("position"), n,
+        round(credit, 6).as("credit"),
+        round(credit * col("value"), 4).as("credited_value"))
+      .orderBy("purchase_id", "position")
+  }
+
+  /** Oracle twin of [[ushapeAttribution]] — st8's interval join with
+    * the identical positional credit arithmetic.
+    */
+  def ushapeAttributionOracleSql(): String =
+    """WITH touches AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |    p.user_id, p.value, c.ts AS click_ts
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      |  WHERE p.event_type = 'purchase' AND c.event_type = 'click'),
+      |pos AS (
+      |  SELECT purchase_id, click_id, user_id, value,
+      |    CAST(row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY click_ts, click_id) AS INTEGER) AS position,
+      |    CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+      |      AS n_touches
+      |  FROM touches),
+      |cr AS (
+      |  SELECT *,
+      |    CASE WHEN n_touches = 1 THEN 1.0
+      |         WHEN n_touches = 2 THEN 0.5
+      |         WHEN position = 1 OR position = n_touches THEN 0.4
+      |         ELSE 0.2 / CAST(n_touches - 2 AS DOUBLE) END AS c
+      |  FROM pos)
+      |SELECT purchase_id, click_id, user_id, position, n_touches,
+      |  round(c, 6) AS credit,
+      |  round(c * value, 4) AS credited_value
+      |FROM cr
+      |ORDER BY purchase_id, position""".stripMargin
+
   // --- A36: Mann–Whitney U (Wilcoxon rank-sum) — a32's KS sibling:
   // does one segment's order-value distribution stochastically
   // dominate the other's? Rank-based, so it needs tie-averaged ranks

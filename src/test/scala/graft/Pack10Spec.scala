@@ -1234,6 +1234,23 @@ class Pack10Spec extends SparkTestBase {
       "incremental labels must equal the from-scratch fixpoint")
   }
 
+  test("sq7: positions contiguous, credits sum to 1, U endpoints at 40%") {
+    val rows = operators.Analytics.ushapeAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, ts) =>
+      val n = ts.head.getLong(4)
+      assert(ts.length == n, "every touch carries the partition count")
+      assert(ts.map(_.getInt(3)).sorted.toSeq == (1 to n.toInt))
+      val total = ts.map(_.getDouble(5)).sum
+      assert(math.abs(total - 1.0) <= 1e-4,
+        s"per-purchase credit must sum to 1, got $total")
+      if (n >= 3) {
+        assert(ts.find(_.getInt(3) == 1).get.getDouble(5) == 0.4)
+        assert(ts.find(_.getInt(3) == n.toInt).get.getDouble(5) == 0.4)
+      }
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
