@@ -146,6 +146,26 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  /** The pre-append slice of [[componentsIndex]]: labels of docs with
+    * doc_id < boundary, from base-only pairs — the artifact dd25's
+    * incremental relabel starts from, persisted so a steady-state
+    * append pays only the delta probe plus the shallow star-edge
+    * fixpoint, never a base re-pairing.
+    */
+  def componentsIndexBase(s: SparkSession, d: String, boundary: Long,
+                          threshold: Double = 0.5): DataFrame = {
+    val pct = math.round(threshold * 100)
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"comps_base_t${pct}_b$boundary")
+    VectorIndex.ensure(path) { out =>
+      Dedup.baseComponentsOf(s, d, boundary, threshold)
+        .repartitionByRange(org.apache.spark.sql.functions.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Persisted VOCABULARY-sized (h, token) string catalog over the
     * whitespace token basis (`Text.tokens` == split on " ", the basis
     * tx23/tx27 rank in). The hash-ranked text queries keep strings out
