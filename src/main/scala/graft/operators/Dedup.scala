@@ -195,10 +195,19 @@ object Dedup {
     * constant times the gram count).
     */
   private def sharedGramCounts(gr: DataFrame,
-                               maxDocFreq: Long = DefaultMaxGramDocFreq): DataFrame = {
+                               maxDocFreq: Long = DefaultMaxGramDocFreq): DataFrame =
+    sharedGramCountsWhere(gr, maxDocFreq)(identity)
+
+  /** [[sharedGramCounts]] with the BUILD side restricted by `bSide` —
+    * the join and DF cap exist once; the full self-join passes
+    * identity, dd25's delta probe passes the batch filter (pairs with
+    * at least one batch member, since batch ids exceed base ids).
+    */
+  private def sharedGramCountsWhere(gr: DataFrame, maxDocFreq: Long)
+                                   (bSide: DataFrame => DataFrame): DataFrame = {
     val g = capByDocFreq(gr, maxDocFreq)
     g.as("a")
-      .join(g.as("b"),
+      .join(bSide(g).as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -388,12 +397,8 @@ object Dedup {
     // delta-involving pairs only: batch ids all exceed base ids, so
     // the batch member is always doc_b — probe the full gram relation
     // with the batch slice on the build side
-    val g = capByDocFreq(gr, DefaultMaxGramDocFreq)
-    val deltaShared = g.as("a")
-      .join(g.filter(col("doc_id") >= boundary).as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val deltaShared = sharedGramCountsWhere(gr, DefaultMaxGramDocFreq)(
+      _.filter(col("doc_id") >= boundary))
     val deltaPairs = jaccardFromShared(deltaShared, gr, threshold)
       .select("doc_a", "doc_b")
     val starEdges = baseLabels.filter(col("comp") =!= col("doc_id"))
