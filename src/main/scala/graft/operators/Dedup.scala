@@ -407,6 +407,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup pairs TOUCHING a fresh document set — the streaming
+    * ingest pair delta: every over-threshold pair whose LATER-ADMITTED
+    * member is in `freshGrams` (one side fresh against all admitted
+    * grams; both-fresh pairs are generated from both directions, so
+    * the (pair, gh) dedup precedes the shared count). Stream arrival
+    * order is arbitrary, so pairs normalize by (least, greatest)
+    * instead of assuming monotone ids. DF cap semantics: capped at
+    * the at-admission corpus view — same caveat as the base-slice cap
+    * in dd25 (no-op below the cap, which this corpus family is by two
+    * orders of magnitude).
+    */
+  private[graft] def pairsTouching(allGrams: DataFrame,
+                                   freshGrams: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val g = capByDocFreq(allGrams, DefaultMaxGramDocFreq)
+    val fg = g.join(freshGrams.select("doc_id").distinct(), Seq("doc_id"))
+    val shared = g.as("a")
+      .join(fg.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.gh").as("gh"))
+      .dropDuplicates("doc_a", "doc_b", "gh")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    jaccardFromShared(shared, allGrams, threshold).select("doc_a", "doc_b")
+  }
+
   /** The base-slice fixpoint [[componentsFromPairs]] over base-only
     * pairs — the build side of
     * [[graft.sources.TextIndex.componentsIndexBase]].

@@ -1012,6 +1012,72 @@ object Streams {
     graft.operators.TextAnalysis.bm25FromPostings(
       s.read.parquet(deltaDirs(workDir, "postings"): _*), terms, topK)
 
+  /** Streaming maintenance of the near-dup PAIR relation and its
+    * component labels — dedup AT INGEST, the serving twin of
+    * dd8/dd25: as documents arrive, each batch publishes its admitted
+    * docs' gram state plus the pair DELTA (every over-threshold pair
+    * whose later-admitted member is in this batch —
+    * [[graft.operators.Dedup.pairsTouching]], one fresh × admitted
+    * gram probe, never an admitted × admitted re-pair), and the read
+    * side runs the batch operator's own label fixpoint over the
+    * accumulated pairs. Admission is doc_id-keyed (first version
+    * wins, the [[chunkMaintainBatch]] contract). Pair deltas are
+    * disjoint under normal arrival; a same-batch-id REPLAY on a
+    * grown ledger may republish pairs already present in later
+    * deltas — harmless BY SEMANTICS, not by accident: connectivity
+    * (and therefore every min label) is insensitive to pair
+    * multiplicity, which is what makes this twin replay-safe without
+    * a pair-level ledger.
+    */
+  def componentsMaintainStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String,
+                               threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        componentsMaintainBatch(batch.toDF(), batchId, workDir, threshold)
+      }
+      .start()
+
+  private[graft] def componentsMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                             workDir: String,
+                                             threshold: Double = 0.5): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "docs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    graft.operators.Dedup.gramRowsOf(fresh, 3)
+      .write.mode("overwrite").parquet(s"$workDir/grams/b$batchId")
+    // the gram union INCLUDES this batch's just-written delta, so
+    // fresh × fresh pairs are found in their admission batch
+    val allGrams = s.read.parquet(deltaDirs(workDir, "grams"): _*)
+    graft.operators.Dedup.pairsTouching(allGrams,
+        s.read.parquet(s"$workDir/grams/b$batchId"), threshold)
+      .write.mode("overwrite").parquet(s"$workDir/pairs/b$batchId")
+    ()
+  }
+
+  /** Read side: the batch operator's own min-label fixpoint over the
+    * admitted node set and the accumulated pair deltas — the live
+    * cluster assignment equals batch `dd8_components` under any
+    * wave/redelivery schedule (StreamingSpec pins the equivalence).
+    */
+  def readComponents(s: org.apache.spark.sql.SparkSession,
+                     workDir: String): DataFrame =
+    graft.operators.Dedup.componentsFromPairs(
+      s.read.parquet(deltaDirs(workDir, "docs"): _*),
+      s.read.parquet(deltaDirs(workDir, "pairs"): _*))
+
   /** Streaming maintenance of dq4's PSI drift state — the
     * serving-side drift monitor: what the audit needs from history is
     * the (feature, bucket, cohort) COUNT relation, which is ADDITIVE,

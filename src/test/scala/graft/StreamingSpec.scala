@@ -1114,6 +1114,40 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("equivalence: stream-maintained pair deltas serve batch-identical components (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // shuffled arrival: pair normalization must not assume monotone ids
+    val shuffled = new scala.util.Random(53).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("compstream").toString
+    val q = Streams.componentsMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: a re-admitted doc would
+    // re-derive its gram state and double its pair rows — admission
+    // must drop it
+    try (waves :+ waves.head.take(7)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: republished
+    // pairs are harmless by semantics (connectivity is multiplicity-
+    // insensitive), the labels must not move
+    Streams.componentsMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readComponents(spark, root)) ==
+      rowSet(operators.Dedup.componentsFromScratch(spark, sf)),
+      "stream-maintained labels must equal the batch dd8 fixpoint")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
   test("equivalence: one maintained monthly state drives both trend monitors (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
