@@ -729,7 +729,9 @@ object Similarity {
       .withColumn("xrk", row_number().over(we))
       .filter(col("xrk") <= k)
       .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
-    top.join(exactTop, Seq("q_id", "vec_id"), "left_outer")
+    // the exact leg is TakeOrdered-sized (nq·k rows) but sits behind a
+    // window, so stats can't prove it small — hint the broadcast
+    top.join(broadcast(exactTop), Seq("q_id", "vec_id"), "left_outer")
       .select(col("q_id"), col("vec_id"), col("rk"),
         round(col("adc"), 6).as("adc"),
         coalesce(col("hit"), lit(0)).as("in_exact"))

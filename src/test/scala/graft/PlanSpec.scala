@@ -236,4 +236,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"corpus side must not sort-merge for a 5-row factor table:\n$p")
   }
+
+  test("SIM12 wide-code ADC: per-row LUT sum, no reconstitution agg, broadcast-only joins") {
+    val p = plan(Similarity.pqAdcTopK(spark, sf))
+    // the pre-round-9 long layout rebuilt per-vector scores through a
+    // (q_id, vec_id) groupBy — a corpus-rows×4 shuffle per sweep; the
+    // wide layout must show NO aggregate anywhere in this plan
+    assert(!p.contains("HashAggregate"),
+      s"ADC must be a per-row element_at sum, not a reconstitution agg:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the LUT and exact legs must broadcast, never co-shuffle:\n$p")
+  }
+
+  test("DD18 probes the persisted component index, never the gram self-join") {
+    val p = plan(Dedup.clusterRepresentatives(spark, sf))
+    assert(p.contains("comps_t50"),
+      s"representatives must read the persisted assignment:\n$p")
+    assert(!p.contains("grams_3"),
+      s"the gram relation must not appear — that is the fixpoint's input:\n$p")
+  }
 }
