@@ -248,6 +248,8 @@ object SparkEntry {
     "tx29_collocations"  -> ((s, d) => TextAnalysis.collocations(s, d)),
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
+    "tx32_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "a53_fleiss"         -> ((s, d) => Analytics.fleissKappa(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
     "dd25_incremental_comps" -> ((s, d) => Dedup.incrementalComponents(s, d)),
@@ -643,6 +645,9 @@ object SparkEntry {
       operators.TextAnalysis.heapsCurveOracleSql(),
     "tx31_quality_clf" ->
       operators.TextAnalysis.qualityClassifierOracleSql(),
+    "tx32_fertility" ->
+      operators.TextAnalysis.tokenizerFertilityOracleSql(),
+    "a53_fleiss" -> operators.Analytics.fleissKappaOracleSql(),
     "dd23_shingle_sense" ->
       operators.Dedup.shingleSensitivityOracleSql(),
     "mm10_contrast_gate" ->

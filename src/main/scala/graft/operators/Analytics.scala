@@ -2065,6 +2065,117 @@ object Analytics {
       round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  // --- A53: FLEISS' KAPPA [Fleiss 1971] — a52 generalized to a PANEL
+  // of m raters (here the three tokenAggs-shared heuristics): per
+  // item, P_i = (Σ_j n_ij² − m)/(m(m−1)) where n_ij counts raters
+  // assigning category j; κ = (P̄ − P̄_e)/(1 − P̄_e) with
+  // P̄_e = Σ_j p_j². With raters as COLUMNS the per-item category
+  // counts are a per-row projection (no groupBy at all until the one
+  // global roll-up of five exact long sums), so the whole panel audit
+  // is a map-only scan — at any corpus size the shuffled state is
+  // five longs. P̄'s numerator stays an exact integer; the three
+  // p_j² terms sum in fixed written order. ---
+  def fleissKappa(s: SparkSession, d: String): DataFrame = {
+    val rated = TextAnalysis.annotatorLabels3(s, d)
+    val cats = Seq("low", "mid", "high")
+    def nOf(cat: String) =
+      Seq("rater_a", "rater_b", "rater_c")
+        .map(r => when(col(r) === cat, 1L).otherwise(0L))
+        .reduceLeft(_ + _)
+    val perDoc = rated.select(cats.map(c => nOf(c).as(s"n_$c")): _*)
+      .select(col("n_low"), col("n_mid"), col("n_high"),
+        (col("n_low") * col("n_low") + col("n_mid") * col("n_mid") +
+          col("n_high") * col("n_high") - lit(3L)).as("pi_num"))
+    val agg = perDoc.groupBy().agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("pi_num")).as("pi_sum"),
+      sum(col("n_low")).as("t_low"),
+      sum(col("n_mid")).as("t_mid"),
+      sum(col("n_high")).as("t_high"))
+    val n = col("n_docs").cast("double")
+    val pBar = col("pi_sum").cast("double") / (n * lit(6.0))
+    val pe = cats.map(c =>
+      (col(s"t_$c").cast("double") / (n * lit(3.0))) *
+        (col(s"t_$c").cast("double") / (n * lit(3.0))))
+      .reduceLeft(_ + _)
+    agg.select(col("n_docs"),
+      round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      round((pBar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Oracle twin of [[fleissKappa]] — same rater thresholds over one
+    * tokenize, same per-row category counts, same written-order tail.
+    */
+  def fleissKappaOracleSql(): String =
+    """WITH ag AS (
+      |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    round((CASE WHEN len(ws) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.4 END) * 0.4
+      |      + (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 0.4
+      |      + (1.0 - least(CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE)
+      |                     / len(ws) * 2.0, 1.0)) * 0.2, 4) AS quality,
+      |    CAST(n_chars - (len(ws) - 1) AS DOUBLE)
+      |      / CAST(len(ws) AS DOUBLE) AS avg_len,
+      |    CAST(len(list_filter(ws, t -> t IN ('the', 'a'))) AS DOUBLE)
+      |      / CAST(len(ws) AS DOUBLE) AS stop_share
+      |  FROM ag),
+      |rated AS (
+      |  SELECT doc_id,
+      |    CASE WHEN quality < 0.72 THEN 'low'
+      |         WHEN quality < 0.78 THEN 'mid' ELSE 'high' END AS ra,
+      |    CASE WHEN avg_len < 4.43 THEN 'low'
+      |         WHEN avg_len < 4.59 THEN 'mid' ELSE 'high' END AS rb,
+      |    CASE WHEN stop_share < 0.046 THEN 'low'
+      |         WHEN stop_share < 0.072 THEN 'mid' ELSE 'high' END AS rc
+      |  FROM feat),
+      |perdoc AS (
+      |  SELECT
+      |    (CASE WHEN ra = 'low' THEN 1 ELSE 0 END
+      |      + CASE WHEN rb = 'low' THEN 1 ELSE 0 END
+      |      + CASE WHEN rc = 'low' THEN 1 ELSE 0 END) AS n_low,
+      |    (CASE WHEN ra = 'mid' THEN 1 ELSE 0 END
+      |      + CASE WHEN rb = 'mid' THEN 1 ELSE 0 END
+      |      + CASE WHEN rc = 'mid' THEN 1 ELSE 0 END) AS n_mid,
+      |    (CASE WHEN ra = 'high' THEN 1 ELSE 0 END
+      |      + CASE WHEN rb = 'high' THEN 1 ELSE 0 END
+      |      + CASE WHEN rc = 'high' THEN 1 ELSE 0 END) AS n_high
+      |  FROM rated),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_low * n_low + n_mid * n_mid + n_high * n_high - 3)
+      |      AS BIGINT) AS pi_sum,
+      |    CAST(sum(n_low) AS BIGINT) AS t_low,
+      |    CAST(sum(n_mid) AS BIGINT) AS t_mid,
+      |    CAST(sum(n_high) AS BIGINT) AS t_high
+      |  FROM perdoc)
+      |SELECT n_docs,
+      |  round(CAST(pi_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0), 6)
+      |    AS p_bar,
+      |  round((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |      * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |    + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |      * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |    + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |      * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)), 6)
+      |    AS p_e,
+      |  round((CAST(pi_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)
+      |      - ((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |        + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |        + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))))
+      |    / (1.0 - ((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |        + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |        + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
+      |          * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)))), 6)
+      |    AS kappa
+      |FROM agg""".stripMargin
+
   /** Oracle twin of [[cohenKappa]]: same rater thresholds over the
     * same single tokenize, same pivoted 3×3 cells, same written-order
     * p_o/p_e/kappa arithmetic.

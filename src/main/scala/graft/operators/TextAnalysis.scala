@@ -182,18 +182,30 @@ object TextAnalysis {
     * 4dp-rounded; avg_len is one division of exact ints) against
     * literal cuts, so the labels hash-replay exactly.
     */
-  private[operators] def annotatorLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def annotatorLabels(s: SparkSession, d: String): DataFrame =
+    annotatorLabels3(s, d).select("doc_id", "rater_a", "rater_b")
+
+  /** The three-rater extension (a53's Fleiss panel): rater C terciles
+    * the stopword share — a third independent feature off the SAME
+    * tokenAggs pass, so the whole panel still costs one tokenize.
+    */
+  private[graft] def annotatorLabels3(s: SparkSession, d: String): DataFrame =
     tokenAggs(s, d, Seq("the", "a"))
       .select(col("doc_id"), qualityExpr.as("quality"),
         ((col("n_chars") - (col("n_tokens") - 1)).cast("double")
-          / col("n_tokens").cast("double")).as("avg_len"))
+          / col("n_tokens").cast("double")).as("avg_len"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_share"))
       .select(col("doc_id"),
         when(col("quality") < 0.72, "low")
           .when(col("quality") < 0.78, "mid")
           .otherwise("high").as("rater_a"),
         when(col("avg_len") < 4.43, "low")
           .when(col("avg_len") < 4.59, "mid")
-          .otherwise("high").as("rater_b"))
+          .otherwise("high").as("rater_b"),
+        when(col("stop_share") < 0.046, "low")
+          .when(col("stop_share") < 0.072, "mid")
+          .otherwise("high").as("rater_c"))
 
   /** Stopword profiles for the language-ID heuristic. Real profiles
     * would be per-language function-word lists; the synthetic corpus
@@ -1436,6 +1448,54 @@ object TextAnalysis {
        |FROM nd JOIN v ON nd.pct = v.pct
        |ORDER BY nd.pct""".stripMargin
   }
+
+  // --- TX32: TOKENIZER FERTILITY by predicted language — unit-per-
+  // word ratios, the tokenizer-eval metric multilingual corpus work
+  // reads before fixing a vocabulary: a language with high fertility
+  // is under-served (more units per word = more compute per content,
+  // shorter effective context). Grouped by tx5's PREDICTED language —
+  // what a deployed pipeline actually has — with the classifier
+  // relation shared verbatim (the tx24 discipline), so metric and
+  // classifier cannot drift. One extra scan for the two counts, exact
+  // long sums, one division per language row. ---
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("long").as("bpe_units"))
+    langId(s, d).select(col("doc_id"), col("predicted"))
+      .join(counts, "doc_id")
+      .groupBy("predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_units")).as("bpe_units"))
+      .select(col("predicted"), col("n_docs"), col("ws_tokens"),
+        col("bpe_units"),
+        round(col("bpe_units").cast("double")
+          / col("ws_tokens").cast("double"), 6).as("fertility"))
+      .orderBy("predicted")
+  }
+
+  /** Oracle twin of [[tokenizerFertility]] — tx5's shared CTE chain
+    * for the prediction, tx6's count expressions, same exact-sum
+    * ratio.
+    */
+  def tokenizerFertilityOracleSql(): String =
+    s"""WITH $langIdOracleCtes,
+       |pred AS (SELECT doc_id, lng AS predicted FROM ranked WHERE rn = 1),
+       |cnts AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+       |      AS bpe_units
+       |  FROM documents)
+       |SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe_units) AS BIGINT) AS bpe_units,
+       |  round(CAST(sum(bpe_units) AS DOUBLE)
+       |    / CAST(sum(ws_tokens) AS DOUBLE), 6) AS fertility
+       |FROM pred JOIN cnts USING (doc_id)
+       |GROUP BY predicted ORDER BY predicted""".stripMargin
 
   // --- TX31: HASHED-FEATURE LINEAR QUALITY CLASSIFIER — the
   // fastText-shaped model-based filter production corpus builds run

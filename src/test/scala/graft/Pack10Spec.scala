@@ -1251,6 +1251,35 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("a53: Fleiss kappa replays an independent Scala recomputation of the panel") {
+    val row = Analytics.fleissKappa(spark, sf).collect().head
+    val labels = operators.TextAnalysis.annotatorLabels3(spark, sf)
+      .collect().map(r => Seq(r.getString(1), r.getString(2), r.getString(3)))
+    val cats = Seq("low", "mid", "high")
+    val m = 3.0
+    val piSum = labels.map { rs =>
+      cats.map(c => rs.count(_ == c).toLong).map(x => x * x).sum - 3L
+    }.sum
+    val n = labels.length.toDouble
+    val pBar = piSum / (n * 6.0)
+    val pe = cats.map(c =>
+      labels.map(rs => rs.count(_ == c)).sum / (n * m)).map(p => p * p).sum
+    assert(row.getLong(0) == labels.length)
+    assert(math.abs(row.getDouble(1) - pBar) <= 1e-6, "p_bar replays")
+    assert(math.abs(row.getDouble(2) - pe) <= 1e-6, "p_e replays")
+    assert(math.abs(row.getDouble(3) - (pBar - pe) / (1.0 - pe)) <= 1e-6)
+  }
+
+  test("tx32: fertility >= 1 per language and the doc partition is exhaustive") {
+    val rows = operators.TextAnalysis.tokenizerFertility(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "every document lands in exactly one predicted-language row")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2) || r.getDouble(4) < 1.0)
+      assert(r.getDouble(4) > 0.0, "fertility is a positive ratio")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
