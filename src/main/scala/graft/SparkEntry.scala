@@ -249,6 +249,7 @@ object SparkEntry {
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "tx32_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "dp25_dsir"          -> ((s, d) => DataPrep.dsirSelect(s, d)),
     "a53_fleiss"         -> ((s, d) => Analytics.fleissKappa(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
@@ -648,6 +649,7 @@ object SparkEntry {
     "tx32_fertility" ->
       operators.TextAnalysis.tokenizerFertilityOracleSql(),
     "a53_fleiss" -> operators.Analytics.fleissKappaOracleSql(),
+    "dp25_dsir" -> operators.DataPrep.dsirSelectOracleSql(),
     "dd23_shingle_sense" ->
       operators.Dedup.shingleSensitivityOracleSql(),
     "mm10_contrast_gate" ->

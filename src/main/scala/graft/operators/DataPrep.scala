@@ -1177,4 +1177,77 @@ object DataPrep {
       |  CAST(floor(target_w * total_out) AS BIGINT) AS n_tokens_out
       |FROM shaped, binding
       |ORDER BY source""".stripMargin
+
+  // --- DP25: DSIR — Data Selection via Importance Resampling [Xie et
+  // al., NeurIPS 2023]: rank raw-pool documents by how target-like
+  // their unigram profile is, w(doc) = Σ_tokens [ln p_target(t) −
+  // ln p_raw(t)] with add-one smoothing over the raw vocabulary, keep
+  // the top-N — the named recipe for cheap domain-targeted pretraining
+  // selection (hashed n-gram features stand in for a trained LM).
+  // Target = one exemplar source; candidates are every OTHER source's
+  // docs (the exemplar defines the distribution, it isn't re-selected).
+  // Shape at 100 TB: one tokenize projected to token HASHES (strings
+  // never shuffle), two vocabulary-sized count relations, per-doc ln
+  // sums with map-side combine; the smoothing normalizers fold into
+  // ONE closed-form per-doc term n_tokens·[ln(R+V) − ln(T+V)], so no
+  // per-token normalizer arithmetic survives into the hot path.
+  // Cross-row ln sums round at 4dp — the tx26 discipline. ---
+  def dsirSelect(s: SparkSession, d: String, target: String = "src0",
+                 topK: Int = 25): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("token"))
+      .select(col("doc_id"), col("source"), xxhash64(col("token")).as("th"))
+    val raw = tok.groupBy("th").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("source") === target)
+      .groupBy("th").agg(count(lit(1)).as("ct"))
+    val consts = raw.agg(count(lit(1)).as("v"), sum(col("cr")).as("r"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("t")))
+    val vocab = raw.join(tgt, Seq("th"), "left")
+      .select(col("th"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val perDoc = tok.join(vocab, "th")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log((col("ct") + lit(1L)).cast("double"))
+          - log((col("cr") + lit(1L)).cast("double"))).as("lsum"))
+    perDoc.filter(col("source") =!= target)
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        round(col("lsum") + col("n_tokens").cast("double") *
+          (log((col("r") + col("v")).cast("double"))
+            - log((col("t") + col("v")).cast("double"))), 4).as("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[dsirSelect]] — token strings instead of
+    * xxhash64 (equal counts barring a 64-bit collision, the
+    * dd-family's standing trade), same smoothed ln arithmetic and
+    * 4dp cut.
+    */
+  def dsirSelectOracleSql(target: String = "src0", topK: Int = 25): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |raw AS (SELECT t, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY 1),
+       |tgt AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tok
+       |        WHERE source = '$target' GROUP BY 1),
+       |consts AS (SELECT CAST(count(*) AS BIGINT) AS v,
+       |                  CAST(sum(cr) AS BIGINT) AS r FROM raw),
+       |tc AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgt),
+       |vocab AS (
+       |  SELECT raw.t, cr, coalesce(ct, 0) AS ct
+       |  FROM raw LEFT JOIN tgt ON raw.t = tgt.t),
+       |perdoc AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    sum(ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(cr + 1 AS DOUBLE)))
+       |      AS lsum
+       |  FROM tok JOIN vocab USING (t) GROUP BY 1, 2)
+       |SELECT doc_id, source, n_tokens,
+       |  round(lsum + CAST(n_tokens AS DOUBLE)
+       |    * (ln(CAST(r + v AS DOUBLE)) - ln(CAST(tt + v AS DOUBLE))), 4)
+       |    AS dsir_w
+       |FROM perdoc, consts, tc
+       |WHERE source <> '$target'
+       |ORDER BY dsir_w DESC, doc_id ASC LIMIT $topK""".stripMargin
 }

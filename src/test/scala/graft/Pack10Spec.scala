@@ -1280,6 +1280,17 @@ class Pack10Spec extends SparkTestBase {
     }
   }
 
+  test("dp25: DSIR never re-selects the exemplar, weights ordered, k-bounded") {
+    val rows = operators.DataPrep.dsirSelect(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_.getString(1) != "src0"),
+      "the target exemplar defines the distribution, it is not re-selected")
+    val ws = rows.map(_.getDouble(3)).toSeq
+    assert(ws == ws.sorted.reverse, "selection is ranked by importance weight")
+    ws.foreach(w => assert(!w.isNaN && !w.isInfinite,
+      "add-one smoothing keeps every weight finite"))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
