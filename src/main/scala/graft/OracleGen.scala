@@ -1333,6 +1333,52 @@ object OracleGen {
        |ORDER BY qs.q_id""".stripMargin
   }
 
+  /** SIM19 replay: the full-width cosine truth (sim8's convention —
+    * candidates are every other vector) versus one prefix-cosine leg
+    * per dim, each with prefix dots and prefix norms, recalls unioned
+    * per dim.
+    */
+  def sim19Sql(numQueryVecs: Int = 5, k: Int = 10,
+               dims: Seq[Int] = Seq(16, 32, 64), dim: Int = 64): String = {
+    def legCte(m: Int): String =
+      s"""leg$m AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (${pairDot("e.embedding", "q.embedding", m)})
+         |          / (sqrt(${pairDot("e.embedding", "e.embedding", m)})
+         |             * sqrt(${pairDot("q.embedding", "q.embedding", m)}))
+         |          DESC, e.vec_id ASC) AS rnk
+         |    FROM embeddings e
+         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+         |                WHERE vec_id < $numQueryVecs) q
+         |    WHERE e.vec_id <> q.vec_id) t WHERE rnk <= $k)""".stripMargin
+    val unions = dims.map(m =>
+      s"""SELECT $m AS dim,
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM truth t JOIN leg$m a
+         |       ON t.query_id = a.query_id AND t.vec_id = a.vec_id)
+         |      AS n_hits""".stripMargin).mkString("\n  UNION ALL ")
+    s"""WITH truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (${pairDot("e.embedding", "q.embedding", dim)})
+       |          / (sqrt(${pairDot("e.embedding", "e.embedding", dim)})
+       |             * sqrt(${pairDot("q.embedding", "q.embedding", dim)}))
+       |          DESC, e.vec_id ASC) AS rnk
+       |    FROM embeddings e
+       |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |                WHERE vec_id < $numQueryVecs) q
+       |    WHERE e.vec_id <> q.vec_id) t WHERE rnk <= $k),
+       |${dims.map(legCte).mkString(",\n")}
+       |SELECT dim, n_truth, n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
+       |FROM (
+       |  $unions)
+       |ORDER BY dim""".stripMargin
+  }
+
   /** SR3 replay: sim17's ADC-vs-exact legs, then the position-
     * sensitive metrics — per-rank hit flags pivot into the SAME fixed
     * written-order nDCG expression the Spark side evaluates, with the

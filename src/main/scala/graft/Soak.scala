@@ -198,7 +198,7 @@ object Soak {
     // classifier scan, and the star-edge incremental relabel
     "sr3_retrieval_eval", "a52_kappa", "tx31_quality_clf",
     "dd25_incremental_comps", "sq7_ushape_attr",
-    "tx32_fertility", "a53_fleiss", "dp25_dsir")
+    "tx32_fertility", "a53_fleiss", "dp25_dsir", "sim19_dim_sweep")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -250,6 +250,7 @@ object SparkEntry {
     "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "tx32_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     "dp25_dsir"          -> ((s, d) => DataPrep.dsirSelect(s, d)),
+    "sim19_dim_sweep"    -> ((s, d) => Similarity.dimSweepRecall(s, d)),
     "a53_fleiss"         -> ((s, d) => Analytics.fleissKappa(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
@@ -650,6 +651,7 @@ object SparkEntry {
       operators.TextAnalysis.tokenizerFertilityOracleSql(),
     "a53_fleiss" -> operators.Analytics.fleissKappaOracleSql(),
     "dp25_dsir" -> operators.DataPrep.dsirSelectOracleSql(),
+    "sim19_dim_sweep" -> OracleGen.sim19Sql(),
     "dd23_shingle_sense" ->
       operators.Dedup.shingleSensitivityOracleSql(),
     "mm10_contrast_gate" ->

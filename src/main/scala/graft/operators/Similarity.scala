@@ -524,6 +524,43 @@ object Similarity {
       .orderBy("n_probe")
   }
 
+  // --- SIM19: MATRYOSHKA DIMENSION SWEEP — recall@k of
+  // PREFIX-dimension cosine retrieval against the full-width truth at
+  // dims 16/32/64: the calibration curve adaptive-retrieval serving
+  // reads before picking a truncation (MRL-style embeddings pack most
+  // signal into prefixes; the sweep measures what THESE embeddings
+  // lose at each cut — at serving a 16-dim prefix scan reads a
+  // quarter of the bytes). dims' last entry = the full width is a
+  // built-in self-check: that leg IS the truth, recall exactly 1.
+  // One checkpointed truth leg (sim18's discipline); each prefix leg
+  // is the same bounded nq × corpus scan over a narrower slice. ---
+  def dimSweepRecall(s: SparkSession, d: String,
+                     numQueryVecs: Int = 5, k: Int = 10,
+                     dims: Seq[Int] = Seq(16, 32, 64)): DataFrame = {
+    val truth = exactTruth(s, d, numQueryVecs, k)
+    val e = Tables.embeddings(s, d)
+    dims.map { m =>
+      val q = e.filter(col("vec_id") < numQueryVecs)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, m).as("q_emb"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cs").desc, col("vec_id").asc)
+      val leg = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          vecCosine(slice(col("embedding"), 1, m), col("q_emb")).as("cs"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      truth.join(leg, Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(lit(m).as("dim"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy("dim")
+  }
+
   // --- SIM7: vector preprocessing audit — L2 norm, max-|x|, and the
   // mean reconstruction error of symmetric int8 quantization
   // (scale = 127/max|x|, level = floor(x·scale + 0.5)). The numbers a

@@ -1291,6 +1291,17 @@ class Pack10Spec extends SparkTestBase {
       "add-one smoothing keeps every weight finite"))
   }
 
+  test("sim19: prefix-dim recall is monotone and the full-width leg is its own truth") {
+    val rows = operators.Similarity.dimSweepRecall(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(16, 32, 64))
+    val recalls = rows.map(_.getDouble(3)).toSeq
+    assert(recalls == recalls.sorted,
+      "more dimensions can only sharpen the cosine ranking on average")
+    assert(recalls.last == 1.0,
+      "the 64-dim leg IS the truth — the sweep's built-in self-check")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
