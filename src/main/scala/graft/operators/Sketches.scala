@@ -33,14 +33,27 @@ object Sketches {
                       probeKeys: Seq[Long] = (1L to 20L).toSeq,
                       eps: Double = 0.001, confidence: Double = 0.99,
                       seed: Int = 42): DataFrame = {
-    import s.implicits._
     val li = Tables.lineitem(s, d)
     val cms = li.stat.countMinSketch("l_suppkey", eps, confidence, seed)
+    val exact = li.filter(col("l_suppkey").isin(probeKeys: _*))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("exact_count"))
+    cmsAuditTail(s, cms, exact, probeKeys, eps)
+  }
+
+  /** The probe/guarantee tail shared by batch cms1 and the
+    * stream-maintained sketch's read side ([[graft.streaming.Streams
+    * .readCmsAudit]]): per probe key the sketch estimate, the exact
+    * count, and the published CMS bound holding — one definition, so
+    * the two paths cannot audit differently.
+    */
+  private[graft] def cmsAuditTail(s: SparkSession,
+                                  cms: org.apache.spark.util.sketch.CountMinSketch,
+                                  exact: DataFrame, probeKeys: Seq[Long],
+                                  eps: Double): DataFrame = {
+    import s.implicits._
     val slack = math.ceil(eps * cms.totalCount()).toLong
     val est = probeKeys.map(k => (k, cms.estimateCount(k)))
       .toDF("l_suppkey", "est_count")
-    val exact = li.filter(col("l_suppkey").isin(probeKeys: _*))
-      .groupBy("l_suppkey").agg(count(lit(1)).as("exact_count"))
     est.join(exact, Seq("l_suppkey"), "left_outer")
       .select(col("l_suppkey"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"),

@@ -1001,6 +1001,82 @@ object Streams {
     ()
   }
 
+  /** Streaming maintenance of cms1's Count-Min sketch — the
+    * sketch-family twin: CMS counter matrices are EXACTLY mergeable
+    * (same eps/confidence/seed → counters add), so each batch
+    * publishes the serialized sketch of its newly-admitted lineitem
+    * rows plus the additive probe-key exact counts, and the read side
+    * merges the sketch blobs and replays the batch audit's own
+    * probe/guarantee tail ([[graft.operators.Sketches.cmsAuditTail]]).
+    * Sketch counters are additive, NOT idempotent, and the synthetic
+    * lineitem carries no unique row id ((l_orderkey, l_linenumber)
+    * repeats), so admission is ORDER-keyed: an order's lines enter the
+    * sketch exactly once, on first delivery, wholesale — the
+    * [[chunkMaintainBatch]] mutation contract at the order grain
+    * (delivery unit = an order's line set; duplicates across batches
+    * are dropped, multiplicities within one delivery are preserved).
+    * At 100 TB the maintained state is a kilobytes-scale counter
+    * matrix per batch — the canonical "sketches, not rows" serving
+    * artifact.
+    */
+  def cmsIndexMaintainStream(incoming: DataFrame, workDir: String,
+                             checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cmsMaintainBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] val CmsProbeKeys: Seq[Long] = (1L to 20L).toSeq
+  private[graft] val CmsEps = 0.001
+
+  private[graft] def cmsMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                      workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    import s.implicits._
+    val prior = deltaDirs(workDir, "likeys")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val fresh = prior match {
+      case Seq() => batchDf
+      case dirs => batchDf.join(s.read.parquet(dirs: _*),
+        Seq("l_orderkey"), "left_anti")
+    }
+    fresh.select("l_orderkey").distinct()
+      .write.mode("overwrite").parquet(s"$workDir/likeys/b$batchId")
+    val cms = fresh.stat.countMinSketch("l_suppkey", CmsEps, 0.99, 42)
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    Seq((batchId, bos.toByteArray))
+      .toDF("batch_id", "sketch")
+      .write.mode("overwrite").parquet(s"$workDir/cms/b$batchId")
+    fresh.filter(col("l_suppkey").isin(CmsProbeKeys: _*))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("exact_count"))
+      .write.mode("overwrite").parquet(s"$workDir/liexact/b$batchId")
+    ()
+  }
+
+  /** Read side: merge the serialized counter matrices (exact integer
+    * adds), sum the probe-key exact deltas, then the shared audit
+    * tail — the stream-maintained audit equals batch
+    * `cms1_heavy_hitters` under any wave/redelivery schedule.
+    */
+  def readCmsAudit(s: org.apache.spark.sql.SparkSession,
+                   workDir: String): DataFrame = {
+    val merged = s.read.parquet(deltaDirs(workDir, "cms"): _*)
+      .select("sketch").collect()
+      .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val exact = s.read.parquet(deltaDirs(workDir, "liexact"): _*)
+      .groupBy("l_suppkey")
+      .agg(sum(col("exact_count")).as("exact_count"))
+    graft.operators.Sketches.cmsAuditTail(s, merged, exact,
+      CmsProbeKeys, CmsEps)
+  }
+
   /** Read side: union the disjoint posting deltas, then the shared
     * Okapi tail ([[graft.operators.TextAnalysis.bm25Tail]]) — the
     * stream-served BM25 equals batch `tx19_bm25` under any

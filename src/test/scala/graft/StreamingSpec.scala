@@ -1148,6 +1148,46 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
+  test("equivalence: merged CMS deltas replay the batch sketch audit (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the delivery unit is an ORDER's line set (admission is
+    // order-keyed — lineitem has no unique row id), so waves are
+    // built from shuffled order groups, never split rows of one order
+    val groups = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .as[(Long, Int, Long)].collect().toSeq.groupBy(_._1).values.toSeq
+      .sortBy(_.head._1)
+    val shuffled = new scala.util.Random(59).shuffle(groups)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1))
+      .map(_.flatten).toSeq
+    val mem = MemoryStream[(Long, Int, Long)]
+    val root = java.nio.file.Files.createTempDirectory("cmsstream").toString
+    val q = Streams.cmsIndexMaintainStream(
+      mem.toDF().select(col("_1").as("l_orderkey"),
+        col("_2").as("l_linenumber"), col("_3").as("l_suppkey")),
+      root, s"$root/ck")
+    // + late redelivery of wave 1's first orders, complete line sets:
+    // CMS counters are additive, not idempotent — a re-admitted order
+    // would inflate estimates and totalCount (and with it the slack
+    // bound); admission must drop it
+    try (waves :+ shuffled.take(50).flatten).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.cmsMaintainBatch(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_linenumber", "l_suppkey"), 0L, root)
+    assert(rowSet(Streams.readCmsAudit(spark, root)) ==
+      rowSet(operators.Sketches.cmsHeavyHitters(spark, sf)),
+      "merged sketch audit must equal the batch cms1 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/likeys").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("l_orderkey").count(),
+      "order admission deltas must be disjoint")
+  }
+
   test("equivalence: one maintained monthly state drives both trend monitors (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
