@@ -1340,37 +1340,42 @@ object OracleGen {
     */
   def sim19Sql(numQueryVecs: Int = 5, k: Int = 10,
                dims: Seq[Int] = Seq(16, 32, 64), dim: Int = 64): String = {
+    // ONE cross join computes every prefix cosine as a plain column;
+    // the per-dim windows then rank small materialized columns. The
+    // window-inside-giant-expression form leaked ~0.5 GB of DuckDB
+    // buffer reservation PER EXECUTION (duckdb 1.0 accounting bug) —
+    // enough to tip a 300+-oracle gate run over the process limit.
+    val csCols = dims.map(m =>
+      s"""(${pairDot("e.embedding", "q.embedding", m)})
+         |      / (sqrt(${pairDot("e.embedding", "e.embedding", m)})
+         |         * sqrt(${pairDot("q.embedding", "q.embedding", m)}))
+         |      AS cs$m""".stripMargin).mkString(",\n    ")
     def legCte(m: Int): String =
       s"""leg$m AS (
          |  SELECT query_id, vec_id FROM (
-         |    SELECT q.vec_id AS query_id, e.vec_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        (${pairDot("e.embedding", "q.embedding", m)})
-         |          / (sqrt(${pairDot("e.embedding", "e.embedding", m)})
-         |             * sqrt(${pairDot("q.embedding", "q.embedding", m)}))
-         |          DESC, e.vec_id ASC) AS rnk
-         |    FROM embeddings e
-         |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-         |                WHERE vec_id < $numQueryVecs) q
-         |    WHERE e.vec_id <> q.vec_id) t WHERE rnk <= $k)""".stripMargin
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cs$m DESC, vec_id ASC) AS rnk
+         |    FROM scored) t WHERE rnk <= $k)""".stripMargin
     val unions = dims.map(m =>
       s"""SELECT $m AS dim,
          |    (SELECT count(*) FROM truth) AS n_truth,
          |    (SELECT count(*) FROM truth t JOIN leg$m a
          |       ON t.query_id = a.query_id AND t.vec_id = a.vec_id)
          |      AS n_hits""".stripMargin).mkString("\n  UNION ALL ")
-    s"""WITH truth AS (
+    s"""WITH scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |    $csCols
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+       |              WHERE vec_id < $numQueryVecs) q
+       |  WHERE e.vec_id <> q.vec_id),
+       |truth AS (
        |  SELECT query_id, vec_id FROM (
-       |    SELECT q.vec_id AS query_id, e.vec_id,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        (${pairDot("e.embedding", "q.embedding", dim)})
-       |          / (sqrt(${pairDot("e.embedding", "e.embedding", dim)})
-       |             * sqrt(${pairDot("q.embedding", "q.embedding", dim)}))
-       |          DESC, e.vec_id ASC) AS rnk
-       |    FROM embeddings e
-       |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-       |                WHERE vec_id < $numQueryVecs) q
-       |    WHERE e.vec_id <> q.vec_id) t WHERE rnk <= $k),
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cs$dim DESC, vec_id ASC) AS rnk
+       |    FROM scored) t WHERE rnk <= $k),
        |${dims.map(legCte).mkString(",\n")}
        |SELECT dim, n_truth, n_hits,
        |  round(CAST(n_hits AS DOUBLE) / n_truth, 4) AS recall
