@@ -1193,11 +1193,22 @@ object DataPrep {
   // per-token normalizer arithmetic survives into the hot path.
   // Cross-row ln sums round at 4dp — the tx26 discipline. ---
   def dsirSelect(s: SparkSession, d: String, target: String = "src0",
-                 topK: Int = 25): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(graft.functions.Text.tokens(col("text"))).as("token"))
-      .select(col("doc_id"), col("source"), xxhash64(col("token")).as("th"))
+                 topK: Int = 25): DataFrame =
+    dsirFromTokens(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.Text.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("token")).as("th")),
+      target, topK)
+
+  /** The DSIR estimator over any per-OCCURRENCE (doc_id, source, th)
+    * token relation — shared by batch dp25 and the stream-maintained
+    * posting lists' read side ([[graft.streaming.Streams.readDsir]]),
+    * so the two paths weigh documents identically.
+    */
+  private[graft] def dsirFromTokens(tok: DataFrame, target: String,
+                                    topK: Int): DataFrame = {
     val raw = tok.groupBy("th").agg(count(lit(1)).as("cr"))
     val tgt = tok.filter(col("source") === target)
       .groupBy("th").agg(count(lit(1)).as("ct"))

@@ -985,14 +985,18 @@ object Streams {
     val s = batchDf.sparkSession
     val prior = deltaDirs(workDir, "docs")
       .filterNot(_.endsWith(s"/b$batchId"))
-    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+    // the admission ledger carries the doc's source alongside its id —
+    // free at write time, and it is what lets the SAME maintained
+    // artifact serve source-conditioned readouts (readDsir) without a
+    // second corpus-scale state
+    val batchDocs = batchDf.select(col("doc_id"), col("text"), col("source"))
       .dropDuplicates("doc_id")
     val fresh = prior match {
       case Seq() => batchDocs
       case dirs => batchDocs.join(
         s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
     }
-    fresh.select("doc_id")
+    fresh.select("doc_id", "source")
       .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
     fresh.select(col("doc_id"),
         explode(graft.functions.Text.tokens(col("text"))).as("token"))
@@ -1087,6 +1091,28 @@ object Streams {
                topK: Int = 20): DataFrame =
     graft.operators.TextAnalysis.bm25FromPostings(
       s.read.parquet(deltaDirs(workDir, "postings"): _*), terms, topK)
+
+  /** Second read path over the SAME maintained posting lists: dp25's
+    * DSIR selection. Postings expand back to per-occurrence rows
+    * (sequence(1, tf) — the exact multiset the batch estimator
+    * tokenized), pick up each doc's source from the admission ledger,
+    * and flow through the batch query's own estimator
+    * ([[graft.operators.DataPrep.dsirFromTokens]]). One inverted-index
+    * artifact serving both the lexical retrieval leg and the
+    * data-selection weights is precisely the amortization argument for
+    * maintaining it.
+    */
+  def readDsir(s: org.apache.spark.sql.SparkSession, workDir: String,
+               target: String = "src0", topK: Int = 25): DataFrame = {
+    val occurrences = s.read.parquet(deltaDirs(workDir, "postings"): _*)
+      .select(col("doc_id"), col("token"),
+        explode(sequence(lit(1L), col("tf"))).as("occ"))
+      .select(col("doc_id"), xxhash64(col("token")).as("th"))
+    graft.operators.DataPrep.dsirFromTokens(
+      occurrences.join(
+        s.read.parquet(deltaDirs(workDir, "docs"): _*), "doc_id"),
+      target, topK)
+  }
 
   /** Streaming maintenance of the near-dup PAIR relation and its
     * component labels — dedup AT INGEST, the serving twin of

@@ -1082,17 +1082,19 @@ class StreamingSpec extends SparkTestBase {
       "doc admission deltas must be disjoint")
   }
 
-  test("equivalence: stream-maintained posting lists serve batch-identical BM25 (waves + redelivery + replay)") {
+  test("equivalence: one maintained posting-list artifact serves batch BM25 AND batch DSIR (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sf)
-      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq
     val shuffled = new scala.util.Random(47).shuffle(docs)
     val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
-    val mem = MemoryStream[(Long, String)]
+    val mem = MemoryStream[(Long, String, String)]
     val root = java.nio.file.Files.createTempDirectory("postingstream").toString
     val q = Streams.postingsIndexMaintainStream(
-      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"),
+        col("_3").as("source")),
       root, s"$root/ck")
     // + late redelivery of part of wave 1: tf is per-document state,
     // so a re-admitted doc would double its posting rows — admission
@@ -1102,10 +1104,15 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     // + a same-batch-id replay on the finished state: identical delta
     Streams.postingsMaintainBatch(
-      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+      Tables.documents(spark, sf).select("doc_id", "text", "source"),
+      0L, root)
     assert(rowSet(Streams.readBm25(spark, root)) ==
       rowSet(operators.TextAnalysis.bm25TopDocs(spark, sf)),
       "stream-served BM25 must equal the batch tx19 answer")
+    // the SAME artifact also serves the data-selection weights
+    assert(rowSet(Streams.readDsir(spark, root)) ==
+      rowSet(operators.DataPrep.dsirSelect(spark, sf)),
+      "stream-served DSIR must equal the batch dp25 answer")
     // a document's postings must live in exactly one delta
     val keys = spark.read.parquet(
       new java.io.File(s"$root/docs").listFiles()
