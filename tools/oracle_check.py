@@ -36,11 +36,21 @@ def frame_hash(cols, rows):
     return h.hexdigest()
 
 
-def main():
+def fresh_con():
     con = duckdb.connect()
     for p in glob.glob(f"{SF}/*.parquet"):
         name = os.path.basename(p).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    # DuckDB 1.0 leaks buffer-pool RESERVATION (not memory) across
+    # repeated query executions on one connection; a 300+-oracle run
+    # can spuriously hit the process memory_limit hundreds of queries
+    # in. A fresh connection every 50 queries resets the accounting.
+    con = fresh_con()
+    n_run = 0
 
     with open(f"{OUT}/oracle_sql.json") as f:
         oracles = json.load(f)
@@ -52,6 +62,10 @@ def main():
         if not files:
             results[name] = "NO_OUTPUT"
             continue
+        n_run += 1
+        if n_run % 50 == 0:
+            con.close()
+            con = fresh_con()
         sp = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         sp_cols = [d[0] for d in con.description]
