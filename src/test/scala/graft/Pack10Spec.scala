@@ -1226,6 +1226,26 @@ class Pack10Spec extends SparkTestBase {
     assert(byMargin == byMargin.sorted, "p_keep monotone in the margin")
   }
 
+  test("incremental pieces degenerate exactly: all-fresh pair probe == full pair relation; full-width base slice == full labels") {
+    // pairsTouching with everything fresh must BE the batch pair
+    // relation (same caps, same denominators, same threshold)
+    val gr = graft.sources.TextIndex.gramIndex(spark, sf, 3)
+    val probed = operators.Dedup.pairsTouching(gr, gr, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = operators.Dedup.ngramJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == full, "a probe where every doc is fresh is the full join")
+    // a base boundary past every id makes the slice the whole corpus
+    val maxId = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(graft.sources.TextIndex
+        .componentsIndexBase(spark, sf, maxId + 1)) ==
+      asSet(operators.Dedup.componentsFromScratch(spark, sf)),
+      "the full-width base slice must equal the full assignment")
+  }
+
   test("dd25: star-edge relabel over delta pairs equals the from-scratch assignment") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
