@@ -1340,6 +1340,11 @@ object OracleGen {
     */
   def sim19Sql(numQueryVecs: Int = 5, k: Int = 10,
                dims: Seq[Int] = Seq(16, 32, 64), dim: Int = 64): String = {
+    // the truth CTE ranks on cs$dim, which only exists as a scored
+    // column when dim is one of the scored prefix widths — fail fast
+    // instead of emitting SQL that references a nonexistent column
+    require(dims.contains(dim),
+      s"sim19Sql: truth dim $dim must be one of the scored dims $dims")
     // ONE cross join computes every prefix cosine as a plain column;
     // the per-dim windows then rank small materialized columns. The
     // window-inside-giant-expression form leaked ~0.5 GB of DuckDB

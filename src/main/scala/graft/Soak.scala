@@ -125,6 +125,36 @@ object Soak {
     ()
   }
 
+  /** part / supplier keys shifted in lockstep with the lineitem
+    * copies, nation / region copied VERBATIM (their keys are never
+    * shifted in customer/supplier, so the tiny dimensions stay the
+    * shared parents of every copy) — completes the FK schema so
+    * dq6's referential audit soaks end-to-end with orphan counts
+    * exactly 10× base.
+    */
+  private def buildDimsIfMissing(s: SparkSession, base: String,
+                                 out: String): Unit = {
+    val done = new java.io.File(out, "_SOAK_OK_DIMS")
+    if (done.exists()) return
+    new java.io.File(out).mkdirs()
+    val p = Tables.part(s, base)
+    (0 until Copies).map { i =>
+      p.withColumn("p_partkey", col("p_partkey") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    val sup = Tables.supplier(s, base)
+    (0 until Copies).map { i =>
+      sup.withColumn("s_suppkey", col("s_suppkey") + lit(i * Stride))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    Tables.nation(s, base)
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    Tables.region(s, base)
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+    java.nio.file.Files.createFile(done.toPath)
+    ()
+  }
+
   /** The soaked families: everything here reads only documents /
     * embeddings / events (the derived tables). lineitem-family OLAP
     * queries are already scale-covered by the driver's own bench tiers.
@@ -184,8 +214,6 @@ object Soak {
     // round-9 additions: hybrid BM25+PQ fusion and its QL sibling, the
     // PQ recall gate, G² collocations over the frequent-token lattice,
     // the rich-club curve, and both monthly-series trend tests
-    // (orders are soak-derived; dq6 is excluded — it reads
-    // part/supplier/region, which the soak does not derive)
     "sr1_hybrid_rrf", "sr2_query_likelihood", "sim17_pq_recall",
     "tx29_collocations", "gr18_rich_club", "gr19_neighbor_deg",
     "a50_mann_kendall", "a51_runs_test",
@@ -198,7 +226,11 @@ object Soak {
     // classifier scan, and the star-edge incremental relabel
     "sr3_retrieval_eval", "a52_kappa", "tx31_quality_clf",
     "dd25_incremental_comps", "sq7_ushape_attr",
-    "tx32_fertility", "a53_fleiss", "dp25_dsir", "sim19_dim_sweep")
+    "tx32_fertility", "a53_fleiss", "dp25_dsir", "sim19_dim_sweep",
+    // round-10 additions: the FK audit (part/supplier/nation/region now
+    // soak-derived — the last missing family) and the forced
+    // bloom+shuffle contamination path alongside its broadcast twin
+    "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer
@@ -260,6 +292,7 @@ object Soak {
     buildIfMissing(spark, base, out)
     buildSalesIfMissing(spark, base, out)
     buildCustomerIfMissing(spark, base, out)
+    buildDimsIfMissing(spark, base, out)
 
     def run(name: String, dir: String, soakSide: Boolean): Double = {
       val fn = (if (soakSide) soakForm(name) else None)

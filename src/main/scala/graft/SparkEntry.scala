@@ -170,6 +170,11 @@ object SparkEntry {
     // round-3 pack: decontamination, repetition/quality, domain mixing,
     // gap-fill, higher moments, cross-modal audit, k-means M-step
     "dd9_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    // the SAME relation through the scale path (bloom-prefilter on the
+    // gram hash + shuffled equi-join instead of the eval broadcast);
+    // shares dd9's oracle — the gate proves the two paths identical
+    "dd9_decontam_shuffled" ->
+      ((s, d) => Dedup.decontaminate(s, d, broadcastEval = false)),
     "tx11_repetition"   -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     "dp6_domain_mix"    -> ((s, d) => DataPrep.domainMix(s, d)),
     "w10_gapfill"       -> ((s, d) => DataPrep.calendarGapFill(s, d)),
@@ -252,6 +257,7 @@ object SparkEntry {
     "dp25_dsir"          -> ((s, d) => DataPrep.dsirSelect(s, d)),
     "sim19_dim_sweep"    -> ((s, d) => Similarity.dimSweepRecall(s, d)),
     "a53_fleiss"         -> ((s, d) => Analytics.fleissKappa(s, d)),
+    "a54_hodges_lehmann" -> ((s, d) => Analytics.hodgesLehmann(s, d)),
     "dd23_shingle_sense" -> ((s, d) => Dedup.shingleSensitivity(s, d)),
     "dd24_cluster_sizes" -> ((s, d) => Dedup.clusterSizeDistribution(s, d)),
     "dd25_incremental_comps" -> ((s, d) => Dedup.incrementalComponents(s, d)),
@@ -307,6 +313,11 @@ object SparkEntry {
     "dq3_bucket_diff"    -> ((s, d) => DataQuality.bucketDiff(s, d)),
     "pv1_k_anonymity"    -> ((s, d) => DataQuality.kAnonymity(s, d)),
     "dd20_contamination" -> ((s, d) => Dedup.contaminationTiers(s, d)),
+    // dd20's exact leg through the forced bloom + shuffle path; shares
+    // dd20's oracle — bound 0 forces the selection the audit would
+    // make when the eval gram set outgrows the broadcast-safe bound
+    "dd20_contam_shuffled" ->
+      ((s, d) => Dedup.contaminationTiers(s, d, evalBroadcastBound = 0L)),
     "gr13_closeness"     -> ((s, d) => Graph.closeness(s, d)),
     "st9_dq_monitor"     -> ((s, d) => Analytics.dqMonitor(s, d)),
     "j10_point_in_time"  -> ((s, d) => Relational.pointInTimeJoin(s, d)),
@@ -650,6 +661,7 @@ object SparkEntry {
     "tx32_fertility" ->
       operators.TextAnalysis.tokenizerFertilityOracleSql(),
     "a53_fleiss" -> operators.Analytics.fleissKappaOracleSql(),
+    "a54_hodges_lehmann" -> operators.Analytics.hodgesLehmannOracleSql(),
     "dp25_dsir" -> operators.DataPrep.dsirSelectOracleSql(),
     "sim19_dim_sweep" -> OracleGen.sim19Sql(),
     "dd23_shingle_sense" ->
@@ -1480,6 +1492,9 @@ object SparkEntry {
     "dq3_bucket_diff" -> operators.DataQuality.bucketDiffOracleSql(),
     "pv1_k_anonymity" -> operators.DataQuality.kAnonymityOracleSql(),
     "dd20_contamination" -> OracleGen.dd20Sql(),
+    // the shuffled-path twin replays the identical relation: one
+    // oracle text, two physical plans — the gate proves them equal
+    "dd20_contam_shuffled" -> OracleGen.dd20Sql(),
     "gr13_closeness" -> operators.Graph.closenessOracleSql(),
     "j10_point_in_time" ->
       """WITH nonp AS (
@@ -1949,6 +1964,18 @@ object SparkEntry {
         |       OVER (ORDER BY o_orderkey) AS BIGINT) / 100.0 AS cum_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dd9_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS g
+        |  FROM w)
+        |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+        |  count(*) AS n_shared
+        |FROM grams t JOIN grams e ON t.g = e.g
+        |WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+        |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
+    "dd9_decontam_shuffled" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |grams AS (
         |  SELECT DISTINCT doc_id,

@@ -2023,6 +2023,83 @@ object Analytics {
       |        * CAST(n1 + n2 - 1 AS DOUBLE))), 4) AS z
       |FROM agg""".stripMargin
 
+  // --- A54: HODGES-LEHMANN location estimate [Hodges & Lehmann 1963]
+  // of the monthly revenue — the robust companion to the mean/median
+  // pair (a14/a18) and the location sibling of a41's Theil-Sen slope:
+  // the median of all Walsh averages (c_i + c_j)/2, i <= j, which
+  // keeps the plain median's outlier resistance while recovering most
+  // of the mean's efficiency under symmetric noise. Walsh SUMS are
+  // exact cent integers; the pair relation rides the calendar-bounded
+  // monthly aggregate (~84 rows -> ~3.6k pairs at ANY corpus size —
+  // the a41/a50 boundedness argument verbatim), so the one global
+  // window ranks a constant-size relation. The median is the exact
+  // lower/upper-middle average (odd m: both picks are the same row),
+  // computed on integer sums; doubles appear only in the two final
+  // divisions, rounded at 6dp on both engines. Reported next to the
+  // plain median via the SAME rank-pick rule, so the two columns are
+  // directly comparable. ---
+  def hodgesLehmann(s: SparkSession, d: String): DataFrame =
+    hodgesLehmannFromMonthly(monthlyRevenueState(Tables.orders(s, d)))
+
+  /** a54's estimator tail over the shared monthly state — the
+    * mannKendallFromMonthly discipline (one definition for batch and
+    * any future maintained-state reader).
+    */
+  private[graft] def hodgesLehmannFromMonthly(monthly: DataFrame): DataFrame = {
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    // middle-rank average over any (v, tie-break x) relation: odd
+    // counts pick one row twice (the two conditions coincide), even
+    // counts average the two middles — exact on integer inputs
+    def midAvg(df: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(lit(0)).orderBy(col(v).asc)
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("mm", sum(lit(1L)).over(Window.partitionBy(lit(0))))
+        .filter(col("rn") === expr("(mm + 1) div 2") ||
+          col("rn") === expr("mm div 2 + 1"))
+        .agg((sum(dbl(col(v))) / count(lit(1))).as(s"${v}_med"))
+    }
+    val walsh = monthly.select(col("x").as("xa"), col("c").as("ca"))
+      .join(broadcast(monthly.select(col("x").as("xb"), col("c").as("cb"))),
+        col("xa") <= col("xb"))
+      .select((col("ca") + col("cb")).as("w"))
+    val n = monthly.agg(count(lit(1)).as("n_months"))
+    n.crossJoin(broadcast(midAvg(monthly, "c")))
+      .crossJoin(broadcast(midAvg(walsh, "w")))
+      .select(col("n_months"),
+        (col("n_months") * (col("n_months") + 1) / 2).cast("long")
+          .as("n_pairs"),
+        round(col("c_med") / 100.0, 6).as("median_rev"),
+        round(col("w_med") / 200.0, 6).as("hl_rev"))
+  }
+
+  /** Oracle twin of [[hodgesLehmann]] — same cents series, Walsh sum
+    * relation, middle-rank picks, and final divisions.
+    */
+  def hodgesLehmannOracleSql(): String =
+    """WITH m AS (
+      |  SELECT ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+      |    AS x, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT a.c + b.c AS w
+      |  FROM m a JOIN m b ON a.x <= b.x),
+      |cm AS (
+      |  SELECT sum(CAST(c AS DOUBLE)) / count(*) AS c_med FROM (
+      |    SELECT c, row_number() OVER (ORDER BY c ASC) AS rn,
+      |      count(*) OVER () AS mm FROM m)
+      |  WHERE rn = (mm + 1) // 2 OR rn = mm // 2 + 1),
+      |wm AS (
+      |  SELECT sum(CAST(w AS DOUBLE)) / count(*) AS w_med FROM (
+      |    SELECT w, row_number() OVER (ORDER BY w ASC) AS rn,
+      |      count(*) OVER () AS mm FROM w)
+      |  WHERE rn = (mm + 1) // 2 OR rn = mm // 2 + 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m)
+      |SELECT n_months,
+      |  CAST(n_months * (n_months + 1) // 2 AS BIGINT) AS n_pairs,
+      |  round(c_med / 100.0, 6) AS median_rev,
+      |  round(w_med / 200.0, 6) AS hl_rev
+      |FROM n, cm, wm""".stripMargin
+
   // --- A52: COHEN'S KAPPA [Cohen 1960] — inter-annotator agreement
   // on a labeled corpus, THE acceptance gate before human labels feed
   // a training pipeline: raw agreement p_o is inflated by chance, so
@@ -2060,9 +2137,14 @@ object Analytics {
     val pe = cats.map(c =>
       (rowSum(c).cast("double") / n) * (colSum(c).cast("double") / n))
       .reduceLeft(_ + _)
+    // the degenerate p_e = 1 corpus (every doc in one cell) must be
+    // NULL by CONSTRUCTION on both engines: an unguarded 0/0 is
+    // engine-dependent (Spark NULL, or an ANSI error; DuckDB under
+    // default ieee_floating_point_ops returns NaN) and would split
+    // the oracle twins — so the guard is part of the estimator
     one.select(col("n_docs"), agree.cast("long").as("n_agree"),
       round(po, 6).as("po"), round(pe, 6).as("pe"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      round(when(pe < lit(1.0), (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   // --- A53: FLEISS' KAPPA [Fleiss 1971] — a52 generalized to a PANEL
@@ -2098,16 +2180,25 @@ object Analytics {
       (col(s"t_$c").cast("double") / (n * lit(3.0))) *
         (col(s"t_$c").cast("double") / (n * lit(3.0))))
       .reduceLeft(_ + _)
+    // same degenerate-p_e guard as [[cohenKappaFrom]]: NULL by
+    // construction, never an engine-dependent 0/0
     agg.select(col("n_docs"),
       round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
-      round((pBar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      round(when(pe < lit(1.0), (pBar - pe) / (lit(1.0) - pe)), 6).as("kappa"))
   }
 
   /** Oracle twin of [[fleissKappa]] — same rater thresholds over one
     * tokenize, same per-row category counts, same written-order tail.
     */
-  def fleissKappaOracleSql(): String =
-    """WITH ag AS (
+  def fleissKappaOracleSql(): String = {
+    // the P̄_e = Σ p_j² block, built once — it appears four times in
+    // the tail (p_e output, kappa numerator/denominator, and the
+    // degenerate guard); left-to-right sum order matches the Spark side
+    val pe = Seq("low", "mid", "high").map(c =>
+      s"(CAST(t_$c AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))" +
+        s"\n      * (CAST(t_$c AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))")
+      .mkString("\n    + ")
+    s"""WITH ag AS (
       |  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS ws
       |  FROM documents),
       |feat AS (
@@ -2153,28 +2244,15 @@ object Analytics {
       |SELECT n_docs,
       |  round(CAST(pi_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0), 6)
       |    AS p_bar,
-      |  round((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |      * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |    + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |      * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |    + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |      * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)), 6)
+      |  round($pe, 6)
       |    AS p_e,
-      |  round((CAST(pi_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)
-      |      - ((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |        + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |        + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))))
-      |    / (1.0 - ((CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_low AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |        + (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_mid AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |        + (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))
-      |          * (CAST(t_high AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)))), 6)
-      |    AS kappa
+      |  CASE WHEN ($pe) < 1.0 THEN
+      |    round((CAST(pi_sum AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)
+      |        - ($pe))
+      |      / (1.0 - ($pe)), 6)
+      |  END AS kappa
       |FROM agg""".stripMargin
+  }
 
   /** Oracle twin of [[cohenKappa]]: same rater thresholds over the
     * same single tokenize, same pivoted 3×3 cells, same written-order
@@ -2219,9 +2297,11 @@ object Analytics {
        |SELECT n_docs, CAST($agree AS BIGINT) AS n_agree,
        |  round(CAST($agree AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS po,
        |  round($pe, 6) AS pe,
-       |  round((CAST($agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
-       |      - ($pe))
-       |    / (1.0 - ($pe)), 6) AS kappa
+       |  CASE WHEN ($pe) < 1.0 THEN
+       |    round((CAST($agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |        - ($pe))
+       |      / (1.0 - ($pe)), 6)
+       |  END AS kappa
        |FROM piv""".stripMargin
   }
 }

@@ -641,56 +641,84 @@ object DataQuality {
   // are independent single-row aggregates unioned at the end, so AQE
   // schedules them as parallel subplans of one job. ---
   def referentialIntegrity(s: SparkSession, d: String): DataFrame = {
-    def edge(name: String, child: DataFrame, ck: String,
-             parent: DataFrame, pk: String): DataFrame =
-      child.select(col(ck).as("k"))
-        .join(parent.select(col(pk).as("k")).distinct()
-          .withColumn("hit", lit(1)), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child"),
-          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
-        .select(lit(name).as("relationship"), col("n_child"),
-          col("n_orphans"))
-    // The three lineitem edges share the fact scan: ONE pass over the
-    // big table joins all three parent key sets, and a 1-row aggregate
-    // fans back out to three audit rows — a per-edge formulation would
-    // scan lineitem three times for the same answer. Join strategy is
-    // left to AQE: every TPC-H parent grows with the corpus, so a
-    // hard broadcast hint would be the grow-with-data smell; at bench
-    // scale AQE broadcasts the key projections anyway, at 100 TB the
-    // orders edge becomes the same shuffle the production join pays.
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"))
-        .distinct().withColumn("oh", lit(1)),
-        col("l_orderkey") === col("o_orderkey"), "left")
-      .join(Tables.part(s, d).select(col("p_partkey"))
-        .distinct().withColumn("ph", lit(1)),
-        col("l_partkey") === col("p_partkey"), "left")
-      .join(Tables.supplier(s, d).select(col("s_suppkey"))
-        .distinct().withColumn("sh", lit(1)),
-        col("l_suppkey") === col("s_suppkey"), "left")
-      .agg(count(lit(1)).as("n_child"),
-        sum(when(col("oh").isNull, 1L).otherwise(0L)).as("no_o"),
-        sum(when(col("ph").isNull, 1L).otherwise(0L)).as("no_p"),
-        sum(when(col("sh").isNull, 1L).otherwise(0L)).as("no_s"))
-      .select(explode(array(
-        struct(lit("lineitem->orders").as("relationship"),
-          col("n_child"), col("no_o").as("n_orphans")),
-        struct(lit("lineitem->part").as("relationship"),
-          col("n_child"), col("no_p").as("n_orphans")),
-        struct(lit("lineitem->supplier").as("relationship"),
-          col("n_child"), col("no_s").as("n_orphans")))).as("e"))
-      .select(col("e.relationship").as("relationship"),
-        col("e.n_child").as("n_child"), col("e.n_orphans").as("n_orphans"))
+    // The three lineitem edges share ONE fact scan: each row fans out
+    // to its (kind, key) memberships and the per-key counts aggregate
+    // map-side — the count relation that reaches the parent joins is
+    // vocabulary-sized (distinct keys), not row-sized, so at 100 TB
+    // the joins probe key counts, never the raw fact stream. Counts
+    // per key are also the ADDITIVE state the stream-maintained twin
+    // publishes per batch ([[graft.streaming.Streams
+    // .refIntegrityLineitemBatch]]), which is why the audit tail
+    // ([[refIntegrityFromCounts]]) is shared — batch and stream can
+    // never count differently.
+    val liCounts = lineitemKeyCounts(Tables.lineitem(s, d))
+    refIntegrityFromCounts(s, d, liCounts,
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")))
+  }
+
+  /** One-scan (kind, k, n) key-membership counts over a lineitem-shaped
+    * relation: kind 'o'/'p'/'s' for the orderkey/partkey/suppkey
+    * memberships of each row. Shared by the batch audit and the
+    * streaming twin's per-batch delta.
+    */
+  private[graft] def lineitemKeyCounts(li: DataFrame): DataFrame =
+    li.select(explode(array(
+        struct(lit("o").as("kind"), col("l_orderkey").as("k")),
+        struct(lit("p").as("kind"), col("l_partkey").as("k")),
+        struct(lit("s").as("kind"), col("l_suppkey").as("k")))).as("e"))
+      .groupBy(col("e.kind").as("kind"), col("e.k").as("k"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One FK edge from a per-key child COUNT relation: orphans are the
+    * counts of keys the parent set misses. Join strategy is left to
+    * AQE: every TPC-H parent grows with the corpus, so a hard
+    * broadcast hint would be the grow-with-data smell; at bench scale
+    * AQE broadcasts the key projections anyway, at 100 TB the orders
+    * edge becomes the same shuffle the production join pays.
+    */
+  private def countedEdge(name: String, childCounts: DataFrame,
+                          parent: DataFrame, pk: String): DataFrame =
+    childCounts
+      .join(parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("hit").isNull, col("n")).otherwise(0L)),
+          lit(0L)).as("n_orphans"))
+      .select(lit(name).as("relationship"), col("n_child"),
+        col("n_orphans"))
+
+  /** The audit tail over the two FACT inputs (lineitem key counts and
+    * the orders key projection) plus the static dimensions read from
+    * `d` — the seven-edge report both the batch operator and the
+    * stream-maintained read side ([[graft.streaming.Streams
+    * .readRefIntegrity]]) assemble through this one definition.
+    */
+  private[graft] def refIntegrityFromCounts(s: SparkSession, d: String,
+                                            liCounts: DataFrame,
+                                            orders: DataFrame): DataFrame = {
+    def kinded(kind: String): DataFrame =
+      liCounts.filter(col("kind") === kind).select("k", "n")
+    val orderCounts = orders
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n"))
+    def rowCounts(df: DataFrame, ck: String): DataFrame =
+      df.groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
     Seq(
-      li,
-      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
-        Tables.nation(s, d), "n_nationkey"),
-      edge("nation->region", Tables.nation(s, d), "n_regionkey",
-        Tables.region(s, d), "r_regionkey"),
-      edge("orders->customer", Tables.orders(s, d), "o_custkey",
+      countedEdge("lineitem->orders", kinded("o"),
+        orders, "o_orderkey"),
+      countedEdge("lineitem->part", kinded("p"),
+        Tables.part(s, d), "p_partkey"),
+      countedEdge("lineitem->supplier", kinded("s"),
+        Tables.supplier(s, d), "s_suppkey"),
+      countedEdge("orders->customer", orderCounts,
         Tables.customer(s, d), "c_custkey"),
-      edge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+      countedEdge("customer->nation",
+        rowCounts(Tables.customer(s, d), "c_nationkey"),
+        Tables.nation(s, d), "n_nationkey"),
+      countedEdge("nation->region",
+        rowCounts(Tables.nation(s, d), "n_regionkey"),
+        Tables.region(s, d), "r_regionkey"),
+      countedEdge("supplier->nation",
+        rowCounts(Tables.supplier(s, d), "s_nationkey"),
         Tables.nation(s, d), "n_nationkey"))
       .reduce(_ unionByName _)
       .orderBy("relationship")

@@ -180,12 +180,31 @@ object Dedup {
     * hash-partitions by `gh` — the same partitioning the self-join
     * needs next, so the cap rides the exchange the join pays anyway
     * instead of adding one.
+    *
+    * `strict = true` is the INCREMENTAL paths' mode: their
+    * "equals batch under any schedule" contract applies the cap to an
+    * at-admission / base-slice view of the corpus, so a gram whose
+    * corpus-wide DF crosses the cap AFTER a doc's admission would make
+    * the incremental answer silently diverge from the batch one. The
+    * contract therefore only holds while the cap never engages — and
+    * strict mode turns the unguarded assumption into a loud runtime
+    * failure (raise_error rides the same window exchange; zero extra
+    * shuffles, and it can never fire on a corpus whose max DF is
+    * below the cap).
     */
-  private[graft] def capByDocFreq(gr: DataFrame, maxDocFreq: Long): DataFrame = {
+  private[graft] def capByDocFreq(gr: DataFrame, maxDocFreq: Long,
+                                  strict: Boolean = false): DataFrame = {
     val byGh = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    gr.withColumn("df", count(lit(1)).over(byGh))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+    val withDf = gr.withColumn("df", count(lit(1)).over(byGh))
+    val guarded =
+      if (!strict) withDf
+      else withDf.withColumn("df",
+        when(col("df") > maxDocFreq, raise_error(format_string(
+          "gram DF cap engaged on an incremental path (df = %d > cap = %d): " +
+            "the stream/batch equivalence contract does not cover an " +
+            "engaged cap — re-run the batch operator or raise the cap",
+          col("df"), lit(maxDocFreq)))).otherwise(col("df")))
+    guarded.filter(col("df") <= maxDocFreq).drop("df")
   }
 
   /** Per-pair shared-gram counts from the distinct gram relation's
@@ -203,9 +222,10 @@ object Dedup {
     * identity, dd25's delta probe passes the batch filter (pairs with
     * at least one batch member, since batch ids exceed base ids).
     */
-  private def sharedGramCountsWhere(gr: DataFrame, maxDocFreq: Long)
+  private def sharedGramCountsWhere(gr: DataFrame, maxDocFreq: Long,
+                                    strict: Boolean = false)
                                    (bSide: DataFrame => DataFrame): DataFrame = {
-    val g = capByDocFreq(gr, maxDocFreq)
+    val g = capByDocFreq(gr, maxDocFreq, strict)
     g.as("a")
       .join(bSide(g).as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
@@ -397,8 +417,11 @@ object Dedup {
     // delta-involving pairs only: batch ids all exceed base ids, so
     // the batch member is always doc_b — probe the full gram relation
     // with the batch slice on the build side
-    val deltaShared = sharedGramCountsWhere(gr, DefaultMaxGramDocFreq)(
-      _.filter(col("doc_id") >= boundary))
+    // strict: the delta probe caps the full-corpus view but the base
+    // labels were built on the base-slice view — divergence is only
+    // impossible while the cap never engages (see capByDocFreq)
+    val deltaShared = sharedGramCountsWhere(gr, DefaultMaxGramDocFreq,
+      strict = true)(_.filter(col("doc_id") >= boundary))
     val deltaPairs = jaccardFromShared(deltaShared, gr, threshold)
       .select("doc_a", "doc_b")
     val starEdges = baseLabels.filter(col("comp") =!= col("doc_id"))
@@ -420,8 +443,12 @@ object Dedup {
     */
   private[graft] def pairsTouching(allGrams: DataFrame,
                                    freshGrams: DataFrame,
-                                   threshold: Double): DataFrame = {
-    val g = capByDocFreq(allGrams, DefaultMaxGramDocFreq)
+                                   threshold: Double,
+                                   maxDocFreq: Long = DefaultMaxGramDocFreq)
+      : DataFrame = {
+    // strict: an ENGAGED cap would break the equals-batch contract
+    // (see capByDocFreq) — fail loudly instead of diverging from dd8
+    val g = capByDocFreq(allGrams, maxDocFreq, strict = true)
     val fg = g.join(freshGrams.select("doc_id").distinct(), Seq("doc_id"))
     val shared = g.as("a")
       .join(fg.as("b"),
@@ -446,7 +473,12 @@ object Dedup {
     componentsFromPairs(
       graft.Tables.documents(s, d).select("doc_id")
         .filter(col("doc_id") < boundary),
-      jaccardFromShared(sharedGramCounts(grBase), grBase, threshold)
+      // strict: the base slice's cap view must agree with the full
+      // corpus view for the incremental contract to hold
+      jaccardFromShared(
+        sharedGramCountsWhere(grBase, DefaultMaxGramDocFreq,
+          strict = true)(identity),
+        grBase, threshold)
         .select("doc_a", "doc_b"))
   }
 
@@ -654,8 +686,12 @@ object Dedup {
     // next⋈prev comparison join (the gr4/gr6 convergence read).
     // decimal(38,0), not long: at extreme id scales Σ ids could
     // overflow BIGINT and ANSI mode would fail the query.
+    // sum over an EMPTY label set is SQL NULL — map it to zero so the
+    // degenerate empty-state read converges on round one instead of
+    // NPE-ing in compareTo
     def totalOf(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = totalOf(labels)
     var converged = false
     var iter = 0
@@ -809,12 +845,72 @@ object Dedup {
       .orderBy("inc_doc")
   }
 
+  /** Broadcast-safe bound on the eval-side gram row count. Spark's
+    * broadcast ceiling is 8 GB / 512 M rows; an (id, hash) gram row
+    * hashes into ~32 bytes of relation, so 50 M rows keeps the built
+    * hash relation ~1.6 GB — comfortably under the ceiling while
+    * still broadcasting any real benchmark suite (KBs of text per
+    * task ⇒ well under a million grams).
+    */
+  private[graft] val EvalBroadcastBound = 50_000_000L
+
+  /** Deliver the eval gram set to the train-side probe join by
+    * whichever physical shape its SIZE allows:
+    *
+    *  - under `bound` rows: broadcast-hash join — the steady-state
+    *    benchmark-suite shape (KBs against TBs), no train-side
+    *    exchange beyond what its aggregate already pays;
+    *  - over `bound`: the documented alternative (dd9/dd20 scale
+    *    note) — a compact BLOOM FILTER over the eval gram hashes is
+    *    aggregated distributed (`stat.bloomFilter`, ~1.2 bytes/item
+    *    at 1% fpp, so the blob stays MBs when the gram rows are GBs),
+    *    the 100 TB train side is prefiltered MAP-SIDE through Spark's
+    *    native `BloomFilterMightContain` (codegen predicate, no UDF),
+    *    and only the surviving sliver pays the shuffled equi-join.
+    *    False positives are removed by the join itself, so the result
+    *    relation is IDENTICAL on both paths — the same oracle proves
+    *    both (DedupPathSpec forces the shuffled path).
+    *
+    * `bound` = Long.MaxValue force-broadcasts without counting (the
+    * registered queries' zero-extra-job default); `bound` <= 0 forces
+    * the bloom + shuffle path. Anything between counts the (small,
+    * localCheckpoint'd so the decision doesn't recompute it) eval side
+    * and selects.
+    */
+  private[graft] def evalGramProbeJoin(trainGrams: DataFrame,
+                                       evalGrams: DataFrame,
+                                       bound: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (ev, useBroadcast) =
+      if (bound == Long.MaxValue) (evalGrams, true)
+      else {
+        // pin the (small) eval side so the size decision, the bloom
+        // build, and the join read one materialization, not three
+        val pinned = evalGrams.localCheckpoint()
+        (pinned, bound > 0L && pinned.count() <= bound)
+      }
+    if (useBroadcast) trainGrams.join(broadcast(ev), "gh")
+    else {
+      val bloom = ev.select("gh").stat
+        .bloomFilter("gh", math.max(ev.count(), 1L), 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(col("gh"))))
+      trainGrams.filter(mightContain).join(ev, "gh")
+    }
+  }
+
   /** `broadcastEval`: the default force-broadcasts the eval gram set —
     * right when the eval side is a benchmark suite (KBs against TBs).
     * The modulus slice used here grows WITH the corpus, so a caller
     * decontaminating against a large eval fraction passes false to get
-    * a shuffled equi-join instead of collecting ~1% of corpus grams to
-    * the driver.
+    * the scale path: bloom-prefilter on the gram hash + shuffled
+    * equi-join ([[evalGramProbeJoin]]) instead of collecting ~1% of
+    * corpus grams to the driver.
     */
   def decontaminate(s: SparkSession, d: String, n: Int = 3,
                     evalMod: Long = 97L,
@@ -825,7 +921,8 @@ object Dedup {
       .dropDuplicates("eval_doc", "gh")
     val trainGrams = raw.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_doc"), col("gh"))
-    trainGrams.join(if (broadcastEval) broadcast(evalGrams) else evalGrams, "gh")
+    evalGramProbeJoin(trainGrams, evalGrams,
+      if (broadcastEval) Long.MaxValue else 0L)
       .groupBy("train_doc", "eval_doc")
       .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")
@@ -1031,15 +1128,18 @@ object Dedup {
                          evalMod: Long = 97L, minShared: Int = 5,
                          nearThreshold: Double = 0.5,
                          semThreshold: Double = 0.3,
-                         numCells: Int = 16): DataFrame = {
+                         numCells: Int = 16,
+                         evalBroadcastBound: Long = Long.MaxValue)
+      : DataFrame = {
     val gh = graft.sources.TextIndex.gramIndex(s, d, 3, portable = true)
-    // exact-overlap leg: train grams probe the (small, broadcast)
-    // eval gram set — dd9's decontamination shape
+    // exact-overlap leg: train grams probe the (small) eval gram set —
+    // dd9's decontamination shape, broadcast under the bound, bloom-
+    // prefilter + shuffled equi-join over it (evalGramProbeJoin)
     val evalG = gh.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_doc"), col("gh"))
     val trainG = gh.filter(col("doc_id") % evalMod =!= 0)
       .select(col("doc_id").as("train_doc"), col("gh"))
-    val nExact = trainG.join(broadcast(evalG), "gh")
+    val nExact = evalGramProbeJoin(trainG, evalG, evalBroadcastBound)
       .groupBy("eval_doc", "train_doc").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .groupBy("eval_doc").agg(count(lit(1)).as("n_exact"))

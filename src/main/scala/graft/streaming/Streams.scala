@@ -420,6 +420,23 @@ object Streams {
       .filter(f => f.isDirectory && f.getName.startsWith("b"))
       .map(_.getAbsolutePath)
 
+  /** The delta union, or — when NO batch has ever committed — an empty
+    * relation with the ledger's schema. `spark.read.parquet()` with
+    * zero paths throws, so without this every read-side function would
+    * crash on a maintained state that simply hasn't seen data yet; an
+    * empty state is a legitimate state and must answer with an empty
+    * (schema-correct) result instead.
+    */
+  private def deltasOrEmpty(s: org.apache.spark.sql.SparkSession,
+                            workDir: String, kind: String,
+                            ddl: String): DataFrame = {
+    val dirs = deltaDirs(workDir, kind)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else s.read.parquet(dirs: _*)
+  }
+
   /** One micro-batch of [[lshIndexMaintainStream]] — extracted so the
     * CHECKPOINT-REPLAY path (same batchId re-run after a crash between
     * delta publish and checkpoint commit) is directly testable.
@@ -1043,12 +1060,37 @@ object Streams {
     import s.implicits._
     val prior = deltaDirs(workDir, "likeys")
       .filterNot(_.endsWith(s"/b$batchId"))
+    // Order-keyed admission ASSUMES every delivery carries an order's
+    // COMPLETE line set (sketch counters are additive, not idempotent,
+    // so a partial first delivery or a grown redelivery would silently
+    // skew the merged counts against batch cms1). The ledger therefore
+    // records each admitted order's line count, and every redelivered
+    // order is checked against it — a violated delivery contract
+    // surfaces as a loud failure instead of corrupted counts.
+    val incomingCounts = batchDf.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    prior match {
+      case Seq() => ()
+      case dirs =>
+        val ledger = s.read.parquet(dirs: _*)
+        // migration shim: pre-round-10 ledgers carry only l_orderkey
+        if (ledger.columns.contains("n_lines")) {
+          val bad = incomingCounts
+            .join(ledger.withColumnRenamed("n_lines", "admitted_lines"),
+              "l_orderkey")
+            .filter(col("n_lines") =!= col("admitted_lines"))
+            .head(3)
+          if (bad.nonEmpty) throw new IllegalStateException(
+            "cms admission contract violated: redelivered order(s) with a " +
+              "different line set than at admission — " + bad.mkString(", "))
+        }
+    }
     val fresh = prior match {
       case Seq() => batchDf
       case dirs => batchDf.join(s.read.parquet(dirs: _*),
         Seq("l_orderkey"), "left_anti")
     }
-    fresh.select("l_orderkey").distinct()
+    fresh.groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
       .write.mode("overwrite").parquet(s"$workDir/likeys/b$batchId")
     val cms = fresh.stat.countMinSketch("l_suppkey", CmsEps, 0.99, 42)
     val bos = new java.io.ByteArrayOutputStream()
@@ -1069,12 +1111,20 @@ object Streams {
     */
   def readCmsAudit(s: org.apache.spark.sql.SparkSession,
                    workDir: String): DataFrame = {
-    val merged = s.read.parquet(deltaDirs(workDir, "cms"): _*)
+    // empty maintained state: the audit of zero admitted rows is the
+    // probe rows against a zero sketch (all counts 0, all in-bounds),
+    // not a reduce-over-nothing crash
+    val blobs = deltasOrEmpty(s, workDir, "cms",
+      "batch_id BIGINT, sketch BINARY")
       .select("sketch").collect()
       .map(r => org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-      .reduce { (a, b) => a.mergeInPlace(b); a }
-    val exact = s.read.parquet(deltaDirs(workDir, "liexact"): _*)
+    val merged =
+      if (blobs.isEmpty)
+        org.apache.spark.util.sketch.CountMinSketch.create(CmsEps, 0.99, 42)
+      else blobs.reduce { (a, b) => a.mergeInPlace(b); a }
+    val exact = deltasOrEmpty(s, workDir, "liexact",
+      "l_suppkey BIGINT, exact_count BIGINT")
       .groupBy("l_suppkey")
       .agg(sum(col("exact_count")).as("exact_count"))
     graft.operators.Sketches.cmsAuditTail(s, merged, exact,
@@ -1090,7 +1140,8 @@ object Streams {
                terms: Seq[String] = Seq("window", "merge", "scan"),
                topK: Int = 20): DataFrame =
     graft.operators.TextAnalysis.bm25FromPostings(
-      s.read.parquet(deltaDirs(workDir, "postings"): _*), terms, topK)
+      deltasOrEmpty(s, workDir, "postings",
+        "doc_id BIGINT, token STRING, tf BIGINT"), terms, topK)
 
   /** Second read path over the SAME maintained posting lists: dp25's
     * DSIR selection. Postings expand back to per-occurrence rows
@@ -1104,14 +1155,127 @@ object Streams {
     */
   def readDsir(s: org.apache.spark.sql.SparkSession, workDir: String,
                target: String = "src0", topK: Int = 25): DataFrame = {
-    val occurrences = s.read.parquet(deltaDirs(workDir, "postings"): _*)
+    val occurrences = deltasOrEmpty(s, workDir, "postings",
+        "doc_id BIGINT, token STRING, tf BIGINT")
       .select(col("doc_id"), col("token"),
         explode(sequence(lit(1L), col("tf"))).as("occ"))
       .select(col("doc_id"), xxhash64(col("token")).as("th"))
     graft.operators.DataPrep.dsirFromTokens(
       occurrences.join(
-        s.read.parquet(deltaDirs(workDir, "docs"): _*), "doc_id"),
+        deltasOrEmpty(s, workDir, "docs", "doc_id BIGINT, source STRING"),
+        "doc_id"),
       target, topK)
+  }
+
+  /** Streaming maintenance of dq6's referential-integrity state — the
+    * warehouse-load twin: the audit's inputs decompose into per-key
+    * child COUNTS (additive — each admitted delivery publishes its own
+    * counts and the read side sums disjoint deltas) and parent KEY
+    * sets (per-delta disjoint by admission), so the seven-edge orphan
+    * report is servable continuously while orders and lineitem load.
+    * TWO maintained relations coordinate in one workDir: the orders
+    * ledger is BOTH the orders→customer child state and the
+    * lineitem→orders parent set — which is exactly why the twin must
+    * maintain them together (an orphaned line is healed the moment its
+    * order arrives, and only a coordinated state observes that).
+    * Admission: orders dedup on o_orderkey; lineitem admission is
+    * ORDER-keyed with the cms1 delivery contract (an order's complete
+    * line set enters once, wholesale; the per-order line count is
+    * ledgered and a mismatched redelivery fails loudly). The audit
+    * tail is [[graft.operators.DataQuality.refIntegrityFromCounts]] —
+    * the batch operator's own — so stream and batch can never count
+    * differently. At 100 TB each batch pays one map-side count pass
+    * over its own rows; the read probes vocabulary-sized key-count
+    * relations, never the accumulated fact stream.
+    */
+  def refIntegrityOrdersStream(incoming: DataFrame, workDir: String,
+                               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        refIntegrityOrdersBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  def refIntegrityLineitemStream(incoming: DataFrame, workDir: String,
+                                 checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        refIntegrityLineitemBatch(batch.toDF(), batchId, workDir)
+      }
+      .start()
+
+  private[graft] def refIntegrityOrdersBatch(batchDf: DataFrame, batchId: Long,
+                                             workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "rorders")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchOrders = batchDf.select(col("o_orderkey"), col("o_custkey"))
+      .dropDuplicates("o_orderkey")
+    val fresh = prior match {
+      case Seq() => batchOrders
+      case dirs => batchOrders.join(
+        s.read.parquet(dirs: _*).select("o_orderkey"),
+        Seq("o_orderkey"), "left_anti")
+    }
+    fresh.write.mode("overwrite").parquet(s"$workDir/rorders/b$batchId")
+    ()
+  }
+
+  private[graft] def refIntegrityLineitemBatch(batchDf: DataFrame,
+                                               batchId: Long,
+                                               workDir: String): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "rlikeys")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    // the cms1 delivery contract at the order grain: ledger the line
+    // count at admission, surface a grown/shrunk redelivery loudly
+    val incomingCounts = batchDf.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    prior match {
+      case Seq() => ()
+      case dirs =>
+        val bad = incomingCounts
+          .join(s.read.parquet(dirs: _*)
+            .withColumnRenamed("n_lines", "admitted_lines"), "l_orderkey")
+          .filter(col("n_lines") =!= col("admitted_lines"))
+          .head(3)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          "refIntegrity admission contract violated: redelivered order(s) " +
+            "with a different line set than at admission — " +
+            bad.mkString(", "))
+    }
+    val fresh = prior match {
+      case Seq() => batchDf
+      case dirs => batchDf.join(s.read.parquet(dirs: _*),
+        Seq("l_orderkey"), "left_anti")
+    }
+    fresh.groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .write.mode("overwrite").parquet(s"$workDir/rlikeys/b$batchId")
+    graft.operators.DataQuality.lineitemKeyCounts(fresh)
+      .write.mode("overwrite").parquet(s"$workDir/rlicounts/b$batchId")
+    ()
+  }
+
+  /** Read side: sum the additive per-key count deltas, union the
+    * disjoint admitted-orders deltas, then the batch audit's own
+    * seven-edge tail (static dimensions read from `d`) — the live
+    * report equals batch `dq6_referential` once the same rows have
+    * been admitted, under any wave/redelivery schedule.
+    */
+  def readRefIntegrity(s: org.apache.spark.sql.SparkSession,
+                       workDir: String, d: String): DataFrame = {
+    val liCounts = deltasOrEmpty(s, workDir, "rlicounts",
+        "kind STRING, k BIGINT, n BIGINT")
+      .groupBy("kind", "k").agg(sum(col("n")).as("n"))
+    val orders = deltasOrEmpty(s, workDir, "rorders",
+      "o_orderkey BIGINT, o_custkey BIGINT")
+    graft.operators.DataQuality.refIntegrityFromCounts(s, d, liCounts, orders)
   }
 
   /** Streaming maintenance of the near-dup PAIR relation and its
@@ -1177,8 +1341,8 @@ object Streams {
   def readComponents(s: org.apache.spark.sql.SparkSession,
                      workDir: String): DataFrame =
     graft.operators.Dedup.componentsFromPairs(
-      s.read.parquet(deltaDirs(workDir, "docs"): _*),
-      s.read.parquet(deltaDirs(workDir, "pairs"): _*))
+      deltasOrEmpty(s, workDir, "docs", "doc_id BIGINT"),
+      deltasOrEmpty(s, workDir, "pairs", "doc_a BIGINT, doc_b BIGINT"))
 
   /** Streaming maintenance of dq4's PSI drift state — the
     * serving-side drift monitor: what the audit needs from history is

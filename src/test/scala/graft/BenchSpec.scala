@@ -71,4 +71,54 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
   }
+
+  test("r9 blind spot pinned: quiet bounding canaries + 13.7x attempts ⇒ the phantom trigger re-times") {
+    // THE round-9 incident, recorded verbatim: a ~60s load window fell
+    // entirely BETWEEN canary samples 140 (0.221, quiet) and 160
+    // (0.189, quiet), so the window rule shipped km1 = 4.449s (13.7x
+    // its prior 0.324s) unflagged and it cost a judge adjudication.
+    val (_, flagged) = Bench.flagWindows(organicIncident, 20, 296)
+    assert(!flagged.contains(150),
+      "both bounding samples read quiet — the window rule alone MUST miss this")
+    // ...which is exactly why the per-query trigger exists:
+    assert(Bench.phantomSuspect(Seq(4.449, 5.5, 5.2), Some(0.324)),
+      "all three attempts >3x the prior artifact ⇒ suspect, re-sample + re-time")
+    // and its guards:
+    assert(!Bench.phantomSuspect(Seq(0.35, 0.41, 0.33), Some(0.324)),
+      "ordinary jitter is not suspect")
+    assert(!Bench.phantomSuspect(Seq(4.4, 0.33, 5.0), Some(0.324)),
+      "one clean attempt ⇒ best-of-3 already absorbs the spike")
+    assert(!Bench.phantomSuspect(Seq(4.4, 5.5, 5.2), None),
+      "no prior artifact ⇒ trigger disarmed")
+    assert(!Bench.phantomSuspect(Seq(4.4, 5.5, 5.2), Some(-1.0)),
+      "a prior FAILURE (-1 sentinel) is not a timing reference")
+  }
+
+  test("an immediate mid-window re-sample bounds its queries in the window rule") {
+    // the trigger inserts a canary sample at the suspect query's own
+    // position; if THAT sample reads loaded it must flag the queries
+    // it bounds (nearest-sample windows, not just the opening multiple)
+    val series = Seq(0 -> 0.2, 10 -> 0.9, 20 -> 0.2, 40 -> 0.2, 47 -> 0.2)
+    val (_, flagged) = Bench.flagWindows(series, 20, 47)
+    assert((0 until 20).forall(flagged.contains),
+      "queries on both sides of the loaded mid-window sample are suspect")
+    assert((20 until 47).forall(i => !flagged.contains(i)),
+      "the quiet remainder stays unflagged")
+  }
+
+  test("parsePriorTimes reads the artifact Bench writes; absent, malformed, or cross-SF disarms") {
+    val artifact =
+      """{"metric":"total","value":9.1,"unit":"sec","n":2,""" +
+        """"queries":{"km1":0.324,"q6_forecast_rev":1.500},""" +
+        """"attempts":{"km1":[0.33,0.32,0.35]},"sf":"/x"}"""
+    assert(Bench.parsePriorTimes(artifact, "/x") ==
+      Map("km1" -> 0.324, "q6_forecast_rev" -> 1.5))
+    // a prior run at a DIFFERENT scale factor is not a reference:
+    // sf0.1 times are ~10x sf0.01 times, and a cross-SF compare would
+    // fire the phantom trigger on the entire sweep
+    assert(Bench.parsePriorTimes(artifact, "/testdata/sf0.1").isEmpty)
+    assert(Bench.parsePriorTimes("", "/x").isEmpty)
+    assert(Bench.parsePriorTimes("{\"metric\":\"total\"}", "/x").isEmpty)
+    assert(Bench.parsePriorTimes("not json at all", "/x").isEmpty)
+  }
 }

@@ -1206,6 +1206,15 @@ class Pack10Spec extends SparkTestBase {
                         b <- Seq("low", "mid", "high") } yield (a, b))
       .toDF("rater_a", "rater_b")
     assert(math.abs(Analytics.cohenKappaFrom(chance).collect().head.getDouble(4)) <= 1e-9)
+    // degenerate single-cell corpus: p_e = 1, so kappa is NULL BY
+    // CONSTRUCTION — an unguarded 0/0 here is engine-dependent
+    // (Spark NULL or ANSI error, DuckDB NaN) and would split the
+    // oracle twins
+    val oneCell = Seq(("low", "low"), ("low", "low"))
+      .toDF("rater_a", "rater_b")
+    val deg = Analytics.cohenKappaFrom(oneCell).collect().head
+    assert(deg.getDouble(3) == 1.0, "single-cell corpus: p_e = 1")
+    assert(deg.isNullAt(4), "p_e = 1 must answer NULL kappa, not NaN/error")
   }
 
   test("tx31: classifier covers every doc; squash is bounded, centered, and monotone") {
@@ -1320,6 +1329,36 @@ class Pack10Spec extends SparkTestBase {
     assert(recalls.last == 1.0,
       "the 64-dim leg IS the truth — the sweep's built-in self-check")
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // the oracle generator's truth CTE ranks on cs$dim — a dims list
+    // that omits the truth width must fail fast, not emit SQL against
+    // a nonexistent column
+    intercept[IllegalArgumentException] {
+      OracleGen.sim19Sql(dims = Seq(16, 32), dim = 64)
+    }
+  }
+
+  test("a54: HL sits in [min, max], matches hand values, and degrades to the median") {
+    import spark.implicits._
+    val row = Analytics.hodgesLehmann(spark, sf).collect().head
+    val (nM, nP, med, hl) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(nP == nM * (nM + 1) / 2, "Walsh pair count is n(n+1)/2")
+    val monthly = Analytics.monthlyRevenueState(Tables.orders(spark, sf))
+      .select("c").as[Long].collect().map(_ / 100.0)
+    assert(hl >= monthly.min && hl <= monthly.max,
+      "a location estimate lives inside the sample range")
+    assert(med >= monthly.min && med <= monthly.max)
+    // hand series (cents): Walsh sums of {100,200,400} ->
+    // {200,300,500,400,600,800}, median = (400+500)/2 = 450 -> HL 2.25
+    val hand = Seq((0L, 100L), (1L, 200L), (2L, 400L)).toDF("x", "c")
+    val h = Analytics.hodgesLehmannFromMonthly(hand).collect().head
+    assert(h.getDouble(3) == 2.25, s"hand HL, got ${h.getDouble(3)}")
+    assert(h.getDouble(2) == 2.0, "hand median is the middle element")
+    // a symmetric series: HL equals the median exactly
+    val sym = Seq((0L, 100L), (1L, 200L), (2L, 300L)).toDF("x", "c")
+    val hs = Analytics.hodgesLehmannFromMonthly(sym).collect().head
+    assert(hs.getDouble(2) == hs.getDouble(3),
+      "symmetry: Walsh median = plain median")
   }
 
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {

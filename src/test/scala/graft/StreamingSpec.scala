@@ -1290,4 +1290,131 @@ class StreamingSpec extends SparkTestBase {
       rowSet(graft.operators.DataPrep.kaplanMeier(spark, sf)),
       "stream-maintained survival must equal the batch sq6 answer")
   }
+
+  test("equivalence: coordinated orders+lineitem state serves the batch FK audit (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("refintstream").toString
+    // orders stream: shuffled order rows in waves
+    val ordRows = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey")
+      .as[(Long, Long)].collect().toSeq
+    val ordWaves = new scala.util.Random(67).shuffle(ordRows)
+      .grouped(math.max(1, ordRows.length / 4 + 1)).toSeq
+    // lineitem stream: ORDER-grain deliveries (complete line sets —
+    // the cms1 admission contract), shuffled independently of the
+    // orders stream so lines can arrive before their order exists
+    val liGroups = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .as[(Long, Long, Long)].collect().toSeq.groupBy(_._1).values.toSeq
+      .sortBy(_.head._1)
+    val liShuffled = new scala.util.Random(71).shuffle(liGroups)
+    val liWaves = liShuffled.grouped(math.max(1, liShuffled.length / 4 + 1))
+      .map(_.flatten).toSeq
+    val ordMem = MemoryStream[(Long, Long)]
+    val liMem = MemoryStream[(Long, Long, Long)]
+    val qo = Streams.refIntegrityOrdersStream(
+      ordMem.toDF().select(col("_1").as("o_orderkey"),
+        col("_2").as("o_custkey")), root, s"$root/cko")
+    val ql = Streams.refIntegrityLineitemStream(
+      liMem.toDF().select(col("_1").as("l_orderkey"),
+        col("_2").as("l_partkey"), col("_3").as("l_suppkey")),
+      root, s"$root/ckl")
+    try {
+      // interleave the two loads + late redelivery on both streams
+      (ordWaves :+ ordWaves.head.take(9)).zipAll(
+        liWaves :+ liShuffled.take(7).flatten, Seq.empty, Seq.empty)
+        .foreach { case (ow, lw) =>
+          if (ow.nonEmpty) ordMem.addData(ow: _*)
+          if (lw.nonEmpty) liMem.addData(lw: _*)
+          qo.processAllAvailable(); ql.processAllAvailable()
+        }
+    } finally { qo.stop(); ql.stop() }
+    // + same-batch-id replays on the finished state: identical deltas
+    Streams.refIntegrityOrdersBatch(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey"), 0L, root)
+    Streams.refIntegrityLineitemBatch(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_partkey", "l_suppkey"), 0L, root)
+    assert(rowSet(Streams.readRefIntegrity(spark, root, sf)) ==
+      rowSet(operators.DataQuality.referentialIntegrity(spark, sf)),
+      "stream-served FK audit must equal the batch dq6 answer")
+    // a grown redelivery violates the order-grain delivery contract
+    val e = intercept[IllegalStateException] {
+      Streams.refIntegrityLineitemBatch(
+        Seq((liShuffled.head.head._1, 1L, 1L), (liShuffled.head.head._1, 2L, 2L),
+          (liShuffled.head.head._1, 3L, 3L), (liShuffled.head.head._1, 4L, 4L),
+          (liShuffled.head.head._1, 5L, 5L), (liShuffled.head.head._1, 6L, 6L),
+          (liShuffled.head.head._1, 7L, 7L), (liShuffled.head.head._1, 8L, 8L),
+          (liShuffled.head.head._1, 9L, 9L), (liShuffled.head.head._1, 10L, 10L))
+          .toDF("l_orderkey", "l_partkey", "l_suppkey"), 99L, root)
+    }
+    assert(e.getMessage.contains("refIntegrity admission contract"))
+  }
+
+  test("empty maintained state: read sides answer empty (schema-correct), never crash") {
+    // a state directory no batch has ever committed to is a legitimate
+    // state — spark.read.parquet with zero paths throws, so each read
+    // side must short-circuit to its schema'd empty answer
+    val root = java.nio.file.Files.createTempDirectory("emptystate").toString
+    val bm25 = Streams.readBm25(spark, root)
+    assert(bm25.count() == 0, "BM25 over no postings is empty")
+    assert(bm25.columns.contains("doc_id"), "schema must survive emptiness")
+    val dsir = Streams.readDsir(spark, root)
+    assert(dsir.count() == 0, "DSIR over no postings is empty")
+    assert(dsir.columns.toSeq ==
+      Seq("doc_id", "source", "n_tokens", "dsir_w"))
+    val comps = Streams.readComponents(spark, root)
+    assert(comps.count() == 0, "components over no docs is empty")
+    // the CMS audit of zero admitted rows: probe rows against a zero
+    // sketch — all exact/estimated counts 0, every bound trivially ok
+    val cms = Streams.readCmsAudit(spark, root).collect()
+    assert(cms.length == Streams.CmsProbeKeys.length)
+    assert(cms.forall(r => r.getLong(1) == 0L && r.getBoolean(2)),
+      "zero sketch: exact 0 and in-bounds for every probe key")
+  }
+
+  test("cms admission contract: a grown cross-batch redelivery fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("cmscontract").toString
+    // batch 0 admits order 1 with TWO lines (its complete set)
+    Streams.cmsMaintainBatch(
+      Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 10L))
+        .toDF("l_orderkey", "l_linenumber", "l_suppkey"), 0L, root)
+    // identical redelivery in a later batch: dropped silently (the
+    // admission ledger matches), no corruption, no failure
+    Streams.cmsMaintainBatch(
+      Seq((1L, 1, 10L), (1L, 2, 11L))
+        .toDF("l_orderkey", "l_linenumber", "l_suppkey"), 1L, root)
+    // a GROWN line set for an admitted order violates the delivery
+    // contract (the sketch already counted the order wholesale) —
+    // admission must surface it instead of skewing the merged counts
+    val e = intercept[IllegalStateException] {
+      Streams.cmsMaintainBatch(
+        Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+          .toDF("l_orderkey", "l_linenumber", "l_suppkey"), 2L, root)
+    }
+    assert(e.getMessage.contains("cms admission contract violated"))
+  }
+
+  test("incremental gram-cap guard: an engaged DF cap fails loudly, not silently") {
+    import spark.implicits._
+    // three docs sharing one gram hash; cap 2 → the incremental paths'
+    // 'equals batch under any schedule' contract no longer holds, so
+    // pairsTouching must raise instead of silently dropping the gram
+    val grams = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 7L))
+      .toDF("doc_id", "gh")
+    val fresh = Seq((3L, 100L)).toDF("doc_id", "gh")
+    val e = intercept[Throwable] {
+      operators.Dedup.pairsTouching(grams, fresh, 0.1, maxDocFreq = 2L)
+        .collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("gram DF cap engaged"),
+      s"expected the strict-cap raise_error, got: $msgs")
+    // below the cap the same inputs pair normally
+    assert(operators.Dedup.pairsTouching(grams, fresh, 0.1, maxDocFreq = 10L)
+      .collect().nonEmpty)
+  }
 }
