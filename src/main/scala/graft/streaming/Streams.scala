@@ -1602,6 +1602,16 @@ object Streams {
                    workDir: String): DataFrame =
     graft.operators.Analytics.runsTestFromMonthly(mergedMonthly(s, workDir))
 
+  /** Read side #3: the live Hodges–Lehmann location readout off the
+    * SAME maintained monthly state — the a54 twin rides the artifact
+    * a50/a51 already pay for (the readDsir amortization argument:
+    * one maintained relation, many serving readers).
+    */
+  def readHodgesLehmann(s: org.apache.spark.sql.SparkSession,
+                        workDir: String): DataFrame =
+    graft.operators.Analytics.hodgesLehmannFromMonthly(
+      mergedMonthly(s, workDir))
+
   /** Streaming maintenance of tx30's vocabulary-growth state — the
     * live corpus-health monitor (near-linear vocabulary growth = ID/
     * hash debris arriving). Per-token first-occurrence doc ids are

@@ -1225,6 +1225,10 @@ class StreamingSpec extends SparkTestBase {
     assert(rowSet(Streams.readRunsTest(spark, root)) ==
       rowSet(graft.operators.Analytics.runsTest(spark, sf)),
       "stream-maintained runs test must equal the batch a51 answer")
+    // the SAME artifact also serves the a54 location readout
+    assert(rowSet(Streams.readHodgesLehmann(spark, root)) ==
+      rowSet(graft.operators.Analytics.hodgesLehmann(spark, sf)),
+      "stream-maintained Hodges-Lehmann must equal the batch a54 answer")
     val keys = spark.read.parquet(
       new java.io.File(s"$root/orders").listFiles()
         .filter(_.isDirectory).map(_.getAbsolutePath): _*)
