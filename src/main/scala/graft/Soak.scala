@@ -230,7 +230,8 @@ object Soak {
     // round-10 additions: the FK audit (part/supplier/nation/region now
     // soak-derived — the last missing family) and the forced
     // bloom+shuffle contamination path alongside its broadcast twin
-    "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann")
+    "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann",
+    "mg1_frequent_tokens")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

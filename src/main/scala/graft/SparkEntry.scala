@@ -143,6 +143,7 @@ object SparkEntry {
     "dp1_corpus_select" -> ((s, d) => Pipeline.corpusSelect(s, d)),
     // sketches: frequency + membership (HLL/t-digest live in a8/a12)
     "cms1_heavy_hitters"-> ((s, d) => Sketches.cmsHeavyHitters(s, d)),
+    "mg1_frequent_tokens" -> ((s, d) => Sketches.mgHeavyHitters(s, d)),
     "bf1_bloom_semi"    -> ((s, d) => Sketches.bloomSemiJoin(s, d)),
     "a29_sketch_reagg"  -> ((s, d) => Sketches.sketchReagg(s, d)),
     // derived physical layouts: partition pruning + bucketed co-location
@@ -1634,6 +1635,7 @@ object SparkEntry {
         |  TRUE AS est_ok
         |FROM keys k LEFT JOIN cnt USING (l_suppkey)
         |ORDER BY l_suppkey""".stripMargin,
+    "mg1_frequent_tokens" -> operators.Sketches.mgHeavyHittersOracleSql(),
     "bf1_bloom_semi" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE EXISTS (SELECT 1 FROM customer c

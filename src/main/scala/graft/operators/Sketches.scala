@@ -184,4 +184,53 @@ object Sketches {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  // --- MG1: MISRA-GRIES frequent-tokens audit — the fifth sketch next
+  // to HLL/t-digest/CMS/Bloom, and the one with a DETERMINISTIC
+  // guarantee: a k-counter summary ([[graft.functions.MisraGries]],
+  // the library's typed Aggregator — SURVEY §7.3's planned custom
+  // Aggregator leg) must contain EVERY token with true frequency
+  // > n/(k+1), with its counter inside [true − n/(k+1), true]. The
+  // audit mirrors cms1: the true heavy hitters' exact counts are
+  // hash-matched against the oracle while mg_ok asserts the worst-case
+  // bound held — a theory violation flips a hashed boolean. Shape at
+  // 100 TB: the aggregator is partial+final (each partition folds its
+  // rows into ≤ k counters; merges add + trim), so the shuffled state
+  // is k counters per partition — the exact side below is the one
+  // vocabulary-sized hash-agg the audit (not the sketch) needs. ---
+  def mgHeavyHitters(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    import s.implicits._
+    import graft.functions.MisraGries
+    val toks = Tables.documents(s, d)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+    val summary = toks.as[String]
+      .select(new MisraGries.MGAgg(k).toColumn).head()
+    val threshold = summary.processed / (k + 1L) // integer floor
+    val est = summary.counters.toSeq.toDF("token", "mg_count")
+    toks.groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .filter(col("exact_count") > threshold)
+      .join(broadcast(est), Seq("token"), "left")
+      .select(col("token"), col("exact_count"),
+        (col("mg_count").isNotNull &&
+          col("mg_count") <= col("exact_count") &&
+          col("mg_count") >= col("exact_count") - lit(threshold))
+          .as("mg_ok"))
+      .orderBy("token")
+  }
+
+  /** Oracle twin of [[mgHeavyHitters]]: the exact heavy-hitter side
+    * (same integer threshold), with the guarantee boolean a literal
+    * TRUE — the cms1 audit convention (the bound is worst-case
+    * theory; a violation on the Spark side flips a hashed value).
+    */
+  def mgHeavyHittersOracleSql(k: Int = 64): String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+       |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1)
+       |SELECT t AS token, c AS exact_count, TRUE AS mg_ok
+       |FROM cnt, n
+       |WHERE c > n // ${k + 1}
+       |ORDER BY token""".stripMargin
 }

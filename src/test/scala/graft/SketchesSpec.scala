@@ -73,4 +73,41 @@ class SketchesSpec extends SparkTestBase {
     assert(monthlySum > globalDistinct,
       "reaggregation must be non-trivial: monthly distincts overlap")
   }
+
+  test("MG1: Misra-Gries guarantee holds on the corpus and on adversarial hand streams") {
+    import graft.functions.MisraGries.{MGAgg, MGSummary}
+    // corpus audit: every true heavy hitter found, counter in bounds
+    val rows = Sketches.mgHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty, "a Zipf token stream has > n/(k+1) stopwords")
+    assert(rows.forall(_.getAs[Boolean]("mg_ok")),
+      "the deterministic MG bound must hold for every heavy hitter")
+    // hand stream, sequential fold: k=2 counters, stream of 12 items
+    // where 'a' appears 6 times (> 12/3 = 4) — 'a' must survive with
+    // counter in [6-4, 6]
+    val agg = new MGAgg(2)
+    val stream = Seq("a", "b", "a", "c", "a", "d", "a", "e", "a", "f", "a", "g")
+    val folded = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(folded.processed == 12L)
+    assert(folded.counters.size <= 2, "summary never exceeds k counters")
+    val ca = folded.counters.getOrElse("a", 0L)
+    assert(ca >= 2L && ca <= 6L, s"'a' must survive in [2, 6], got $ca")
+    // merge path: two disjoint partial summaries, summed then trimmed
+    // to k — the merged guarantee uses the COMBINED n
+    val left = stream.take(6).foldLeft(agg.zero)(agg.reduce)
+    val right = stream.drop(6).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(left, right)
+    assert(merged.processed == 12L)
+    assert(merged.counters.size <= 2)
+    val ma = merged.counters.getOrElse("a", 0L)
+    assert(ma >= 2L && ma <= 6L, s"merged 'a' in [2, 6], got $ma")
+    // counters are lower bounds: never above truth on any key
+    (folded.counters.toSeq ++ merged.counters.toSeq).foreach {
+      case (key, v) => assert(v <= stream.count(_ == key),
+        s"counter for '$key' must not exceed its true frequency")
+    }
+    // merge must be commutative on these inputs
+    assert(agg.merge(right, left).counters == merged.counters)
+    MGSummary(Map.empty, 0L) // exercise the case class ctor
+    ()
+  }
 }
