@@ -205,10 +205,28 @@ object Sketches {
       .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
     val summary = toks.as[String]
       .select(new MisraGries.MGAgg(k).toColumn).head()
+    mgAuditTail(
+      toks.groupBy(col("t").as("token"))
+        .agg(count(lit(1)).as("exact_count")),
+      summary, k)
+  }
+
+  /** The probe/guarantee tail shared by batch mg1 and the
+    * stream-maintained summary's read side ([[graft.streaming.Streams
+    * .readMgAudit]]). The OUTPUT relation is schedule-independent even
+    * though the summary itself is not: different fold orders produce
+    * different counters, but the n/(k+1) bound holds for all of them,
+    * so the audited booleans — and the exact heavy-hitter side — are
+    * identical however the corpus arrived.
+    */
+  private[graft] def mgAuditTail(exactCounts: DataFrame,
+                                 summary: graft.functions.MisraGries.MGSummary,
+                                 k: Int): DataFrame = {
+    val s = exactCounts.sparkSession
+    import s.implicits._
     val threshold = summary.processed / (k + 1L) // integer floor
     val est = summary.counters.toSeq.toDF("token", "mg_count")
-    toks.groupBy(col("t").as("token"))
-      .agg(count(lit(1)).as("exact_count"))
+    exactCounts
       .filter(col("exact_count") > threshold)
       .join(broadcast(est), Seq("token"), "left")
       .select(col("token"), col("exact_count"),

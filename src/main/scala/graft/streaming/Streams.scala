@@ -1167,6 +1167,96 @@ object Streams {
       target, topK)
   }
 
+  /** Streaming maintenance of mg1's Misra–Gries token summary — the
+    * MERGEABLE-SUMMARY twin with a deterministic bound: each batch
+    * folds its newly-admitted documents' tokens into one k-counter
+    * summary (the typed Aggregator, ≤ k counters shuffled) and
+    * publishes counters + processed count; the read side merges the
+    * per-batch summaries with the aggregator's own PODS'12
+    * add-and-trim merge and replays the batch audit tail. The summary
+    * itself is fold-order-DEPENDENT — stream and batch counters
+    * differ — but the n/(k+1) guarantee holds under any merge tree,
+    * so the audited relation (exact heavy hitters + bound booleans)
+    * equals batch `mg1_frequent_tokens` under any wave/redelivery
+    * schedule: the equivalence test pins exactly the property that
+    * makes mergeable summaries servable. Admission is doc_id-keyed
+    * (first version wins — counters are additive, not idempotent).
+    * The vocabulary-sized exact deltas exist for the AUDIT side only;
+    * the serving artifact is the k counters per batch.
+    */
+  def mgIndexMaintainStream(incoming: DataFrame, workDir: String,
+                            checkpointDir: String, k: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mgMaintainBatch(batch.toDF(), batchId, workDir, k)
+      }
+      .start()
+
+  private[graft] def mgMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                     workDir: String, k: Int = 64): Unit = {
+    val s = batchDf.sparkSession
+    import s.implicits._
+    val prior = deltaDirs(workDir, "docs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    fresh.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/docs/b$batchId")
+    val toks = fresh
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("t"))
+    val summary = toks.as[String]
+      .select(new graft.functions.MisraGries.MGAgg(k).toColumn).head()
+    summary.counters.toSeq.map { case (t, c) => (batchId, t, c) }
+      .toDF("batch_id", "token", "cnt")
+      .write.mode("overwrite").parquet(s"$workDir/mgsum/b$batchId")
+    // batch processed count must survive even when counters are empty
+    Seq(summary.processed).toDF("processed")
+      .write.mode("overwrite").parquet(s"$workDir/mgn/b$batchId")
+    toks.groupBy(col("t").as("token"))
+      .agg(count(lit(1)).as("exact_count"))
+      .write.mode("overwrite").parquet(s"$workDir/mgexact/b$batchId")
+    ()
+  }
+
+  /** Read side: reassemble each batch's summary, merge with the
+    * aggregator's own add-and-trim, sum the additive exact deltas,
+    * then the shared audit tail ([[graft.operators.Sketches
+    * .mgAuditTail]]) — equal to batch mg1 once the same documents
+    * are admitted.
+    */
+  def readMgAudit(s: org.apache.spark.sql.SparkSession,
+                  workDir: String, k: Int = 64): DataFrame = {
+    import graft.functions.MisraGries.{MGAgg, MGSummary}
+    val agg = new MGAgg(k)
+    // counters collect ≤ k rows per batch — a SUMMARY, the sanctioned
+    // driver-side artifact (the cms blob precedent)
+    val counterRows = deltasOrEmpty(s, workDir, "mgsum",
+        "batch_id BIGINT, token STRING, cnt BIGINT").collect()
+    val totalN = deltasOrEmpty(s, workDir, "mgn", "processed BIGINT")
+      .groupBy().agg(coalesce(sum(col("processed")), lit(0L))).head.getLong(0)
+    val merged0 = counterRows
+      .groupBy(_.getAs[Long]("batch_id")).values.map { rows =>
+        MGSummary(rows.map(r => r.getAs[String]("token") ->
+          r.getAs[Long]("cnt")).toMap, 0L)
+      }
+      .foldLeft(agg.zero)(agg.merge)
+    // processed counts enter through the mgn ledger (an empty-counter
+    // batch writes no mgsum rows but its n still moves the threshold)
+    val merged = MGSummary(merged0.counters, totalN)
+    val exact = deltasOrEmpty(s, workDir, "mgexact",
+        "token STRING, exact_count BIGINT")
+      .groupBy("token").agg(sum(col("exact_count")).as("exact_count"))
+    graft.operators.Sketches.mgAuditTail(exact, merged, k)
+  }
+
   /** Streaming maintenance of dq6's referential-integrity state — the
     * warehouse-load twin: the audit's inputs decompose into per-key
     * child COUNTS (additive — each admitted delivery publishes its own

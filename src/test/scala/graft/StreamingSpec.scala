@@ -1295,6 +1295,40 @@ class StreamingSpec extends SparkTestBase {
       "stream-maintained survival must equal the batch sq6 answer")
   }
 
+  test("equivalence: merged MG summaries serve the batch frequent-tokens audit (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(73).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("mgstream").toString
+    val q = Streams.mgIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: counters are additive, not
+    // idempotent — a re-admitted doc would inflate both the exact side
+    // and the summary; admission must drop it
+    try (waves :+ waves.head.take(7)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the finished state: identical delta
+    Streams.mgMaintainBatch(
+      Tables.documents(spark, sf).select("doc_id", "text"), 0L, root)
+    // the summaries themselves are fold-order-dependent; the AUDITED
+    // relation is not — that schedule-independence is the mergeable-
+    // summary property this twin exists to demonstrate
+    assert(rowSet(Streams.readMgAudit(spark, root)) ==
+      rowSet(operators.Sketches.mgHeavyHitters(spark, sf)),
+      "stream-merged MG audit must equal the batch mg1 answer")
+    val keys = spark.read.parquet(
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    assert(keys.count() == keys.dropDuplicates("doc_id").count(),
+      "doc admission deltas must be disjoint")
+  }
+
   test("equivalence: coordinated orders+lineitem state serves the batch FK audit (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
