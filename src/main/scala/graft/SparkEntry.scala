@@ -255,6 +255,7 @@ object SparkEntry {
     "tx30_heaps_curve"   -> ((s, d) => TextAnalysis.heapsCurve(s, d)),
     "tx31_quality_clf"   -> ((s, d) => TextAnalysis.qualityClassifier(s, d)),
     "tx32_fertility"     -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    "tx33_source_kl"     -> ((s, d) => TextAnalysis.sourceKlMatrix(s, d)),
     "dp25_dsir"          -> ((s, d) => DataPrep.dsirSelect(s, d)),
     "sim19_dim_sweep"    -> ((s, d) => Similarity.dimSweepRecall(s, d)),
     "a53_fleiss"         -> ((s, d) => Analytics.fleissKappa(s, d)),
@@ -661,6 +662,8 @@ object SparkEntry {
       operators.TextAnalysis.qualityClassifierOracleSql(),
     "tx32_fertility" ->
       operators.TextAnalysis.tokenizerFertilityOracleSql(),
+    "tx33_source_kl" ->
+      operators.TextAnalysis.sourceKlMatrixOracleSql(),
     "a53_fleiss" -> operators.Analytics.fleissKappaOracleSql(),
     "a54_hodges_lehmann" -> operators.Analytics.hodgesLehmannOracleSql(),
     "dp25_dsir" -> operators.DataPrep.dsirSelectOracleSql(),

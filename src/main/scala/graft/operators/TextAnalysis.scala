@@ -1562,4 +1562,87 @@ object TextAnalysis {
        |                   / (100.0 * CAST(n_tokens AS DOUBLE)))), 6) >= 0.5) AS keep
        |FROM ag
        |ORDER BY doc_id""".stripMargin
+
+  // --- TX33: pairwise SOURCE KL-DIVERGENCE matrix — the asymmetric
+  // distribution distance behind "can these two crawls substitute for
+  // each other" (tx23 ranks the distinguishing tokens; this scores the
+  // whole distribution gap, the quantity mixture tuning reads). With
+  // add-one smoothing over the global vocabulary V,
+  //   KL(a‖b) = Σ_t p_t · ln(p_t/q_t),  p_t = (c_a(t)+1)/(n_a+V).
+  // Computed via a closed-form factorization that never materializes
+  // the union-vocabulary per pair:
+  //   KL(a‖b) = [A(a) − X(a,b) − L(b)] / (n_a+V) + ln(n_b+V) − ln(n_a+V)
+  // where A(a) = Σ (c_a+1)ln(c_a+1) and L(b) = Σ ln(c_b+1) are
+  // per-source scans (absent tokens contribute exactly 0 to each) and
+  // X(a,b) = Σ c_a·ln(c_b+1) needs only tokens present in BOTH — one
+  // self-join of the per-source count relation on the token hash
+  // produces the whole matrix. Shape at 100 TB: one tokenize, counts
+  // shuffled as 8-byte hashes, the join bounded by (sources per
+  // token)² ≤ |sources|² per vocab entry — sources and vocabulary are
+  // both corpus-bounded, documents are not rescanned per pair. Pairs
+  // sharing no token get X = 0 via the left join. Cross-row ln sums
+  // round at 4dp — the tx26 discipline. ---
+  def sourceKlMatrix(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.Text.tokens(col("text"))).as("t"))
+      .select(col("source"), xxhash64(col("t")).as("th"))
+    val c = tok.groupBy("source", "th").agg(count(lit(1)).as("c"))
+    val dblC = col("c").cast("double")
+    val per = c.groupBy("source").agg(
+      sum(col("c")).as("n"),
+      sum((dblC + lit(1.0)) * log(dblC + lit(1.0))).as("a_term"),
+      sum(log(dblC + lit(1.0))).as("l_term"))
+    val v = c.agg(countDistinct(col("th")).as("v"))
+    val x = c.as("ca").join(c.as("cb"), col("ca.th") === col("cb.th"))
+      .groupBy(col("ca.source").as("src_a"), col("cb.source").as("src_b"))
+      .agg(sum(col("ca.c").cast("double")
+        * log(col("cb.c").cast("double") + lit(1.0))).as("x_term"))
+    val pairs = per
+      .select(col("source").as("src_a"), col("n").as("n_a"), col("a_term"))
+      .crossJoin(broadcast(per.select(col("source").as("src_b"),
+        col("n").as("n_b"), col("l_term"))))
+      .filter(col("src_a") =!= col("src_b"))
+    pairs.join(x, Seq("src_a", "src_b"), "left")
+      .na.fill(0.0, Seq("x_term"))
+      .crossJoin(broadcast(v))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        round((col("a_term") - col("x_term") - col("l_term"))
+          / (col("n_a") + col("v")).cast("double")
+          + log((col("n_b") + col("v")).cast("double"))
+          - log((col("n_a") + col("v")).cast("double")), 4).as("kl"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Oracle twin of [[sourceKlMatrix]] — token strings instead of
+    * xxhash64, same A/X/L factorization, same written-order tail and
+    * 4dp cut.
+    */
+  def sourceKlMatrixOracleSql(): String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      |      FROM tok GROUP BY 1, 2),
+      |per AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    sum((CAST(c AS DOUBLE) + 1.0) * ln(CAST(c AS DOUBLE) + 1.0))
+      |      AS a_term,
+      |    sum(ln(CAST(c AS DOUBLE) + 1.0)) AS l_term
+      |  FROM c GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM c),
+      |x AS (
+      |  SELECT ca.source AS src_a, cb.source AS src_b,
+      |    sum(CAST(ca.c AS DOUBLE) * ln(CAST(cb.c AS DOUBLE) + 1.0))
+      |      AS x_term
+      |  FROM c ca JOIN c cb ON ca.t = cb.t GROUP BY 1, 2)
+      |SELECT pa.source AS src_a, pb.source AS src_b,
+      |  pa.n AS n_a, pb.n AS n_b,
+      |  round((pa.a_term - coalesce(x.x_term, 0.0) - pb.l_term)
+      |      / CAST(pa.n + v.v AS DOUBLE)
+      |    + ln(CAST(pb.n + v.v AS DOUBLE))
+      |    - ln(CAST(pa.n + v.v AS DOUBLE)), 4) AS kl
+      |FROM per pa
+      |JOIN per pb ON pa.source <> pb.source
+      |LEFT JOIN x ON x.src_a = pa.source AND x.src_b = pb.source, v
+      |ORDER BY src_a, src_b""".stripMargin
 }

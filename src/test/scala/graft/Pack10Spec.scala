@@ -1361,6 +1361,38 @@ class Pack10Spec extends SparkTestBase {
       "symmetry: Walsh median = plain median")
   }
 
+  test("tx33: full ordered matrix, Gibbs non-negativity, genuine asymmetry, brute-force spot check") {
+    import spark.implicits._
+    val rows = operators.TextAnalysis.sourceKlMatrix(spark, sf).collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1), "every ordered pair, no diagonal")
+    rows.foreach(r => assert(r.getDouble(4) >= -1e-4,
+      s"KL(p||q) >= 0 by Gibbs: ${r.getString(0)}->${r.getString(1)} = ${r.getDouble(4)}"))
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(byPair.exists { case ((a, b), v) => math.abs(v - byPair((b, a))) > 1e-4 },
+      "KL is asymmetric — a symmetric matrix means a formula bug")
+    // brute-force one pair from raw token counts (the unfactored
+    // definition over the global vocabulary)
+    val cnt = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").count()
+      .as[(String, String, Long)].collect()
+    val v = cnt.map(_._2).distinct.length
+    def dist(src: String): (Map[String, Long], Long) = {
+      val m = cnt.filter(_._1 == src).map(x => x._2 -> x._3).toMap
+      (m, m.values.sum)
+    }
+    val (ca, na) = dist("src0"); val (cb, nb) = dist("src1")
+    val vocab = cnt.map(_._2).distinct
+    val brute = vocab.map { t =>
+      val p = (ca.getOrElse(t, 0L) + 1.0) / (na + v)
+      val q = (cb.getOrElse(t, 0L) + 1.0) / (nb + v)
+      p * math.log(p / q)
+    }.sum
+    assert(math.abs(byPair(("src0", "src1")) - brute) < 5e-4,
+      s"factorized KL must equal the definition: got ${byPair(("src0", "src1"))} vs $brute")
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
