@@ -651,7 +651,10 @@ object DataQuality {
     // .refIntegrityLineitemBatch]]), which is why the audit tail
     // ([[refIntegrityFromCounts]]) is shared — batch and stream can
     // never count differently.
-    val liCounts = lineitemKeyCounts(Tables.lineitem(s, d))
+    // materialize the count relation ONCE: the tail slices it three
+    // ways (one per edge), and without pinning each slice would
+    // re-execute the fact scan — PlanSpec asserts the single scan
+    val liCounts = lineitemKeyCounts(Tables.lineitem(s, d)).localCheckpoint()
     refIntegrityFromCounts(s, d, liCounts,
       Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")))
   }

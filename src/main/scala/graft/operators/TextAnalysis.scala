@@ -1587,7 +1587,12 @@ object TextAnalysis {
       .select(col("source"),
         explode(graft.functions.Text.tokens(col("text"))).as("t"))
       .select(col("source"), xxhash64(col("t")).as("th"))
+    // the count relation feeds five consumers (A/L per-source scans,
+    // V, and both self-join sides) — pin it so the corpus is
+    // tokenized exactly ONCE, not per consumer (PlanSpec asserts no
+    // documents scan survives into the query plan)
     val c = tok.groupBy("source", "th").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val dblC = col("c").cast("double")
     val per = c.groupBy("source").agg(
       sum(col("c")).as("n"),

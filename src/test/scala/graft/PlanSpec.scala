@@ -255,4 +255,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("grams_3"),
       s"the gram relation must not appear — that is the fixpoint's input:\n$p")
   }
+
+  test("DQ6 scans the lineitem fact exactly once for its three FK edges") {
+    // the count-based tail's whole point: per-key counts aggregate
+    // map-side off ONE fact pass, and only vocabulary-sized count
+    // relations reach the parent joins — a per-edge formulation would
+    // re-scan the big table three times
+    // the counts are localCheckpoint'd at construction (one fact scan
+    // happens THERE), so the query plan itself must contain NO
+    // lineitem scan at all — the three edges slice the pinned counts
+    val p = plan(DataQuality.referentialIntegrity(spark, sf))
+    val liScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(liScans == 0,
+      s"the three FK edges must slice the pinned counts, got $liScans scans:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"),
+      s"expected the pinned count relation in the plan:\n$p")
+  }
+
+  test("TX33 computes the full KL matrix without rescanning documents per pair") {
+    // the per-source count relation is localCheckpoint'd at
+    // construction (the corpus tokenize happens ONCE there), so the
+    // query plan itself must contain no documents scan — its five
+    // consumers (A/L aggregates, V, both self-join sides) all slice
+    // the pinned counts
+    val p = plan(operators.TextAnalysis.sourceKlMatrix(spark, sf))
+    val docScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans == 0,
+      s"every consumer must slice the pinned counts, got $docScans scans:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"tiny crosses must plan as broadcast nested loops:\n$p")
+  }
 }
