@@ -367,6 +367,7 @@ object SparkEntry {
     "pv5_generalization" -> ((s, d) => DataQuality.generalizationLadder(s, d)),
     "pv6_t_closeness"    -> ((s, d) => DataQuality.tCloseness(s, d)),
     "sp8_power_analysis" -> ((s, d) => Sampling.powerAnalysis(s, d)),
+    "sp9_priority_estimate" -> ((s, d) => Sampling.priorityEstimate(s, d)),
     "dq7_calendar_gaps"  -> ((s, d) => DataQuality.calendarGaps(s, d)),
     "dq8_functional_deps" -> ((s, d) => DataQuality.functionalDependencies(s, d)),
     "tx27_burstiness"    -> ((s, d) => TextAnalysis.burstiness(s, d)),
@@ -605,6 +606,8 @@ object SparkEntry {
       operators.DataQuality.tClosenessOracleSql(),
     "sp8_power_analysis" ->
       operators.Sampling.powerAnalysisOracleSql(),
+    "sp9_priority_estimate" ->
+      operators.Sampling.priorityEstimateOracleSql(),
     "dq7_calendar_gaps" ->
       operators.DataQuality.calendarGapsOracleSql(),
     "dq8_functional_deps" ->

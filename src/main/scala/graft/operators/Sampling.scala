@@ -69,6 +69,81 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  // --- SP9: PRIORITY-SAMPLING total estimator [Duffield, Lund &
+  // Thorup, JACM 2007] — the ESTIMATION side of the weighted-sample
+  // family: sp4 selects k docs per source by priority, sp9 answers
+  // "what does that k-sample say the per-source total is". Priorities
+  // q = w/u with u = (h60(doc_id)+1)/2⁶⁰ ∈ (0,1] (sp4's key inverted
+  // and normalized — the SAME deterministic hash, so the sample is
+  // replayable); with τ = the (k+1)-th largest priority, Σ max(w_i, τ)
+  // over the top k is provably unbiased for Σ w, and when a source
+  // has ≤ k docs, τ is absent (0) and the estimate DEGENERATES TO THE
+  // EXACT TOTAL — the spec pins that identity. Shape at 100 TB: one
+  // scan projects the priority (scan-side arithmetic), one window
+  // shuffle keyed on source ranks it, and everything after runs on the
+  // k-row-per-source sample plus a per-source 1-row τ broadcast — the
+  // estimator never touches more than the sample. Doubles: the u
+  // division and the final ≤k-term sum, rounded at 4dp; the exact
+  // side is integer cents-style (hash-matched). ---
+  def priorityEstimate(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    val two60 = lit(1152921504606846976.0) // 2^60, exact in double
+    val u = (graft.functions.Text.h60(col("doc_id").cast("string"))
+      .cast("double") + lit(1.0)) / two60
+    val wgt = greatest(col("n_chars"), lit(1)).cast("double")
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    // one documents scan + one window, pinned: the ranked relation
+    // feeds three consumers (sample, tau, exact side)
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (wgt / u).as("q"), wgt.as("w"))
+      .withColumn("rnk", row_number().over(win))
+      .localCheckpoint()
+    val tau = ranked.filter(col("rnk") === k + 1)
+      .select(col("source"), col("q").as("tau"))
+    val est = ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .na.fill(0.0, Seq("tau"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("m_sampled"),
+        round(sum(greatest(col("w"), col("tau"))), 4).as("est_chars"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("exact_chars"))
+      .join(est, Seq("source"))
+      .select("source", "n_docs", "m_sampled", "exact_chars", "est_chars")
+      .orderBy("source")
+  }
+
+  /** Oracle twin of [[priorityEstimate]] — same h60 draw, priority,
+    * rank, τ pick, and max-sum, 4dp.
+    */
+  def priorityEstimateOracleSql(k: Int = 16): String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(greatest(n_chars, 1) AS DOUBLE)
+       |      / ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |            AS BIGINT) + 1.0) / 1152921504606846976.0) AS q,
+       |    CAST(greatest(n_chars, 1) AS DOUBLE) AS w
+       |  FROM documents),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY q DESC, doc_id ASC) AS rnk FROM r),
+       |tau AS (SELECT source, q AS tau FROM rk WHERE rnk = ${k + 1}),
+       |est AS (
+       |  SELECT rk.source, CAST(count(*) AS BIGINT) AS m_sampled,
+       |    round(sum(greatest(w, coalesce(tau, 0.0))), 4) AS est_chars
+       |  FROM rk LEFT JOIN tau ON rk.source = tau.source
+       |  WHERE rk.rnk <= $k GROUP BY 1),
+       |ex AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS exact_chars
+       |  FROM documents GROUP BY 1)
+       |SELECT ex.source AS source, n_docs, m_sampled, exact_chars,
+       |  est_chars
+       |FROM ex JOIN est ON ex.source = est.source
+       |ORDER BY ex.source""".stripMargin
+
   /** Stratified sampling: per-language keep rates (e.g. downsample the
     * dominant language) expressed as per-class hash thresholds.
     */

@@ -1393,6 +1393,29 @@ class Pack10Spec extends SparkTestBase {
       s"factorized KL must equal the definition: got ${byPair(("src0", "src1"))} vs $brute")
   }
 
+  test("sp9: priority estimate degenerates to exact when k covers the source, stays sane otherwise") {
+    // at sf0.001 every source has 25 docs: k = 100 ⇒ τ absent ⇒ the
+    // DLT estimator reduces to Σ max(w, 0) = the exact total — an
+    // identity, not an approximation
+    val full = operators.Sampling.priorityEstimate(spark, sf, k = 100).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "k >= n: whole source sampled")
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble) < 1e-6,
+        s"k >= n must be EXACT: ${r.getString(0)} est=${r.getDouble(4)} vs ${r.getLong(3)}")
+    }
+    // genuine sampling: k = 8 of 25 — unbiased in expectation, and on
+    // this corpus (mild weight spread) a single draw stays in a loose
+    // sanity band; m_sampled is exactly k
+    val sampled = operators.Sampling.priorityEstimate(spark, sf, k = 8).collect()
+    sampled.foreach { r =>
+      assert(r.getLong(2) == 8L, "k < n: exactly k docs sampled")
+      val ratio = r.getDouble(4) / r.getLong(3)
+      assert(ratio > 0.2 && ratio < 5.0,
+        s"estimate wildly off for ${r.getString(0)}: ratio $ratio")
+    }
+  }
+
   test("a42: one row per lag, |acf| <= 1, pair counts bounded by the series") {
     val rows = Analytics.autocorrelation(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
