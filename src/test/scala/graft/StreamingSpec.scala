@@ -1410,6 +1410,15 @@ class StreamingSpec extends SparkTestBase {
     assert(cms.length == Streams.CmsProbeKeys.length)
     assert(cms.forall(r => r.getLong(1) == 0L && r.getBoolean(2)),
       "zero sketch: exact 0 and in-bounds for every probe key")
+    // MG audit of zero admitted docs: no heavy hitters, no crash
+    assert(Streams.readMgAudit(spark, root).count() == 0)
+    // FK audit of zero admitted facts: all seven edges report 0/0
+    val fk = Streams.readRefIntegrity(spark, root, sf).collect()
+    assert(fk.length == 7, "the seven-edge report shape survives emptiness")
+    val factEdges = fk.filter(r => r.getString(0).startsWith("lineitem") ||
+      r.getString(0) == "orders->customer")
+    assert(factEdges.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      "maintained-fact edges are 0/0 before any batch commits")
   }
 
   test("cms admission contract: a grown cross-batch redelivery fails loudly") {
