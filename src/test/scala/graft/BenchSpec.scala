@@ -55,6 +55,24 @@ class BenchSpec extends AnyFunSuite {
     assert(flagged.isEmpty, s"quiet run flagged: $flagged")
   }
 
+  // recorded verbatim from the round-10 closing run (318 queries,
+  // 143.1s): ripples up to 1.34x of the 0.173 reference — the widest
+  // QUIET series observed so far, and it must stay unflagged (a rule
+  // tightened below ~1.4x would start flagging ordinary steady-state
+  // drift on exactly this evidence)
+  private val r10Closing = Seq(
+    0 -> 0.132, 20 -> 0.196, 40 -> 0.214, 60 -> 0.156, 80 -> 0.161,
+    100 -> 0.174, 120 -> 0.164, 140 -> 0.160, 160 -> 0.173, 180 -> 0.150,
+    200 -> 0.172, 220 -> 0.184, 240 -> 0.161, 260 -> 0.187, 280 -> 0.231,
+    300 -> 0.203, 318 -> 0.183)
+
+  test("the round-10 closing series: 1.34x ripple stays below the noise bar") {
+    val (ref, flagged) = Bench.flagWindows(r10Closing, 20, 318)
+    assert(math.abs(ref - 0.173) < 0.01, s"median reference, got $ref")
+    assert(flagged.isEmpty,
+      s"a quiet full sweep's organic ripple must not flag: $flagged")
+  }
+
   test("a loaded baseline flags its own window without masking the sweep") {
     val (ref, flagged) = Bench.flagWindows(loadedBaseline, 20, 93)
     // the median ignores the one inflated sample...
