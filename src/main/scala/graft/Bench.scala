@@ -308,16 +308,24 @@ object Bench {
           .map { case (p, v) => f"[$p,$v%.3f]" }.mkString("[", ",", "]") + "}"
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     // recorded time = min over sweep attempts AND the tail re-time; a
-    // query that only ever succeeded in the heal pass counts as ok
+    // query that only ever succeeded in the heal pass counts as ok for
+    // totals BUT is listed in healed_only — all three sweep attempts
+    // crashed (OOM/timeout under the contention that got it flagged),
+    // and one later quiet success must not erase that provenance
     val slim = results.map { r =>
       val h = healed.get(r._1)
       val best = (Seq(r._2).filter(_ >= 0.0) ++ h)
         .reduceOption(_ min _).getOrElse(-1.0)
       (r._1, best, r._3 || h.isDefined)
     }
+    val healedOnly = results.collect {
+      case r if !r._3 && healed.contains(r._1) => r._1
+    }
     val healedJson = healed.toSeq
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val healSkippedJson = healSkipped
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val healedOnlyJson = healedOnly
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val phantomJson = phantomRetimed
       .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -333,12 +341,12 @@ object Bench {
     // the judge reads directly.
     val headline = slim.filter(_._1.matches("q\\d+.*"))
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(slim)},"attempts":${amap(results.map(r => (r._1, r._4)))},"canary":$canaryJson,"noise_flagged":$flaggedJson,"healed":$healedJson,"heal_skipped":$healSkippedJson,"phantom_retimed":$phantomJson,"failed":$failed,"build_s":$buildTotal%.3f,"builds":$bmap,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(slim)},"attempts":${amap(results.map(r => (r._1, r._4)))},"canary":$canaryJson,"noise_flagged":$flaggedJson,"healed":$healedJson,"healed_only":$healedOnlyJson,"heal_skipped":$healSkippedJson,"phantom_retimed":$phantomJson,"failed":$failed,"build_s":$buildTotal%.3f,"builds":$bmap,"sf":"$sfDir"}"""
     // the PRINTED line must fit the driver's ~2.5KB stdout tail — carry
     // only the flag COUNT there; the full list + canary series live in
     // BENCH_FULL.json, which the judge reads directly
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(headline)},"noise_flagged_n":${flagged.size},"healed_n":${healed.size},"failed":$failed,"build_s":$buildTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${slim.size},"queries":${qmap(headline)},"noise_flagged_n":${flagged.size},"healed_n":${healed.size},"healed_only_n":${healedOnly.size},"failed":$failed,"build_s":$buildTotal%.3f,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     println(if (only.isEmpty) line else full)
     // a filtered dev run must not clobber the full artifact the judge reads
     if (only.isEmpty)

@@ -311,13 +311,25 @@ object Soak {
       dt
     }
 
-    val rows = SoakQueries.map { name =>
+    // optional 3rd arg: comma-separated query filter (dev loop — chase
+    // one query's soak behavior without the 40-minute sweep); filtered
+    // runs take THREE steady passes (trend beats a point sample when
+    // investigating a warm-slower-than-cold anomaly) and never clobber
+    // the full SOAK.json artifact
+    val only = if (args.length > 2) Some(args(2).split(',').toSet) else None
+    val rows = SoakQueries.filter(n => only.forall(_.contains(n))).map { name =>
       // warm base (indexes usually pre-built from earlier rounds), then
       // measure; soak pass 1 pays index builds, pass 2 is steady state
       run(name, base, soakSide = false)
       val baseS = run(name, base, soakSide = false)
       val soakBuild = run(name, out, soakSide = true)
       val soakSteady = run(name, out, soakSide = true)
+      if (only.isDefined) {
+        val s2 = run(name, out, soakSide = true)
+        val s3 = run(name, out, soakSide = true)
+        System.err.println(
+          f"[soak] $name extra steady passes: $s2%7.2fs $s3%7.2fs")
+      }
       val perRow = soakSteady / (baseS * Copies)
       System.err.println(
         f"[soak] $name%-22s base=$baseS%6.2fs build=$soakBuild%7.2fs " +
@@ -327,8 +339,9 @@ object Soak {
     val json =
       s"""{"base":"$base","copies":$Copies,"queries":${rows.mkString("{", ",", "}")}}"""
     println(json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.json"),
-      json + "\n")
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.json"),
+        json + "\n")
     spark.stop()
   }
 }

@@ -383,6 +383,7 @@ object SparkEntry {
     "sq6_kaplan_meier"   -> ((s, d) => DataPrep.kaplanMeier(s, d)),
     "sq7_ushape_attr"    -> ((s, d) => Analytics.ushapeAttribution(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
+    "dd26_exact_substring" -> ((s, d) => Dedup.exactSubstringRuns(s, d)),
   )
 
   /** dd8's from-scratch component replay — shared verbatim by dd25,
@@ -3361,5 +3362,10 @@ object SparkEntry {
         |     SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
         |    AS exact_both,
         |  TRUE AS est_ok""".stripMargin,
+    // dd26: anchor+extension vs an anchor-FREE brute-force island
+    // formulation — two different algorithms must land on the
+    // bit-identical maximal-run relation
+    "dd26_exact_substring" ->
+      operators.Dedup.exactSubstringOracleSql(),
   )
 }

@@ -832,8 +832,14 @@ object DataQuality {
         floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"))
     val bands = rows.select("bucket").distinct()
     val nTotalDf = rows.agg(count(lit(1)).as("n_total"))
-    val globalCum = rows.groupBy("bucket").agg(count(lit(1)).as("ngk"))
-      .join(broadcast(bands), Seq("bucket"), "right")
+    // bands is the row-preserving side, so it must be the LEFT input:
+    // Spark cannot build (broadcast) the preserved side of an outer
+    // join, and a broadcast hint there is a silent no-op that spams
+    // HintErrorLogger warnings into the bench tail. Build-right under
+    // left-outer IS supported, so broadcast the per-bucket aggregate.
+    val globalCum = bands
+      .join(broadcast(rows.groupBy("bucket").agg(count(lit(1)).as("ngk"))),
+        Seq("bucket"), "left")
       .withColumn("ngk", coalesce(col("ngk"), lit(0L)))
       .withColumn("cum_g", sum(col("ngk")).over(Window
         .partitionBy(lit(0)).orderBy(col("bucket").asc)

@@ -1340,4 +1340,202 @@ object Dedup {
          |            FROM documents WHERE doc_id % $sampleMod = 0))
          |    GROUP BY doc_id) cb ON cb.doc_id = sp.db)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY n")
+
+  // --- DD26: EXACT SUBSTRING dedup (the ExactSubstr family — public
+  // approach: suffix-array the corpus, emit verbatim token runs >= L
+  // shared across documents; the operator every set-similarity dedup
+  // in this suite misses, because a 50-token verbatim quote inside two
+  // otherwise-different documents moves n-gram Jaccard (dd2/dd19) only
+  // marginally and lives BELOW the CDC chunk grain (dd13/dd21)).
+  //
+  // Spark-first shape — anchors instead of a suffix array:
+  //  * INDEX side: every positional anchor-k-gram (doc_id, pos, gh) —
+  //    a linear relation, one map-side projection (same explode +
+  //    element_at idiom as gramRows, persisted by
+  //    TextIndex.anchorIndex like every other corpus-pure relation).
+  //  * PROBE side: the SAME relation restricted to positions on a
+  //    stride s = minRun − k + 1. Detection is GUARANTEED, not
+  //    heuristic: a shared run of length R >= minRun spans anchor
+  //    starts [st, st + R − k], a window of R − k + 1 >= s consecutive
+  //    positions, and the strided lattice {1, 1+s, 1+2s, …} intersects
+  //    every s-length window. The stride only removes redundant
+  //    discoveries of the same run (factor ~s fewer candidates).
+  //  * Candidates: one equi-join on gh across distinct docs. Hot
+  //    anchors are guarded by a STRICT frequency cap (dd25's
+  //    discipline): dropping a hot anchor would silently lose runs,
+  //    so an engaged cap fails loudly and names the fix (raise k —
+  //    anchor DF is monotone non-increasing in k).
+  //  * VERIFY + EXTEND per candidate: join each side's token array in
+  //    (arrays shuffle once, keyed on doc_id, only for docs that
+  //    appear in candidates) and extend the match maximally left and
+  //    right with per-row array expressions — the right extension
+  //    re-compares the anchor window itself, so an xxhash64 anchor
+  //    collision is verified away rather than trusted. Every anchor
+  //    inside one run extends to the SAME maximal (start_a, start_b,
+  //    run_len), so dropDuplicates on the normalized pair+start yields
+  //    exactly the maximal-run relation a suffix array would emit.
+  //
+  // 100 TB shape: index is linear in corpus tokens; probe is 1/s of
+  // it; candidate fan-out is bounded by the anchor-DF cap; extension
+  // cost is O(run length) per surviving candidate. No driver-side
+  // state, no all-pairs stage. Oracled by an independent DuckDB
+  // formulation (single-token matches grouped into diagonal islands —
+  // brute force, no anchors), so the anchor+extension machinery is
+  // hash-checked against a different algorithm end to end. ---
+
+  /** Positional anchor k-grams (doc_id, pos, gh) of an arbitrary
+    * (doc_id, text) relation — UNLIKE [[gramRowsOf]] the position
+    * survives (runs are positional objects) and nothing is
+    * deduplicated. Pure map-side projection.
+    */
+  private[graft] def anchorRowsOf(docs: DataFrame, k: Int): DataFrame = {
+    val ws = col("ws")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(ws) >= k)
+      .select(col("doc_id"), ws,
+        explode(sequence(lit(1), size(ws) - lit(k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"), xxhash64(concat_ws(" ",
+        (0 until k).map(i => element_at(ws, col("pos") + lit(i))): _*)).as("gh"))
+  }
+
+  /** [[anchorRowsOf]] over the corpus — the build side of
+    * [[graft.sources.TextIndex.anchorIndex]].
+    */
+  private[graft] def anchorRows(s: SparkSession, d: String, k: Int): DataFrame =
+    anchorRowsOf(Tables.documents(s, d), k)
+
+  /** Anchor-frequency guard for dd26's candidate join. STRICT like
+    * dd25's gram cap, for the same reason with sharper teeth: the cap
+    * exists to bound the gh-join fan-out, but an ENGAGED cap here
+    * would drop anchors and silently lose whole runs (not merely skew
+    * a score), so it must fail loudly. The window hash-partitions by
+    * gh — the exchange the candidate join needs anyway.
+    */
+  private def capAnchorFreq(anch: DataFrame, maxFreq: Long): DataFrame = {
+    val byGh = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    anch.withColumn("af", count(lit(1)).over(byGh))
+      .withColumn("af",
+        when(col("af") > maxFreq, raise_error(format_string(
+          "dd26 anchor frequency cap engaged (freq = %d > cap = %d): " +
+            "dropping a hot anchor would silently lose verbatim runs — " +
+            "raise the anchor size k (anchor DF is non-increasing in k) " +
+            "or the cap",
+          col("af"), lit(maxFreq)))).otherwise(col("af")))
+      .filter(col("af") <= maxFreq).drop("af")
+  }
+
+  /** Maximal cross-document verbatim token runs of >= `minRun` tokens
+    * over an arbitrary (doc_id, text) relation — the testable core
+    * (specs plant runs in synthetic docs; the corpus form is
+    * [[exactSubstringRuns]]). `index` optionally supplies a persisted
+    * positional anchor relation so the corpus path reuses
+    * TextIndex.anchorIndex instead of re-gramming.
+    */
+  private[graft] def exactSubstringRunsOf(docs: DataFrame,
+                                          anchor: Int = 8,
+                                          minRun: Int = 15,
+                                          maxAnchorFreq: Long = DefaultMaxGramDocFreq,
+                                          index: Option[DataFrame] = None)
+      : DataFrame = {
+    require(minRun >= anchor,
+      s"minRun ($minRun) must be >= anchor size ($anchor)")
+    val stride = minRun - anchor + 1
+    val anch = capAnchorFreq(
+      index.getOrElse(anchorRowsOf(docs, anchor)), maxAnchorFreq)
+    val probe = anch.filter(((col("pos") - 1) % stride) === 0)
+    val cand = probe.as("p").join(anch.as("x"),
+        col("p.gh") === col("x.gh") && col("p.doc_id") =!= col("x.doc_id"))
+      .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
+        col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    val arrs = docs.select(col("doc_id"),
+      split(col("text"), " ").as("ws"))
+    // per-candidate verify + maximal extension. All slice bounds are
+    // in-range by construction, so the zip_with equality arrays are
+    // null-free and array_position(…, false) is exactly "first
+    // mismatch" (0 = none: the run reaches the array boundary).
+    val eq = (x: org.apache.spark.sql.Column,
+              y: org.apache.spark.sql.Column) => x === y
+    val withArrs = cand
+      .join(arrs.as("ia"), col("da") === col("ia.doc_id"))
+      .join(arrs.as("ib"), col("db") === col("ib.doc_id"))
+      .select(col("da"), col("pa"), col("db"), col("pb"),
+        col("ia.ws").as("wsa"), col("ib.ws").as("wsb"))
+    val runs = withArrs
+      // right window INCLUDES the anchor tokens — the hash-collision
+      // verify rides the extension for free
+      .withColumn("m", least(size(col("wsa")) - col("pa"),
+        size(col("wsb")) - col("pb")) + lit(1))
+      .withColumn("ffr", array_position(zip_with(
+        slice(col("wsa"), col("pa"), col("m")),
+        slice(col("wsb"), col("pb"), col("m")), eq), false))
+      .withColumn("right_len",
+        when(col("ffr") === 0, col("m").cast("long"))
+          .otherwise(col("ffr") - 1))
+      .filter(col("right_len") >= anchor)
+      .withColumn("pl", least(col("pa"), col("pb")) - lit(1))
+      .withColumn("ffl", array_position(zip_with(
+        reverse(slice(col("wsa"), col("pa") - col("pl"), col("pl"))),
+        reverse(slice(col("wsb"), col("pb") - col("pl"), col("pl"))), eq),
+        false))
+      .withColumn("left_ext",
+        when(col("ffl") === 0, col("pl").cast("long"))
+          .otherwise(col("ffl") - 1))
+      .withColumn("run_len", col("left_ext") + col("right_len"))
+      .filter(col("run_len") >= minRun)
+    runs
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("pa") - col("left_ext"))
+          .otherwise(col("pb") - col("left_ext")).cast("long").as("start_a"),
+        when(col("da") < col("db"), col("pb") - col("left_ext"))
+          .otherwise(col("pa") - col("left_ext")).cast("long").as("start_b"),
+        col("run_len"))
+      .dropDuplicates("doc_a", "doc_b", "start_a", "start_b")
+      .repartition(col("doc_a"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  /** DD26 over the corpus: every maximal verbatim token run of >=
+    * `minRun` tokens shared between two distinct documents, as
+    * (doc_a, doc_b, start_a, start_b, run_len) with doc_a < doc_b and
+    * 1-based token starts. Reference data shape: the free-text review
+    * corpus (`Codes/MovieShoppingServer/DatabaseAccessor.py:22-23`,
+    * review.csv `content` column) is where verbatim cross-review
+    * quoting lives below dd13/dd21's chunk grain.
+    */
+  def exactSubstringRuns(s: SparkSession, d: String,
+                         anchor: Int = 8, minRun: Int = 15): DataFrame =
+    exactSubstringRunsOf(Tables.documents(s, d), anchor, minRun,
+      index = Some(graft.sources.TextIndex.anchorIndex(s, d, anchor)))
+
+  /** Oracle twin of [[exactSubstringRuns]] — a DIFFERENT algorithm:
+    * brute-force single-token positional matches grouped into
+    * diagonal islands (pa − pb constant, consecutive pa), no anchors,
+    * no extension. Quadratic in matching token positions — fine at
+    * oracle SF, unrunnable at scale, which is the point.
+    */
+  def exactSubstringOracleSql(minRun: Int = 15): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |g AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  SELECT da AS doc_a, db AS doc_b,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) - diag AS BIGINT) AS start_b,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM g GROUP BY da, db, diag, isl)
+       |SELECT doc_a, doc_b, start_a, start_b, run_len
+       |FROM r WHERE run_len >= $minRun
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 }

@@ -85,20 +85,30 @@ object Sampling {
   // estimator never touches more than the sample. Doubles: the u
   // division and the final ≤k-term sum, rounded at 4dp; the exact
   // side is integer cents-style (hash-matched). ---
-  def priorityEstimate(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+  /** sp9's shared ranked relation — every doc's priority and rank,
+    * extracted so PlanSpec can pin its plan shape: this window must
+    * stay FULL (no WindowGroupLimit) because the exact-total consumer
+    * reads every rank; the rank filters live beyond the checkpoint
+    * boundary in [[priorityEstimate]] for exactly that reason.
+    */
+  private[graft] def priorityEstimateRanked(s: SparkSession,
+                                            d: String): DataFrame = {
     val two60 = lit(1152921504606846976.0) // 2^60, exact in double
     val u = (graft.functions.Text.h60(col("doc_id").cast("string"))
       .cast("double") + lit(1.0)) / two60
     val wgt = greatest(col("n_chars"), lit(1)).cast("double")
     val win = Window.partitionBy(col("source"))
       .orderBy(col("q").desc, col("doc_id").asc)
-    // one documents scan + one window, pinned: the ranked relation
-    // feeds three consumers (sample, tau, exact side)
-    val ranked = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("source"), col("doc_id"), col("n_chars"),
         (wgt / u).as("q"), wgt.as("w"))
       .withColumn("rnk", row_number().over(win))
-      .localCheckpoint()
+  }
+
+  def priorityEstimate(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    // one documents scan + one window, pinned: the ranked relation
+    // feeds three consumers (sample, tau, exact side)
+    val ranked = priorityEstimateRanked(s, d).localCheckpoint()
     val tau = ranked.filter(col("rnk") === k + 1)
       .select(col("source"), col("q").as("tau"))
     val est = ranked.filter(col("rnk") <= k)

@@ -53,6 +53,21 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  /** Persisted POSITIONAL anchor relation (doc_id, pos, gh) — dd26's
+    * candidate-generation input: the anchor-k-gram hash at EVERY
+    * token position (unlike [[gramIndex]], positions survive and
+    * nothing is deduplicated — verbatim runs are positional objects).
+    * A pure corpus function of (docs, k), so persisted like the gram
+    * index; probes (including the strided probe side) filter it.
+    */
+  def anchorIndex(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d, s"anchors_${k}_xx64")
+    VectorIndex.ensure(path) { out =>
+      Dedup.anchorRows(s, d, k).write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Persisted (doc_id, band, bucket) LSH banding of the MinHash
     * signatures (built over the portable gram relation, so dd3's
     * oracle replays it verbatim). Every banding parameter is part of

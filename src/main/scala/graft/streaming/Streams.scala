@@ -1072,11 +1072,21 @@ object Streams {
     prior match {
       case Seq() => ()
       case dirs =>
-        val ledger = s.read.parquet(dirs: _*)
-        // migration shim: pre-round-10 ledgers carry only l_orderkey
+        // migration shim: pre-round-10 ledgers carry only l_orderkey.
+        // mergeSchema is REQUIRED — without it Spark infers the schema
+        // from one arbitrary footer, so a mixed old/new ledger could
+        // silently disarm the contract (old footer picked: no n_lines
+        // column) or null-pass every row (new footer picked: old rows
+        // read null, and null != x filters to nothing). With it the
+        // column exists whenever ANY delta has it, and the non-null
+        // restriction makes enforcement deterministic: new-format
+        // admissions are always checked, old-format ones (no recorded
+        // count) never are.
+        val ledger = s.read.option("mergeSchema", "true").parquet(dirs: _*)
         if (ledger.columns.contains("n_lines")) {
           val bad = incomingCounts
-            .join(ledger.withColumnRenamed("n_lines", "admitted_lines"),
+            .join(ledger.filter(col("n_lines").isNotNull)
+              .withColumnRenamed("n_lines", "admitted_lines"),
               "l_orderkey")
             .filter(col("n_lines") =!= col("admitted_lines"))
             .head(3)
@@ -1679,7 +1689,11 @@ object Streams {
 
   private def mergedMonthly(s: org.apache.spark.sql.SparkSession,
                             workDir: String): DataFrame =
-    s.read.parquet(deltaDirs(workDir, "monthly"): _*)
+    // deltasOrEmpty, not read.parquet: a monitor attached before the
+    // first batch commits must answer with an empty series, not crash
+    // on a zero-path read (the same never-crash contract the mg/fk
+    // read sides honor).
+    deltasOrEmpty(s, workDir, "monthly", "x BIGINT, c BIGINT")
       .groupBy("x").agg(sum(col("c")).as("c"))
 
   /** Read side #1: the live Mann–Kendall monitor off the merged state. */

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** dd26 (exact substring dedup) — the operator the set-similarity
+  * suite cannot express: a long verbatim quote inside two otherwise-
+  * different documents. The flagship vector plants a 60-token verbatim
+  * overlap that n-gram Jaccard (the dd2 family) scores well below its
+  * 0.5 threshold — dd26 must report it exactly (maximal bounds, not
+  * just existence). The remaining vectors pin the operator's edges:
+  * the >= minRun cut, maximality, multiple runs per pair, stride
+  * alignment, boundary runs, symmetric emission, and the strict
+  * anchor-frequency cap.
+  */
+class ExactSubstringSpec extends SparkTestBase {
+  import operators.Dedup
+
+  private def docsOf(rows: (Long, Seq[String])*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  private def toks(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"$prefix$i")
+
+  test("planted 60-token verbatim overlap: dd26 catches what dd2's Jaccard misses") {
+    val shared = toks("s", 60)
+    val docs = docsOf(
+      1L -> (toks("a", 40) ++ shared ++ toks("x", 40)),
+      2L -> (toks("b", 40) ++ shared ++ toks("y", 40)))
+    // dd2's verdict on the same pair: 3-gram Jaccard = 58 shared grams
+    // over a 218-gram union ≈ 0.27 — BELOW the 0.5 near-dup threshold,
+    // so the whole set-similarity family reports no pair at all
+    val grams = Dedup.gramRowsOf(docs, 3)
+    assert(Dedup.pairsTouching(grams, grams, 0.5).count() == 0,
+      "n-gram Jaccard at its own threshold must miss the quoted span")
+    // dd26's verdict: exactly the maximal run, with exact bounds
+    val runs = Dedup.exactSubstringRunsOf(docs).collect()
+    assert(runs.length == 1, s"one maximal run expected, got ${runs.toSeq}")
+    val r = runs.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 41L && r.getLong(3) == 41L,
+      "1-based starts just after each 40-token unique prefix")
+    assert(r.getLong(4) == 60L, "the run is maximal — all 60 tokens")
+  }
+
+  test("minRun cut is exact: 15 reported, 14 silent") {
+    val r15 = toks("r", 15)
+    val r14 = toks("q", 14)
+    val docs = docsOf(
+      1L -> (toks("a", 9) ++ r15 ++ toks("x", 5)),
+      2L -> (toks("b", 3) ++ r15 ++ toks("y", 11)),
+      3L -> (toks("c", 9) ++ r14 ++ toks("z", 6)),
+      4L -> (toks("d", 5) ++ r14 ++ toks("w", 8)))
+    val runs = Dedup.exactSubstringRunsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, 2L, 10L, 4L, 15L)),
+      "exactly the >= 15 run, with its exact starts; the 14 run silent")
+  }
+
+  test("two separate runs between one pair are both reported, once each") {
+    val run1 = toks("p", 20)
+    val run2 = toks("r", 18)
+    val docs = docsOf(
+      5L -> (toks("a", 10) ++ run1 ++ toks("x", 10) ++ run2 ++ toks("u", 5)),
+      9L -> (toks("b", 7) ++ run1 ++ toks("y", 12) ++ run2 ++ toks("v", 9)))
+    val runs = Dedup.exactSubstringRunsOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // run1 spans 20 >= 2 strides — multiple anchors discover it, the
+    // normalized maximal bounds dedup it to ONE row
+    assert(runs == Seq(
+      (5L, 9L, 11L, 8L, 20L),
+      (5L, 9L, 41L, 40L, 18L)),
+      s"both maximal runs, each once: $runs")
+  }
+
+  test("stride alignment: a minimum-length run at an awkward offset is still found") {
+    // detection guarantee: a 15-run has anchor starts spanning
+    // 15 - 8 + 1 = 8 consecutive positions = exactly one stride window,
+    // wherever it sits
+    for (off <- 0 to 9) {
+      val run = toks("r", 15)
+      val docs = docsOf(
+        1L -> (toks("a", off) ++ run ++ toks("x", 4)),
+        2L -> (toks("b", 23) ++ run))
+      val runs = Dedup.exactSubstringRunsOf(docs).collect()
+      assert(runs.length == 1 && runs.head.getLong(4) == 15L &&
+        runs.head.getLong(2) == off + 1L && runs.head.getLong(3) == 24L,
+        s"offset $off: run must be found with exact bounds")
+    }
+  }
+
+  test("containment: a whole document inside another extends to both boundaries") {
+    val inner = toks("s", 25)
+    val docs = docsOf(
+      7L -> inner,
+      3L -> (toks("a", 13) ++ inner ++ toks("x", 11)))
+    val runs = Dedup.exactSubstringRunsOf(docs).collect()
+    assert(runs.length == 1)
+    val r = runs.head
+    // ids normalized: doc_a = 3 (smaller), start in 3 is 14, start in
+    // the contained doc is its own position 1 — left extension must
+    // stop cleanly at the array boundary
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 7L, 14L, 1L, 25L)))
+  }
+
+  test("input id order does not matter: runs emit as (min_id, max_id) once") {
+    val run = toks("r", 16)
+    val a = docsOf(2L -> (toks("a", 5) ++ run), 1L -> (run ++ toks("b", 6)))
+    val b = docsOf(1L -> (run ++ toks("b", 6)), 2L -> (toks("a", 5) ++ run))
+    val ra = Dedup.exactSubstringRunsOf(a).collect().map(_.toString).toSeq
+    val rb = Dedup.exactSubstringRunsOf(b).collect().map(_.toString).toSeq
+    assert(ra == rb && ra.length == 1)
+  }
+
+  test("strict anchor cap: a hot anchor fails loudly instead of losing runs") {
+    val hot = toks("h", 8)
+    val docs = docsOf((1L to 6L).map(i =>
+      i -> (Seq(s"u$i") ++ hot ++ toks(s"t$i", 10))): _*)
+    val e = intercept[Throwable] {
+      Dedup.exactSubstringRunsOf(docs, maxAnchorFreq = 4L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dd26 anchor frequency cap")),
+      s"cap engagement must name itself: $e")
+  }
+}

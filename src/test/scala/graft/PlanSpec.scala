@@ -52,6 +52,46 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  // The rank-filtered window families' correctness-at-scale depends on
+  // Catalyst rewriting `row_number() <= k` over a window into a
+  // WindowGroupLimit pair — a PARTIAL group-limit BELOW the shuffle
+  // (each map task keeps k rows per group) and a Final one above.
+  // Without it, every one of these becomes a one-task-per-group full
+  // sort at 100 TB. Nothing else in the suite would catch a silent
+  // regression (results stay identical), so the plan shape is pinned
+  // here: a refactor to a non-rank function, or an upstream default
+  // change to spark.sql.optimizer.windowGroupLimitThreshold, fails CI.
+  test("rank-filter top-k (sp2/sp4/w1) plans a Partial WindowGroupLimit below the shuffle") {
+    for ((name, df) <- Seq(
+      ("sp2_reservoir", Sampling.reservoirPerGroup(spark, sf)),
+      ("sp4_weighted_sample", Sampling.weightedSample(spark, sf)),
+      ("w1_topn_per_group", Relational.topNPerGroup(spark, sf)))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: rank filter no longer plans a WindowGroupLimit —\n$p")
+      assert(p.contains("Partial"),
+        s"$name: no PARTIAL (map-side) group limit below the shuffle — " +
+          s"the top-k is being computed by a full per-group sort:\n$p")
+      assert(p.contains("Final"),
+        s"$name: partial group limit present but no Final above the " +
+          s"shuffle:\n$p")
+    }
+  }
+
+  test("sp9's ranked relation must NOT group-limit: the exact side reads every rank") {
+    // sp9 is the one rank-consumer where a WindowGroupLimit would be
+    // WRONG: the checkpointed ranked relation feeds the k-row sample
+    // AND the exact per-source totals (count + sum over ALL docs), so
+    // the window must materialize every rank. The rank filters sit
+    // beyond the checkpoint boundary precisely so Catalyst cannot push
+    // them into the window — pin that the full window survives.
+    val ranked = Sampling.priorityEstimateRanked(spark, sf)
+    val p = plan(ranked)
+    assert(p.contains("Window") && !p.contains("WindowGroupLimit"),
+      s"sp9's shared ranked relation must keep the FULL window (the " +
+        s"exact-total consumer reads every row):\n$p")
+  }
+
   test("Q1 aggregation runs inside whole-stage codegen with partial aggregation") {
     val p = plan(Analytics.q1PricingSummary(spark, sf))
     assert("HashAggregate".r.findAllIn(p).size >= 2,

@@ -1419,6 +1419,23 @@ class StreamingSpec extends SparkTestBase {
       r.getString(0) == "orders->customer")
     assert(factEdges.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
       "maintained-fact edges are 0/0 before any batch commits")
+    // the monthly-trend family: all three readers of the shared
+    // monthly state (Mann–Kendall, runs test, Hodges–Lehmann) must
+    // answer a zero-month summary, not crash on a zero-path read
+    val mk = Streams.readMannKendall(spark, root)
+    assert(mk.columns.toSeq == Seq("n_months", "s_stat", "var_s", "z"))
+    val mkRows = mk.collect()
+    assert(mkRows.length == 1 && mkRows.head.getLong(0) == 0L,
+      "Mann–Kendall over no months reports n_months 0")
+    val rt = Streams.readRunsTest(spark, root)
+    assert(rt.columns.toSeq == Seq("n1", "n2", "n_runs", "z"))
+    assert(rt.count() == 1, "runs test answers its 1-row summary shape")
+    val hl = Streams.readHodgesLehmann(spark, root)
+    assert(hl.columns.toSeq ==
+      Seq("n_months", "n_pairs", "median_rev", "hl_rev"))
+    val hlRows = hl.collect()
+    assert(hlRows.length == 1 && hlRows.head.getLong(0) == 0L,
+      "Hodges–Lehmann over no months reports n_months 0")
   }
 
   test("cms admission contract: a grown cross-batch redelivery fails loudly") {
