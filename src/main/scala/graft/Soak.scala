@@ -231,7 +231,8 @@ object Soak {
     // soak-derived — the last missing family) and the forced
     // bloom+shuffle contamination path alongside its broadcast twin
     "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann",
-    "mg1_frequent_tokens", "tx33_source_kl", "sp9_priority_estimate")
+    "mg1_frequent_tokens", "tx33_source_kl", "sp9_priority_estimate",
+    "dd26_exact_substring")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

@@ -384,6 +384,7 @@ object SparkEntry {
     "sq7_ushape_attr"    -> ((s, d) => Analytics.ushapeAttribution(s, d)),
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
     "dd26_exact_substring" -> ((s, d) => Dedup.exactSubstringRuns(s, d)),
+    "dd27_substring_scrub" -> ((s, d) => Dedup.exactSubstringScrub(s, d)),
   )
 
   /** dd8's from-scratch component replay — shared verbatim by dd25,
@@ -3367,5 +3368,10 @@ object SparkEntry {
     // bit-identical maximal-run relation
     "dd26_exact_substring" ->
       operators.Dedup.exactSubstringOracleSql(),
+    // dd27: the scrub replayed end-to-end — brute-force islands, the
+    // same interval union, a NOT EXISTS range anti-join, and DuckDB's
+    // ordered string_agg reproducing the reassembly md5
+    "dd27_substring_scrub" ->
+      operators.Dedup.exactSubstringScrubOracleSql(),
   )
 }

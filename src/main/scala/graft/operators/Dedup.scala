@@ -1510,6 +1510,157 @@ object Dedup {
     exactSubstringRunsOf(Tables.documents(s, d), anchor, minRun,
       index = Some(graft.sources.TextIndex.anchorIndex(s, d, anchor)))
 
+  // --- DD27: VERBATIM-RUN SCRUB — the removal side of the ExactSubstr
+  // family (public pipeline: after finding cross-document verbatim
+  // runs, cut every copy but one out of the corpus; dd26 finds, dd27
+  // cuts). Policy is deterministic: the EARLIER document (smaller
+  // doc_id — the dd5 keep-first convention) keeps its copy; the later
+  // document loses the span, token-precise (dd21 scrubs at chunk
+  // grain; this is the token-exact complement). A doc can win some
+  // pairs and lose others — each duplicated span class keeps at least
+  // its minimum-id copy. Shape: dd26's run relation (index-bucketed,
+  // never all-pairs) → per-doc interval UNION of the losing spans (one
+  // window per doc — overlapping runs from different partners merge,
+  // so removal counts never double-count a token) → one range
+  // anti-join of positional tokens against the merged intervals
+  // (equi-keyed on doc_id; intervals per doc are few) → per-doc
+  // reassembly exactly like dd21 (md5 of the kept tokens in order —
+  // scrubbed text compared by hash, the oracle replays it verbatim).
+  // Every doc reports, touched or not: (n_tokens, n_removed, n_spans,
+  // scrubbed_md5), so the relation doubles as the corpus-shrinkage
+  // audit (Σ n_removed / Σ n_tokens is the dedup savings). ---
+  def exactSubstringScrub(s: SparkSession, d: String,
+                          anchor: Int = 8, minRun: Int = 15): DataFrame =
+    exactSubstringScrubOf(Tables.documents(s, d),
+      exactSubstringRuns(s, d, anchor, minRun))
+
+  /** The scrub tail over any (doc_id, text) relation and a dd26-shaped
+    * run relation — extracted so specs can plant runs directly.
+    */
+  private[graft] def exactSubstringScrubOf(docs: DataFrame,
+                                           runs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the later doc loses its copy: spans to remove, inclusive 1-based.
+    // DISTINCT is load-bearing for determinism, not just size: two
+    // partners can contribute the IDENTICAL (st, en) span, and exact
+    // ties make the (st ASC, en DESC) window order non-total — an
+    // engine evaluating the flag pass and the island-sum pass with
+    // different tie orders then splits one island in two (observed as
+    // a flaky n_spans in DuckDB). After the dedup the order is total
+    // per doc, so every engine agrees.
+    val spans = runs.select(col("doc_b").as("doc_id"),
+      col("start_b").as("st"),
+      (col("start_b") + col("run_len") - 1).as("en"))
+      .dropDuplicates("doc_id", "st", "en")
+    // interval union per doc: a span starts a new island iff it begins
+    // past everything seen so far (max(en) over preceding, st-ordered)
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("st").asc, col("en").desc)
+    val merged = spans
+      .withColumn("prev_max",
+        max(col("en")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        element_at(col("ws"), col("pos")).as("w"))
+    val kept = toks.as("t").join(merged.as("m"),
+        col("t.doc_id") === col("m.doc_id") &&
+          col("t.pos").between(col("m.st"), col("m.en")), "left_anti")
+    val keptAgg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          _.getField("w")), " ")).as("scrubbed_md5"))
+    val spanCounts = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(spanCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[exactSubstringScrub]] — the dd26 brute-force
+    * island relation, the same interval union (SQL window form), a
+    * NOT EXISTS range anti-join, and DuckDB's ordered string_agg
+    * replaying the reassembly hash.
+    */
+  def exactSubstringScrubOracleSql(minRun: Int = 15): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id),
+       |g AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  -- DISTINCT makes the (st ASC, en DESC) window order TOTAL
+       |  -- per doc (identical spans from two partners would otherwise
+       |  -- tie, and the flag and island-sum windows may see different
+       |  -- tie orders — nondeterministic n_spans)
+       |  SELECT DISTINCT doc_id, st, en FROM (
+       |    SELECT db AS doc_id,
+       |      CAST(min(pa) - diag AS BIGINT) AS st,
+       |      CAST(min(pa) - diag + count(*) - 1 AS BIGINT) AS en
+       |    FROM g GROUP BY da, db, diag, isl
+       |    HAVING count(*) >= $minRun)),
+       |iu AS (
+       |  SELECT doc_id, st, en,
+       |    CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+       |        ORDER BY st ASC, en DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) THEN 1 ELSE 0 END AS new_island
+       |  FROM r),
+       |mi AS (
+       |  SELECT doc_id, island, min(st) AS st, max(en) AS en FROM (
+       |    SELECT doc_id, st, en,
+       |      sum(new_island) OVER (PARTITION BY doc_id
+       |        ORDER BY st ASC, en DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |    FROM iu)
+       |  GROUP BY doc_id, island),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.w FROM t
+       |  WHERE NOT EXISTS (SELECT 1 FROM mi
+       |    WHERE mi.doc_id = t.doc_id AND t.pos BETWEEN mi.st AND mi.en)),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(w, ' ' ORDER BY pos)) AS scrubbed_md5
+       |  FROM kept GROUP BY doc_id),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM mi GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(string_split(d.text, ' '))
+       |    - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(sc.n_spans, 0) AS BIGINT) AS n_spans,
+       |  coalesce(ka.scrubbed_md5, md5('')) AS scrubbed_md5
+       |FROM documents d
+       |LEFT JOIN ka ON ka.doc_id = d.doc_id
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle twin of [[exactSubstringRuns]] — a DIFFERENT algorithm:
     * brute-force single-token positional matches grouped into
     * diagonal islands (pa − pb constant, consecutive pa), no anchors,

@@ -91,24 +91,49 @@ object Sampling {
     * reads every rank; the rank filters live beyond the checkpoint
     * boundary in [[priorityEstimate]] for exactly that reason.
     */
-  private[graft] def priorityEstimateRanked(s: SparkSession,
-                                            d: String): DataFrame = {
+  /** sp9's per-doc priority projection over any (doc_id, source,
+    * n_chars) relation — ONE definition of (q, w) for batch and
+    * stream (the cupedFromPerUser discipline): q is a deterministic
+    * function of doc_id alone times the weight, so a micro-batch
+    * computes the same priorities the batch scan does.
+    */
+  private[graft] def priorityProjection(docs: DataFrame): DataFrame = {
     val two60 = lit(1152921504606846976.0) // 2^60, exact in double
     val u = (graft.functions.Text.h60(col("doc_id").cast("string"))
       .cast("double") + lit(1.0)) / two60
     val wgt = greatest(col("n_chars"), lit(1)).cast("double")
-    val win = Window.partitionBy(col("source"))
-      .orderBy(col("q").desc, col("doc_id").asc)
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        (wgt / u).as("q"), wgt.as("w"))
-      .withColumn("rnk", row_number().over(win))
+    docs.select(col("source"), col("doc_id"), col("n_chars"),
+      (wgt / u).as("q"), wgt.as("w"))
   }
 
-  def priorityEstimate(s: SparkSession, d: String, k: Int = 16): DataFrame = {
-    // one documents scan + one window, pinned: the ranked relation
-    // feeds three consumers (sample, tau, exact side)
-    val ranked = priorityEstimateRanked(s, d).localCheckpoint()
+  /** The (q DESC, doc_id ASC) per-source rank — the one total order
+    * the sample, τ, and the streamed twin's merge all agree on.
+    */
+  private[graft] def priorityRankWindow
+      : org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+
+  /** sp9's shared ranked relation — every doc's priority and rank,
+    * extracted so PlanSpec can pin its plan shape: this window must
+    * stay FULL (no WindowGroupLimit) because the exact-total consumer
+    * reads every rank; the rank filters live beyond the checkpoint
+    * boundary in [[priorityEstimate]] for exactly that reason.
+    */
+  private[graft] def priorityEstimateRanked(s: SparkSession,
+                                            d: String): DataFrame =
+    priorityProjection(Tables.documents(s, d))
+      .withColumn("rnk", row_number().over(priorityRankWindow))
+
+  /** The estimator tail over ANY ranked (source, doc_id, q, w, rnk)
+    * relation plus per-source exact totals — shared verbatim by batch
+    * [[priorityEstimate]] and the streamed twin's read side
+    * (Streams.readPriorityEstimate), so the two can never disagree on
+    * the τ pick or the max-sum.
+    */
+  private[graft] def priorityEstimateFromRanked(ranked: DataFrame,
+                                                totals: DataFrame,
+                                                k: Int): DataFrame = {
     val tau = ranked.filter(col("rnk") === k + 1)
       .select(col("source"), col("q").as("tau"))
     val est = ranked.filter(col("rnk") <= k)
@@ -117,12 +142,20 @@ object Sampling {
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("m_sampled"),
         round(sum(greatest(col("w"), col("tau"))), 4).as("est_chars"))
-    ranked.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).cast("long").as("exact_chars"))
+    totals
       .join(est, Seq("source"))
       .select("source", "n_docs", "m_sampled", "exact_chars", "est_chars")
       .orderBy("source")
+  }
+
+  def priorityEstimate(s: SparkSession, d: String, k: Int = 16): DataFrame = {
+    // one documents scan + one window, pinned: the ranked relation
+    // feeds three consumers (sample, tau, exact side)
+    val ranked = priorityEstimateRanked(s, d).localCheckpoint()
+    priorityEstimateFromRanked(ranked,
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("exact_chars")), k)
   }
 
   /** Oracle twin of [[priorityEstimate]] — same h60 draw, priority,

@@ -1587,12 +1587,24 @@ object TextAnalysis {
       .select(col("source"),
         explode(graft.functions.Text.tokens(col("text"))).as("t"))
       .select(col("source"), xxhash64(col("t")).as("th"))
+    sourceKlFromCounts(tok.groupBy("source", "th")
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** The A/X/L factorization over ANY per-(source, token-hash) count
+    * relation — shared verbatim by batch [[sourceKlMatrix]] and the
+    * streamed posting-list reader (Streams.readSourceKl), the third
+    * readout of the artifact BM25 and DSIR already serve from: the
+    * per-(source, th) counts are a pure function of the postings ⋈
+    * admission-ledger join, so the live matrix can never disagree
+    * with the batch one.
+    */
+  private[graft] def sourceKlFromCounts(c0: DataFrame): DataFrame = {
     // the count relation feeds five consumers (A/L per-source scans,
     // V, and both self-join sides) — pin it so the corpus is
     // tokenized exactly ONCE, not per consumer (PlanSpec asserts no
     // documents scan survives into the query plan)
-    val c = tok.groupBy("source", "th").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val c = c0.localCheckpoint()
     val dblC = col("c").cast("double")
     val per = c.groupBy("source").agg(
       sum(col("c")).as("n"),

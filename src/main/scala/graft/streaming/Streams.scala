@@ -1177,6 +1177,25 @@ object Streams {
       target, topK)
   }
 
+  /** Third read path over the SAME maintained posting lists: tx33's
+    * pairwise source KL-divergence matrix. The per-(source, token)
+    * counts the A/X/L factorization runs on are exactly the postings
+    * summed within the admission ledger's source labels (postings are
+    * per-doc disjoint across deltas, so the sum is the batch count),
+    * then the batch query's own tail ([[graft.operators.TextAnalysis
+    * .sourceKlFromCounts]]) — the live mixture-substitutability matrix
+    * rides an artifact two other monitors already pay for.
+    */
+  def readSourceKl(s: org.apache.spark.sql.SparkSession,
+                   workDir: String): DataFrame =
+    graft.operators.TextAnalysis.sourceKlFromCounts(
+      deltasOrEmpty(s, workDir, "postings",
+          "doc_id BIGINT, token STRING, tf BIGINT")
+        .join(deltasOrEmpty(s, workDir, "docs",
+          "doc_id BIGINT, source STRING"), "doc_id")
+        .groupBy(col("source"), xxhash64(col("token")).as("th"))
+        .agg(sum(col("tf")).as("c")))
+
   /** Streaming maintenance of mg1's Misra–Gries token summary — the
     * MERGEABLE-SUMMARY twin with a deterministic bound: each batch
     * folds its newly-admitted documents' tokens into one k-counter
@@ -1715,6 +1734,85 @@ object Streams {
                         workDir: String): DataFrame =
     graft.operators.Analytics.hodgesLehmannFromMonthly(
       mergedMonthly(s, workDir))
+
+  /** Streaming maintenance of sp9's priority-sampling state — the
+    * bounded-summary twin in the Misra–Gries mold: a doc's priority
+    * q = w/u is a deterministic per-doc value, so each source's
+    * top-(k+1) priority rows form a MERGEABLE summary under the same
+    * trim rule the MG counters use (top-(k+1) of a union of per-batch
+    * top-(k+1)s IS the global top-(k+1): a doc in the global top has
+    * rank ≤ k+1 within its own batch a fortiori). Each batch publishes
+    * its admitted docs' per-source top-(k+1) rows (≤ (k+1)·|sources|,
+    * corpus-independent) plus the ADDITIVE per-source (n_docs,
+    * sum_chars) totals; the read side re-ranks the merged tops and
+    * serves τ and the Duffield–Lund–Thorup estimator through the batch
+    * query's own tail ([[graft.operators.Sampling
+    * .priorityEstimateFromRanked]]), so stream and batch can never
+    * disagree. Admission is doc_id-keyed against prior deltas
+    * excluding this batch's own (the checkpoint-replay rule shared by
+    * every sum-based twin — totals are additive, not idempotent).
+    */
+  def priorityIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                  checkpointDir: String, k: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        priorityMaintainBatch(batch.toDF(), batchId, workDir, k)
+      }
+      .start()
+
+  private[graft] def priorityMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                           workDir: String,
+                                           k: Int = 16): Unit = {
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "spdocs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select("doc_id", "source", "n_chars")
+      .dropDuplicates("doc_id")
+    val fresh = prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*), Seq("doc_id"), "left_anti")
+    }
+    // admission keys, the bounded top-(k+1) summary, and the additive
+    // totals all derive from the SAME admitted set — checkpoint once
+    val admitted = fresh.localCheckpoint(true)
+    admitted.select("doc_id")
+      .write.mode("overwrite").parquet(s"$workDir/spdocs/b$batchId")
+    graft.operators.Sampling.priorityProjection(admitted)
+      .withColumn("rnk", row_number()
+        .over(graft.operators.Sampling.priorityRankWindow))
+      .filter(col("rnk") <= k + 1)
+      .select("source", "doc_id", "q", "w")
+      .write.mode("overwrite").parquet(s"$workDir/sptop/b$batchId")
+    admitted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .write.mode("overwrite").parquet(s"$workDir/sptot/b$batchId")
+    ()
+  }
+
+  /** Read side: re-rank the merged per-batch top-(k+1) summaries (the
+    * trim rule makes this the global top-(k+1) per source), sum the
+    * additive totals, then the batch estimator tail — equal to batch
+    * `sp9_priority_estimate` under any wave/redelivery schedule once
+    * the same documents are admitted.
+    */
+  def readPriorityEstimate(s: org.apache.spark.sql.SparkSession,
+                           workDir: String, k: Int = 16): DataFrame = {
+    val ranked = deltasOrEmpty(s, workDir, "sptop",
+        "source STRING, doc_id BIGINT, q DOUBLE, w DOUBLE")
+      .withColumn("rnk", row_number()
+        .over(graft.operators.Sampling.priorityRankWindow))
+    val totals = deltasOrEmpty(s, workDir, "sptot",
+        "source STRING, n_docs BIGINT, sum_chars BIGINT")
+      .groupBy("source")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).cast("long").as("exact_chars"))
+    graft.operators.Sampling.priorityEstimateFromRanked(ranked, totals, k)
+  }
 
   /** Streaming maintenance of tx30's vocabulary-growth state — the
     * live corpus-health monitor (near-linear vocabulary growth = ID/

@@ -117,6 +117,55 @@ class ExactSubstringSpec extends SparkTestBase {
     assert(ra == rb && ra.length == 1)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dd27 scrub: the later doc loses the span, the earlier doc keeps it") {
+    val shared = toks("s", 60)
+    val d1 = toks("a", 40) ++ shared ++ toks("x", 40)
+    val d2 = toks("b", 40) ++ shared ++ toks("y", 40)
+    val docs = docsOf(1L -> d1, 2L -> d2)
+    val out = Dedup.exactSubstringScrubOf(docs,
+        Dedup.exactSubstringRunsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(out == Seq(
+      (1L, 140L, 0L, 0L, md5hex(d1.mkString(" "))),
+      (2L, 140L, 60L, 1L,
+        md5hex((toks("b", 40) ++ toks("y", 40)).mkString(" ")))),
+      s"earlier doc untouched, later doc cut token-exact: $out")
+  }
+
+  test("dd27 scrub: overlapping losing spans merge before counting") {
+    // doc 9 shares tokens r0..r29 with doc 1 and r15..r44 with doc 2 —
+    // two runs overlapping in doc 9 must union into ONE 45-token span
+    val r = toks("r", 45)
+    val docs = docsOf(
+      1L -> (toks("a", 5) ++ r.take(30)),
+      2L -> (toks("b", 8) ++ r.drop(15)),
+      9L -> (toks("c", 10) ++ r ++ toks("z", 5)))
+    val out = Dedup.exactSubstringScrubOf(docs,
+        Dedup.exactSubstringRunsOf(docs))
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3))).toSeq
+    // docs 1 and 2 share r15..r29 (15 tokens >= minRun): doc 2 loses it
+    assert(out == Seq((1L, 0L, 0L), (2L, 15L, 1L), (9L, 45L, 1L)),
+      s"merged interval, no double-count: $out")
+  }
+
+  test("dd27 scrub: a duplicate class keeps exactly its minimum-id copy") {
+    val shared = toks("s", 20)
+    val docs = docsOf(
+      3L -> (toks("a", 6) ++ shared),
+      5L -> (shared ++ toks("b", 7)),
+      8L -> (toks("c", 4) ++ shared ++ toks("d", 3)))
+    val out = Dedup.exactSubstringScrubOf(docs,
+        Dedup.exactSubstringRunsOf(docs))
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSeq
+    assert(out == Seq((3L, 0L), (5L, 20L), (8L, 20L)),
+      s"min-id doc keeps, every later doc scrubs its copy once: $out")
+  }
+
   test("strict anchor cap: a hot anchor fails loudly instead of losing runs") {
     val hot = toks("h", 8)
     val docs = docsOf((1L to 6L).map(i =>

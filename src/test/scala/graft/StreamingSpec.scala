@@ -1113,6 +1113,10 @@ class StreamingSpec extends SparkTestBase {
     assert(rowSet(Streams.readDsir(spark, root)) ==
       rowSet(operators.DataPrep.dsirSelect(spark, sf)),
       "stream-served DSIR must equal the batch dp25 answer")
+    // …and the pairwise source KL matrix — third reader, same state
+    assert(rowSet(Streams.readSourceKl(spark, root)) ==
+      rowSet(operators.TextAnalysis.sourceKlMatrix(spark, sf)),
+      "stream-served source-KL matrix must equal the batch tx33 answer")
     // a document's postings must live in exactly one delta
     val keys = spark.read.parquet(
       new java.io.File(s"$root/docs").listFiles()
@@ -1234,6 +1238,47 @@ class StreamingSpec extends SparkTestBase {
         .filter(_.isDirectory).map(_.getAbsolutePath): _*)
     assert(keys.count() == keys.dropDuplicates("o_orderkey").count(),
       "order admission deltas must be disjoint")
+  }
+
+  test("equivalence: streaming priority-sampling maintenance == batch sp9 (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    val shuffled = new scala.util.Random(83).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val root = java.nio.file.Files.createTempDirectory("sp9stream").toString
+    val q = Streams.priorityIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("source"),
+        col("_3").as("n_chars")),
+      root, s"$root/ck")
+    // + a late redelivery of part of wave 1: totals are additive, so
+    // the doc_id admission ledger must drop the re-sent docs
+    try (waves :+ waves.head.take(17)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay of batch 0's OWN content (crash between
+    // delta publish and checkpoint commit): the anti-join excludes the
+    // batch's own delta, so the overwrite reproduces it — invariant
+    Streams.priorityMaintainBatch(
+      waves.head.toDF("doc_id", "source", "n_chars"), 0L, root)
+    assert(rowSet(Streams.readPriorityEstimate(spark, root)) ==
+      rowSet(graft.operators.Sampling.priorityEstimate(spark, sf)),
+      "stream-maintained priority estimate must equal the batch sp9 answer")
+    // the serving state really is bounded: each batch's top summary
+    // holds at most (k+1) rows per source
+    val tops = spark.read.parquet(
+      new java.io.File(s"$root/sptop").listFiles()
+        .filter(_.isDirectory).map(_.getAbsolutePath): _*)
+    val maxPerBatchSource = tops
+      .withColumn("b",
+        regexp_extract(input_file_name(), "/sptop/(b[0-9]+)/", 1))
+      .groupBy("b", "source").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxPerBatchSource <= 17L,
+      s"per-(batch, source) summary must be ≤ k+1 rows, saw $maxPerBatchSource")
   }
 
   test("equivalence: streaming vocabulary-growth maintenance == batch tx30 (waves + redelivery + replay)") {
@@ -1398,6 +1443,9 @@ class StreamingSpec extends SparkTestBase {
     val bm25 = Streams.readBm25(spark, root)
     assert(bm25.count() == 0, "BM25 over no postings is empty")
     assert(bm25.columns.contains("doc_id"), "schema must survive emptiness")
+    val kl = Streams.readSourceKl(spark, root)
+    assert(kl.count() == 0, "source-KL over no postings is empty")
+    assert(kl.columns.toSeq == Seq("src_a", "src_b", "n_a", "n_b", "kl"))
     val dsir = Streams.readDsir(spark, root)
     assert(dsir.count() == 0, "DSIR over no postings is empty")
     assert(dsir.columns.toSeq ==
@@ -1436,6 +1484,11 @@ class StreamingSpec extends SparkTestBase {
     val hlRows = hl.collect()
     assert(hlRows.length == 1 && hlRows.head.getLong(0) == 0L,
       "Hodges–Lehmann over no months reports n_months 0")
+    // sp9's twin: no admitted docs → no sources → empty estimate table
+    val sp9 = Streams.readPriorityEstimate(spark, root)
+    assert(sp9.columns.toSeq ==
+      Seq("source", "n_docs", "m_sampled", "exact_chars", "est_chars"))
+    assert(sp9.count() == 0, "priority estimate over no sources is empty")
   }
 
   test("cms admission contract: a grown cross-batch redelivery fails loudly") {
