@@ -385,6 +385,9 @@ object SparkEntry {
     "dq4_psi_drift"      -> ((s, d) => DataQuality.psiDrift(s, d)),
     "dd26_exact_substring" -> ((s, d) => Dedup.exactSubstringRuns(s, d)),
     "dd27_substring_scrub" -> ((s, d) => Dedup.exactSubstringScrub(s, d)),
+    "dd28_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
+    "dd29_winnow_pairs"   -> ((s, d) => Dedup.winnowMatchPairs(s, d)),
+    "dd30_incr_substring" -> ((s, d) => Dedup.incrementalSubstringPairs(s, d)),
   )
 
   /** dd8's from-scratch component replay — shared verbatim by dd25,
@@ -3373,5 +3376,13 @@ object SparkEntry {
     // ordered string_agg reproducing the reassembly md5
     "dd27_substring_scrub" ->
       operators.Dedup.exactSubstringScrubOracleSql(),
+    // dd28: the probe answered by the anchor-free brute force,
+    // restricted to the probe doc's pairs
+    "dd28_substring_probe" ->
+      operators.Dedup.exactSubstringProbeOracleSql(),
+    "dd29_winnow_pairs" ->
+      operators.Dedup.winnowMatchPairsOracleSql(),
+    "dd30_incr_substring" ->
+      operators.Dedup.incrementalSubstringOracleSql(),
   )
 }

@@ -1448,6 +1448,19 @@ object Dedup {
         col("p.gh") === col("x.gh") && col("p.doc_id") =!= col("x.doc_id"))
       .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
         col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    extendToMaximalRuns(cand, docs, anchor, minRun)
+  }
+
+  /** Candidate verification + maximal extension — the shared tail of
+    * [[exactSubstringRunsOf]] (corpus self-join) and
+    * [[exactSubstringProbe]] (single-doc index probe): anchored
+    * candidate (da, pa, db, pb) positions extend to their maximal
+    * verbatim run, normalize to (min-id, max-id) with matching starts,
+    * and dedup to the maximal-run relation.
+    */
+  private[graft] def extendToMaximalRuns(cand: DataFrame, docs: DataFrame,
+                                         anchor: Int,
+                                         minRun: Int): DataFrame = {
     val arrs = docs.select(col("doc_id"),
       split(col("text"), " ").as("ws"))
     // per-candidate verify + maximal extension. All slice bounds are
@@ -1509,6 +1522,85 @@ object Dedup {
                          anchor: Int = 8, minRun: Int = 15): DataFrame =
     exactSubstringRunsOf(Tables.documents(s, d), anchor, minRun,
       index = Some(graft.sources.TextIndex.anchorIndex(s, d, anchor)))
+
+  // --- DD28: SINGLE-DOC SUBSTRING PROBE — dd26's ingest-time serving
+  // form (the dd16 pattern applied to the anchor index): "does this
+  // incoming document verbatim-quote the corpus, and where?". The
+  // probe doc's STRIDED anchors are collected (bounded: ⌈len/stride⌉
+  // hashes for one document — the sanctioned tiny-key-set collect) and
+  // pushed into the persisted anchor index scan as an In filter on the
+  // stored gh column (row-group pruning — PlanSpec asserts the push),
+  // so per-probe cost is proportional to the matching index rows,
+  // never the corpus. Candidates then verify + extend through the
+  // dd26 tail. Same detection guarantee as dd26 (every >= minRun run
+  // contains a strided probe anchor); no frequency cap needed — the
+  // fan-out is one doc's anchors times their index hits, linear by
+  // construction. ---
+  def exactSubstringProbe(s: SparkSession, d: String,
+                          queryDoc: Long = 8L,
+                          anchor: Int = 8, minRun: Int = 15): DataFrame = {
+    import s.implicits._
+    val idx = graft.sources.TextIndex.anchorIndex(s, d, anchor)
+    val stride = minRun - anchor + 1
+    // one doc's strided (pos, gh) anchors — the probe key set
+    val probeAnchors = idx
+      .filter(col("doc_id") === queryDoc &&
+        ((col("pos") - 1) % stride) === 0)
+      .select(col("pos"), col("gh")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val ghs = probeAnchors.map(_._2).distinct
+    val cand = idx
+      .filter(col("gh").isin(ghs: _*) && col("doc_id") =!= queryDoc)
+      .join(broadcast(probeAnchors.toDF("pa", "gh")), "gh")
+      .select(lit(queryDoc).as("da"), col("pa"),
+        col("doc_id").as("db"), col("pos").as("pb"))
+    extendToMaximalRuns(cand, Tables.documents(s, d), anchor, minRun)
+      .select(
+        when(col("doc_a") === queryDoc, col("doc_b"))
+          .otherwise(col("doc_a")).as("match_doc"),
+        when(col("doc_a") === queryDoc, col("start_a"))
+          .otherwise(col("start_b")).as("start_probe"),
+        when(col("doc_a") === queryDoc, col("start_b"))
+          .otherwise(col("start_a")).as("start_match"),
+        col("run_len"))
+      .orderBy("match_doc", "start_probe", "start_match")
+  }
+
+  /** Oracle twin of [[exactSubstringProbe]] — the dd26 brute-force
+    * island relation restricted to pairs involving the probe doc,
+    * re-keyed probe-centric.
+    */
+  def exactSubstringProbeOracleSql(queryDoc: Long = 8L,
+                                   minRun: Int = 15): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id = $queryDoc OR b.doc_id = $queryDoc),
+       |g AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  SELECT da, db,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) - diag AS BIGINT) AS start_b,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM g GROUP BY da, db, diag, isl
+       |  HAVING count(*) >= $minRun)
+       |SELECT
+       |  CASE WHEN da = $queryDoc THEN db ELSE da END AS match_doc,
+       |  CASE WHEN da = $queryDoc THEN start_a ELSE start_b END
+       |    AS start_probe,
+       |  CASE WHEN da = $queryDoc THEN start_b ELSE start_a END
+       |    AS start_match,
+       |  run_len
+       |FROM r
+       |ORDER BY match_doc, start_probe, start_match""".stripMargin
 
   // --- DD27: VERBATIM-RUN SCRUB — the removal side of the ExactSubstr
   // family (public pipeline: after finding cross-document verbatim
@@ -1660,6 +1752,142 @@ object Dedup {
        |LEFT JOIN ka ON ka.doc_id = d.doc_id
        |LEFT JOIN sc ON sc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // --- DD30: INCREMENTAL SUBSTRING PAIRS — dd26's batch-arrival twin
+  // (the dd17 shape applied to the anchor index): a batch of new
+  // documents lands, anchors are computed for the BATCH ONLY and
+  // published as a delta directory (positional anchors are a pure
+  // per-document function — no corpus statistics, so base ∪ delta IS
+  // the full index and existing files are never rewritten), and the
+  // batch's verbatim runs come from the delta's STRIDED anchors
+  // probing base ∪ delta. Per-batch cost is proportional to the
+  // batch's anchors times their hits — never the corpus. Emits every
+  // maximal run INVOLVING a batch doc (two-old-docs runs were found
+  // when their own batches landed — the dd17/dd25 contract). Batch
+  // boundary = max_id·4/5 + 1 in exact integer arithmetic, replayed
+  // verbatim by the oracle. ---
+  def incrementalSubstringPairs(s: SparkSession, d: String,
+                                anchor: Int = 8,
+                                minRun: Int = 15): DataFrame = {
+    val maxId = Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val base = graft.sources.TextIndex.anchorIndexBase(s, d, boundary, anchor)
+    val delta = graft.sources.TextIndex.anchorIndexDelta(s, d, boundary, anchor)
+    val stride = minRun - anchor + 1
+    val probe = delta.filter(((col("pos") - 1) % stride) === 0)
+    val cand = probe.as("p").join(base.unionByName(delta).as("x"),
+        col("p.gh") === col("x.gh") && col("p.doc_id") =!= col("x.doc_id"))
+      .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
+        col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    extendToMaximalRuns(cand, Tables.documents(s, d), anchor, minRun)
+  }
+
+  /** Oracle twin of [[incrementalSubstringPairs]] — the dd26 brute
+    * force restricted to batch-involving pairs, boundary replayed in
+    * the same exact integer arithmetic.
+    */
+  def incrementalSubstringOracleSql(minRun: Int = 15): String =
+    s"""WITH bnd AS (
+       |  SELECT CAST(max(doc_id) AS BIGINT) * 4 // 5 + 1 AS v
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id >= (SELECT v FROM bnd)
+       |     OR b.doc_id >= (SELECT v FROM bnd)),
+       |g AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  SELECT da AS doc_a, db AS doc_b,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) - diag AS BIGINT) AS start_b,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM g GROUP BY da, db, diag, isl)
+       |SELECT doc_a, doc_b, start_a, start_b, run_len
+       |FROM r WHERE run_len >= $minRun
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
+  // --- DD29: WINNOWING MATCH PAIRS — the MOSS report [Schleimer,
+  // Wilkerson & Aiken, SIGMOD'03] over tx7's fingerprint relation:
+  // candidate near-dup pairs ranked by shared winnowed fingerprints,
+  // scored by CONTAINMENT (shared / min(|fp_a|, |fp_b|)) so a short
+  // document quoted inside a long one scores high where symmetric
+  // Jaccard (dd2) dilutes it — the robust, cheap screen that sits
+  // between the LSH families (probabilistic, whole-doc) and dd26
+  // (exact, token-precise): the winnowing guarantee (every window of
+  // w consecutive grams selects a fingerprint) makes any verbatim run
+  // of >= k + w − 1 = 6 tokens share a fingerprint DETERMINISTICALLY,
+  // no banding luck involved. Shape at 100 TB: the fingerprint
+  // relation is a 1/w-dense sample of the gram stream (the whole
+  // point of winnowing — index size ~25% of dd2's), the pair join
+  // keys on fingerprint equality, and both count joins are plain
+  // doc-keyed equi-joins. Composes tx7 verbatim — one fingerprint
+  // definition, two consumers (Pack3Spec's guarantee test and this
+  // report), the posting-list amortization discipline. ---
+  def winnowMatchPairs(s: SparkSession, d: String,
+                       minShared: Long = 2L): DataFrame = {
+    val fp = TextAnalysis.winnowingFingerprints(s, d)
+    val cnt = fp.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val shared = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    shared
+      .join(cnt.select(col("doc_id").as("doc_a"), col("nfp").as("nf_a")),
+        "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("nfp").as("nf_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("nf_a"), col("nf_b"),
+        round(col("n_shared").cast("double")
+          / least(col("nf_a"), col("nf_b")).cast("double"), 4)
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle twin of [[winnowMatchPairs]] — tx7's fingerprint CTE
+    * replayed (md5 hex min-compare, 4-window), then the same pair
+    * join, floor, and containment arithmetic.
+    */
+  def winnowMatchPairsOracleSql(minShared: Long = 2L): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |p AS (SELECT doc_id, ws,
+       |        unnest(generate_series(1, len(ws) - 2)) AS pos
+       |      FROM w),
+       |g AS (SELECT doc_id, pos,
+       |        md5(array_to_string(ws[pos:pos+2], ' ')) AS gh
+       |      FROM p),
+       |m AS (SELECT doc_id,
+       |        min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+       |      FROM g),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM m),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+       |        FROM fps GROUP BY 1),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |       FROM fps a JOIN fps b
+       |         ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT doc_a, doc_b, n_shared,
+       |  ca.nfp AS nf_a, cb.nfp AS nf_b,
+       |  round(CAST(n_shared AS DOUBLE) / least(ca.nfp, cb.nfp), 4)
+       |    AS containment
+       |FROM sh
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Oracle twin of [[exactSubstringRuns]] — a DIFFERENT algorithm:
     * brute-force single-token positional matches grouped into

@@ -68,6 +68,36 @@ object TextIndex {
     s.read.parquet(path.toString)
   }
 
+  private def anchorSlice(s: SparkSession, d: String, kindSuffix: String,
+                          k: Int)(slice: DataFrame => DataFrame): DataFrame = {
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"anchors_${k}_xx64_$kindSuffix")
+    VectorIndex.ensure(path) { out =>
+      slice(Dedup.anchorRows(s, d, k))
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  /** The anchor index as it stood BEFORE the batch: docs < `boundary`.
+    * Positional anchors are a pure per-document function (no global
+    * statistics — unlike [[prefixIndex]]), so base ∪ delta IS the full
+    * index and ingest never rewrites existing files (the dd17
+    * no-rewrite discipline, dd30's foundation).
+    */
+  def anchorIndexBase(s: SparkSession, d: String, boundary: Long,
+                      k: Int = 8): DataFrame =
+    anchorSlice(s, d, s"lt$boundary", k)(
+      _.filter(org.apache.spark.sql.functions.col("doc_id") < boundary))
+
+  /** The batch delta: docs >= `boundary` — the only anchor work an
+    * ingest pays, published as its own directory next to the base.
+    */
+  def anchorIndexDelta(s: SparkSession, d: String, boundary: Long,
+                       k: Int = 8): DataFrame =
+    anchorSlice(s, d, s"ge$boundary", k)(
+      _.filter(org.apache.spark.sql.functions.col("doc_id") >= boundary))
+
   /** Persisted (doc_id, band, bucket) LSH banding of the MinHash
     * signatures (built over the portable gram relation, so dd3's
     * oracle replays it verbatim). Every banding parameter is part of

@@ -1735,6 +1735,93 @@ object Streams {
     graft.operators.Analytics.hodgesLehmannFromMonthly(
       mergedMonthly(s, workDir))
 
+  /** Streaming maintenance of dd26's verbatim-run relation — dedup at
+    * ingest for the exact-substring family: as documents arrive, each
+    * batch publishes its admitted docs' text + positional anchors as
+    * deltas (anchors are per-doc pure — base ∪ delta IS the index, the
+    * dd30 property) plus the run DELTA: every maximal cross-doc
+    * verbatim run whose LATER-admitted member is in this batch (the
+    * componentsMaintainStream discipline — one fresh-strided ×
+    * admitted-anchor probe, never an admitted × admitted re-pair, so
+    * run deltas are disjoint by construction: each run's later member
+    * pins its batch). The read side is a plain union + re-sort — the
+    * accumulated deltas ARE batch `dd26_exact_substring`. Admission is
+    * doc_id-keyed against prior deltas excluding this batch's own
+    * (first version wins; a same-batch-id replay recomputes against
+    * the same prior view and overwrites its own delta, invariant).
+    */
+  def substringIndexMaintainStream(incoming: DataFrame, workDir: String,
+                                   checkpointDir: String,
+                                   anchor: Int = 8, minRun: Int = 15)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        substringMaintainBatch(batch.toDF(), batchId, workDir, anchor, minRun)
+      }
+      .start()
+
+  private[graft] def substringMaintainBatch(batchDf: DataFrame, batchId: Long,
+                                            workDir: String,
+                                            anchor: Int = 8,
+                                            minRun: Int = 15): Unit = {
+    import graft.operators.Dedup
+    val s = batchDf.sparkSession
+    val prior = deltaDirs(workDir, "ssdocs")
+      .filterNot(_.endsWith(s"/b$batchId"))
+    val batchDocs = batchDf.select("doc_id", "text")
+      .dropDuplicates("doc_id")
+    val fresh = (prior match {
+      case Seq() => batchDocs
+      case dirs => batchDocs.join(
+        s.read.parquet(dirs: _*).select("doc_id"), Seq("doc_id"), "left_anti")
+    }).localCheckpoint(true)
+    fresh.write.mode("overwrite").parquet(s"$workDir/ssdocs/b$batchId")
+    val freshAnchors = Dedup.anchorRowsOf(fresh, anchor).localCheckpoint(true)
+    freshAnchors.write.mode("overwrite")
+      .parquet(s"$workDir/ssanchors/b$batchId")
+    val priorAnchors = prior match {
+      case Seq() => None
+      case _ => Some(s.read.parquet(
+        deltaDirs(workDir, "ssanchors")
+          .filterNot(_.endsWith(s"/b$batchId")): _*))
+    }
+    val allAnchors = priorAnchors
+      .map(_.unionByName(freshAnchors)).getOrElse(freshAnchors)
+    val allDocs = prior match {
+      case Seq() => fresh
+      case dirs => s.read.parquet(dirs: _*).unionByName(fresh)
+    }
+    val stride = minRun - anchor + 1
+    val probe = freshAnchors.filter(((col("pos") - 1) % stride) === 0)
+    val cand = probe.as("p").join(allAnchors.as("x"),
+        col("p.gh") === col("x.gh") && col("p.doc_id") =!= col("x.doc_id"))
+      .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
+        col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    Dedup.extendToMaximalRuns(cand, allDocs, anchor, minRun)
+      .write.mode("overwrite").parquet(s"$workDir/ssruns/b$batchId")
+    ()
+  }
+
+  /** Read side: the union of the run deltas, deduped and re-sorted —
+    * equal to batch `dd26_exact_substring` under any wave/redelivery
+    * schedule once the same documents are admitted. The dedup exists
+    * for ONE case: a same-batch-id replay on a grown ledger re-probes
+    * against later batches' anchors and republishes runs those later
+    * deltas already hold (the componentsMaintainStream replay note —
+    * harmless there because connectivity ignores multiplicity; runs
+    * are a multiset, so the multiplicity is removed here instead). In
+    * normal operation the deltas are disjoint and this is a no-op.
+    */
+  def readSubstringRuns(s: org.apache.spark.sql.SparkSession,
+                        workDir: String): DataFrame =
+    deltasOrEmpty(s, workDir, "ssruns",
+        "doc_a BIGINT, doc_b BIGINT, start_a BIGINT, start_b BIGINT, " +
+          "run_len BIGINT")
+      .dropDuplicates("doc_a", "doc_b", "start_a", "start_b")
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+
   /** Streaming maintenance of sp9's priority-sampling state — the
     * bounded-summary twin in the Misra–Gries mold: a doc's priority
     * q = w/u is a deterministic per-doc value, so each source's

@@ -166,6 +166,73 @@ class ExactSubstringSpec extends SparkTestBase {
       s"min-id doc keeps, every later doc scrubs its copy once: $out")
   }
 
+  test("dd28 probe equals the dd26 relation restricted to the probe doc") {
+    val q = 8L
+    val probe = Dedup.exactSubstringProbe(spark, sf, q)
+      .collect().map(_.toString).toSeq
+    val full = Dedup.exactSubstringRuns(spark, sf)
+      .filter(col("doc_a") === q || col("doc_b") === q)
+      .select(
+        when(col("doc_a") === q, col("doc_b"))
+          .otherwise(col("doc_a")).as("match_doc"),
+        when(col("doc_a") === q, col("start_a"))
+          .otherwise(col("start_b")).as("start_probe"),
+        when(col("doc_a") === q, col("start_b"))
+          .otherwise(col("start_a")).as("start_match"),
+        col("run_len"))
+      .orderBy("match_doc", "start_probe", "start_match")
+      .collect().map(_.toString).toSeq
+    assert(probe.nonEmpty, "probe doc 8 must have corpus matches at sf0.001")
+    assert(probe == full,
+      "the index probe and the corpus self-join must agree on doc 8's runs")
+  }
+
+  test("dd29 winnow screen covers every dd26 exact-run pair (the guarantee bridge)") {
+    // the winnowing guarantee: every window of w consecutive grams
+    // selects a fingerprint, so a verbatim run of >= k + w − 1 tokens
+    // shares one deterministically — a >= 15-token run (dd26's floor)
+    // spans 10 interior windows and must surface in the dd29 report.
+    // This pins the screen/confirm contract: dd29 is the cheap wide
+    // net, dd26 the exact confirm, and nothing exact escapes the net.
+    val exact = Dedup.exactSubstringRuns(spark, sf)
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val screened = Dedup.winnowMatchPairs(spark, sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "sf0.001 must have exact-run pairs")
+    assert(exact.subsetOf(screened),
+      s"dd26 pairs missing from the dd29 screen: ${exact -- screened}")
+  }
+
+  test("anchor index is delta-composable: base ∪ delta is row-identical to the full index") {
+    // positional anchors are a pure per-document function — the dd30
+    // ingest loop's foundation: a batch writes ONLY its own delta and
+    // the logical index is the union, no rewrite of existing files
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val full = sources.TextIndex.anchorIndex(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val union = sources.TextIndex.anchorIndexBase(spark, sf, boundary)
+      .unionByName(sources.TextIndex.anchorIndexDelta(spark, sf, boundary))
+      .collect().map(_.toString).sorted.toSeq
+    assert(union == full, "base ∪ delta must equal the full anchor index")
+  }
+
+  test("dd30 equals the dd26 relation restricted to batch-involving pairs") {
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val incr = Dedup.incrementalSubstringPairs(spark, sf)
+      .collect().map(_.toString).toSeq
+    val full = Dedup.exactSubstringRuns(spark, sf)
+      .filter(col("doc_a") >= boundary || col("doc_b") >= boundary)
+      .collect().map(_.toString).toSeq
+    assert(incr == full,
+      "the ingest loop and the corpus self-join must agree on batch pairs")
+  }
+
   test("strict anchor cap: a hot anchor fails loudly instead of losing runs") {
     val hot = toks("h", 8)
     val docs = docsOf((1L to 6L).map(i =>

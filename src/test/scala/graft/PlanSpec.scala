@@ -129,6 +129,18 @@ class PlanSpec extends SparkTestBase {
       s"IVF probe must scan the persisted index:\n$p4")
   }
 
+  test("dd28 substring probe pushes the anchor-hash IN filter into the index scan") {
+    // the probe's per-query cost contract: one doc's strided anchor
+    // hashes reach the persisted anchor index as a pushed In filter
+    // (row-group pruning), and the corpus text is never rescanned for
+    // candidate generation
+    val p = plan(Dedup.exactSubstringProbe(spark, sf))
+    assert(p.contains("In(gh"),
+      s"probe must push the gh In filter into the anchor index scan:\n$p")
+    assert(p.contains("graft-index"),
+      s"probe must scan the persisted anchor index:\n$p")
+  }
+
   test("token-catalog probes push the winner-hash IN filter into the index scan") {
     // the scaladoc's row-group-pruning claim, asserted on the plan:
     // an isin probe of the persisted (h, token) catalog must reach

@@ -1240,6 +1240,35 @@ class StreamingSpec extends SparkTestBase {
       "order admission deltas must be disjoint")
   }
 
+  test("equivalence: streaming substring-run maintenance == batch dd26 (waves + redelivery + replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(29).shuffle(docs)
+    val waves = shuffled.grouped(math.max(1, shuffled.length / 4 + 1)).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("ssrunstream").toString
+    val q = Streams.substringIndexMaintainStream(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      root, s"$root/ck")
+    // + late redelivery of part of wave 1: a re-admitted doc would
+    // re-probe and duplicate its runs — admission must drop it
+    try (waves :+ waves.head.take(13)).foreach { w =>
+      mem.addData(w: _*); q.processAllAvailable()
+    } finally q.stop()
+    // + a same-batch-id replay on the grown ledger: re-published runs
+    // against later batches' anchors must collapse in the read side
+    Streams.substringMaintainBatch(
+      waves.head.toDF("doc_id", "text"), 0L, root)
+    assert(rowSet(Streams.readSubstringRuns(spark, root)) ==
+      rowSet(operators.Dedup.exactSubstringRuns(spark, sf)),
+      "stream-maintained runs must equal the batch dd26 relation")
+    assert(Streams.readSubstringRuns(spark, root).count() ==
+      operators.Dedup.exactSubstringRuns(spark, sf).count(),
+      "…as a multiset, not just a set (replay duplicates removed)")
+  }
+
   test("equivalence: streaming priority-sampling maintenance == batch sp9 (waves + redelivery + replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1484,6 +1513,10 @@ class StreamingSpec extends SparkTestBase {
     val hlRows = hl.collect()
     assert(hlRows.length == 1 && hlRows.head.getLong(0) == 0L,
       "Hodges–Lehmann over no months reports n_months 0")
+    // dd26's twin: no admitted docs → no runs, schema intact
+    val ss = Streams.readSubstringRuns(spark, root)
+    assert(ss.count() == 0 && ss.columns.toSeq ==
+      Seq("doc_a", "doc_b", "start_a", "start_b", "run_len"))
     // sp9's twin: no admitted docs → no sources → empty estimate table
     val sp9 = Streams.readPriorityEstimate(spark, root)
     assert(sp9.columns.toSeq ==
