@@ -1822,6 +1822,20 @@ object Streams {
       .dropDuplicates("doc_a", "doc_b", "start_a", "start_b")
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
 
+  /** Second read path over the SAME maintained substring state: dd27's
+    * token-exact scrub, live — the admitted-docs ledger supplies the
+    * texts, the accumulated run deltas supply the spans, and the batch
+    * query's own tail ([[graft.operators.Dedup.exactSubstringScrubOf]])
+    * does the cutting. One maintained artifact, two monitors (the run
+    * relation and the shrinkage audit) — the posting-list amortization
+    * discipline again.
+    */
+  def readSubstringScrub(s: org.apache.spark.sql.SparkSession,
+                         workDir: String): DataFrame =
+    graft.operators.Dedup.exactSubstringScrubOf(
+      deltasOrEmpty(s, workDir, "ssdocs", "doc_id BIGINT, text STRING"),
+      readSubstringRuns(s, workDir))
+
   /** Streaming maintenance of sp9's priority-sampling state — the
     * bounded-summary twin in the Misra–Gries mold: a doc's priority
     * q = w/u is a deterministic per-doc value, so each source's

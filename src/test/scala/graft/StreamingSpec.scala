@@ -1267,6 +1267,10 @@ class StreamingSpec extends SparkTestBase {
     assert(Streams.readSubstringRuns(spark, root).count() ==
       operators.Dedup.exactSubstringRuns(spark, sf).count(),
       "…as a multiset, not just a set (replay duplicates removed)")
+    // the SAME state also serves the live token-exact scrub
+    assert(rowSet(Streams.readSubstringScrub(spark, root)) ==
+      rowSet(operators.Dedup.exactSubstringScrub(spark, sf)),
+      "stream-served scrub must equal the batch dd27 answer")
   }
 
   test("equivalence: streaming priority-sampling maintenance == batch sp9 (waves + redelivery + replay)") {
@@ -1517,6 +1521,9 @@ class StreamingSpec extends SparkTestBase {
     val ss = Streams.readSubstringRuns(spark, root)
     assert(ss.count() == 0 && ss.columns.toSeq ==
       Seq("doc_a", "doc_b", "start_a", "start_b", "run_len"))
+    val ssc = Streams.readSubstringScrub(spark, root)
+    assert(ssc.count() == 0 && ssc.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_removed", "n_spans", "scrubbed_md5"))
     // sp9's twin: no admitted docs → no sources → empty estimate table
     val sp9 = Streams.readPriorityEstimate(spark, root)
     assert(sp9.columns.toSeq ==
