@@ -232,7 +232,8 @@ object Soak {
     // bloom+shuffle contamination path alongside its broadcast twin
     "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann",
     "mg1_frequent_tokens", "tx33_source_kl", "sp9_priority_estimate",
-    "dd26_exact_substring", "dd28_substring_probe", "dd30_incr_substring")
+    "dd26_exact_substring", "dd28_substring_probe", "dd30_incr_substring",
+    "dd31_self_repetition")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

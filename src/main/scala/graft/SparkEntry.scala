@@ -388,6 +388,7 @@ object SparkEntry {
     "dd28_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
     "dd29_winnow_pairs"   -> ((s, d) => Dedup.winnowMatchPairs(s, d)),
     "dd30_incr_substring" -> ((s, d) => Dedup.incrementalSubstringPairs(s, d)),
+    "dd31_self_repetition" -> ((s, d) => Dedup.selfRepetitionRuns(s, d)),
   )
 
   /** dd8's from-scratch component replay — shared verbatim by dd25,
@@ -3384,5 +3385,7 @@ object SparkEntry {
       operators.Dedup.winnowMatchPairsOracleSql(),
     "dd30_incr_substring" ->
       operators.Dedup.incrementalSubstringOracleSql(),
+    "dd31_self_repetition" ->
+      operators.Dedup.selfRepetitionOracleSql(),
   )
 }

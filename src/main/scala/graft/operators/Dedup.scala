@@ -1496,13 +1496,18 @@ object Dedup {
           .otherwise(col("ffl") - 1))
       .withColumn("run_len", col("left_ext") + col("right_len"))
       .filter(col("run_len") >= minRun)
+    // normalization: smaller doc first; for SAME-doc candidates (the
+    // dd31 self-repetition form) the earlier position first — the two
+    // discovery orders of one run land on the same row either way
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
     runs
       .select(
         least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
-        when(col("da") < col("db"), col("pa") - col("left_ext"))
+        when(aFirst, col("pa") - col("left_ext"))
           .otherwise(col("pb") - col("left_ext")).cast("long").as("start_a"),
-        when(col("da") < col("db"), col("pb") - col("left_ext"))
+        when(aFirst, col("pb") - col("left_ext"))
           .otherwise(col("pa") - col("left_ext")).cast("long").as("start_b"),
         col("run_len"))
       .dropDuplicates("doc_a", "doc_b", "start_a", "start_b")
@@ -1752,6 +1757,74 @@ object Dedup {
        |LEFT JOIN ka ON ka.doc_id = d.doc_id
        |LEFT JOIN sc ON sc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // --- DD31: SELF-REPETITION RUNS — the WITHIN-document complement of
+  // dd26 (the ExactSubstr pipeline dedups within-doc repeats too): a
+  // maximal verbatim token run appearing at two positions of the SAME
+  // document, the repetition/degeneration signal ("the model said it
+  // three times") a corpus gate scores before training. Same anchor
+  // machinery at a finer grain (k = 3, minRun = 4 — self-repeats live
+  // shorter than cross-doc quotes), candidates from the persisted
+  // anchor index self-joined WITHIN doc (pos differs), the shared
+  // extension tail, positions normalized earlier-first. Tandem repeats
+  // overlap their own image (diag < run length) — both the extension
+  // and the oracle's diagonal islands count them identically. Fan-out
+  // is per-document (an anchor's matches within one doc are bounded by
+  // doc length), so no frequency cap is needed. ---
+  def selfRepetitionRuns(s: SparkSession, d: String,
+                         anchor: Int = 3, minRun: Int = 4): DataFrame =
+    selfRepetitionRunsOf(Tables.documents(s, d), anchor, minRun,
+      index = Some(graft.sources.TextIndex.anchorIndex(s, d, anchor)))
+
+  /** The testable core over any (doc_id, text) relation — specs plant
+    * tandem and distant repeats directly.
+    */
+  private[graft] def selfRepetitionRunsOf(docs: DataFrame,
+                                          anchor: Int = 3, minRun: Int = 4,
+                                          index: Option[DataFrame] = None)
+      : DataFrame = {
+    require(minRun >= anchor)
+    val anch = index.getOrElse(anchorRowsOf(docs, anchor))
+    val stride = minRun - anchor + 1
+    val probe = anch.filter(((col("pos") - 1) % stride) === 0)
+    val cand = probe.as("p").join(anch.as("x"),
+        col("p.gh") === col("x.gh") &&
+          col("p.doc_id") === col("x.doc_id") &&
+          col("p.pos") =!= col("x.pos"))
+      .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
+        col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    extendToMaximalRuns(cand, docs, anchor, minRun)
+      .select(col("doc_a").as("doc_id"), col("start_a"), col("start_b"),
+        col("run_len"))
+      .orderBy("doc_id", "start_a", "start_b")
+  }
+
+  /** Oracle twin of [[selfRepetitionRuns]] — brute-force within-doc
+    * positional matches (pa < pb), diagonal islands, no anchors.
+    */
+  def selfRepetitionOracleSql(minRun: Int = 4): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS d, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b
+       |    ON a.w = b.w AND a.doc_id = b.doc_id AND a.pos < b.pos),
+       |g AS (
+       |  SELECT d, pb - pa AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY d, pb - pa
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  SELECT d AS doc_id,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) + diag AS BIGINT) AS start_b,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM g GROUP BY d, diag, isl)
+       |SELECT doc_id, start_a, start_b, run_len
+       |FROM r WHERE run_len >= $minRun
+       |ORDER BY doc_id, start_a, start_b""".stripMargin
 
   // --- DD30: INCREMENTAL SUBSTRING PAIRS — dd26's batch-arrival twin
   // (the dd17 shape applied to the anchor index): a batch of new

@@ -233,6 +233,38 @@ class ExactSubstringSpec extends SparkTestBase {
       "the ingest loop and the corpus self-join must agree on batch pairs")
   }
 
+  test("dd31 self-repetition: distant within-doc repeats, exact bounds") {
+    val r = toks("r", 6)
+    val docs = docsOf(
+      1L -> (toks("a", 5) ++ r ++ toks("b", 7) ++ r ++ toks("c", 3)),
+      2L -> toks("u", 20)) // no repeats — must stay silent
+    val runs = Dedup.selfRepetitionRunsOf(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(runs == Seq((1L, 6L, 19L, 6L)),
+      s"one maximal repeat with exact positions: $runs")
+  }
+
+  test("dd31 self-repetition: a tandem repeat reports every diagonal, overlap included") {
+    // 8 copies of one token: the run on diagonal d is (1, 1+d, 8−d) —
+    // a repeat may overlap its own image, and both the extension and
+    // the island oracle count it the same way
+    val docs = docsOf(4L -> (Seq.fill(8)("w") ++ toks("t", 6)))
+    val runs = Dedup.selfRepetitionRunsOf(docs)
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(runs == Seq((1L, 2L, 7L), (1L, 3L, 6L), (1L, 4L, 5L),
+      (1L, 5L, 4L)), s"diagonals 1-4 of the tandem repeat: $runs")
+  }
+
+  test("dd31 is strictly within-doc: cross-document runs are not its business") {
+    val shared = toks("s", 10)
+    val docs = docsOf(
+      1L -> (toks("a", 4) ++ shared),
+      2L -> (toks("b", 6) ++ shared))
+    assert(Dedup.selfRepetitionRunsOf(docs).count() == 0,
+      "a cross-doc quote must not appear in the self-repetition relation")
+  }
+
   test("strict anchor cap: a hot anchor fails loudly instead of losing runs") {
     val hot = toks("h", 8)
     val docs = docsOf((1L to 6L).map(i =>
