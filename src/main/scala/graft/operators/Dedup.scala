@@ -1663,7 +1663,15 @@ object Dedup {
         .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("doc_id", "island")
       .agg(min(col("st")).as("st"), max(col("en")).as("en"))
-    val toks = docs
+    // reassembly runs ONLY over touched docs (those owning a span):
+    // split-then-join with one delimiter is an identity, so an
+    // untouched doc's scrubbed hash IS md5(text) — no explode, no
+    // per-token shuffle, no per-doc re-hash for the (at 100 TB,
+    // overwhelming) clean majority. Was the suite's #8 query at sf0.1
+    // (1.46 s) when it rebuilt all 5k docs; the corpus-scale cost now
+    // tracks the duplicate tail, not the corpus.
+    val touched = merged.select("doc_id").distinct()
+    val toks = docs.join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(1), size(col("ws")))).as("pos"))
@@ -1680,15 +1688,20 @@ object Dedup {
     val spanCounts = merged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"))
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(keptAgg, Seq("doc_id"), "left")
       .join(spanCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+        // untouched: nothing removed; touched-with-no-kept-rows: the
+        // whole doc was one duplicated span
+        when(col("n_spans").isNull, lit(0L))
+          .otherwise(col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("scrubbed_md5"), md5(lit(""))).as("scrubbed_md5"))
+        when(col("n_spans").isNull, md5(col("text")))
+          .otherwise(coalesce(col("scrubbed_md5"), md5(lit(""))))
+          .as("scrubbed_md5"))
       .orderBy("doc_id")
   }
 

@@ -98,6 +98,29 @@ object TextIndex {
     anchorSlice(s, d, s"ge$boundary", k)(
       _.filter(org.apache.spark.sql.functions.col("doc_id") >= boundary))
 
+  /** Nightly compaction of the incremental anchor layout: fold base +
+    * delta into a successor directory by READING FILES — anchors are
+    * never recomputed; the fold re-clusters on the probe key (gh) so
+    * row-group stats serve dd28's In(gh) point probes again after many
+    * deltas fragmented them. Correctness never requires it (base ∪
+    * delta IS the index — the dd30 purity property); it restores probe
+    * locality, exactly like [[compactBandIndex]].
+    */
+  def compactAnchorIndex(s: SparkSession, d: String, boundary: Long,
+                         k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = VectorIndex.indexPathFor(docsFile(d), d,
+      s"anchors_${k}_xx64_compacted$boundary")
+    VectorIndex.ensure(path) { out =>
+      anchorIndexBase(s, d, boundary, k)
+        .unionByName(anchorIndexDelta(s, d, boundary, k))
+        .repartitionByRange(col("gh"))
+        .sortWithinPartitions("gh")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(path.toString)
+  }
+
   /** Persisted (doc_id, band, bucket) LSH banding of the MinHash
     * signatures (built over the portable gram relation, so dd3's
     * oracle replays it verbatim). Every banding parameter is part of

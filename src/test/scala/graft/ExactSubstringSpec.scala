@@ -220,6 +220,34 @@ class ExactSubstringSpec extends SparkTestBase {
     assert(union == full, "base ∪ delta must equal the full anchor index")
   }
 
+  test("anchor compaction is a pure file fold: successor == full index, re-clustered on gh") {
+    val maxId = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
+    val boundary = maxId * 4 / 5 + 1
+    val compacted = sources.TextIndex.compactAnchorIndex(spark, sf, boundary)
+    assert(compacted.collect().map(_.toString).sorted.toSeq ==
+      sources.TextIndex.anchorIndex(spark, sf)
+        .collect().map(_.toString).sorted.toSeq,
+      "compaction must fold files without recomputing anchors")
+    // the re-cluster restores dd28's point-probe locality: per file,
+    // gh ranges must not all overlap (row-group stats become useful)
+    val perFile = compacted
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("gh").as("lo"),
+        org.apache.spark.sql.functions.max("gh").as("hi"))
+      .collect()
+    if (perFile.length > 1) {
+      val sorted = perFile.map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val disjoint = sorted.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => lo2 >= hi1
+        case _ => true
+      }
+      assert(disjoint, "range-clustered files must have ordered gh ranges")
+    }
+  }
+
   test("dd30 equals the dd26 relation restricted to batch-involving pairs") {
     val maxId = Tables.documents(spark, sf)
       .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0)
