@@ -233,7 +233,7 @@ object Soak {
     "dq6_referential", "dd20_contam_shuffled", "a54_hodges_lehmann",
     "mg1_frequent_tokens", "tx33_source_kl", "sp9_priority_estimate",
     "dd26_exact_substring", "dd28_substring_probe", "dd30_incr_substring",
-    "dd31_self_repetition")
+    "dd31_self_repetition", "dd32_substr_decontam")
 
   /** Scale-knob overrides for the SOAK side only. dd15's first soak
     * run measured per-row 1.52 (superlinear): with the quantizer

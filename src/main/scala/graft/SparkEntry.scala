@@ -389,6 +389,7 @@ object SparkEntry {
     "dd29_winnow_pairs"   -> ((s, d) => Dedup.winnowMatchPairs(s, d)),
     "dd30_incr_substring" -> ((s, d) => Dedup.incrementalSubstringPairs(s, d)),
     "dd31_self_repetition" -> ((s, d) => Dedup.selfRepetitionRuns(s, d)),
+    "dd32_substr_decontam" -> ((s, d) => Dedup.substringDecontaminate(s, d)),
   )
 
   /** dd8's from-scratch component replay — shared verbatim by dd25,
@@ -3387,5 +3388,7 @@ object SparkEntry {
       operators.Dedup.incrementalSubstringOracleSql(),
     "dd31_self_repetition" ->
       operators.Dedup.selfRepetitionOracleSql(),
+    "dd32_substr_decontam" ->
+      operators.Dedup.substringDecontaminateOracleSql(),
   )
 }

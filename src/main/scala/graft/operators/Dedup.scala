@@ -1771,6 +1771,81 @@ object Dedup {
        |LEFT JOIN sc ON sc.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --- DD32: TOKEN-LEVEL DECONTAMINATION — the public n-gram-overlap
+  // eval scrub at run precision (the GPT-3 appendix convention:
+  // 13-gram overlap between a training document and an eval document
+  // marks contamination): dd9 counts shared 3-grams set-wise and dd20
+  // tiers them; this finds the verbatim RUNS >= minRun = 13 tokens and
+  // WHERE they sit in both documents — the evidence a scrub actually
+  // cuts (dd27's span shape), not just a score. Same anchor machinery,
+  // split across the dd9 eval convention (doc_id % evalMod == 0): the
+  // eval side is the small side, so its STRIDED anchors probe the
+  // train anchors — per-eval-doc cost proportional to its anchor hits,
+  // the dd28 serving shape batched over the whole eval suite. ---
+  def substringDecontaminate(s: SparkSession, d: String,
+                             anchor: Int = 8, minRun: Int = 13,
+                             evalMod: Long = 97L): DataFrame = {
+    val idx = graft.sources.TextIndex.anchorIndex(s, d, anchor)
+    val stride = minRun - anchor + 1
+    val probe = idx.filter(col("doc_id") % evalMod === 0 &&
+      ((col("pos") - 1) % stride) === 0)
+    val train = idx.filter(col("doc_id") % evalMod =!= 0)
+    val cand = probe.as("p").join(train.as("x"),
+        col("p.gh") === col("x.gh"))
+      .select(col("p.doc_id").as("da"), col("p.pos").as("pa"),
+        col("x.doc_id").as("db"), col("x.pos").as("pb"))
+    // pairs are always (eval, train) — the split is disjoint, so the
+    // min-id normalization is undone into eval/train presentation
+    extendToMaximalRuns(cand, Tables.documents(s, d), anchor, minRun)
+      .select(
+        when(col("doc_a") % evalMod === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("eval_doc"),
+        when(col("doc_a") % evalMod === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("train_doc"),
+        when(col("doc_a") % evalMod === 0, col("start_a"))
+          .otherwise(col("start_b")).as("start_eval"),
+        when(col("doc_a") % evalMod === 0, col("start_b"))
+          .otherwise(col("start_a")).as("start_train"),
+        col("run_len"))
+      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+  }
+
+  /** Oracle twin of [[substringDecontaminate]] — brute-force islands
+    * restricted to cross-split pairs, re-keyed eval-first.
+    */
+  def substringDecontaminateOracleSql(minRun: Int = 13,
+                                      evalMod: Long = 97L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |j AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+       |  FROM t a JOIN t b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE (a.doc_id % $evalMod = 0) <> (b.doc_id % $evalMod = 0)),
+       |g AS (
+       |  SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (PARTITION BY da, db, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM j),
+       |r AS (
+       |  SELECT da, db,
+       |    CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pa) - diag AS BIGINT) AS start_b,
+       |    CAST(count(*) AS BIGINT) AS run_len
+       |  FROM g GROUP BY da, db, diag, isl
+       |  HAVING count(*) >= $minRun)
+       |SELECT
+       |  CASE WHEN da % $evalMod = 0 THEN da ELSE db END AS eval_doc,
+       |  CASE WHEN da % $evalMod = 0 THEN db ELSE da END AS train_doc,
+       |  CASE WHEN da % $evalMod = 0 THEN start_a ELSE start_b END
+       |    AS start_eval,
+       |  CASE WHEN da % $evalMod = 0 THEN start_b ELSE start_a END
+       |    AS start_train,
+       |  run_len
+       |FROM r
+       |ORDER BY eval_doc, train_doc, start_eval, start_train""".stripMargin
+
   // --- DD31: SELF-REPETITION RUNS — the WITHIN-document complement of
   // dd26 (the ExactSubstr pipeline dedups within-doc repeats too): a
   // maximal verbatim token run appearing at two positions of the SAME

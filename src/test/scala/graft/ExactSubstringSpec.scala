@@ -293,6 +293,31 @@ class ExactSubstringSpec extends SparkTestBase {
       "a cross-doc quote must not appear in the self-repetition relation")
   }
 
+  test("dd32 equals the cross-split restriction of the 13-token run relation") {
+    val m = 97L
+    val decon = Dedup.substringDecontaminate(spark, sf)
+      .collect().map(_.toString).toSeq
+    val isEval = (c: org.apache.spark.sql.Column) => c % m === 0
+    val full = Dedup.exactSubstringRunsOf(
+        Tables.documents(spark, sf), anchor = 8, minRun = 13)
+      .filter(isEval(col("doc_a")) =!= isEval(col("doc_b")))
+      .select(
+        when(isEval(col("doc_a")), col("doc_a"))
+          .otherwise(col("doc_b")).as("eval_doc"),
+        when(isEval(col("doc_a")), col("doc_b"))
+          .otherwise(col("doc_a")).as("train_doc"),
+        when(isEval(col("doc_a")), col("start_a"))
+          .otherwise(col("start_b")).as("start_eval"),
+        when(isEval(col("doc_a")), col("start_b"))
+          .otherwise(col("start_a")).as("start_train"),
+        col("run_len"))
+      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+      .collect().map(_.toString).toSeq
+    assert(decon.nonEmpty, "sf0.001 must have planted contamination")
+    assert(decon == full,
+      "the split probe and the full self-join must agree on contamination")
+  }
+
   test("strict anchor cap: a hot anchor fails loudly instead of losing runs") {
     val hot = toks("h", 8)
     val docs = docsOf((1L to 6L).map(i =>
