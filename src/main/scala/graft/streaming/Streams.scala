@@ -1752,7 +1752,7 @@ object Streams {
     */
   def substringIndexMaintainStream(incoming: DataFrame, workDir: String,
                                    checkpointDir: String,
-                                   anchor: Int = 8, minRun: Int = 15)
+                                   anchor: Int = 8, minRun: Int = 13)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .outputMode("append")
@@ -1765,7 +1765,7 @@ object Streams {
   private[graft] def substringMaintainBatch(batchDf: DataFrame, batchId: Long,
                                             workDir: String,
                                             anchor: Int = 8,
-                                            minRun: Int = 15): Unit = {
+                                            minRun: Int = 13): Unit = {
     import graft.operators.Dedup
     val s = batchDf.sparkSession
     val prior = deltaDirs(workDir, "ssdocs")
@@ -1815,12 +1815,42 @@ object Streams {
     * normal operation the deltas are disjoint and this is a no-op.
     */
   def readSubstringRuns(s: org.apache.spark.sql.SparkSession,
-                        workDir: String): DataFrame =
+                        workDir: String, minRun: Int = 15): DataFrame =
+    // the state is maintained at the FINEST served grain (13, dd32's
+    // convention); a run's maximality does not depend on the
+    // threshold, so each reader's >= filter recovers exactly its own
+    // relation — one state, three monitors (runs, scrub, decontam)
     deltasOrEmpty(s, workDir, "ssruns",
         "doc_a BIGINT, doc_b BIGINT, start_a BIGINT, start_b BIGINT, " +
           "run_len BIGINT")
+      .filter(col("run_len") >= minRun)
       .dropDuplicates("doc_a", "doc_b", "start_a", "start_b")
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+  /** Third read path over the SAME maintained substring state: dd32's
+    * token-level decontamination monitor — the cross-split (eval ×
+    * train) restriction of the run relation at the 13-token public
+    * convention, re-keyed eval-first. The live answer to "did this
+    * crawl batch just quote the eval suite".
+    */
+  def readSubstringDecontam(s: org.apache.spark.sql.SparkSession,
+                            workDir: String, minRun: Int = 13,
+                            evalMod: Long = 97L): DataFrame = {
+    val isEval = (c: org.apache.spark.sql.Column) => c % evalMod === 0
+    readSubstringRuns(s, workDir, minRun)
+      .filter(isEval(col("doc_a")) =!= isEval(col("doc_b")))
+      .select(
+        when(isEval(col("doc_a")), col("doc_a"))
+          .otherwise(col("doc_b")).as("eval_doc"),
+        when(isEval(col("doc_a")), col("doc_b"))
+          .otherwise(col("doc_a")).as("train_doc"),
+        when(isEval(col("doc_a")), col("start_a"))
+          .otherwise(col("start_b")).as("start_eval"),
+        when(isEval(col("doc_a")), col("start_b"))
+          .otherwise(col("start_a")).as("start_train"),
+        col("run_len"))
+      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+  }
 
   /** Second read path over the SAME maintained substring state: dd27's
     * token-exact scrub, live — the admitted-docs ledger supplies the

@@ -1271,6 +1271,12 @@ class StreamingSpec extends SparkTestBase {
     assert(rowSet(Streams.readSubstringScrub(spark, root)) ==
       rowSet(operators.Dedup.exactSubstringScrub(spark, sf)),
       "stream-served scrub must equal the batch dd27 answer")
+    // …and the live decontamination monitor (finer 13-token grain —
+    // the state is maintained at the finest served threshold and each
+    // reader recovers its own relation by a >= filter)
+    assert(rowSet(Streams.readSubstringDecontam(spark, root)) ==
+      rowSet(operators.Dedup.substringDecontaminate(spark, sf)),
+      "stream-served decontamination must equal the batch dd32 answer")
   }
 
   test("equivalence: streaming priority-sampling maintenance == batch sp9 (waves + redelivery + replay)") {
@@ -1524,6 +1530,9 @@ class StreamingSpec extends SparkTestBase {
     val ssc = Streams.readSubstringScrub(spark, root)
     assert(ssc.count() == 0 && ssc.columns.toSeq ==
       Seq("doc_id", "n_tokens", "n_removed", "n_spans", "scrubbed_md5"))
+    val ssd = Streams.readSubstringDecontam(spark, root)
+    assert(ssd.count() == 0 && ssd.columns.toSeq ==
+      Seq("eval_doc", "train_doc", "start_eval", "start_train", "run_len"))
     // sp9's twin: no admitted docs → no sources → empty estimate table
     val sp9 = Streams.readPriorityEstimate(spark, root)
     assert(sp9.columns.toSeq ==
